@@ -1,0 +1,61 @@
+"""The flagship two-phase pipeline (engine equivalent of the CLI path,
+SURVEY.md §3.1):
+
+    read_parquet → [phase 1] windowed histogram partials → tiny groupby merge
+    → watermark table (broadcast) → [phase 2] fused detect/inpaint actor pool
+    → sink (exactly-once parquet or a returned lazy Dataset)
+
+Phase 1 reads the stream once and moves only pre-aggregated 256-bin partials
+through the shuffle; phase 2 reads the stream again and rewrites tokens with a
+single broadcast lookup — no all-to-all exchange ever touches token data.
+This is the batch-expressed form; the incremental form with watermark-driven
+state eviction lives in :mod:`.streaming`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray
+import ray.data
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..stages.detect import WmKey, compute_wm_table
+from ..stages.inpaint import InpaintStage
+
+
+def detect_watermarks(ds: "ray.data.Dataset", cfg: EngineConfig = DEFAULT_CONFIG) -> dict[WmKey, tuple[int, float]]:
+    """Phase 1 only: per-(source, window) watermark tokens."""
+    return compute_wm_table(ds, cfg)
+
+
+def run_flagship(
+    ds: "ray.data.Dataset",
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    wm: Optional[dict] = None,
+    motif_docs: Optional[frozenset] = None,
+    concurrency: Optional[int] = None,
+    batch_size: int = 1024,
+    emit_metadata: bool = True,
+) -> "ray.data.Dataset":
+    """Run detection (unless ``wm`` given) and return the lazy rewritten stream.
+
+    ``concurrency`` sizes the inpaint actor pool; default lets Ray autoscale
+    between 2 actors and the CPU count.
+    """
+    if wm is None:
+        wm = compute_wm_table(ds, cfg)
+    wm_ref = ray.put(wm)
+    motif_ref = ray.put(motif_docs) if motif_docs else None
+    if concurrency is None:
+        n = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (2, max(2, n))
+    return ds.map_batches(
+        InpaintStage,
+        fn_constructor_args=(wm_ref, cfg, motif_ref, emit_metadata),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,98 @@
+"""Phase-2 rewrite: the fused detect→protect→refine→inpaint→blend stage.
+
+One actor-pool ``map_batches`` stage (M2-M13 fused, SURVEY.md §2.2): the
+watermark table (small side) is broadcast once via ``ray.put`` and fetched in
+each actor's ``__init__`` — never re-shipped per batch.  The per-batch body is
+entirely flat-vectorized (:mod:`.kernels`); output tokens reuse the input
+offsets (lengths are preserved, mirroring the reference's images-in/images-out
+contract, watermark_remover.py:174-232).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import EngineConfig
+from .detect import WmKey, assign_windows_batch
+from .kernels import flatten_list_column, process_batch_flat
+
+
+def lookup_wm_rows(
+    wm: dict[WmKey, tuple[int, float]],
+    src: np.ndarray,
+    win: np.ndarray,
+) -> np.ndarray:
+    """Per-row wm token from the broadcast table (vectorized over unique keys)."""
+    wm_row = np.full(src.size, -1, dtype=np.int64)
+    s_u, s_inv = np.unique(src, return_inverse=True)
+    w_min = int(win.min()) if win.size else 0
+    w_span = int(win.max()) - w_min + 1 if win.size else 1
+    combo = s_inv.astype(np.int64) * w_span + (win - w_min)
+    c_u, c_inv = np.unique(combo, return_inverse=True)
+    c_wm = np.array(
+        [wm.get((str(s_u[c // w_span]), int(c % w_span + w_min)), (-1, 0.0))[0] for c in c_u],
+        dtype=np.int64,
+    )
+    wm_row = c_wm[c_inv]
+    return wm_row
+
+
+class InpaintStage:
+    """Actor-pool stage: rewrite watermark spans per the governing window's
+    detection.  State fetched once per actor (T3/T4 actor-pool pattern,
+    yolo_detector.py:57-146 analog)."""
+
+    def __init__(
+        self,
+        wm_ref,
+        cfg: EngineConfig,
+        motif_ref=None,
+        emit_metadata: bool = True,
+    ):
+        self.wm = ray.get(wm_ref) if not isinstance(wm_ref, dict) else wm_ref
+        self.motif_docs = (
+            (ray.get(motif_ref) if not isinstance(motif_ref, (set, frozenset)) else motif_ref)
+            if motif_ref is not None
+            else frozenset()
+        )
+        self.cfg = cfg
+        self.emit_metadata = emit_metadata
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        fb = flatten_list_column(batch["tokens"])
+        src = np.asarray(batch["source"])
+        ts = np.asarray(batch["event_ts"], dtype=np.int64)
+        win = assign_windows_batch(src, ts, cfg)
+        wm_row = lookup_wm_rows(self.wm, src, win)
+
+        max_span_row = None
+        if self.motif_docs:
+            ids = batch["doc_id"].to_pylist()
+            is_motif = np.array([d in self.motif_docs for d in ids], dtype=bool)
+            if is_motif.any():
+                max_span_row = np.where(is_motif, fb.lens.astype(np.int64), cfg.max_span)
+
+        res = process_batch_flat(fb, wm_row, cfg, max_span_row)
+        off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
+        tokens_out = pa.ListArray.from_arrays(off32, pa.array(res.values, pa.int32()))
+        cols = {
+            "doc_id": batch["doc_id"],
+            "tokens": tokens_out,
+            "n_tok": batch["n_tok"],
+            "source": batch["source"],
+            "event_ts": batch["event_ts"],
+        }
+        if self.emit_metadata:
+            cols.update(
+                {
+                    "wm_token": pa.array(res.wm_row, pa.int32()),
+                    "coverage_pct": pa.array(res.coverage_pct, pa.float64()),
+                    "radius": pa.array(res.radius, pa.int32()),
+                    "n_passes": pa.array(res.n_passes, pa.int32()),
+                }
+            )
+        return pa.table(cols)

@@ -1,0 +1,87 @@
+"""Golden equality: the distributed flagship pipeline must produce the exact
+row set and byte-identical ``tokens`` arrays as the single-process oracle
+(the BASELINE.json input_hint invariant)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_watermark_removal_otsu_inpaint_ray import golden, synth
+from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+from pdf_watermark_removal_otsu_inpaint_ray.pipelines.flagship import run_flagship
+from pdf_watermark_removal_otsu_inpaint_ray.stages.detect import compute_wm_table
+
+
+@pytest.fixture(scope="module")
+def stream_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("stream") / "seq.parquet"
+    synth.write_stream(str(p), 600, n_sources=4, n_tok_lo=64, n_tok_hi=300)
+    return str(p)
+
+
+def _sorted_table(t: pa.Table) -> pa.Table:
+    return t.sort_by("doc_id")
+
+
+def _assert_equal_outputs(ray_table: pa.Table, golden_table: pa.Table):
+    a, b = _sorted_table(ray_table), _sorted_table(golden_table)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["tokens"].to_pylist() == b["tokens"].to_pylist()
+    assert a["wm_token"].to_pylist() == b["wm_token"].to_pylist()
+    assert a["n_passes"].to_pylist() == b["n_passes"].to_pylist()
+    np.testing.assert_allclose(a["coverage_pct"].to_numpy(), b["coverage_pct"].to_numpy())
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32),
+        DEFAULT_CONFIG.with_(window_kind="sliding", window_size=32, window_slide=16),
+        DEFAULT_CONFIG.with_(window_kind="global"),
+        DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, detection_mode="sticky"),
+        DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, passes=3),
+    ],
+    ids=["tumbling", "sliding", "global", "sticky", "multipass"],
+)
+def test_flagship_matches_golden(ray_session, stream_path, cfg):
+    import pyarrow.parquet as pq
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_sequences
+
+    table = pq.read_table(stream_path)
+    expected = golden.golden_pipeline(table, cfg)
+
+    ds = read_sequences(stream_path)
+    out = run_flagship(ds, cfg, batch_size=128, concurrency=2)
+    got = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    assert got.num_rows == table.num_rows
+    _assert_equal_outputs(got, expected)
+
+
+def test_wm_table_matches_golden(ray_session, stream_path):
+    import pyarrow.parquet as pq
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_sequences
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32)
+    table = pq.read_table(stream_path)
+    expected = golden.golden_wm_table(table, cfg)
+    got = compute_wm_table(read_sequences(stream_path), cfg)
+    assert got == expected
+
+
+def test_motif_override_plumbed(ray_session, stream_path):
+    """A doc in motif_docs gets max_span lifted to its n_tok."""
+    import pyarrow.parquet as pq
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_sequences
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="global", max_span=5)
+    table = pq.read_table(stream_path)
+    some_doc = table["doc_id"][0].as_py()
+    expected = golden.golden_pipeline(table, cfg, motif_rows={some_doc})
+    out = run_flagship(
+        read_sequences(stream_path), cfg, motif_docs=frozenset({some_doc}),
+        batch_size=128, concurrency=2,
+    )
+    got = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    _assert_equal_outputs(got, expected)
