@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline (windowed watermark detection + token-span
+  inpainting) over sf0.001-derived sequences; returns the rewritten stream.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 + the training-data ops (dedup / similarity / text analysis /
+  multimodal plumbing).
+- ``oracle_sql()``: exact DuckDB twins where SQL-expressible; the full
+  inpaint chain and the probabilistic sketches are rows-only here and
+  byte-verified against the golden NumPy oracle in pytest instead.
 """
 
 from __future__ import annotations
@@ -20,25 +20,23 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.flagship import run_flagship
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_documents_as_sequences
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+    ds = read_documents_as_sequences("/root/testdata/sf0.001")
+    return run_flagship(ds, cfg, batch_size=256)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

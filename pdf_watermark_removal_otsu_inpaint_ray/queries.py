@@ -1,0 +1,605 @@
+"""Named query registry: one entry per implemented operator/pipeline
+(SURVEY.md §2), each with a Ray Data callable over ``sf_dir`` and — where
+SQL-expressible — an exact DuckDB oracle on the same parquet tables.
+
+Column names and integer types (BIGINT) are matched between both sides; the
+driver's value-hash compare is column-name-sorted and order-insensitive.
+Queries without an oracle entry (full inpaint chain, LSH/IVF sketches) get
+the driver's rows-only check and are byte-verified against the golden oracle
+in pytest instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import DEFAULT_CONFIG
+from .stages.kernels import flatten_list_column
+
+# Motif markers over the shared document vocabulary (CEP analog of QR
+# payload-prefix classification, qr_detector.py:92-121).
+MOTIFS = [
+    ("website", "spark"),
+    ("advertisement", "stream"),
+    ("documentation", "batch"),
+    ("email", "merge"),
+    ("general", "vector"),
+]
+
+_TOKENIZE_SQL = "list_transform(regexp_extract_all(text, '.'), x -> unicode(x))"
+_WORDS_SQL = "regexp_extract_all(lower(text), '\\S+')"
+_DOCID_SQL = "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+
+
+def _seq_ds(sf_dir: str):
+    from .sources import read_documents_as_sequences
+
+    return read_documents_as_sequences(sf_dir)
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+
+def _events_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# sequence-engine queries (derived sequences; S1-S3, M1-M13, A1-A2, T1)
+# ---------------------------------------------------------------------------
+
+
+def q_seq_ingest(sf_dir: str):
+    def summarize(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        sums = np.zeros(fb.n_rows, dtype=np.int64)
+        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tok": b["n_tok"].cast(pa.int64()),
+                "source": b["source"],
+                "tok_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return _seq_ds(sf_dir).map_batches(summarize, batch_format="pyarrow")
+
+
+def q_gray_histogram(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        src = np.asarray(b["source"])
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        from .stages.kernels import batch_histograms
+
+        H = batch_histograms(fb, s_inv.astype(np.int64), s_u.size, DEFAULT_CONFIG)
+        si, gi = np.nonzero(H)
+        return pa.table(
+            {
+                "source": pa.array(s_u[si], pa.string()),
+                "gray": pa.array(gi.astype(np.int64), pa.int64()),
+                "cnt": pa.array(H[si, gi], pa.int64()),
+            }
+        )
+
+    return (
+        _seq_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "gray"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def q_band_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        gray = fb.values.astype(np.int64) % 256
+        src = np.asarray(b["source"])
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        pos_src = np.repeat(s_inv, fb.lens)
+        n = s_u.size
+        content = np.bincount(pos_src, weights=(gray <= 140), minlength=n).astype(np.int64)
+        backgr = np.bincount(pos_src, weights=(gray > 250), minlength=n).astype(np.int64)
+        total = np.bincount(pos_src, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(s_u, pa.string()),
+                "n_content": pa.array(content, pa.int64()),
+                "n_background": pa.array(backgr, pa.int64()),
+                "n_total": pa.array(total, pa.int64()),
+            }
+        )
+
+    return (
+        _seq_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_content", alias_name="n_content"),
+            Sum("n_background", alias_name="n_background"),
+            Sum("n_total", alias_name="n_total"),
+        )
+    )
+
+
+def q_wm_detect_global(sf_dir: str):
+    from .stages.detect import compute_wm_table
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="global")
+    wm = compute_wm_table(_seq_ds(sf_dir), cfg)
+    items = sorted(wm.items())
+    return pa.table(
+        {
+            "source": pa.array([k[0] for k, _ in items], pa.string()),
+            "wm_token": pa.array([np.int64(v[0]) for _, v in items], pa.int64()),
+        }
+    )
+
+
+def q_flag_coverage(sf_dir: str, wm: int = 105, tol: int = 30):
+    def flags(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        gray = fb.values.astype(np.int64) % 256
+        f = (np.abs(gray - wm) < tol) & (gray <= 250)
+        n = np.bincount(fb.seg, weights=f, minlength=fb.n_rows).astype(np.int64)
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_flagged": pa.array(n, pa.int64())}
+        )
+
+    return _seq_ds(sf_dir).map_batches(flags, batch_format="pyarrow")
+
+
+def q_inpaint_global(sf_dir: str):
+    """Full golden chain, global window — rows-only driver check; golden
+    byte-equality lives in tests/test_pipeline_golden.py."""
+    from .pipelines.flagship import run_flagship
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="global")
+    out = run_flagship(_seq_ds(sf_dir), cfg, batch_size=256)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        sums = np.zeros(fb.n_rows, dtype=np.int64)
+        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tok_sum_out": pa.array(sums, pa.int64()),
+                "wm_token": b["wm_token"].cast(pa.int64()),
+                "n_passes": b["n_passes"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_inpaint_tumbling(sf_dir: str):
+    from .pipelines.flagship import run_flagship
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+    out = run_flagship(_seq_ds(sf_dir), cfg, batch_size=256)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        sums = np.zeros(fb.n_rows, dtype=np.int64)
+        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tok_sum_out": pa.array(sums, pa.int64()),
+                "wm_token": b["wm_token"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# motif / CEP / join queries (T2, J1, J3, A4)
+# ---------------------------------------------------------------------------
+
+
+def _motif_events(sf_dir: str):
+    from .stages.motif import MotifStage
+
+    motifs = [(cat, tuple(ord(c) for c in marker)) for cat, marker in MOTIFS]
+    return _seq_ds(sf_dir).map_batches(
+        MotifStage(motifs, DEFAULT_CONFIG), batch_format="pyarrow"
+    )
+
+
+def q_motif_spans(sf_dir: str):
+    def cast64(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "span_start": b["span_start"].cast(pa.int64()),
+                "span_len": b["span_len"].cast(pa.int64()),
+                "category": b["category"],
+            }
+        )
+
+    return _motif_events(sf_dir).map_batches(cast64, batch_format="pyarrow")
+
+
+def q_motif_category_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _motif_events(sf_dir).groupby("category").aggregate(Count(alias_name="n"))
+
+
+def q_motif_removal_filter(sf_dir: str):
+    from .stages.motif import category_filter
+
+    def filt(b: pa.Table) -> pa.Table:
+        t = category_filter(b, DEFAULT_CONFIG.removal_categories)
+        return pa.table({"doc_id": t["doc_id"], "category": t["category"]})
+
+    return _motif_events(sf_dir).map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# event-stream windows + join (§2.9, J1 analog on real timestamps)
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_counts(sf_dir: str):
+    from .pipelines.windows import tumbling_counts
+
+    return tumbling_counts(_events_ds(sf_dir))
+
+
+def q_sliding_counts(sf_dir: str):
+    from .pipelines.windows import sliding_counts
+
+    return sliding_counts(_events_ds(sf_dir))
+
+
+def q_session_windows(sf_dir: str):
+    from .pipelines.windows import session_windows
+
+    return session_windows(_events_ds(sf_dir))
+
+
+def q_events_customer_join(sf_dir: str):
+    from .pipelines.windows import events_customer_join
+
+    return events_customer_join(_events_ds(sf_dir), f"{sf_dir}/customer.parquet")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    def words(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_words": pc.count_substring_regex(b["text"], r"\S+").cast(pa.int64()),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(words, batch_format="pyarrow")
+
+
+def q_quality_score(sf_dir: str):
+    from .functions.text import TextStats
+
+    return _docs_ds(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from .functions.text import LangId
+
+    return _docs_ds(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from .functions.text import fingerprint_batch
+
+    return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    from .functions.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from .functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_ds(sf_dir), ngram=1, threshold=0.5)
+
+
+def q_minhash_lsh(sf_dir: str):
+    from .functions.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs_ds(sf_dir), threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from .functions.dedup import simhash_dedup
+
+    return simhash_dedup(_docs_ds(sf_dir), max_hamming=8)
+
+
+def q_embedding_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from .functions.similarity import cosine_topk
+
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0)
+    )["embedding"][0].as_py()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_topk(ds, np.asarray(q, dtype=np.float64), k=10)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    import ray.data
+
+    from .functions.dedup import embedding_near_dup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.5)
+
+
+def q_knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from .functions.similarity import IvfIndex, matrix_of
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = t.filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
+    sample = matrix_of(t["embedding"].slice(0, 256))
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    idx = IvfIndex(n_list=8, n_probe=3).fit(sample)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return idx.search(idx.add_partition_column(ds), np.asarray(q), k=10)
+
+
+def q_media_decode(sf_dir: str):
+    from .functions.multimodal import DecodeStage, documents_to_media_batch
+
+    media = _docs_ds(sf_dir).map_batches(documents_to_media_batch, batch_format="pyarrow")
+    decoded = media.map_batches(
+        DecodeStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+    def sql_comparable(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "item_id": b["item_id"],
+                "media_type": b["media_type"],
+                "n_bytes": b["n_bytes"],
+            }
+        )
+
+    return decoded.map_batches(sql_comparable, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "seq_ingest": q_seq_ingest,
+    "gray_histogram": q_gray_histogram,
+    "band_counts": q_band_counts,
+    "wm_detect_global": q_wm_detect_global,
+    "flag_coverage": q_flag_coverage,
+    "inpaint_global": q_inpaint_global,
+    "inpaint_tumbling": q_inpaint_tumbling,
+    "motif_spans": q_motif_spans,
+    "motif_category_counts": q_motif_category_counts,
+    "motif_removal_filter": q_motif_removal_filter,
+    "tumbling_counts": q_tumbling_counts,
+    "sliding_counts": q_sliding_counts,
+    "session_windows": q_session_windows,
+    "events_customer_join": q_events_customer_join,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embedding_knn": q_embedding_knn,
+    "embedding_near_dup": q_embedding_near_dup,
+    "knn_ivf": q_knn_ivf,
+    "media_decode": q_media_decode,
+}
+
+_MOTIF_UNION = "\nUNION ALL\n".join(
+    f"SELECT {_DOCID_SQL} AS doc_id, source, "
+    f"CAST(strpos(text, '{m}') - 1 AS BIGINT) AS span_start, "
+    f"CAST({len(m)} AS BIGINT) AS span_len, '{c}' AS category "
+    f"FROM documents WHERE strpos(text, '{m}') > 0"
+    for c, m in MOTIFS
+)
+
+ORACLE_SQL = {
+    "seq_ingest": f"""
+        SELECT {_DOCID_SQL} AS doc_id,
+               CAST(length(text) AS BIGINT) AS n_tok,
+               source,
+               CAST(coalesce(list_sum({_TOKENIZE_SQL}), 0) AS BIGINT) AS tok_sum
+        FROM documents
+    """,
+    "gray_histogram": f"""
+        SELECT source, CAST(u % 256 AS BIGINT) AS gray, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest({_TOKENIZE_SQL}) AS u FROM documents)
+        GROUP BY source, u % 256
+    """,
+    "band_counts": f"""
+        SELECT source,
+               CAST(count(*) FILTER (WHERE g <= 140) AS BIGINT) AS n_content,
+               CAST(count(*) FILTER (WHERE g > 250) AS BIGINT) AS n_background,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM (SELECT source, unnest({_TOKENIZE_SQL}) % 256 AS g FROM documents)
+        GROUP BY source
+    """,
+    "wm_detect_global": f"""
+        WITH g AS (SELECT source, unnest({_TOKENIZE_SQL}) % 256 AS gray FROM documents),
+        h AS (SELECT source, gray, count(*) AS cnt FROM g GROUP BY source, gray),
+        t AS (SELECT source, sum(cnt) AS total FROM h GROUP BY source),
+        r AS (SELECT h.source, gray, cnt, total,
+                     row_number() OVER (PARTITION BY h.source ORDER BY cnt DESC, gray DESC) AS rk
+              FROM h JOIN t USING (source)),
+        q AS (SELECT source, gray,
+                     row_number() OVER (PARTITION BY source ORDER BY rk) AS qrk
+              FROM r
+              WHERE rk <= 10 AND gray BETWEEN 100 AND 250
+                AND (cnt / CAST(total AS DOUBLE)) * 100.0 BETWEEN 1 AND 20)
+        SELECT s.source, CAST(coalesce(q.gray, -1) AS BIGINT) AS wm_token
+        FROM (SELECT DISTINCT source FROM documents) s
+        LEFT JOIN (SELECT source, gray FROM q WHERE qrk = 1) q USING (source)
+    """,
+    "flag_coverage": f"""
+        SELECT {_DOCID_SQL} AS doc_id,
+               CAST(coalesce(len(list_filter(
+                   list_transform({_TOKENIZE_SQL}, t -> t % 256),
+                   g -> abs(g - 105) < 30 AND g <= 250)), 0) AS BIGINT) AS n_flagged
+        FROM documents
+    """,
+    "motif_spans": _MOTIF_UNION,
+    "motif_category_counts": f"""
+        SELECT category, CAST(count(*) AS BIGINT) AS n
+        FROM ({_MOTIF_UNION}) GROUP BY category
+    """,
+    "motif_removal_filter": f"""
+        SELECT doc_id, category FROM ({_MOTIF_UNION})
+        WHERE category IN ('advertisement', 'unknown', 'website')
+    """,
+    "tumbling_counts": """
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+               CAST(count(*) AS BIGINT) AS n,
+               min(value) AS vmin, max(value) AS vmax
+        FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    """,
+    "sliding_counts": """
+        WITH b AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        w AS (
+            SELECT event_type, us // 3600000000 AS window_id FROM b
+            UNION ALL
+            SELECT event_type, us // 3600000000 - 1 FROM b
+            WHERE us // 3600000000 - 1 >= 0
+              AND us - (us // 3600000000 - 1) * 3600000000 < 7200000000
+        )
+        SELECT event_type, CAST(window_id AS BIGINT) AS window_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY event_type, window_id
+    """,
+    "session_windows": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        s AS (SELECT user_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL
+                               OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        g AS (SELECT user_id, us,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(min(us) AS BIGINT) AS session_start_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid
+    """,
+    "events_customer_join": """
+        SELECT e.event_id, e.user_id, c.c_name
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "token_count": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words
+        FROM documents
+    """,
+    "quality_score": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter({_WORDS_SQL},
+                    w -> w IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN len(list_filter({_WORDS_SQL},
+                    w -> w IN ('the','a','and','of','to','in','is'))) > 0
+                    THEN 'en' ELSE 'und' END AS lang_pred
+        FROM documents
+    """,
+    "fingerprint": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(list_sum(list_transform({_TOKENIZE_SQL},
+                    (x, i) -> (x * ((i * 2654435761) % 1000003)) % 1000003)), 0)
+                    AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+    "dedup_exact": """
+        SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dup
+        FROM documents GROUP BY text
+    """,
+    "ngram_jaccard": f"""
+        WITH t AS (SELECT doc_id, source, list_distinct({_WORDS_SQL}) AS grams
+                   FROM documents)
+        SELECT a.source AS source, CAST(a.doc_id AS BIGINT) AS a,
+               CAST(b.doc_id AS BIGINT) AS b
+        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    """,
+    "embedding_knn": """
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(row_number() OVER (
+                   ORDER BY list_cosine_similarity(embedding, (SELECT e FROM q)) DESC,
+                            vec_id) AS BIGINT) AS rank
+        FROM embeddings ORDER BY rank LIMIT 10
+    """,
+    "embedding_near_dup": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """,
+    "media_decode": """
+        SELECT CAST(doc_id AS BIGINT) AS item_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    # no oracle (rows-only): inpaint_global, inpaint_tumbling (golden-verified
+    # in pytest), minhash_lsh, simhash, knn_ivf (sketch/ANN, pytest-verified)
+}
