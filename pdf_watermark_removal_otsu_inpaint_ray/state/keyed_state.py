@@ -1,0 +1,192 @@
+"""Keyed windowed state actor — the engine's incremental state store (T1/T2).
+
+Each actor owns a hash slice of the ``source`` key space and maintains, per
+live (source, window):
+
+* the 256-bin token histogram (associative partial, A1 — merged
+  incrementally as batches arrive, never recomputed), and
+* the buffered row batches of the window (Arrow tables).
+
+When the global event-time watermark passes a window's end, the actor derives
+the watermark token (Otsu rule, watermark_detector.py:172-189), rewrites the
+buffered rows with the fused inpaint kernel, emits them, and **evicts** the
+state — watermark-driven eviction per SURVEY.md §2.9.  Rows whose governing
+window already finalized are routed to the late-data side output (counted,
+never silently dropped).
+
+Skew note (§4.2): sources are Zipf-skewed; the key → actor routing hashes
+``source`` so hot sources can be salted by the caller into sub-keys (the
+histogram partials merge associatively, so sub-key histograms can be summed
+at finalize).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import EngineConfig
+from ..golden import detect_wm_token
+from ..stages.kernels import (
+    batch_histograms,
+    flatten_list_column,
+    process_batch_flat,
+)
+
+
+def _window_end(window_id: int, cfg: EngineConfig) -> int:
+    if cfg.window_kind == "tumbling":
+        return (window_id + 1) * cfg.window_size
+    if cfg.window_kind == "sliding":
+        return window_id * cfg.window_slide + cfg.window_size
+    raise ValueError(f"streaming window kind {cfg.window_kind}")
+
+
+@ray.remote
+class KeyedStateActor:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.hists: dict[tuple[str, int], np.ndarray] = {}
+        self.buffers: dict[tuple[str, int], list[pa.Table]] = {}
+        self.finalized: set[tuple[str, int]] = set()
+        self.n_late = 0
+        self.n_emitted = 0
+
+    # -- ingest -----------------------------------------------------------
+
+    def ingest(self, batch: pa.Table, watermark: int) -> tuple[list[pa.Table], int]:
+        """Absorb a micro-batch, then finalize every window the watermark
+        passed.  Returns (emitted output tables, late rows so far)."""
+        cfg = self.cfg
+        ts = np.asarray(batch["event_ts"], dtype=np.int64)
+        src = np.asarray(batch["source"])
+        govern = self._governing(ts)
+
+        # late routing: governing window already finalized
+        win_end = np.array([_window_end(int(w), cfg) for w in govern], dtype=np.int64)
+        late = win_end <= watermark
+        late_batch = batch.filter(pa.array(late)) if late.any() else None
+        if late_batch is not None:
+            self.n_late += late_batch.num_rows
+        keep = ~late
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            ts, src, govern = ts[keep], src[keep], govern[keep]
+        if batch.num_rows:
+            self._accumulate(batch, ts, src, govern)
+        emitted = self._finalize_upto(watermark)
+        if late_batch is not None and late_batch.num_rows:
+            self._late_rows = getattr(self, "_late_rows", [])
+            self._late_rows.append(late_batch)
+        return emitted, self.n_late
+
+    def _governing(self, ts: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.window_kind == "tumbling":
+            return ts // cfg.window_size
+        if cfg.window_kind == "sliding":
+            return ts // cfg.window_slide
+        raise ValueError(cfg.window_kind)
+
+    def _contributing(self, ts: np.ndarray) -> list[np.ndarray]:
+        cfg = self.cfg
+        if cfg.window_kind == "tumbling":
+            return [(ts // cfg.window_size, np.ones(ts.size, bool))]
+        out = []
+        n_shifts = -(-cfg.window_size // cfg.window_slide)
+        for j in range(n_shifts):
+            w = ts // cfg.window_slide - j
+            valid = (w >= 0) & (ts - w * cfg.window_slide < cfg.window_size)
+            out.append((w, valid))
+        return out
+
+    def _accumulate(self, batch, ts, src, govern) -> None:
+        cfg = self.cfg
+        fb = flatten_list_column(batch["tokens"])
+        for win, valid in self._contributing(ts):
+            v = np.nonzero(valid)[0]
+            if v.size == 0:
+                continue
+            s_u, s_inv = np.unique(src[v], return_inverse=True)
+            w_v = win[v]
+            w_min, w_span = int(w_v.min()), int(w_v.max() - w_v.min()) + 1
+            combo = s_inv.astype(np.int64) * w_span + (w_v - w_min)
+            c_u, c_inv = np.unique(combo, return_inverse=True)
+            key_row = np.full(ts.size, -1, dtype=np.int64)
+            key_row[v] = c_inv
+            H = batch_histograms(fb, key_row, c_u.size, cfg)
+            for ki, c in enumerate(c_u):
+                key = (str(s_u[c // w_span]), int(c % w_span + w_min))
+                if key in self.hists:
+                    self.hists[key] += H[ki]
+                else:
+                    self.hists[key] = H[ki].copy()
+        # buffer rows under their governing window
+        pairs = {}
+        for i, w in enumerate(govern):
+            pairs.setdefault((str(src[i]), int(w)), []).append(i)
+        for key, idxs in pairs.items():
+            self.buffers.setdefault(key, []).append(batch.take(idxs))
+
+    # -- finalize / evict -------------------------------------------------
+
+    def _finalize_upto(self, watermark: int) -> list[pa.Table]:
+        cfg = self.cfg
+        out = []
+        due = [k for k in self.buffers if _window_end(k[1], cfg) <= watermark]
+        for key in sorted(due):
+            out.append(self._emit_window(key))
+        return out
+
+    def _emit_window(self, key: tuple[str, int]) -> pa.Table:
+        cfg = self.cfg
+        rows = pa.concat_tables(self.buffers.pop(key))
+        hist = self.hists.get(key)
+        wm_tok, _cov = detect_wm_token(hist, cfg) if hist is not None else (-1, 0.0)
+        fb = flatten_list_column(rows["tokens"])
+        wm_row = np.full(rows.num_rows, wm_tok, dtype=np.int64)
+        res = process_batch_flat(fb, wm_row, cfg)
+        off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
+        out = pa.table(
+            {
+                "doc_id": rows["doc_id"],
+                "tokens": pa.ListArray.from_arrays(off32, pa.array(res.values, pa.int32())),
+                "n_tok": rows["n_tok"],
+                "source": rows["source"],
+                "event_ts": rows["event_ts"],
+                "wm_token": pa.array(res.wm_row, pa.int32()),
+                "coverage_pct": pa.array(res.coverage_pct, pa.float64()),
+                "radius": pa.array(res.radius, pa.int32()),
+                "n_passes": pa.array(res.n_passes, pa.int32()),
+            }
+        )
+        # evict: histogram freed; for sliding, drop hists no longer needed by
+        # any live (unfinalized) governing window
+        self.finalized.add(key)
+        self.hists.pop(key, None)
+        if cfg.window_kind == "sliding":
+            live = {k[1] for k in self.buffers}
+            horizon = min(live) if live else key[1] + 1
+            for hk in [k for k in self.hists if k[1] < horizon]:
+                self.hists.pop(hk)
+        self.n_emitted += out.num_rows
+        return out
+
+    def flush(self) -> list[pa.Table]:
+        """End of stream: finalize every remaining window."""
+        return self._finalize_upto(1 << 62)
+
+    def late_rows(self) -> pa.Table | None:
+        rows = getattr(self, "_late_rows", [])
+        return pa.concat_tables(rows) if rows else None
+
+    def state_stats(self) -> dict:
+        return {
+            "live_windows": len(self.buffers),
+            "live_hists": len(self.hists),
+            "buffered_rows": sum(t.num_rows for lst in self.buffers.values() for t in lst),
+            "n_late": self.n_late,
+            "n_emitted": self.n_emitted,
+        }

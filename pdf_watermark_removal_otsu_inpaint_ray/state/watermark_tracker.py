@@ -1,0 +1,38 @@
+"""Central event-time watermark tracker (SURVEY.md §2.9).
+
+One small actor: each input partition reports its max observed event_ts; the
+global low-watermark is ``min over partitions (max_ts) - allowed_lateness``.
+Windows finalize (emit + evict state) only once the global watermark passes
+their end — the streaming analog of the reference finishing a document before
+writing it out (cli.py:989-996).
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class WatermarkTracker:
+    def __init__(self, num_partitions: int, allowed_lateness: int):
+        self.max_ts = {p: None for p in range(num_partitions)}
+        self.lateness = allowed_lateness
+
+    def update(self, partition_id: int, max_ts: int) -> int:
+        cur = self.max_ts.get(partition_id)
+        if cur is None or max_ts > cur:
+            self.max_ts[partition_id] = max_ts
+        return self.watermark()
+
+    def watermark(self) -> int:
+        vals = list(self.max_ts.values())
+        if any(v is None for v in vals):
+            return -(1 << 62)
+        return min(vals) - self.lateness
+
+    def close_partition(self, partition_id: int) -> int:
+        """A finished partition stops holding the watermark back."""
+        self.max_ts.pop(partition_id, None)
+        if not self.max_ts:
+            return 1 << 62
+        return self.watermark()

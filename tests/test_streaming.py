@@ -1,0 +1,79 @@
+"""Incremental streaming engine: golden equality when nothing is late,
+late-data side output, watermark-driven state eviction, sink integration
+(FIXTURES.md fixture 6)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_watermark_removal_otsu_inpaint_ray import golden, synth
+from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming
+
+
+@pytest.fixture(scope="module")
+def stream_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("stream") / "seq.parquet"
+    # disorder 8 < allowed_lateness 16 -> no late rows possible
+    synth.write_stream(str(p), 700, n_sources=3, n_tok_lo=48, n_tok_hi=160, disorder=8)
+    return str(p)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16),
+        DEFAULT_CONFIG.with_(window_kind="sliding", window_size=32, window_slide=16, allowed_lateness=16),
+    ],
+    ids=["tumbling", "sliding"],
+)
+def test_streaming_matches_golden_when_nothing_late(ray_session, stream_path, cfg):
+    table = pq.read_table(stream_path)
+    expected = golden.golden_pipeline(table, cfg).sort_by("doc_id")
+    res = run_streaming(stream_path, cfg, n_actors=3, micro_batch_rows=128)
+    assert res.n_late == 0
+    got = res.output.sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
+
+
+def test_late_rows_routed_not_dropped(ray_session, tmp_path):
+    # heavy disorder + zero lateness -> some rows arrive after their window closed
+    p = str(tmp_path / "late.parquet")
+    synth.write_stream(p, 600, n_sources=2, n_tok_lo=48, n_tok_hi=96, disorder=64)
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=16, allowed_lateness=0)
+    res = run_streaming(p, cfg, n_actors=2, micro_batch_rows=64)
+    assert res.n_late > 0
+    assert res.late is not None and res.late.num_rows == res.n_late
+    inp = pq.read_table(p)
+    got_ids = sorted(res.output["doc_id"].to_pylist() + res.late["doc_id"].to_pylist())
+    assert got_ids == sorted(inp["doc_id"].to_pylist())  # partition, no loss
+    # late rows pass through with original tokens
+    late_ids = set(res.late["doc_id"].to_pylist())
+    orig = {i: t for i, t in zip(inp["doc_id"].to_pylist(), inp["tokens"].to_pylist())}
+    for i, t in zip(res.late["doc_id"].to_pylist(), res.late["tokens"].to_pylist()):
+        assert t == orig[i], i
+    assert late_ids.isdisjoint(set(res.output["doc_id"].to_pylist()))
+
+
+def test_state_evicted_after_watermark(ray_session, stream_path):
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
+    res = run_streaming(stream_path, cfg, n_actors=3, micro_batch_rows=128)
+    for s in res.actor_stats:
+        assert s["live_windows"] == 0
+        assert s["buffered_rows"] == 0
+        assert s["live_hists"] == 0
+
+
+def test_streaming_with_exactly_once_sink(ray_session, stream_path, tmp_path):
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import read_output
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
+    out_dir = str(tmp_path / "out")
+    res = run_streaming(stream_path, cfg, n_actors=2, micro_batch_rows=128, out_dir=out_dir)
+    got = pa.concat_tables(
+        [pa.table(b) for b in read_output(out_dir).iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == res.output.sort_by("doc_id")["doc_id"].to_pylist()
