@@ -1,0 +1,186 @@
+"""Benchmark harness.
+
+Headline: the flagship two-phase pipeline (windowed watermark detection +
+token-span inpainting + exactly-once sink) over a deterministic synthetic
+sequence stream sized to the scale factor, plus a breakdown of
+representative pipelines over ``$GRAFT_SF_DIR`` tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": ...}
+
+``--scaling``: reruns the headline in fresh processes at num_cpus=8 and 32
+on the same cached input and reports both throughputs + scaling efficiency
+(the sandbox substitute for the N vs 4N-node cluster rule; SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_DIR = "/tmp/graft_bench_cache"
+
+# bench stream size scales with the sf dir (sf0.1 -> 120k rows, ~40M tokens)
+ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 12_000, "sf0.1": 120_000}
+
+
+def bench_rows() -> int:
+    return ROWS_BY_SF.get(os.path.basename(SF_DIR.rstrip("/")), 120_000)
+
+
+def ensure_stream(n_rows: int) -> str:
+    """Generate (once, cached) the deterministic bench stream in parallel Ray
+    tasks — chunk-deterministic, so parallel generation is bit-identical to
+    serial.  Written as a DIRECTORY of parquet files (one per chunk) so the
+    read parallelizes across tasks — a single giant file reads serially."""
+    import ray
+
+    path = os.path.join(CACHE_DIR, f"seq_{n_rows}")
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+    os.makedirs(CACHE_DIR, exist_ok=True)
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+
+    chunk = 5_000
+
+    @ray.remote
+    def gen(start: int, n: int, out: str):
+        import pyarrow.parquet as pq
+
+        t = synth.generate_stream(
+            n, start_row=start, n_sources=8, n_tok_lo=128, n_tok_hi=512, disorder=8
+        )
+        pq.write_table(t, out)
+        return out
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    refs = [
+        gen.remote(s, min(chunk, n_rows - s), os.path.join(tmp, f"chunk-{s:010d}.parquet"))
+        for s in range(0, n_rows, chunk)
+    ]
+    ray.get(refs)
+    os.replace(tmp, path)
+    return path
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.flagship import run_flagship
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import QUERIES
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import write_exactly_once
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_sequences
+
+    n_rows = bench_rows()
+    stream = ensure_stream(n_rows)
+    # warm page cache so both scaling runs measure compute, not first read
+    for name in os.listdir(stream):
+        with open(os.path.join(stream, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    timings: dict[str, float] = {}
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+
+    # headline: full flagship incl. exactly-once sink
+    out_dir = f"/tmp/graft_bench_out/run_{NUM_CPUS}_{int(time.time() * 1e6)}"
+    t0 = time.perf_counter()
+    out = run_flagship(read_sequences(stream), cfg, batch_size=1024)
+    write_exactly_once(out, out_dir, num_partitions=max(32, NUM_CPUS * 2))
+    headline = time.perf_counter() - t0
+    timings["flagship_e2e"] = round(headline, 3)
+
+    # phase 1 alone (detection scan)
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.detect import compute_wm_table
+
+    t0 = time.perf_counter()
+    compute_wm_table(read_sequences(stream), cfg)
+    timings["wm_detect"] = round(time.perf_counter() - t0, 3)
+
+    # incremental streaming engine (single read, keyed state actors)
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming
+
+    t0 = time.perf_counter()
+    res = run_streaming(stream, cfg, n_actors=max(2, NUM_CPUS // 4), micro_batch_rows=2048)
+    timings["streaming_incremental"] = round(time.perf_counter() - t0, 3)
+    assert res.output.num_rows == n_rows
+
+    # representative table queries over $GRAFT_SF_DIR
+    for name in ("gray_histogram", "dedup_exact", "minhash_lsh", "embedding_knn", "tumbling_counts"):
+        t0 = time.perf_counter()
+        r = QUERIES[name](SF_DIR)
+        if hasattr(r, "materialize"):
+            r.materialize()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship end-to-end sec (detect+inpaint+exactly-once sink)",
+                "value": timings["flagship_e2e"],
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "bench_rows": n_rows,
+                "rows_per_sec": round(n_rows / headline, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency 8->32 cpus (flagship e2e)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "rows_per_sec_8": lo["rows_per_sec"],
+                "rows_per_sec_32": hi["rows_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "bench_rows": hi["bench_rows"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

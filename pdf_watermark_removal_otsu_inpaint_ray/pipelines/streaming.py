@@ -31,6 +31,49 @@ from ..state.keyed_state import KeyedStateActor
 from ..state.watermark_tracker import WatermarkTracker
 
 
+def _arrival_batches(source, micro_batch_rows: int):
+    """Yield Arrow micro-batches in guaranteed arrival order.
+
+    A stream source is a LOG, not a batch scan: for paths we read files in
+    lexicographic order, row group by row group via pyarrow (memory-bounded,
+    no Ray Data read — a parallel scan interleaves fragments and would
+    teleport the watermark).  A Dataset input is iterated with
+    ``preserve_order`` and is only order-safe for single-fragment inputs.
+    """
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from ..sources.parquet import _ensure_event_ts
+
+    if isinstance(source, str):
+        source = (
+            sorted(
+                os.path.join(source, f)
+                for f in os.listdir(source)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(source)
+            else [source]
+        )
+    if isinstance(source, (list, tuple)):
+        for path in source:
+            pf = pq_.ParquetFile(path)
+            for rb in pf.iter_batches(batch_size=micro_batch_rows):
+                yield _ensure_event_ts(pa.Table.from_batches([rb]))
+    else:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        prev = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
+        try:
+            for b in source.iter_batches(batch_size=micro_batch_rows, batch_format="pyarrow"):
+                yield _ensure_event_ts(pa.table(b) if not isinstance(b, pa.Table) else b)
+        finally:
+            ctx.execution_options.preserve_order = prev
+
+
 @dataclass
 class StreamingResult:
     output: pa.Table
@@ -53,48 +96,28 @@ def run_streaming(
     ``out_dir``: optional exactly-once sink for the emitted stream.
     Ray must already be initialised by the caller.
     """
-    import ray.data
-
-    if isinstance(source, str):
-        from ..sources import read_sequences
-
-        ds = read_sequences(source)
-    else:
-        ds = source
-
     actors = [KeyedStateActor.remote(cfg) for _ in range(n_actors)]
     tracker = WatermarkTracker.remote(1, cfg.allowed_lateness)
 
-    # arrival order IS the stream order: keep block order stable while iterating
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    prev_order = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-
     emitted_refs: list = []
     pending: list = []
-    try:
-        for batch in ds.iter_batches(batch_size=micro_batch_rows, batch_format="pyarrow"):
-            batch = pa.table(batch) if not isinstance(batch, pa.Table) else batch
-            ts = np.asarray(batch["event_ts"], dtype=np.int64)
-            # the watermark a batch is judged against excludes the batch itself
-            # (it advances only after the data that generated it is absorbed)
-            wm = ray.get(tracker.watermark.remote())
-            route = hash_partition_ids(batch["source"].combine_chunks(), n_actors)
-            for a in range(n_actors):
-                idx = np.nonzero(route == a)[0]
-                if idx.size == 0:
-                    continue
-                pending.append(actors[a].ingest.remote(batch.take(idx), wm))
-            tracker.update.remote(0, int(ts.max()))
-            # drain completed ingests so emitted tables don't pile up as refs
-            if len(pending) >= n_actors * 4:
-                done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
-                for tables, _ in ray.get(done):
-                    emitted_refs.extend(tables)
-    finally:
-        ctx.execution_options.preserve_order = prev_order
+    for batch in _arrival_batches(source, micro_batch_rows):
+        ts = np.asarray(batch["event_ts"], dtype=np.int64)
+        # the watermark a batch is judged against excludes the batch itself
+        # (it advances only after the data that generated it is absorbed)
+        wm = ray.get(tracker.watermark.remote())
+        route = hash_partition_ids(batch["source"].combine_chunks(), n_actors)
+        for a in range(n_actors):
+            idx = np.nonzero(route == a)[0]
+            if idx.size == 0:
+                continue
+            pending.append(actors[a].ingest.remote(batch.take(idx), wm))
+        tracker.update.remote(0, int(ts.max()))
+        # drain completed ingests so emitted tables don't pile up as refs
+        if len(pending) >= n_actors * 4:
+            done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
+            for tables, _ in ray.get(done):
+                emitted_refs.extend(tables)
 
     for tables, _ in ray.get(pending):
         emitted_refs.extend(tables)

@@ -100,48 +100,77 @@ def _atomic_write_bytes(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
-class _PartitionWriter:
-    """map_groups body: commit one partition (idempotent under task retry)."""
+def _commit_partition(
+    out_dir: str, part: int, table: pa.Table, fail_partitions: frozenset[int]
+) -> pa.Table:
+    """Commit one partition: dedup by doc_id, stable sort, temp+fsync+rename,
+    manifest.  Idempotent: a committed manifest short-circuits replays."""
+    mpath = _manifest_path(out_dir, part)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            if json.load(f).get("committed"):
+                return _manifest_row(part, "skipped", 0)
+    if part in fail_partitions:  # fault injection for the kill test
+        raise RuntimeError(f"injected failure before commit of part {part}")
+    table = table.sort_by("doc_id")
+    ids = np.asarray(table["doc_id"].combine_chunks())
+    keep = np.concatenate([[True], ids[1:] != ids[:-1]]) if len(ids) > 1 else np.ones(len(ids), bool)
+    table = table.filter(pa.array(keep))
+
+    pdir = os.path.join(out_dir, f"part={part:05d}")
+    os.makedirs(pdir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    final = os.path.join(pdir, "data.parquet")
+    tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    with open(tmp, "rb+") as f:
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
+    fingerprint = f"{table.num_rows}:{int(hash_partition_ids(table['doc_id'], _HASH_MOD).sum())}"
+    manifest = {
+        "partition_id": part,
+        "input_fingerprint": fingerprint,
+        "output_file": final,
+        "row_count": table.num_rows,
+        "committed": True,
+    }
+    _atomic_write_bytes(mpath, json.dumps(manifest).encode())
+    return _manifest_row(part, "committed", table.num_rows)
+
+
+class _WriterActorImpl:
+    """One writer actor owns a slice of the partition space.  Batches stream
+    in as appends (spilled incrementally to a temp spill file per partition —
+    bounded heap); finalize() sorts/dedups each partition and commits it.
+
+    This replaces a sort-based groupby exchange with a single data movement
+    into P writers — the streaming-sink shape that scales (no all-to-all)."""
 
     def __init__(self, out_dir: str, fail_partitions: frozenset[int] = frozenset()):
         self.out_dir = out_dir
-        self.fail_partitions = fail_partitions
+        self.fail = fail_partitions
+        self.spill: dict[int, pq.ParquetWriter] = {}
+        self.spill_paths: dict[int, str] = {}
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part = int(group["__part"][0].as_py())
-        mpath = _manifest_path(self.out_dir, part)
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                if json.load(f).get("committed"):  # replay: already done
-                    return _manifest_row(part, "skipped", 0)
-        if part in self.fail_partitions:  # fault injection for the kill test
-            raise RuntimeError(f"injected failure before commit of part {part}")
-        group = group.drop_columns(["__part"])
-        # dedup by doc_id (exactly-once under upstream replay) + stable order
-        group = group.sort_by("doc_id")
-        ids = group["doc_id"].to_pylist()
-        keep = np.concatenate([[True], np.array(ids[1:]) != np.array(ids[:-1])]) if len(ids) > 1 else np.ones(len(ids), bool)
-        group = group.filter(pa.array(keep))
+    def append(self, part: int, table: pa.Table) -> None:
+        w = self.spill.get(part)
+        if w is None:
+            os.makedirs(os.path.join(self.out_dir, "_spill"), exist_ok=True)
+            path = os.path.join(self.out_dir, "_spill", f"part-{part:05d}-{uuid.uuid4().hex}.parquet")
+            w = pq.ParquetWriter(path, table.schema)
+            self.spill[part] = w
+            self.spill_paths[part] = path
+        w.write_table(table)
 
-        pdir = os.path.join(self.out_dir, f"part={part:05d}")
-        os.makedirs(pdir, exist_ok=True)
-        os.makedirs(os.path.join(self.out_dir, "_manifests"), exist_ok=True)
-        final = os.path.join(pdir, "data.parquet")
-        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-        pq.write_table(group, tmp)
-        with open(tmp, "rb+") as f:
-            os.fsync(f.fileno())
-        os.replace(tmp, final)
-        fingerprint = f"{group.num_rows}:{int(hash_partition_ids(group['doc_id'], _HASH_MOD).sum())}"
-        manifest = {
-            "partition_id": part,
-            "input_fingerprint": fingerprint,
-            "output_file": final,
-            "row_count": group.num_rows,
-            "committed": True,
-        }
-        _atomic_write_bytes(mpath, json.dumps(manifest).encode())
-        return _manifest_row(part, "committed", group.num_rows)
+    def finalize(self) -> list[pa.Table]:
+        out = []
+        for part in sorted(self.spill):
+            self.spill[part].close()
+            data = pq.read_table(self.spill_paths[part])
+            out.append(_commit_partition(self.out_dir, part, data, self.fail))
+            os.remove(self.spill_paths[part])
+        self.spill.clear()
+        return out
 
 
 def _manifest_row(part: int, status: str, rows: int) -> pa.Table:
@@ -159,35 +188,60 @@ def write_exactly_once(
     out_dir: str,
     *,
     num_partitions: int = 16,
+    num_writers: int | None = None,
     resume: bool = True,
     fail_partitions: frozenset[int] = frozenset(),
 ) -> pa.Table:
     """Write a Dataset to the partitioned exactly-once layout.
 
-    Returns the per-partition commit report.  With ``resume=True``, rows of
-    already-committed partitions are dropped before the shuffle (a restarted
-    job redoes only missing partitions).  ``fail_partitions`` is test-only
-    fault injection.
+    Upstream map tasks split each batch by hash(doc_id) partition and stream
+    the slices to ``num_writers`` partition-writer actors (each owning
+    ``num_partitions / num_writers`` partitions) — one data movement, no
+    sort-based shuffle.  Returns the per-partition commit report.
+
+    With ``resume=True``, rows of already-committed partitions are dropped at
+    the source side (a restarted job redoes only missing partitions).
+    ``fail_partitions`` is test-only fault injection (raise before commit).
     """
+    import ray
+
     os.makedirs(out_dir, exist_ok=True)
     done = committed_partitions(out_dir) if resume else set()
+    if num_writers is None:
+        num_writers = min(num_partitions, 8)
+    WriterActor = ray.remote(_WriterActorImpl)
+    writers = [
+        WriterActor.options(max_concurrency=1).remote(out_dir, fail_partitions)
+        for _ in range(num_writers)
+    ]
 
-    def add_part(batch: pa.Table) -> pa.Table:
+    def route(batch: pa.Table) -> pa.Table:
         part = hash_partition_ids(batch["doc_id"], num_partitions)
-        t = batch.append_column("__part", pa.array(part.astype(np.int64), pa.int64()))
         if done:
-            t = t.filter(pa.array(~np.isin(part, list(done))))
-        return t
+            keep = ~np.isin(part, list(done))
+            batch = batch.filter(pa.array(keep))
+            part = part[keep]
+        refs = []
+        for p in np.unique(part):
+            sub = batch.filter(pa.array(part == p))
+            refs.append(writers[int(p) % num_writers].append.remote(int(p), sub))
+        ray.get(refs)  # ack before the block is considered consumed
+        return _manifest_row(-1, "routed", batch.num_rows)
 
-    routed = ds.map_batches(add_part, batch_format="pyarrow")
-    writer = _PartitionWriter(out_dir, fail_partitions)
-
-    def write_partition(group: pa.Table) -> pa.Table:  # map_groups needs a plain fn
-        return writer(group)
-
-    report = routed.groupby("__part").map_groups(write_partition, batch_format="pyarrow")
-    batches = [pa.table(b) for b in report.iter_batches(batch_format="pyarrow")]
-    return pa.concat_tables(batches) if batches else _manifest_row(-1, "empty", 0).slice(0, 0)
+    for _ in ds.map_batches(route, batch_format="pyarrow").iter_batches():
+        pass
+    reports: list[pa.Table] = []
+    errors: list[Exception] = []
+    for w in writers:
+        try:
+            reports.extend(ray.get(w.finalize.remote()))
+        except Exception as e:  # propagate after letting healthy writers commit
+            errors.append(e)
+    for w in writers:
+        ray.kill(w)
+    if errors:
+        raise errors[0]
+    return pa.concat_tables(reports) if reports else _manifest_row(-1, "empty", 0).slice(0, 0)
 
 
 def read_output(out_dir: str):
