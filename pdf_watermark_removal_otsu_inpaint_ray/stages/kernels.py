@@ -34,6 +34,9 @@ class FlatBatch:
     row_start: np.ndarray  # int64[Ntot]
     row_end: np.ndarray    # int64[Ntot]
 
+    def __post_init__(self):
+        self._bidx_cache: dict[int, np.ndarray] = {}
+
     @property
     def n_rows(self) -> int:
         return self.offsets.size - 1
@@ -69,24 +72,66 @@ def per_position(row_values: np.ndarray, fb: FlatBatch) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _boundary_idx(fb: FlatBatch, r: int) -> np.ndarray:
+    """Flat positions within r of a row edge (the only places where a global
+    shifted OR/AND can leak across rows).  Cached per (batch, r)."""
+    cached = fb._bidx_cache.get(r)
+    if cached is not None:
+        return cached
+    off = fb.offsets
+    parts = []
+    for d in range(r):
+        lo = off[:-1] + d
+        parts.append(lo[lo < off[1:]])
+        hi = off[1:] - 1 - d
+        parts.append(hi[hi >= off[:-1] + d + 1])  # skip ones already in lo set
+    bidx = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    fb._bidx_cache[r] = bidx
+    return bidx
+
+
+def _fixup_window_sum(flag: np.ndarray, r: int, fb: FlatBatch, bidx: np.ndarray):
+    """Exact clamped-window sums at boundary positions: (sum, width).
+
+    add.reduceat over the (few) boundary windows — no O(N) cumsum."""
+    lo = np.maximum(bidx - r, fb.row_start[bidx])
+    hi = np.minimum(bidx + r + 1, fb.row_end[bidx])
+    padded = np.concatenate([flag.view(np.int8), np.zeros(1, np.int8)])
+    inter = np.empty(2 * bidx.size, dtype=np.int64)
+    inter[0::2] = lo
+    inter[1::2] = hi
+    sums = np.add.reduceat(padded, inter)[0::2]
+    return sums, hi - lo
+
+
 def flat_dilate(flag: np.ndarray, r: int, fb: FlatBatch) -> np.ndarray:
+    """Shifted-OR dilation with exact row-boundary fixup (clamped windows)."""
     if r <= 0 or flag.size == 0:
         return flag.copy()
-    cs = np.concatenate([[0], np.cumsum(flag, dtype=np.int64)])
-    i = np.arange(flag.size, dtype=np.int64)
-    lo = np.maximum(i - r, fb.row_start)
-    hi = np.minimum(i + r + 1, fb.row_end)
-    return (cs[hi] - cs[lo]) > 0
+    out = flag.copy()
+    for d in range(1, r + 1):
+        out[d:] |= flag[:-d]
+        out[:-d] |= flag[d:]
+    bidx = _boundary_idx(fb, r)
+    if bidx.size:
+        s, _w = _fixup_window_sum(flag, r, fb, bidx)
+        out[bidx] = s > 0
+    return out
 
 
 def flat_erode(flag: np.ndarray, r: int, fb: FlatBatch) -> np.ndarray:
+    """Shifted-AND erosion with exact row-boundary fixup (clamped windows)."""
     if r <= 0 or flag.size == 0:
         return flag.copy()
-    cs = np.concatenate([[0], np.cumsum(flag, dtype=np.int64)])
-    i = np.arange(flag.size, dtype=np.int64)
-    lo = np.maximum(i - r, fb.row_start)
-    hi = np.minimum(i + r + 1, fb.row_end)
-    return (cs[hi] - cs[lo]) == (hi - lo)
+    out = flag.copy()
+    for d in range(1, r + 1):
+        out[d:] &= flag[:-d]
+        out[:-d] &= flag[d:]
+    bidx = _boundary_idx(fb, r)
+    if bidx.size:
+        s, w = _fixup_window_sum(flag, r, fb, bidx)
+        out[bidx] = s == w
+    return out
 
 
 def filter_runs(
@@ -126,8 +171,8 @@ def detect_mask_flat(
     ``wm_pos``: per-position watermark token (int64; < 0 = no watermark for
     that row -> row emits no flags).
     """
-    gray = values.astype(np.int64) % cfg.gray_mod
-    flag = np.abs(gray - wm_pos) < cfg.tolerance
+    gray = values % np.int32(cfg.gray_mod)
+    flag = np.abs(gray - wm_pos.astype(np.int32)) < cfg.tolerance
     flag &= wm_pos >= 0
     flag &= ~(gray > cfg.background_threshold)
     if cfg.protect_text:
@@ -148,20 +193,45 @@ def detect_mask_flat(
 
 
 def inpaint_flat(values: np.ndarray, flag: np.ndarray, fb: FlatBatch) -> np.ndarray:
-    """Nearest-unflagged-neighbor fill, tie toward the left (golden.inpaint_row)."""
+    """Nearest-unflagged-neighbor fill, tie toward the left (golden.inpaint_row).
+
+    Run-based: only flagged runs are touched — for each maximal True-run
+    [s, e) the left source is s-1 (if within the row) and the right source is
+    e; a position i in the run takes left iff (i - (s-1)) <= (e - i)."""
     n = values.size
-    if n == 0 or not flag.any():
+    if n == 0:
         return values
-    idx = np.arange(n, dtype=np.int64)
-    left = np.maximum.accumulate(np.where(~flag, idx, -1))
-    left_valid = left >= fb.row_start
-    right = np.minimum.accumulate(np.where(~flag, idx, 2 * n)[::-1])[::-1]
-    right_valid = right < fb.row_end
-    dl = np.where(left_valid, idx - left, _BIG)
-    dr = np.where(right_valid, right - idx, _BIG)
-    use_left = left_valid & (dl <= dr)
-    src = np.where(use_left, left, np.where(right_valid, right, idx))
-    return np.where(flag, values[src], values).astype(values.dtype)
+    fidx = np.nonzero(flag)[0]
+    if fidx.size == 0:
+        return values
+    # run starts among flagged positions
+    new_run = np.empty(fidx.size, dtype=bool)
+    new_run[0] = True
+    np.not_equal(fidx[1:], fidx[:-1] + 1, out=new_run[1:])
+    # a flag run also breaks at a row boundary
+    new_run |= fidx == fb.row_start[fidx]
+    run_id = np.cumsum(new_run) - 1
+    run_starts = fidx[new_run]                       # s per run
+    run_ends_idx = np.nonzero(new_run)[0]
+    run_lens = np.diff(np.append(run_ends_idx, fidx.size))
+    run_ends = run_starts + run_lens                 # e per run (half-open)
+
+    left_ok = run_starts > fb.row_start[run_starts]
+    right_ok = run_ends < fb.row_end[run_starts]
+    left_val = values[np.maximum(run_starts - 1, 0)]
+    right_val = values[np.minimum(run_ends, n - 1)]
+
+    s_pos = run_starts[run_id]
+    e_pos = run_ends[run_id]
+    dl = np.where(left_ok[run_id], fidx - (s_pos - 1), _BIG)
+    dr = np.where(right_ok[run_id], e_pos - fidx, _BIG)
+    use_left = left_ok[run_id] & (dl <= dr)
+    fill = np.where(use_left, left_val[run_id], right_val[run_id])
+    # neither side in-row (fully flagged row): keep original
+    keep = ~(left_ok | right_ok)[run_id]
+    out = values.copy()
+    out[fidx] = np.where(keep, values[fidx], fill)
+    return out
 
 
 @dataclass
