@@ -225,19 +225,30 @@ def process_row(
     wm_token: int,
     cfg: EngineConfig = DEFAULT_CONFIG,
     max_span: int | None = None,
+    forced_ranges: np.ndarray | None = None,
 ) -> RowResult:
     """Multi-pass removal for one row (watermark_remover.py:234-302).
 
     ``wm_token < 0`` (no detection for this row's window) is a passthrough,
     matching the reference returning the page unchanged when no color was
-    detected.
+    detected — unless ``forced_ranges`` (motif/QR spans, already padded) are
+    present: those are OR-ed into the mask AFTER the detect/protect/refine
+    chain, exempt from protection, exactly like the QR mask combine
+    (watermark_detector.py:680-694, 744-751).
     """
     result = tokens.astype(np.int32, copy=True)
-    if wm_token < 0:
+    has_forced = forced_ranges is not None and len(forced_ranges) > 0
+    if wm_token < 0 and not has_forced:
         return RowResult(result, -1, 0.0, 0, 0)
     last_cov, last_rad, used = 0.0, 0, 0
     for p in range(cfg.passes):
-        mask = detect_mask(result, wm_token, cfg, max_span=max_span)
+        if wm_token >= 0:
+            mask = detect_mask(result, wm_token, cfg, max_span=max_span)
+        else:
+            mask = np.zeros(result.size, dtype=bool)
+        if has_forced:
+            for a, b in forced_ranges:
+                mask[max(0, int(a)) : min(result.size, int(b))] = True
         if not mask.any():
             break
         if p > 0:
@@ -370,11 +381,13 @@ def golden_pipeline(
     table: pa.Table,
     cfg: EngineConfig = DEFAULT_CONFIG,
     motif_rows: set[str] | None = None,
+    motif_ranges: dict[str, np.ndarray] | None = None,
 ) -> pa.Table:
     """Full-stream oracle: detection + per-row rewrite.
 
     ``motif_rows``: doc_ids whose max_span is lifted to n_tok (the QR
-    override, watermark_remover.py:117-141).
+    override, watermark_remover.py:117-141).  ``motif_ranges``: doc_id →
+    padded [start, stop) ranges force-flagged per J1 (the QR mask union).
 
     Returns the output table: doc_id, tokens (rewritten), n_tok, source,
     event_ts, wm_token, coverage_pct, radius, n_passes.
@@ -385,13 +398,16 @@ def golden_pipeline(
     ids = table["doc_id"].to_pylist()
     toks = table["tokens"].to_pylist()
     motif_rows = motif_rows or set()
+    motif_ranges = motif_ranges or {}
 
     out_tokens, out_wm, out_cov, out_rad, out_np = [], [], [], [], []
     for i in range(len(ids)):
         t = np.asarray(toks[i], dtype=np.int32)
         wm_tok, _cov = wm.get((src[i], int(row_win[i])), (-1, 0.0))
         max_span = t.size if ids[i] in motif_rows else None
-        r = process_row(t, wm_tok, cfg, max_span=max_span)
+        r = process_row(
+            t, wm_tok, cfg, max_span=max_span, forced_ranges=motif_ranges.get(ids[i])
+        )
         out_tokens.append(r.tokens)
         out_wm.append(r.wm_token)
         out_cov.append(r.coverage_pct)

@@ -35,25 +35,28 @@ def run_flagship(
     *,
     wm: Optional[dict] = None,
     motif_docs: Optional[frozenset] = None,
+    spans: Optional[dict] = None,
     concurrency: Optional[int] = None,
     batch_size: int = 1024,
     emit_metadata: bool = True,
 ) -> "ray.data.Dataset":
     """Run detection (unless ``wm`` given) and return the lazy rewritten stream.
 
-    ``concurrency`` sizes the inpaint actor pool; default lets Ray autoscale
-    between 2 actors and the CPU count.
+    ``spans``: doc_id → padded ranges from the span-event join (J1,
+    broadcast small side).  ``concurrency`` sizes the inpaint actor pool;
+    default lets Ray autoscale between 2 actors and the CPU count.
     """
     if wm is None:
         wm = compute_wm_table(ds, cfg)
     wm_ref = ray.put(wm)
     motif_ref = ray.put(motif_docs) if motif_docs else None
+    spans_ref = ray.put(spans) if spans else None
     if concurrency is None:
         n = int(ray.cluster_resources().get("CPU", 4))
         concurrency = (2, max(2, n))
     return ds.map_batches(
         InpaintStage,
-        fn_constructor_args=(wm_ref, cfg, motif_ref, emit_metadata),
+        fn_constructor_args=(wm_ref, cfg, motif_ref, emit_metadata, spans_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -51,13 +51,15 @@ class InpaintStage:
         cfg: EngineConfig,
         motif_ref=None,
         emit_metadata: bool = True,
+        spans_ref=None,
     ):
-        self.wm = ray.get(wm_ref) if not isinstance(wm_ref, dict) else wm_ref
-        self.motif_docs = (
-            (ray.get(motif_ref) if not isinstance(motif_ref, (set, frozenset)) else motif_ref)
-            if motif_ref is not None
-            else frozenset()
-        )
+        def fetch(x):
+            return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+        self.wm = fetch(wm_ref)
+        self.motif_docs = fetch(motif_ref) if motif_ref is not None else frozenset()
+        # doc_id -> padded [start, stop) ranges from the span-event join (J1)
+        self.spans = fetch(spans_ref) if spans_ref is not None else {}
         self.cfg = cfg
         self.emit_metadata = emit_metadata
 
@@ -70,13 +72,21 @@ class InpaintStage:
         wm_row = lookup_wm_rows(self.wm, src, win)
 
         max_span_row = None
-        if self.motif_docs:
+        forced_pos = None
+        if self.motif_docs or self.spans:
             ids = batch["doc_id"].to_pylist()
-            is_motif = np.array([d in self.motif_docs for d in ids], dtype=bool)
-            if is_motif.any():
-                max_span_row = np.where(is_motif, fb.lens.astype(np.int64), cfg.max_span)
+            if self.motif_docs:
+                is_motif = np.array([d in self.motif_docs for d in ids], dtype=bool)
+                if is_motif.any():
+                    max_span_row = np.where(is_motif, fb.lens.astype(np.int64), cfg.max_span)
+            if self.spans and any(d in self.spans for d in ids):
+                from .join import apply_forced_ranges
 
-        res = process_batch_flat(fb, wm_row, cfg, max_span_row)
+                forced_pos = apply_forced_ranges(
+                    np.zeros(fb.values.size, dtype=bool), fb, ids, self.spans
+                )
+
+        res = process_batch_flat(fb, wm_row, cfg, max_span_row, forced_pos)
         off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
         tokens_out = pa.ListArray.from_arrays(off32, pa.array(res.values, pa.int32()))
         cols = {

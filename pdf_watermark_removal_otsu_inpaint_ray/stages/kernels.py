@@ -248,11 +248,14 @@ def process_batch_flat(
     wm_row: np.ndarray,
     cfg: EngineConfig,
     max_span_row: np.ndarray | None = None,
+    forced_pos: np.ndarray | None = None,
 ) -> BatchResult:
     """Multi-pass removal for a whole batch (flat mirror of golden.process_row).
 
     ``wm_row``: int per row; ``max_span_row``: optional per-row max span
-    (motif override).
+    (motif override); ``forced_pos``: optional per-position bool OR-ed into
+    the mask after the detect chain (J1 span-event combine, exempt from
+    protection — watermark_detector.py:680-694).
     """
     nrows = fb.n_rows
     values = fb.values
@@ -266,6 +269,8 @@ def process_batch_flat(
     lens = np.maximum(fb.lens, 1)
     for p in range(cfg.passes):
         flag = detect_mask_flat(values, wm_pos, fb, cfg, max_span_pos)
+        if forced_pos is not None:
+            flag |= forced_pos
         if p > 0:
             flag = flat_dilate(flag, 1, fb)  # remover:249-251
         if not flag.any():

@@ -1,0 +1,120 @@
+"""Motif CEP + span-event join (J1/J3, FIXTURES.md fixture 5): span events
+carry category/position, the removal set filters them, joined spans are
+padded, force-flagged past protection, and inpainted; golden equality for
+the full pipeline with motifs."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_watermark_removal_otsu_inpaint_ray import golden, synth
+from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+from pdf_watermark_removal_otsu_inpaint_ray.stages.kernels import flatten_list_column
+from pdf_watermark_removal_otsu_inpaint_ray.stages.motif import MotifStage, category_filter, find_pattern_flat
+
+
+def motif_list():
+    return [
+        (cat, tuple(synth.MOTIF_PREFIX) + (400 + i, 4))
+        for i, cat in enumerate(synth.MOTIF_CATEGORIES)
+    ]
+
+
+@pytest.fixture(scope="module")
+def stream_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("motifs") / "seq.parquet"
+    synth.write_stream(
+        str(p), 400, n_sources=3, n_tok_lo=64, n_tok_hi=200, plant_motifs=True
+    )
+    return str(p)
+
+
+def test_find_pattern_respects_row_boundaries():
+    col = pa.array([[1, 2, 3], [3, 1, 2], [2, 3, 1]], pa.list_(pa.int32()))
+    fb = flatten_list_column(col)
+    # pattern [2,3] occurs in row0 at 1, row2 at 0; the (row1 end, row2 start)
+    # adjacency 2|2,3 must not match across the boundary
+    starts = find_pattern_flat(fb, np.array([2, 3], dtype=np.int32))
+    assert starts.tolist() == [1, 6]
+
+
+def test_motif_stage_finds_planted_motifs(ray_session, stream_path):
+    table = pq.read_table(stream_path)
+    stage = MotifStage(motif_list(), DEFAULT_CONFIG)
+    events = stage(table)
+    assert events.num_rows > 0
+    # every planted row (gi % 13 == 0) has exactly one event with the right category
+    for i in range(events.num_rows):
+        d = events["doc_id"][i].as_py()
+        gi = int(d.split("doc")[1])
+        assert gi % 13 == 0
+        assert events["category"][i].as_py() == synth.MOTIF_CATEGORIES[gi % 5]
+    planted = sum(1 for d in table["doc_id"].to_pylist() if int(d.split("doc")[1]) % 13 == 0)
+    assert events.num_rows == planted
+
+
+def test_category_semifilter_default_removal_set():
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "category": pa.array(
+                ["website", "documentation", "advertisement", "general"], pa.string()
+            ),
+        }
+    )
+    out = category_filter(t, DEFAULT_CONFIG.removal_categories)
+    assert out["doc_id"].to_pylist() == ["a", "c"]
+
+
+def test_full_pipeline_with_motifs_matches_golden(ray_session, stream_path):
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.full import run_full_pipeline
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_sequences
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.join import spans_to_ranges_table
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32)
+    table = pq.read_table(stream_path)
+
+    # golden: derive events with the same stage (deterministic), then oracle
+    events = MotifStage(motif_list(), cfg)(table)
+    removable = category_filter(events, cfg.removal_categories)
+    ranges = spans_to_ranges_table(removable, cfg.motif_pad)
+    expected = golden.golden_pipeline(
+        table, cfg,
+        motif_rows=set(removable["doc_id"].to_pylist()),
+        motif_ranges=ranges,
+    ).sort_by("doc_id")
+
+    out_ds, got_events = run_full_pipeline(read_sequences(stream_path), motif_list(), cfg)
+    got = pa.concat_tables(
+        [pa.table(b) for b in out_ds.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+    assert got_events.sort_by("doc_id").equals(events.sort_by("doc_id"))
+    assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    # forced spans actually rewrote motif rows
+    motif_ids = set(removable["doc_id"].to_pylist())
+    orig = {d: t for d, t in zip(table["doc_id"].to_pylist(), table["tokens"].to_pylist())}
+    changed = sum(
+        1 for d, t in zip(got["doc_id"].to_pylist(), got["tokens"].to_pylist())
+        if d in motif_ids and t != orig[d]
+    )
+    assert changed > 0
+
+
+def test_hash_join_events_documents(ray_session, stream_path):
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.full import detect_motif_events
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_sequences
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.join import hash_join_events_documents
+
+    cfg = DEFAULT_CONFIG
+    docs = read_sequences(stream_path).select_columns(["doc_id", "n_tok", "source"])
+    events = detect_motif_events(read_sequences(stream_path), motif_list(), cfg)
+    joined = hash_join_events_documents(docs, events, num_buckets=4).to_pandas()
+    table = pq.read_table(stream_path)
+    exp_events = MotifStage(motif_list(), cfg)(table)
+    assert len(joined) == exp_events.num_rows
+    assert set(joined["doc_id"]) == set(exp_events["doc_id"].to_pylist())
+    assert "span_start" in joined.columns and "category" in joined.columns
