@@ -18,6 +18,15 @@ class EngineConfig:
     # ---- flagging (reference: watermark_detector.py:439-441) ----
     tolerance: int = 30          # |gray - wm| < tolerance (strict <)
     gray_mod: int = 256          # gray projection = token % gray_mod
+    detection_method: str = "color"  # "color" (wm-token mask) | "auto"
+                                     # (M3/M4 local-mean + saturation,
+                                     # watermark_detector.py:483-545)
+
+    # ---- automatic detection mode (watermark_detector.py:497-508) ----
+    auto_block: int = 11         # local-mean window (adaptiveThreshold block)
+    auto_c: int = 2              # offset C; flag iff (gray+C)*w > window_sum
+    sat_floor: int = 30          # saturation threshold max(30, 0.6*mean)
+                                 # sat channel = (token // 256) % 256
 
     # ---- watermark-candidate rule (watermark_detector.py:172-189) ----
     wm_gray_lo: int = 100        # 100 <= gray <= 250, inclusive

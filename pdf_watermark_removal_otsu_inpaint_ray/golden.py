@@ -180,6 +180,54 @@ def detect_mask(
     return out
 
 
+def auto_raw_mask(tokens: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """Automatic-mode raw detector (M3 ∪ M4, watermark_detector.py:497-508).
+
+    M3 — local-mean threshold (1-D analog of adaptiveThreshold GAUSSIAN_C
+    block=11 C=2; uniform mean instead of gaussian — documented deviation),
+    integer-exact: flag iff ``(gray + C) * width > window_sum``.
+    M4 — "saturation" channel ``(tok // 256) % 256`` below
+    ``max(30, floor(0.6 * mean))`` (integer formula ``(6*sum)//(10*n)``).
+    """
+    n = tokens.size
+    gray = gray_of(tokens, cfg)
+    r = cfg.auto_block // 2
+    cs = np.concatenate([[0], np.cumsum(gray)])
+    i = np.arange(n)
+    lo = np.maximum(i - r, 0)
+    hi = np.minimum(i + r + 1, n)
+    m3 = (gray + cfg.auto_c) * (hi - lo) > (cs[hi] - cs[lo])
+    sat = (tokens.astype(np.int64) // cfg.gray_mod) % cfg.gray_mod
+    thr = max(cfg.sat_floor, int((6 * int(sat.sum())) // (10 * n))) if n else cfg.sat_floor
+    m4 = sat < thr
+    return m3 | m4
+
+
+def detect_mask_auto(
+    tokens: np.ndarray,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    max_span: int | None = None,
+) -> np.ndarray:
+    """Automatic detection chain (watermark_detector.py:483-545): raw M3∪M4
+    → background protect → text protect (always, when enabled) → OPEN x1,
+    CLOSE x2 → span filter."""
+    gray = gray_of(tokens, cfg)
+    flag = auto_raw_mask(tokens, cfg)
+    flag &= ~(gray > cfg.background_threshold)
+    if cfg.protect_text:
+        flag &= ~text_protect_mask(gray, cfg)
+    r = cfg.refine_radius
+    flag = morph_open(flag, r)
+    flag = morph_close(flag, r)
+    flag = morph_close(flag, r)
+    hi = max_span if max_span is not None else cfg.max_span
+    out = np.zeros_like(flag)
+    for s, e in runs(flag):
+        if cfg.min_span <= e - s <= hi:
+            out[s:e] = True
+    return out
+
+
 def inpaint_row(tokens: np.ndarray, flag: np.ndarray) -> np.ndarray:
     """Neighborhood inpaint: each flagged position takes the token value of
     its nearest unflagged position in the row (tie -> left).  A fully
@@ -237,12 +285,15 @@ def process_row(
     (watermark_detector.py:680-694, 744-751).
     """
     result = tokens.astype(np.int32, copy=True)
+    auto = cfg.detection_method == "auto"
     has_forced = forced_ranges is not None and len(forced_ranges) > 0
-    if wm_token < 0 and not has_forced:
+    if wm_token < 0 and not has_forced and not auto:
         return RowResult(result, -1, 0.0, 0, 0)
     last_cov, last_rad, used = 0.0, 0, 0
     for p in range(cfg.passes):
-        if wm_token >= 0:
+        if auto:
+            mask = detect_mask_auto(result, cfg, max_span=max_span)
+        elif wm_token >= 0:
             mask = detect_mask(result, wm_token, cfg, max_span=max_span)
         else:
             mask = np.zeros(result.size, dtype=bool)

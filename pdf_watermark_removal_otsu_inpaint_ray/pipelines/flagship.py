@@ -47,7 +47,8 @@ def run_flagship(
     default lets Ray autoscale between 2 actors and the CPU count.
     """
     if wm is None:
-        wm = compute_wm_table(ds, cfg)
+        # automatic mode (M3/M4) is row-local: no histogram phase at all
+        wm = {} if cfg.detection_method == "auto" else compute_wm_table(ds, cfg)
     wm_ref = ray.put(wm)
     motif_ref = ray.put(motif_docs) if motif_docs else None
     spans_ref = ray.put(spans) if spans else None

@@ -146,29 +146,52 @@ class _WriterActorImpl:
     This replaces a sort-based groupby exchange with a single data movement
     into P writers — the streaming-sink shape that scales (no all-to-all)."""
 
+    SPILL_THRESHOLD = 512 * 1024 * 1024  # per-writer heap bound
+
     def __init__(self, out_dir: str, fail_partitions: frozenset[int] = frozenset()):
         self.out_dir = out_dir
         self.fail = fail_partitions
+        self.buffers: dict[int, list[pa.Table]] = {}
+        self.buffered_bytes = 0
         self.spill: dict[int, pq.ParquetWriter] = {}
         self.spill_paths: dict[int, str] = {}
 
     def append(self, part: int, table: pa.Table) -> None:
-        w = self.spill.get(part)
-        if w is None:
-            os.makedirs(os.path.join(self.out_dir, "_spill"), exist_ok=True)
-            path = os.path.join(self.out_dir, "_spill", f"part-{part:05d}-{uuid.uuid4().hex}.parquet")
-            w = pq.ParquetWriter(path, table.schema)
-            self.spill[part] = w
-            self.spill_paths[part] = path
-        w.write_table(table)
+        self.buffers.setdefault(part, []).append(table)
+        self.buffered_bytes += table.nbytes
+        if self.buffered_bytes > self.SPILL_THRESHOLD:
+            self._spill_all()
+
+    def _spill_all(self) -> None:
+        for part, tables in self.buffers.items():
+            if not tables:
+                continue
+            w = self.spill.get(part)
+            if w is None:
+                os.makedirs(os.path.join(self.out_dir, "_spill"), exist_ok=True)
+                path = os.path.join(
+                    self.out_dir, "_spill", f"part-{part:05d}-{uuid.uuid4().hex}.parquet"
+                )
+                w = pq.ParquetWriter(path, tables[0].schema)
+                self.spill[part] = w
+                self.spill_paths[part] = path
+            w.write_table(pa.concat_tables(tables))
+            tables.clear()
+        self.buffered_bytes = 0
 
     def finalize(self) -> list[pa.Table]:
         out = []
-        for part in sorted(self.spill):
-            self.spill[part].close()
-            data = pq.read_table(self.spill_paths[part])
+        for part in sorted(self.buffers):
+            pieces = []
+            if part in self.spill:  # large partition: merge spilled + buffered
+                self.spill[part].close()
+                pieces.append(pq.read_table(self.spill_paths[part]))
+            pieces.extend(self.buffers[part])
+            data = pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
             out.append(_commit_partition(self.out_dir, part, data, self.fail))
-            os.remove(self.spill_paths[part])
+            if part in self.spill_paths:
+                os.remove(self.spill_paths[part])
+        self.buffers.clear()
         self.spill.clear()
         return out
 

@@ -159,6 +159,33 @@ def filter_runs(
 # ---------------------------------------------------------------------------
 
 
+def _protect_and_refine(
+    flag: np.ndarray,
+    gray: np.ndarray,
+    fb: FlatBatch,
+    cfg: EngineConfig,
+    apply_text: np.ndarray | bool,
+    max_span_pos: np.ndarray | int | None,
+) -> np.ndarray:
+    """Shared tail of both detectors: Protect First, Refine Second, span
+    filter (watermark_detector.py:447-479, 775-789)."""
+    flag &= ~(gray > cfg.background_threshold)
+    do_text = apply_text.any() if isinstance(apply_text, np.ndarray) else apply_text
+    if cfg.protect_text and do_text:
+        core = gray <= cfg.text_threshold
+        prot = flat_dilate(core, cfg.text_expand, fb)
+        prot = filter_runs(prot, fb, cfg.text_min_run, _BIG)
+        if isinstance(apply_text, np.ndarray):
+            prot &= apply_text
+        flag &= ~prot
+    r = cfg.refine_radius
+    flag = flat_dilate(flat_erode(flag, r, fb), r, fb)   # OPEN x1
+    flag = flat_erode(flat_dilate(flag, r, fb), r, fb)   # CLOSE x2
+    flag = flat_erode(flat_dilate(flag, r, fb), r, fb)
+    hi = cfg.max_span if max_span_pos is None else max_span_pos
+    return filter_runs(flag, fb, cfg.min_span, hi)
+
+
 def detect_mask_flat(
     values: np.ndarray,
     wm_pos: np.ndarray,
@@ -166,7 +193,7 @@ def detect_mask_flat(
     cfg: EngineConfig,
     max_span_pos: np.ndarray | int | None = None,
 ) -> np.ndarray:
-    """detect -> protect -> refine -> span filter, whole batch at once.
+    """Color detect -> protect -> refine -> span filter, whole batch at once.
 
     ``wm_pos``: per-position watermark token (int64; < 0 = no watermark for
     that row -> row emits no flags).
@@ -174,22 +201,34 @@ def detect_mask_flat(
     gray = values % np.int32(cfg.gray_mod)
     flag = np.abs(gray - wm_pos.astype(np.int32)) < cfg.tolerance
     flag &= wm_pos >= 0
-    flag &= ~(gray > cfg.background_threshold)
-    if cfg.protect_text:
-        apply_text = (wm_pos >= 0) & ~(
-            (wm_pos >= cfg.skip_text_protect_lo) & (wm_pos <= cfg.skip_text_protect_hi)
-        )
-        if apply_text.any():
-            core = gray <= cfg.text_threshold
-            prot = flat_dilate(core, cfg.text_expand, fb)
-            prot = filter_runs(prot, fb, cfg.text_min_run, _BIG)
-            flag &= ~(prot & apply_text)
-    r = cfg.refine_radius
-    flag = flat_dilate(flat_erode(flag, r, fb), r, fb)   # OPEN x1
-    flag = flat_erode(flat_dilate(flag, r, fb), r, fb)   # CLOSE x2
-    flag = flat_erode(flat_dilate(flag, r, fb), r, fb)
-    hi = cfg.max_span if max_span_pos is None else max_span_pos
-    return filter_runs(flag, fb, cfg.min_span, hi)
+    apply_text = (wm_pos >= 0) & ~(
+        (wm_pos >= cfg.skip_text_protect_lo) & (wm_pos <= cfg.skip_text_protect_hi)
+    )
+    return _protect_and_refine(flag, gray, fb, cfg, apply_text, max_span_pos)
+
+
+def detect_mask_auto_flat(
+    values: np.ndarray,
+    fb: FlatBatch,
+    cfg: EngineConfig,
+    max_span_pos: np.ndarray | int | None = None,
+) -> np.ndarray:
+    """Automatic-mode detection (M3 ∪ M4, watermark_detector.py:483-545),
+    flat mirror of golden.detect_mask_auto."""
+    gray = values % np.int32(cfg.gray_mod)
+    r = cfg.auto_block // 2
+    cs = np.concatenate([[0], np.cumsum(gray, dtype=np.int64)])
+    i = np.arange(values.size, dtype=np.int64)
+    lo = np.maximum(i - r, fb.row_start)
+    hi = np.minimum(i + r + 1, fb.row_end)
+    m3 = (gray.astype(np.int64) + cfg.auto_c) * (hi - lo) > (cs[hi] - cs[lo])
+    sat = (values.astype(np.int64) // cfg.gray_mod) % cfg.gray_mod
+    sat_sum = np.bincount(fb.seg, weights=sat, minlength=fb.n_rows).astype(np.int64)
+    lens = np.maximum(fb.lens, 1)
+    thr_row = np.maximum(cfg.sat_floor, (6 * sat_sum) // (10 * lens))
+    m4 = sat < per_position(thr_row, fb)
+    flag = m3 | m4
+    return _protect_and_refine(flag, gray, fb, cfg, cfg.protect_text, max_span_pos)
 
 
 def inpaint_flat(values: np.ndarray, flag: np.ndarray, fb: FlatBatch) -> np.ndarray:
@@ -267,8 +306,12 @@ def process_batch_flat(
     rad = np.zeros(nrows, dtype=np.int32)
     used = np.zeros(nrows, dtype=np.int32)
     lens = np.maximum(fb.lens, 1)
+    auto = cfg.detection_method == "auto"
     for p in range(cfg.passes):
-        flag = detect_mask_flat(values, wm_pos, fb, cfg, max_span_pos)
+        if auto:
+            flag = detect_mask_auto_flat(values, fb, cfg, max_span_pos)
+        else:
+            flag = detect_mask_flat(values, wm_pos, fb, cfg, max_span_pos)
         if forced_pos is not None:
             flag |= forced_pos
         if p > 0:
@@ -309,11 +352,14 @@ def batch_histograms(
     Returns int64[n_keys, gray_mod].  One ``np.add.at`` over the flattened
     batch — this is the partial/combiner side of A1 (cv2.calcHist analog).
     """
-    gray = fb.values.astype(np.int64) % cfg.gray_mod
+    gm = cfg.gray_mod
+    gray = (fb.values % np.int32(gm)).astype(np.int64)
     key_pos = per_position(key_row.astype(np.int64), fb)
     valid = key_pos >= 0
     if mask_pos is not None:
         valid &= mask_pos
-    out = np.zeros((n_keys, cfg.gray_mod), dtype=np.int64)
-    np.add.at(out, (key_pos[valid], gray[valid]), 1)
-    return out
+    if not valid.all():
+        key_pos, gray = key_pos[valid], gray[valid]
+    # one bincount over the combined (key, gray) index — much faster than add.at
+    combined = key_pos * gm + gray
+    return np.bincount(combined, minlength=n_keys * gm).reshape(n_keys, gm)
