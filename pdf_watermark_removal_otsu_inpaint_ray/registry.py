@@ -1,0 +1,81 @@
+"""Named-strategy registry — the engine's user-extension surface (§2.10).
+
+Reference extension points: pluggable detectors chosen by a
+``detection_method`` string (watermark_detector.py:72-126), pluggable QR
+backends (qr_detector.py:150-169), presets (document_classifier.py:180-229),
+alternate inpaint algorithms (docs/ARCHITECTURE.md:250-255).
+
+Engine mapping: three registries of named callables.  A detector maps
+``(values, wm_pos, fb, cfg, max_span_pos) -> bool mask``; an inpainter maps
+``(values, flag, fb) -> values``; a preset maps ``cfg -> cfg``.  The fused
+stage looks strategies up by the names in ``EngineConfig`` so user code can
+register alternatives without touching engine internals.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+_DETECTORS: dict[str, Callable] = {}
+_INPAINTERS: dict[str, Callable] = {}
+_PRESETS: dict[str, Callable] = {}
+
+
+def register_detector(name: str, fn: Callable) -> Callable:
+    _DETECTORS[name] = fn
+    return fn
+
+
+def register_inpainter(name: str, fn: Callable) -> Callable:
+    _INPAINTERS[name] = fn
+    return fn
+
+
+def register_preset(name: str, fn: Callable) -> Callable:
+    _PRESETS[name] = fn
+    return fn
+
+
+def get_detector(name: str) -> Callable:
+    return _DETECTORS[name]
+
+
+def get_inpainter(name: str) -> Callable:
+    return _INPAINTERS[name]
+
+
+def apply_preset(name: str, cfg):
+    return _PRESETS[name](cfg)
+
+
+def _register_builtins() -> None:
+    from .stages import kernels
+
+    register_detector("color", kernels.detect_mask_flat)
+    register_detector(
+        "auto",
+        lambda values, wm_pos, fb, cfg, max_span_pos=None: kernels.detect_mask_auto_flat(
+            values, fb, cfg, max_span_pos
+        ),
+    )
+    register_inpainter("nearest", kernels.inpaint_flat)
+
+    # presets mirroring get_optimal_parameters + the electronic-color preset
+    # (document_classifier.py:180-229)
+    def _electronic_color(cfg):
+        return cfg.with_(tolerance=15, strength=1.0, kernel_size=2, protect_text=True, passes=1)
+
+    register_preset("electronic-color", _electronic_color)
+    for name in ("electronic", "scanned", "mixed"):
+        def _mk(n):
+            def f(cfg):
+                from .functions.classifier import optimal_parameters
+
+                return cfg.with_(**optimal_parameters(n))
+
+            return f
+
+        register_preset(name, _mk(name))
+
+
+_register_builtins()

@@ -51,6 +51,11 @@ class KeyedStateActor:
         self.hists: dict[tuple[str, int], np.ndarray] = {}
         self.buffers: dict[tuple[str, int], list[pa.Table]] = {}
         self.finalized: set[tuple[str, int]] = set()
+        # session state: source -> sorted list of open sessions
+        # {start, last, hist, tables}; closed_horizon = latest closed
+        # session's (last + gap) per source (rows at/below it are late)
+        self.sessions: dict[str, list[dict]] = {}
+        self.session_horizon: dict[str, int] = {}
         self.n_late = 0
         self.n_emitted = 0
 
@@ -60,6 +65,8 @@ class KeyedStateActor:
         """Absorb a micro-batch, then finalize every window the watermark
         passed.  Returns (emitted output tables, late rows so far)."""
         cfg = self.cfg
+        if cfg.window_kind == "session":
+            return self._ingest_session(batch, watermark)
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         src = np.asarray(batch["source"])
         govern = self._governing(ts)
@@ -174,8 +181,98 @@ class KeyedStateActor:
         self.n_emitted += out.num_rows
         return out
 
+    # -- session windows (gap-merge; reference analog: per-document QR
+    # accumulation reset by clear_qr_codes(), watermark_detector.py:143-145) --
+
+    def _ingest_session(self, batch: pa.Table, watermark: int):
+        cfg = self.cfg
+        ts = np.asarray(batch["event_ts"], dtype=np.int64)
+        src = np.asarray(batch["source"])
+        order = np.lexsort((np.asarray(batch["doc_id"]), ts))
+        late_idx: list[int] = []
+        from ..golden import hist_of
+
+        for i in order:
+            s, t = str(src[i]), int(ts[i])
+            if t <= self.session_horizon.get(s, -(1 << 62)):
+                late_idx.append(int(i))
+                continue
+            row = batch.slice(int(i), 1)
+            gray = (np.asarray(row["tokens"][0].as_py(), dtype=np.int64)) % cfg.gray_mod
+            h = hist_of(gray, cfg)
+            sessions = self.sessions.setdefault(s, [])
+            # merge candidates: any session with start - gap <= t <= last + gap
+            hits = [
+                k for k, ses in enumerate(sessions)
+                if ses["start"] - cfg.session_gap <= t <= ses["last"] + cfg.session_gap
+            ]
+            if not hits:
+                sessions.append({"start": t, "last": t, "hist": h, "tables": [row]})
+                sessions.sort(key=lambda x: x["start"])
+            else:
+                base = sessions[hits[0]]
+                base["start"] = min(base["start"], t)
+                base["last"] = max(base["last"], t)
+                base["hist"] = base["hist"] + h
+                base["tables"].append(row)
+                for k in reversed(hits[1:]):  # bridging row merges sessions
+                    other = sessions.pop(k)
+                    base["start"] = min(base["start"], other["start"])
+                    base["last"] = max(base["last"], other["last"])
+                    base["hist"] += other["hist"]
+                    base["tables"].extend(other["tables"])
+        emitted = self._finalize_sessions(watermark)
+        if late_idx:
+            late_batch = batch.take(late_idx)
+            self.n_late += late_batch.num_rows
+            self._late_rows = getattr(self, "_late_rows", [])
+            self._late_rows.append(late_batch)
+        return emitted, self.n_late
+
+    def _finalize_sessions(self, watermark: int) -> list[pa.Table]:
+        cfg = self.cfg
+        out = []
+        for s in sorted(self.sessions):
+            keep = []
+            for ses in self.sessions[s]:
+                if ses["last"] + cfg.session_gap <= watermark:
+                    out.append(self._emit_session(s, ses))
+                else:
+                    keep.append(ses)
+            self.sessions[s] = keep
+        return out
+
+    def _emit_session(self, source: str, ses: dict) -> pa.Table:
+        cfg = self.cfg
+        rows = pa.concat_tables(ses["tables"])
+        wm_tok, _cov = detect_wm_token(ses["hist"], cfg)
+        fb = flatten_list_column(rows["tokens"])
+        res = process_batch_flat(fb, np.full(rows.num_rows, wm_tok, dtype=np.int64), cfg)
+        off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
+        self.session_horizon[source] = max(
+            self.session_horizon.get(source, -(1 << 62)), ses["last"] + cfg.session_gap
+        )
+        self.n_emitted += rows.num_rows
+        return pa.table(
+            {
+                "doc_id": rows["doc_id"],
+                "tokens": pa.ListArray.from_arrays(off32, pa.array(res.values, pa.int32())),
+                "n_tok": rows["n_tok"],
+                "source": rows["source"],
+                "event_ts": rows["event_ts"],
+                "wm_token": pa.array(res.wm_row, pa.int32()),
+                "coverage_pct": pa.array(res.coverage_pct, pa.float64()),
+                "radius": pa.array(res.radius, pa.int32()),
+                "n_passes": pa.array(res.n_passes, pa.int32()),
+            }
+        )
+
     def flush(self) -> list[pa.Table]:
         """End of stream: finalize every remaining window."""
+        if self.cfg.window_kind == "session":
+            out = self._finalize_sessions(1 << 62)
+            self.sessions.clear()
+            return out
         return self._finalize_upto(1 << 62)
 
     def late_rows(self) -> pa.Table | None:
@@ -183,10 +280,12 @@ class KeyedStateActor:
         return pa.concat_tables(rows) if rows else None
 
     def state_stats(self) -> dict:
+        live_sessions = sum(len(v) for v in self.sessions.values())
         return {
-            "live_windows": len(self.buffers),
+            "live_windows": len(self.buffers) + live_sessions,
             "live_hists": len(self.hists),
-            "buffered_rows": sum(t.num_rows for lst in self.buffers.values() for t in lst),
+            "buffered_rows": sum(t.num_rows for lst in self.buffers.values() for t in lst)
+            + sum(t.num_rows for v in self.sessions.values() for s in v for t in s["tables"]),
             "n_late": self.n_late,
             "n_emitted": self.n_emitted,
         }
