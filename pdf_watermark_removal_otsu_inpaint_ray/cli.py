@@ -1,0 +1,164 @@
+"""Command-line entry point + driver-side config parsers (M14/M15).
+
+Engine analog of the reference CLI (cli.py:370-1100): parse config, build
+the pipeline, run, summarize.  The interactive color/QR selection flows are
+driver/UI concerns and are not ported (SURVEY.md non-goals); their batch
+equivalents are ``--wm-token`` (fixed token override) and the motif
+removal-category flags.
+
+Usage::
+
+    python -m pdf_watermark_removal_otsu_inpaint_ray run \
+        --input /path/seqs --output /tmp/out \
+        [--window tumbling --window-size 64 --rows 1,5,10-20 \
+         --wm-token 150 --method auto --passes 2 --streaming]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_rows(spec: str) -> list[int]:
+    """``"1,3,5-10"`` → sorted unique ints (M14, reference cli.py:112-171).
+
+    Selections are 1-indexed like the reference's page numbers; validation
+    mirrors the reference (empty / malformed / reversed ranges rejected).
+    """
+    if not spec or not spec.strip():
+        raise ValueError("empty row spec")
+    out: set[int] = set()
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            raise ValueError(f"empty segment in row spec {spec!r}")
+        if "-" in part:
+            lo_s, _, hi_s = part.partition("-")
+            lo, hi = int(lo_s), int(hi_s)
+            if lo < 1 or hi < lo:
+                raise ValueError(f"bad range {part!r}")
+            out.update(range(lo, hi + 1))
+        else:
+            v = int(part)
+            if v < 1:
+                raise ValueError(f"bad row number {part!r}")
+            out.add(v)
+    return sorted(out)
+
+
+def parse_wm_token(spec: str, gray_mod: int = 256) -> int:
+    """``"150"`` or ``"r,g,b"`` → watermark token (M15, cli.py:174-197).
+
+    An r,g,b triple maps to its mean gray (stats.py:316 luminance analog is
+    intentionally NOT used — the reference takes the channel mean,
+    watermark_detector.py:439)."""
+    parts = [p.strip() for p in spec.split(",")]
+    if len(parts) == 1:
+        v = int(parts[0])
+    elif len(parts) == 3:
+        vals = [int(p) for p in parts]
+        if any(not (0 <= x < gray_mod) for x in vals):
+            raise ValueError(f"channel out of range in {spec!r}")
+        v = int(sum(vals) / 3)
+    else:
+        raise ValueError(f"bad token spec {spec!r} (want T or R,G,B)")
+    if not (0 <= v < gray_mod):
+        raise ValueError(f"token {v} out of [0, {gray_mod})")
+    return v
+
+
+def build_config(args) -> "EngineConfig":
+    from .config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind=args.window,
+        window_size=args.window_size,
+        window_slide=args.window_slide,
+        session_gap=args.session_gap,
+        allowed_lateness=args.lateness,
+        detection_method=args.method,
+        tolerance=args.tolerance,
+        kernel_size=args.kernel_size,
+        strength=args.strength,
+        passes=args.passes,
+    )
+    if args.wm_token:
+        cfg = cfg.with_(fixed_wm_token=parse_wm_token(args.wm_token, cfg.gray_mod))
+    if args.preset:
+        from . import registry
+
+        cfg = registry.apply_preset(args.preset, cfg)
+    return cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pdf_watermark_removal_otsu_inpaint_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("run", help="run the flagship pipeline")
+    r.add_argument("--input", required=True, help="sequence parquet file/dir")
+    r.add_argument("--output", required=True, help="exactly-once sink dir")
+    r.add_argument("--window", default="tumbling",
+                   choices=["tumbling", "sliding", "session", "global"])
+    r.add_argument("--window-size", type=int, default=64)
+    r.add_argument("--window-slide", type=int, default=32)
+    r.add_argument("--session-gap", type=int, default=16)
+    r.add_argument("--lateness", type=int, default=16)
+    r.add_argument("--method", default="color", choices=["color", "auto"])
+    r.add_argument("--tolerance", type=int, default=30)
+    r.add_argument("--kernel-size", type=int, default=3)
+    r.add_argument("--strength", type=float, default=1.0)
+    r.add_argument("--passes", type=int, default=1)
+    r.add_argument("--wm-token", default=None, help="fixed token T or R,G,B")
+    r.add_argument("--preset", default=None,
+                   help="electronic | scanned | mixed | electronic-color")
+    r.add_argument("--rows", default=None, help="1-indexed row spec 1,3,5-10")
+    r.add_argument("--partitions", type=int, default=32)
+    r.add_argument("--streaming", action="store_true",
+                   help="incremental engine (single read, keyed state actors)")
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        cfg = build_config(args)
+        if args.streaming:
+            from .pipelines.streaming import run_streaming
+
+            res = run_streaming(args.input, cfg, out_dir=args.output,
+                                num_partitions=args.partitions)
+            print(json.dumps({"rows": res.output.num_rows, "late": res.n_late}))
+        else:
+            from .pipelines.flagship import run_flagship
+            from .sinks.exactly_once import write_exactly_once
+            from .sources import read_sequences
+
+            ds = read_sequences(args.input)
+            if args.rows:
+                import numpy as np
+                import pyarrow as pa
+
+                keep = set(parse_rows(args.rows))
+
+                def filt(b, _k=frozenset(keep)):
+                    ts = np.asarray(b["event_ts"])
+                    return b.filter(pa.array(np.isin(ts + 1, list(_k))))
+
+                ds = ds.map_batches(filt, batch_format="pyarrow")
+            out = run_flagship(ds, cfg)
+            report = write_exactly_once(out, args.output, num_partitions=args.partitions)
+            from .stats import manifest_metrics
+
+            m = manifest_metrics(args.output)
+            print(json.dumps({"partitions": m["partitions"], "rows": m["total_rows"]}))
+        return 0
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

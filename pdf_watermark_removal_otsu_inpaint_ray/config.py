@@ -22,6 +22,10 @@ class EngineConfig:
                                      # (M3/M4 local-mean + saturation,
                                      # watermark_detector.py:483-545)
 
+    # user-specified watermark token (reference --color, cli.py:174-197);
+    # >= 0 skips the detection phase entirely (every row uses this token)
+    fixed_wm_token: int = -1
+
     # ---- automatic detection mode (watermark_detector.py:497-508) ----
     auto_block: int = 11         # local-mean window (adaptiveThreshold block)
     auto_c: int = 2              # offset C; flag iff (gray+C)*w > window_sum

@@ -138,62 +138,33 @@ def _commit_partition(
     return _manifest_row(part, "committed", table.num_rows)
 
 
-class _WriterActorImpl:
-    """One writer actor owns a slice of the partition space.  Batches stream
-    in as appends (spilled incrementally to a temp spill file per partition —
-    bounded heap); finalize() sorts/dedups each partition and commits it.
+def _staged_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, "_staged", f"part={part:05d}")
 
-    This replaces a sort-based groupby exchange with a single data movement
-    into P writers — the streaming-sink shape that scales (no all-to-all)."""
 
-    SPILL_THRESHOLD = 512 * 1024 * 1024  # per-writer heap bound
+def _finalize_partition(
+    out_dir: str, part: int, fail_partitions: frozenset[int]
+) -> pa.Table:
+    """Merge a partition's staged files → sort/dedup → atomic commit.
 
-    def __init__(self, out_dir: str, fail_partitions: frozenset[int] = frozenset()):
-        self.out_dir = out_dir
-        self.fail = fail_partitions
-        self.buffers: dict[int, list[pa.Table]] = {}
-        self.buffered_bytes = 0
-        self.spill: dict[int, pq.ParquetWriter] = {}
-        self.spill_paths: dict[int, str] = {}
-
-    def append(self, part: int, table: pa.Table) -> None:
-        self.buffers.setdefault(part, []).append(table)
-        self.buffered_bytes += table.nbytes
-        if self.buffered_bytes > self.SPILL_THRESHOLD:
-            self._spill_all()
-
-    def _spill_all(self) -> None:
-        for part, tables in self.buffers.items():
-            if not tables:
-                continue
-            w = self.spill.get(part)
-            if w is None:
-                os.makedirs(os.path.join(self.out_dir, "_spill"), exist_ok=True)
-                path = os.path.join(
-                    self.out_dir, "_spill", f"part-{part:05d}-{uuid.uuid4().hex}.parquet"
-                )
-                w = pq.ParquetWriter(path, tables[0].schema)
-                self.spill[part] = w
-                self.spill_paths[part] = path
-            w.write_table(pa.concat_tables(tables))
-            tables.clear()
-        self.buffered_bytes = 0
-
-    def finalize(self) -> list[pa.Table]:
-        out = []
-        for part in sorted(self.buffers):
-            pieces = []
-            if part in self.spill:  # large partition: merge spilled + buffered
-                self.spill[part].close()
-                pieces.append(pq.read_table(self.spill_paths[part]))
-            pieces.extend(self.buffers[part])
-            data = pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
-            out.append(_commit_partition(self.out_dir, part, data, self.fail))
-            if part in self.spill_paths:
-                os.remove(self.spill_paths[part])
-        self.buffers.clear()
-        self.spill.clear()
-        return out
+    Reads every staged file for the partition — including leftovers from a
+    crashed earlier attempt: the pipeline is deterministic and the commit
+    dedups by doc_id, so stale stages are harmless (idempotent)."""
+    sdir = _staged_dir(out_dir, part)
+    files = sorted(
+        os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".parquet")
+    ) if os.path.isdir(sdir) else []
+    if not files:
+        return _manifest_row(part, "empty", 0)
+    data = pa.concat_tables([pq.read_table(f) for f in files])
+    report = _commit_partition(out_dir, part, data, fail_partitions)
+    for f in files:
+        os.remove(f)
+    try:
+        os.rmdir(sdir)
+    except OSError:
+        pass
+    return report
 
 
 def _manifest_row(part: int, status: str, rows: int) -> pa.Table:
@@ -211,57 +182,69 @@ def write_exactly_once(
     out_dir: str,
     *,
     num_partitions: int = 16,
-    num_writers: int | None = None,
+    num_writers: int | None = None,  # kept for API compat; staging is task-parallel
+    stage_batch_size: int = 32768,
     resume: bool = True,
     fail_partitions: frozenset[int] = frozenset(),
 ) -> pa.Table:
     """Write a Dataset to the partitioned exactly-once layout.
 
-    Upstream map tasks split each batch by hash(doc_id) partition and stream
-    the slices to ``num_writers`` partition-writer actors (each owning
-    ``num_partitions / num_writers`` partitions) — one data movement, no
-    sort-based shuffle.  Returns the per-partition commit report.
+    Two fully parallel phases, no actors, no sort shuffle:
 
-    With ``resume=True``, rows of already-committed partitions are dropped at
-    the source side (a restarted job redoes only missing partitions).
+    1. **stage** — each map task splits its batch by hash(doc_id) and
+       appends one parquet file per touched partition under
+       ``out_dir/_staged/part=K/`` (the sink directory is shared storage by
+       definition — the same assumption every distributed sink makes).
+    2. **finalize** — one Ray task per partition merges its staged files,
+       sorts + dedups by doc_id, commits atomically (temp+fsync+rename+
+       manifest) and deletes the stage.
+
+    Returns the per-partition commit report.  With ``resume=True``, rows of
+    already-committed partitions are dropped at the source side (a restarted
+    job redoes only missing partitions); stale staged files from a crashed
+    attempt are deduped away (the pipeline is deterministic).
     ``fail_partitions`` is test-only fault injection (raise before commit).
     """
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
     done = committed_partitions(out_dir) if resume else set()
-    if num_writers is None:
-        num_writers = min(num_partitions, 8)
-    WriterActor = ray.remote(_WriterActorImpl)
-    writers = [
-        WriterActor.options(max_concurrency=1).remote(out_dir, fail_partitions)
-        for _ in range(num_writers)
-    ]
 
-    def route(batch: pa.Table) -> pa.Table:
+    def stage(batch: pa.Table) -> pa.Table:
         part = hash_partition_ids(batch["doc_id"], num_partitions)
         if done:
             keep = ~np.isin(part, list(done))
             batch = batch.filter(pa.array(keep))
             part = part[keep]
-        refs = []
         for p in np.unique(part):
             sub = batch.filter(pa.array(part == p))
-            refs.append(writers[int(p) % num_writers].append.remote(int(p), sub))
-        ray.get(refs)  # ack before the block is considered consumed
-        return _manifest_row(-1, "routed", batch.num_rows)
+            sdir = _staged_dir(out_dir, int(p))
+            os.makedirs(sdir, exist_ok=True)
+            tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(sub, tmp)
+            os.replace(tmp, os.path.join(sdir, f"stage-{uuid.uuid4().hex}.parquet"))
+        return _manifest_row(-1, "staged", batch.num_rows)
 
-    for _ in ds.map_batches(route, batch_format="pyarrow").iter_batches():
+    # large stage batches keep the staged-file count ~ (rows/batch) * P
+    for _ in ds.map_batches(
+        stage, batch_format="pyarrow", batch_size=stage_batch_size
+    ).iter_batches():
         pass
+
+    sroot = os.path.join(out_dir, "_staged")
+    parts = sorted(
+        int(d.split("=")[1]) for d in os.listdir(sroot) if d.startswith("part=")
+    ) if os.path.isdir(sroot) else []
+    parts = [p for p in parts if p not in done]
+
+    fin = ray.remote(num_cpus=1)(_finalize_partition)
     reports: list[pa.Table] = []
     errors: list[Exception] = []
-    for w in writers:
+    for p, ref in [(p, fin.remote(out_dir, p, fail_partitions)) for p in parts]:
         try:
-            reports.extend(ray.get(w.finalize.remote()))
-        except Exception as e:  # propagate after letting healthy writers commit
+            reports.append(ray.get(ref))
+        except Exception as e:  # let healthy partitions commit, then raise
             errors.append(e)
-    for w in writers:
-        ray.kill(w)
     if errors:
         raise errors[0]
     return pa.concat_tables(reports) if reports else _manifest_row(-1, "empty", 0).slice(0, 0)
