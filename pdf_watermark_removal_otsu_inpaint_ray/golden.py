@@ -443,7 +443,7 @@ def golden_pipeline(
     Returns the output table: doc_id, tokens (rewritten), n_tok, source,
     event_ts, wm_token, coverage_pct, radius, n_passes.
     """
-    wm = golden_wm_table(table, cfg)
+    wm = {} if cfg.fixed_wm_token >= 0 else golden_wm_table(table, cfg)
     row_win = golden_row_window(table, cfg)
     src = table["source"].to_pylist()
     ids = table["doc_id"].to_pylist()
@@ -454,7 +454,10 @@ def golden_pipeline(
     out_tokens, out_wm, out_cov, out_rad, out_np = [], [], [], [], []
     for i in range(len(ids)):
         t = np.asarray(toks[i], dtype=np.int32)
-        wm_tok, _cov = wm.get((src[i], int(row_win[i])), (-1, 0.0))
+        if cfg.fixed_wm_token >= 0:  # user override skips detection (M15)
+            wm_tok = cfg.fixed_wm_token
+        else:
+            wm_tok, _cov = wm.get((src[i], int(row_win[i])), (-1, 0.0))
         max_span = t.size if ids[i] in motif_rows else None
         r = process_row(
             t, wm_tok, cfg, max_span=max_span, forced_ranges=motif_ranges.get(ids[i])

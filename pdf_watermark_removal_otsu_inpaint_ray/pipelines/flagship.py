@@ -47,8 +47,12 @@ def run_flagship(
     default lets Ray autoscale between 2 actors and the CPU count.
     """
     if wm is None:
-        # automatic mode (M3/M4) is row-local: no histogram phase at all
-        wm = {} if cfg.detection_method == "auto" else compute_wm_table(ds, cfg)
+        # automatic mode (M3/M4) and the fixed-token override (M15) are
+        # row-local: no histogram phase at all
+        if cfg.detection_method == "auto" or cfg.fixed_wm_token >= 0:
+            wm = {}
+        else:
+            wm = compute_wm_table(ds, cfg)
     wm_ref = ray.put(wm)
     motif_ref = ray.put(motif_docs) if motif_docs else None
     spans_ref = ray.put(spans) if spans else None

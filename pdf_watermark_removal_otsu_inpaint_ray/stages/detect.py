@@ -101,39 +101,74 @@ class HistogramPartials:
         )
 
 
-def _merge_group(group: pa.Table) -> pa.Table:
-    fb = flatten_list_column(group["hist"])
-    n = fb.n_rows
-    gm = fb.lens[0] if n else 0
-    merged = fb.values.reshape(n, gm).sum(axis=0)
-    return pa.table(
-        {
-            "source": group["source"].slice(0, 1),
-            "window_id": group["window_id"].slice(0, 1),
-            "hist": pa.array([merged.tolist()], pa.list_(pa.int64())),
-        }
+def detect_wm_many(hists: np.ndarray, cfg: EngineConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`golden.detect_wm_token` over K histograms at once.
+
+    ``hists``: int64[K, gray_mod] → (wm int64[K] with -1 for none,
+    coverage_pct float64[K]).  Same top-10 / gray-band / coverage rule and
+    tie-break (count desc, gray desc) as the scalar oracle.
+    """
+    K, gm = hists.shape
+    total = hists.sum(axis=1)
+    order = np.argsort(hists, axis=1, kind="stable")[:, ::-1][:, : cfg.wm_topk]
+    cnt = np.take_along_axis(hists, order, axis=1).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = cnt / np.maximum(total[:, None], 1) * 100.0
+    ok = (
+        (order >= cfg.wm_gray_lo)
+        & (order <= cfg.wm_gray_hi)
+        & (cov >= cfg.wm_cov_lo)
+        & (cov <= cfg.wm_cov_hi)
+        & (total[:, None] > 0)
     )
+    first = np.argmax(ok, axis=1)
+    any_ok = ok.any(axis=1)
+    wm = np.where(any_ok, np.take_along_axis(order, first[:, None], axis=1)[:, 0], -1)
+    covp = np.where(any_ok, np.take_along_axis(cov, first[:, None], axis=1)[:, 0], 0.0)
+    return wm.astype(np.int64), covp
 
 
-def compute_wm_table(ds, cfg: EngineConfig) -> dict[WmKey, tuple[int, float]]:
+def compute_wm_table(ds, cfg: EngineConfig, batch_size: int = 4096) -> dict[WmKey, tuple[int, float]]:
     """Run phase 1 on a sequence Dataset → {(source, window): (wm, cov%)}.
 
-    ``ds`` must carry (tokens, source, event_ts).  The groupby here shuffles
-    only the per-batch partials (tiny); the final reduce lands on the driver
-    because the key space is bounded (sources × live windows).
+    ``ds`` must carry (tokens, source, event_ts).  Partials are already
+    merged per batch inside :class:`HistogramPartials`; the final reduce is
+    a single vectorized ``np.add.at`` on the driver over the streamed
+    partial rows — the key space is bounded (sources × live windows), and
+    partial volume is ~keys × 2 KB per input block.  (At extreme key
+    cardinality, insert a partial-merging ``map_batches`` tree stage before
+    the driver — the histograms are associative.)
     """
     partials = ds.map_batches(
-        HistogramPartials(cfg), batch_format="pyarrow", batch_size=1024
+        HistogramPartials(cfg), batch_format="pyarrow", batch_size=batch_size
     )
-    merged = partials.groupby(["source", "window_id"]).map_groups(
-        _merge_group, batch_format="pyarrow"
-    )
+    srcs: list[str] = []
+    wins: list[np.ndarray] = []
+    hists: list[np.ndarray] = []
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        if batch.num_rows == 0:
+            continue
+        srcs.extend(batch["source"].to_pylist())
+        wins.append(np.asarray(batch["window_id"], dtype=np.int64))
+        fbh = flatten_list_column(batch["hist"])
+        hists.append(fbh.values.reshape(batch.num_rows, cfg.gray_mod))
+    if not srcs:
+        return {}
+    win_all = np.concatenate(wins)
+    hist_all = np.concatenate(hists).astype(np.int64)
+    # vectorized merge over factorized (source, window) keys
+    s_u, s_inv = np.unique(np.asarray(srcs, dtype=object), return_inverse=True)
+    w_min = int(win_all.min())
+    w_span = int(win_all.max()) - w_min + 1
+    combo = s_inv.astype(np.int64) * w_span + (win_all - w_min)
+    c_u, c_inv = np.unique(combo, return_inverse=True)
+    merged = np.zeros((c_u.size, cfg.gray_mod), dtype=np.int64)
+    np.add.at(merged, c_inv, hist_all)
+    wm_arr, cov_arr = detect_wm_many(merged, cfg)
     wm: dict[WmKey, tuple[int, float]] = {}
-    for batch in merged.iter_batches(batch_format="pyarrow"):
-        for i in range(batch.num_rows):
-            key = (batch["source"][i].as_py(), batch["window_id"][i].as_py())
-            hist = np.asarray(batch["hist"][i].as_py(), dtype=np.int64)
-            wm[key] = detect_wm_token(hist, cfg)
+    for k, c in enumerate(c_u):
+        key = (str(s_u[c // w_span]), int(c % w_span + w_min))
+        wm[key] = (int(wm_arr[k]), float(cov_arr[k]))
     if cfg.detection_mode == "sticky":
         apply_sticky(wm)
     return wm

@@ -24,20 +24,27 @@ def lookup_wm_rows(
     wm: dict[WmKey, tuple[int, float]],
     src: np.ndarray,
     win: np.ndarray,
+    default: int = -1,
 ) -> np.ndarray:
-    """Per-row wm token from the broadcast table (vectorized over unique keys)."""
-    wm_row = np.full(src.size, -1, dtype=np.int64)
+    """Per-row wm token from the broadcast table (vectorized over unique keys).
+
+    ``default``: value for missing keys — the user's fixed token override
+    (cli --wm-token, M15) when set, else -1 (no watermark)."""
+    if win.size == 0:
+        return np.zeros(0, dtype=np.int64)
     s_u, s_inv = np.unique(src, return_inverse=True)
-    w_min = int(win.min()) if win.size else 0
-    w_span = int(win.max()) - w_min + 1 if win.size else 1
+    w_min = int(win.min())
+    w_span = int(win.max()) - w_min + 1
     combo = s_inv.astype(np.int64) * w_span + (win - w_min)
     c_u, c_inv = np.unique(combo, return_inverse=True)
     c_wm = np.array(
-        [wm.get((str(s_u[c // w_span]), int(c % w_span + w_min)), (-1, 0.0))[0] for c in c_u],
+        [
+            wm.get((str(s_u[c // w_span]), int(c % w_span + w_min)), (default, 0.0))[0]
+            for c in c_u
+        ],
         dtype=np.int64,
     )
-    wm_row = c_wm[c_inv]
-    return wm_row
+    return c_wm[c_inv]
 
 
 class InpaintStage:
@@ -69,7 +76,7 @@ class InpaintStage:
         src = np.asarray(batch["source"])
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         win = assign_windows_batch(src, ts, cfg)
-        wm_row = lookup_wm_rows(self.wm, src, win)
+        wm_row = lookup_wm_rows(self.wm, src, win, default=cfg.fixed_wm_token)
 
         max_span_row = None
         forced_pos = None
