@@ -150,6 +150,30 @@ def q_wm_detect_global(sf_dir: str):
     )
 
 
+def q_dominant_tokens(sf_dir: str, k: int = 10):
+    """A2: top-k dominant gray values per source with band classification
+    (reference ColorAnalyzer.analyze_watermark_color, color_analyzer.py:65-126)."""
+    hist = q_gray_histogram(sf_dir).to_pandas()
+    out = []
+    for src, g in hist.groupby("source"):
+        g = g.sort_values(["cnt", "gray"], ascending=[False, False]).head(k)
+        for rk, (_, r) in enumerate(g.iterrows(), start=1):
+            gray = int(r["gray"])
+            band = (
+                "background" if gray > 250 else "content" if gray <= 140 else "candidate"
+            )
+            out.append((src, gray, int(r["cnt"]), rk, band))
+    return pa.table(
+        {
+            "source": pa.array([o[0] for o in out], pa.string()),
+            "gray": pa.array([o[1] for o in out], pa.int64()),
+            "cnt": pa.array([o[2] for o in out], pa.int64()),
+            "rk": pa.array([o[3] for o in out], pa.int64()),
+            "band": pa.array([o[4] for o in out], pa.string()),
+        }
+    )
+
+
 def q_flag_coverage(sf_dir: str, wm: int = 105, tol: int = 30):
     def flags(b: pa.Table) -> pa.Table:
         fb = flatten_list_column(b["tokens"])
@@ -413,6 +437,7 @@ QUERIES = {
     "gray_histogram": q_gray_histogram,
     "band_counts": q_band_counts,
     "wm_detect_global": q_wm_detect_global,
+    "dominant_tokens": q_dominant_tokens,
     "flag_coverage": q_flag_coverage,
     "inpaint_global": q_inpaint_global,
     "inpaint_tumbling": q_inpaint_tumbling,
@@ -481,6 +506,23 @@ ORACLE_SQL = {
         SELECT s.source, CAST(coalesce(q.gray, -1) AS BIGINT) AS wm_token
         FROM (SELECT DISTINCT source FROM documents) s
         LEFT JOIN (SELECT source, gray FROM q WHERE qrk = 1) q USING (source)
+    """,
+    "dominant_tokens": f"""
+        WITH h AS (
+            SELECT source, u % 256 AS gray, count(*) AS cnt
+            FROM (SELECT source, unnest({_TOKENIZE_SQL}) AS u FROM documents)
+            GROUP BY source, u % 256
+        ),
+        r AS (SELECT source, gray, cnt,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY cnt DESC, gray DESC) AS rk
+              FROM h)
+        SELECT source, CAST(gray AS BIGINT) AS gray, CAST(cnt AS BIGINT) AS cnt,
+               CAST(rk AS BIGINT) AS rk,
+               CASE WHEN gray > 250 THEN 'background'
+                    WHEN gray <= 140 THEN 'content'
+                    ELSE 'candidate' END AS band
+        FROM r WHERE rk <= 10
     """,
     "flag_coverage": f"""
         SELECT {_DOCID_SQL} AS doc_id,
