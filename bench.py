@@ -105,13 +105,21 @@ def main() -> None:
         with open(os.path.join(stream, name), "rb") as f:
             while f.read(1 << 24):
                 pass
-    # untimed warmup: spin up the worker pool + import the library in workers
-    # (session startup isn't what the scaling criterion measures)
+    # untimed warmup: spin up the worker pool AND pre-import the library in
+    # every worker by running a miniature end-to-end job (session/worker
+    # startup isn't what the scaling criterion measures)
     import ray.data as _rd
 
-    _rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).materialize()
+    from pdf_watermark_removal_otsu_inpaint_ray import synth as _synth
+
+    _warm = _rd.from_arrow(_synth.generate_stream(512, n_tok_lo=64, n_tok_hi=128))
+    _warm = _warm.repartition(NUM_CPUS * 2)
+    _wcfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+    write_exactly_once(
+        run_flagship(_warm, _wcfg, batch_size=64),
+        f"/tmp/graft_bench_out/warmup_{NUM_CPUS}_{int(time.time() * 1e6)}",
+        num_partitions=NUM_CPUS,
+    )
 
     timings: dict[str, float] = {}
     cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
