@@ -49,17 +49,23 @@ def _tune_allocator() -> None:
 _tune_allocator()
 
 
-@dataclass
 class FlatBatch:
-    """Flattened view of a list<int32> column for one batch."""
+    """Flattened view of a list<int32> column for one batch.
 
-    values: np.ndarray     # int32[Ntot] flattened tokens (rebased copy-free when possible)
-    offsets: np.ndarray    # int64[nrows+1], offsets[0] == 0
-    seg: np.ndarray        # int64[Ntot] row index per position
-    row_start: np.ndarray  # int64[Ntot]
-    row_end: np.ndarray    # int64[Ntot]
+    Per-position bookkeeping (``seg`` / ``row_start`` / ``row_end``) is
+    LAZY — stages that never index by row (e.g. histogram partials) pay only
+    for values + offsets, which matters: these arrays are Ntot-sized and
+    their allocation traffic dominated the histogram stage before."""
 
-    def __post_init__(self):
+    __slots__ = ("values", "offsets", "_lens", "_seg", "_row_start", "_row_end", "_bidx_cache")
+
+    def __init__(self, values: np.ndarray, offsets: np.ndarray):
+        self.values = values      # int32[Ntot] flattened tokens
+        self.offsets = offsets    # int64[nrows+1], offsets[0] == 0
+        self._lens = None
+        self._seg = None
+        self._row_start = None
+        self._row_end = None
         self._bidx_cache: dict[int, np.ndarray] = {}
 
     @property
@@ -68,7 +74,27 @@ class FlatBatch:
 
     @property
     def lens(self) -> np.ndarray:
-        return np.diff(self.offsets)
+        if self._lens is None:
+            self._lens = np.diff(self.offsets)
+        return self._lens
+
+    @property
+    def seg(self) -> np.ndarray:
+        if self._seg is None:
+            self._seg = np.repeat(np.arange(self.n_rows, dtype=np.int64), self.lens)
+        return self._seg
+
+    @property
+    def row_start(self) -> np.ndarray:
+        if self._row_start is None:
+            self._row_start = np.repeat(self.offsets[:-1], self.lens)
+        return self._row_start
+
+    @property
+    def row_end(self) -> np.ndarray:
+        if self._row_end is None:
+            self._row_end = np.repeat(self.offsets[1:], self.lens)
+        return self._row_end
 
 
 def flatten_list_column(col: pa.ChunkedArray | pa.ListArray) -> FlatBatch:
@@ -80,11 +106,7 @@ def flatten_list_column(col: pa.ChunkedArray | pa.ListArray) -> FlatBatch:
     if off[0] != 0 or off[-1] != vals.size:
         vals = vals[off[0] : off[-1]]
         off = off - off[0]
-    lens = np.diff(off)
-    seg = np.repeat(np.arange(off.size - 1, dtype=np.int64), lens)
-    row_start = np.repeat(off[:-1], lens)
-    row_end = np.repeat(off[1:], lens)
-    return FlatBatch(vals, off, seg, row_start, row_end)
+    return FlatBatch(vals, off)
 
 
 def per_position(row_values: np.ndarray, fb: FlatBatch) -> np.ndarray:
