@@ -56,14 +56,22 @@ def run_flagship(
     wm_ref = ray.put(wm)
     motif_ref = ray.put(motif_docs) if motif_docs else None
     spans_ref = ray.put(spans) if spans else None
-    if concurrency is None:
-        n = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (2, max(2, n))
+    if concurrency is not None:
+        # explicit actor pool (kept for API compat / expensive-state variants)
+        return ds.map_batches(
+            InpaintStage,
+            fn_constructor_args=(wm_ref, cfg, motif_ref, emit_metadata, spans_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    # default: stateless tasks on warm workers; the stage object is built
+    # once per worker process from the broadcast refs (see make_inpaint_fn)
+    from ..stages.inpaint import make_inpaint_fn
+
     return ds.map_batches(
-        InpaintStage,
-        fn_constructor_args=(wm_ref, cfg, motif_ref, emit_metadata, spans_ref),
+        make_inpaint_fn(wm_ref, cfg, motif_ref, emit_metadata, spans_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )

@@ -47,10 +47,56 @@ def lookup_wm_rows(
     return c_wm[c_inv]
 
 
+# per-worker-process cache of broadcast objects and built stages: stateless
+# map tasks reuse warm worker processes, so state amortizes exactly like an
+# actor pool but without paying a fresh process spawn + imports per pool
+# (an actor pool spawns NEW processes per execution; ~2-3 s x pool size of
+# non-scaling ramp).  The actor-pool form below is kept for stages whose
+# state is genuinely expensive per process (models), cf. ray_guide.md.
+_PROCESS_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    import ray as _ray
+
+    key = ("obj", ref.hex())
+    if key not in _PROCESS_CACHE:
+        _PROCESS_CACHE[key] = _ray.get(ref)
+    return _PROCESS_CACHE[key]
+
+
+def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=None):
+    """Build a plain map_batches function whose stage object is constructed
+    once per worker process (module-level cache) from broadcast refs."""
+    stage_key = ("stage", wm_ref.hex() if hasattr(wm_ref, "hex") else id(wm_ref),
+                 hash(cfg), emit_metadata)
+
+    def inpaint_fn(batch: pa.Table) -> pa.Table:
+        stage = _PROCESS_CACHE.get(stage_key)
+        if stage is None:
+            stage = InpaintStage(
+                _cached_get(wm_ref) if hasattr(wm_ref, "hex") else wm_ref,
+                cfg,
+                (_cached_get(motif_ref) if hasattr(motif_ref, "hex") else motif_ref)
+                if motif_ref is not None
+                else None,
+                emit_metadata,
+                (_cached_get(spans_ref) if hasattr(spans_ref, "hex") else spans_ref)
+                if spans_ref is not None
+                else None,
+            )
+            _PROCESS_CACHE[stage_key] = stage
+        return stage(batch)
+
+    return inpaint_fn
+
+
 class InpaintStage:
-    """Actor-pool stage: rewrite watermark spans per the governing window's
-    detection.  State fetched once per actor (T3/T4 actor-pool pattern,
-    yolo_detector.py:57-146 analog)."""
+    """The fused rewrite stage: rewrite watermark spans per the governing
+    window's detection.  Usable as an actor-pool class (state fetched once
+    per actor in ``__init__`` — T3/T4 pattern, yolo_detector.py:57-146
+    analog) or wrapped by :func:`make_inpaint_fn` for stateless tasks with
+    per-worker caching (the default fast path)."""
 
     def __init__(
         self,

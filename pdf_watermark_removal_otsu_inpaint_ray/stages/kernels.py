@@ -24,29 +24,8 @@ from ..config import EngineConfig
 _BIG = np.iinfo(np.int64).max // 4
 
 
-def _tune_allocator() -> None:
-    """Keep large NumPy scratch arrays on the glibc heap instead of
-    per-allocation mmap/munmap.
-
-    The flat kernels allocate tens of MB of scratch per batch; with glibc's
-    default 128 KiB mmap threshold every batch triggers mmap+munmap, and at
-    32 concurrent workers the munmap TLB shootdowns serialize the whole node
-    (measured: a 28 ms kernel degrades to multiple seconds).  Raising
-    M_MMAP_THRESHOLD / M_TRIM_THRESHOLD pins the scratch space in each
-    worker's heap.  Runs at import time in every process that loads the
-    kernels — driver and Ray workers alike.  No-op off glibc.
-    """
-    try:
-        import ctypes
-
-        libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
-        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
-    except Exception:
-        pass
-
-
-_tune_allocator()
+# allocator tuning (mmap-threshold pinning) runs in the package __init__ so
+# every worker that touches any module of this library gets it
 
 
 class FlatBatch:
