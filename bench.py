@@ -34,8 +34,10 @@ BENCH_OUT = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/graft_bench_out")
 # bench stream size scales with the sf dir (sf0.1 -> 120k rows, ~40M tokens)
 ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 12_000, "sf0.1": 120_000}
 # --scaling uses a larger stream so compute dominates fixed costs (the
-# efficiency criterion measures the scalable part, not Ray session startup)
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "2400000"))
+# efficiency criterion measures the scalable part, not Ray session startup).
+# Capped at ~10 GB: beyond that the 37 GiB object store + tmpfs sink spill
+# to this sandbox's 84 MB/s disk and the measurement collapses into disk IO.
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "7200000"))
 
 
 def bench_rows() -> int:
@@ -169,6 +171,29 @@ def main() -> None:
     timings["flagship_detect"] = round(min(t_detect), 3)
     timings["flagship_rewrite_sink"] = round(min(t_sink), 3)
 
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # compute-path scaling (detect + rewrite, no sink): isolates engine
+        # compute from sink IO, reported alongside e2e in the scaling output
+        import pyarrow as _pa
+
+        def _cnt(b: "_pa.Table") -> "_pa.Table":
+            return _pa.table({"n": _pa.array([b.num_rows], _pa.int64())})
+
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            wm_table = _cwt(read_sequences(stream), cfg)
+            o = run_flagship(read_sequences(stream), cfg, wm=wm_table, batch_size=1024)
+            n = sum(
+                x for b in o.map_batches(_cnt, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                ) for x in b["n"].to_pylist()
+            )
+            dt = time.perf_counter() - t0
+            assert n == n_rows, (n, n_rows)
+            best = dt if best is None else min(best, dt)
+        timings["flagship_nosink"] = round(best, 3)
+
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         # phase 1 alone (detection scan)
         from pdf_watermark_removal_otsu_inpaint_ray.stages.detect import compute_wm_table
@@ -244,6 +269,9 @@ def scaling() -> None:
     hi = run(32)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
+    ns_lo = lo["queries"].get("flagship_nosink")
+    ns_hi = hi["queries"].get("flagship_nosink")
+    eff_nosink = round((ns_lo / ns_hi) / 4, 3) if ns_lo and ns_hi else None
     print(
         json.dumps(
             {
@@ -253,6 +281,9 @@ def scaling() -> None:
                 "rows_per_sec_8": lo["rows_per_sec"],
                 "rows_per_sec_32": hi["rows_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_nosink": eff_nosink,
+                "nosink_sec_8": ns_lo,
+                "nosink_sec_32": ns_hi,
                 "bench_rows": hi["bench_rows"],
                 "phases_8": lo["queries"],
                 "phases_32": hi["queries"],
