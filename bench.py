@@ -238,6 +238,9 @@ def main() -> None:
 
 
 def scaling() -> None:
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
@@ -264,29 +267,30 @@ def scaling() -> None:
     # writeback barrier between runs so the second run doesn't inherit the
     # first's dirty-page flush backlog
     os.sync()
-    lo = run(8)
+    lo = run(lo_cpus)
     os.sync()
-    hi = run(32)
+    hi = run(hi_cpus)
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     ns_lo = lo["queries"].get("flagship_nosink")
     ns_hi = hi["queries"].get("flagship_nosink")
     eff_nosink = round((ns_lo / ns_hi) / 4, 3) if ns_lo and ns_hi else None
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency 8->32 cpus (flagship e2e)",
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "rows_per_sec_8": lo["rows_per_sec"],
-                "rows_per_sec_32": hi["rows_per_sec"],
+                "metric": f"scaling efficiency {lo_cpus}->{hi_cpus} cpus (flagship e2e)",
+                "cpus": [lo_cpus, hi_cpus],
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "rows_per_sec_lo": lo["rows_per_sec"],
+                "rows_per_sec_hi": hi["rows_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "scaling_efficiency_nosink": eff_nosink,
-                "nosink_sec_8": ns_lo,
-                "nosink_sec_32": ns_hi,
+                "nosink_sec_lo": ns_lo,
+                "nosink_sec_hi": ns_hi,
                 "bench_rows": hi["bench_rows"],
-                "phases_8": lo["queries"],
-                "phases_32": hi["queries"],
+                "phases_lo": lo["queries"],
+                "phases_hi": hi["queries"],
             }
         )
     )
