@@ -146,6 +146,101 @@ def run_streaming(
     )
 
 
+def run_streaming_salted(
+    source,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_actors: int = 4,
+    salt_buckets: int = 4,
+    micro_batch_rows: int = 512,
+) -> StreamingResult:
+    """Coordinated streaming with hot-key salting (SURVEY §4.2).
+
+    Rows route to ``hash(source, salt(doc_id)) % n_actors`` — a hot source
+    spreads across up to ``salt_buckets`` actors.  Because no single actor
+    then sees a whole (source, window), actors only buffer rows and return
+    per-batch histogram DELTAS; the driver (which barriers each micro-batch
+    anyway) merges the associative deltas into the global per-key histogram,
+    runs the Otsu detection (windowed or sticky), and broadcasts the agreed
+    wm tokens back via ``finalize_windows``.  Tumbling/sliding only —
+    session gap-merge needs all of a source's rows on one actor.
+    """
+    from ..golden import detect_wm_token
+    from ..state.keyed_state import _window_end
+
+    if cfg.window_kind not in ("tumbling", "sliding"):
+        raise ValueError("salted streaming supports tumbling/sliding windows")
+    actors = [KeyedStateActor.remote(cfg) for _ in range(n_actors)]
+    tracker = WatermarkTracker.remote(1, cfg.allowed_lateness)
+
+    hists: dict[tuple[str, int], np.ndarray] = {}
+    sticky: dict[str, int] = {}
+    emitted: list[pa.Table] = []
+    n_late = 0
+
+    def finalize_due(watermark: int) -> None:
+        nonlocal n_late
+        due = sorted(k for k in hists if _window_end(k[1], cfg) <= watermark)
+        if not due:
+            return
+        items = []
+        for s, w in due:
+            if cfg.detection_mode == "sticky" and s in sticky:
+                wm_tok = sticky[s]
+            else:
+                wm_tok, _ = detect_wm_token(hists[(s, w)], cfg)
+                if cfg.detection_mode == "sticky" and wm_tok >= 0 and s not in sticky:
+                    sticky[s] = wm_tok
+            items.append((s, w, int(wm_tok)))
+            del hists[(s, w)]
+        for tables in ray.get([a.finalize_windows.remote(items) for a in actors]):
+            emitted.extend(tables)
+
+    for batch in _arrival_batches(source, micro_batch_rows):
+        ts = np.asarray(batch["event_ts"], dtype=np.int64)
+        wm = ray.get(tracker.watermark.remote())
+        finalize_due(wm)
+        ids = batch["doc_id"].combine_chunks()
+        salt = hash_partition_ids(ids, salt_buckets)
+        src = np.asarray(batch["source"])
+        route_keys = pa.array([f"{s}#{int(x)}" for s, x in zip(src, salt)], pa.string())
+        route = hash_partition_ids(route_keys, n_actors)
+        acks = []
+        for a in range(n_actors):
+            idx = np.nonzero(route == a)[0]
+            if idx.size:
+                acks.append(actors[a].ingest_partial.remote(batch.take(idx), wm))
+        for srcs, wins, Hm, _late_total in ray.get(acks):  # the per-batch barrier
+            for i in range(len(srcs)):
+                key = (srcs[i], wins[i])
+                if key in hists:
+                    hists[key] += Hm[i]
+                else:
+                    hists[key] = Hm[i].copy()
+        tracker.update.remote(0, int(ts.max()))
+
+    finalize_due(ray.get(tracker.watermark.remote()))
+    finalize_due(1 << 62)
+    # anything still buffered (no hist because its contributions were all in
+    # late-dropped rows) — flush defensively
+    leftovers = ray.get([a.buffered_keys.remote() for a in actors])
+    left = sorted({k for ks in leftovers for k in map(tuple, ks)})
+    if left:
+        items = [(s, w, sticky.get(s, -1)) for s, w in left]
+        for tables in ray.get([a.finalize_windows.remote(items) for a in actors]):
+            emitted.extend(tables)
+
+    late_tables = [t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None]
+    stats = ray.get([a.state_stats.remote() for a in actors])
+    out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
+    return StreamingResult(
+        output=out if out is not None else _empty_out(),
+        late=pa.concat_tables(late_tables) if late_tables else None,
+        n_late=sum(s["n_late"] for s in stats),
+        actor_stats=stats,
+    )
+
+
 def _empty_out() -> pa.Table:
     return pa.table(
         {

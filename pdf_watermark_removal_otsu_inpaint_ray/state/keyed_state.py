@@ -267,6 +267,96 @@ class KeyedStateActor:
             }
         )
 
+    # -- coordinated (salted) protocol -----------------------------------
+    #
+    # When a hot source is salted across actors, no single actor sees the
+    # whole (source, window) histogram.  In coordinated mode the actor only
+    # BUFFERS rows and returns its per-batch histogram *deltas*; the driver
+    # (which already barriers each micro-batch) merges the associative
+    # deltas globally, runs detection, and calls finalize_windows with the
+    # agreed wm tokens.  This is the salt-and-merge design of SURVEY §4.2.
+
+    def ingest_partial(self, batch: pa.Table, watermark: int):
+        """Coordinated-mode ingest: buffer + return hist deltas, no local
+        finalize.  Returns (sources, windows, hist_matrix, n_late)."""
+        cfg = self.cfg
+        ts = np.asarray(batch["event_ts"], dtype=np.int64)
+        src = np.asarray(batch["source"])
+        govern = self._governing(ts)
+        win_end = np.array([_window_end(int(w), cfg) for w in govern], dtype=np.int64)
+        late = win_end <= watermark
+        if late.any():
+            late_batch = batch.filter(pa.array(late))
+            self.n_late += late_batch.num_rows
+            self._late_rows = getattr(self, "_late_rows", [])
+            self._late_rows.append(late_batch)
+            keep = ~late
+            batch = batch.filter(pa.array(keep))
+            ts, src, govern = ts[keep], src[keep], govern[keep]
+        out_src: list[str] = []
+        out_win: list[int] = []
+        hists: list[np.ndarray] = []
+        if batch.num_rows:
+            fb = flatten_list_column(batch["tokens"])
+            for win, valid in self._contributing(ts):
+                v = np.nonzero(valid)[0]
+                if v.size == 0:
+                    continue
+                s_u, s_inv = np.unique(src[v], return_inverse=True)
+                w_v = win[v]
+                w_min, w_span = int(w_v.min()), int(w_v.max() - w_v.min()) + 1
+                combo = s_inv.astype(np.int64) * w_span + (w_v - w_min)
+                c_u, c_inv = np.unique(combo, return_inverse=True)
+                key_row = np.full(ts.size, -1, dtype=np.int64)
+                key_row[v] = c_inv
+                H = batch_histograms(fb, key_row, c_u.size, cfg)
+                for ki, c in enumerate(c_u):
+                    out_src.append(str(s_u[c // w_span]))
+                    out_win.append(int(c % w_span + w_min))
+                    hists.append(H[ki])
+            pairs: dict[tuple[str, int], list[int]] = {}
+            for i, w in enumerate(govern):
+                pairs.setdefault((str(src[i]), int(w)), []).append(i)
+            for key, idxs in pairs.items():
+                self.buffers.setdefault(key, []).append(batch.take(idxs))
+        Hm = np.stack(hists) if hists else np.zeros((0, cfg.gray_mod), dtype=np.int64)
+        return out_src, out_win, Hm, self.n_late
+
+    def finalize_windows(self, wm_items: list[tuple[str, int, int]]) -> list[pa.Table]:
+        """Rewrite + emit + evict the given (source, window, wm_token) keys
+        (only those this actor buffered)."""
+        cfg = self.cfg
+        out = []
+        for s, w, wm_tok in wm_items:
+            key = (s, w)
+            tables = self.buffers.pop(key, None)
+            if not tables:
+                continue
+            rows = pa.concat_tables(tables)
+            fb = flatten_list_column(rows["tokens"])
+            res = process_batch_flat(fb, np.full(rows.num_rows, wm_tok, dtype=np.int64), cfg)
+            off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": rows["doc_id"],
+                        "tokens": pa.ListArray.from_arrays(off32, pa.array(res.values, pa.int32())),
+                        "n_tok": rows["n_tok"],
+                        "source": rows["source"],
+                        "event_ts": rows["event_ts"],
+                        "wm_token": pa.array(res.wm_row, pa.int32()),
+                        "coverage_pct": pa.array(res.coverage_pct, pa.float64()),
+                        "radius": pa.array(res.radius, pa.int32()),
+                        "n_passes": pa.array(res.n_passes, pa.int32()),
+                    }
+                )
+            )
+            self.n_emitted += rows.num_rows
+        return out
+
+    def buffered_keys(self) -> list[tuple[str, int]]:
+        return sorted(self.buffers)
+
     def flush(self) -> list[pa.Table]:
         """End of stream: finalize every remaining window."""
         if self.cfg.window_kind == "session":

@@ -40,6 +40,45 @@ def test_streaming_matches_golden_when_nothing_late(ray_session, stream_path, cf
     assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
 
 
+def test_salted_streaming_matches_golden(ray_session, tmp_path):
+    """Hot-key salting: a single dominant source spread across 4 actors via
+    doc_id salt still produces golden-equal output (driver merges the
+    associative histogram deltas before detection)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming_salted
+
+    p = str(tmp_path / "hot.parquet")
+    # n_sources=1 -> maximal skew: every row is the same source
+    synth.write_stream(p, 500, n_sources=1, n_tok_lo=48, n_tok_hi=128, disorder=8)
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
+    table = pq.read_table(p)
+    expected = golden.golden_pipeline(table, cfg).sort_by("doc_id")
+    res = run_streaming_salted(p, cfg, n_actors=4, salt_buckets=4, micro_batch_rows=100)
+    assert res.n_late == 0
+    got = res.output.sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    # the hot source's state really was spread across actors
+    spread = sum(1 for s in res.actor_stats if s["n_emitted"] > 0)
+    assert spread >= 2
+
+
+def test_salted_streaming_sticky_mode(ray_session, tmp_path):
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming_salted
+
+    p = str(tmp_path / "sticky.parquet")
+    synth.write_stream(p, 400, n_sources=2, n_tok_lo=48, n_tok_hi=128, disorder=8)
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="tumbling", window_size=32, allowed_lateness=16,
+        detection_mode="sticky",
+    )
+    table = pq.read_table(p)
+    expected = golden.golden_pipeline(table, cfg).sort_by("doc_id")
+    res = run_streaming_salted(p, cfg, n_actors=3, salt_buckets=2, micro_batch_rows=64)
+    got = res.output.sort_by("doc_id")
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
+
+
 def test_late_rows_routed_not_dropped(ray_session, tmp_path):
     # heavy disorder + zero lateness -> some rows arrive after their window closed
     p = str(tmp_path / "late.parquet")
