@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the kernel/oracle invariants."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pdf_watermark_removal_otsu_inpaint_ray import golden
+from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+
+tokens_strategy = st.lists(st.integers(min_value=0, max_value=599), min_size=0, max_size=300)
+flags_strategy = st.lists(st.booleans(), min_size=1, max_size=200)
+
+
+@given(tokens_strategy)
+@settings(max_examples=60, deadline=None)
+def test_morphology_idempotence(toks):
+    """OPEN and CLOSE are idempotent: f(f(x)) == f(x)."""
+    flag = np.asarray([t % 3 == 0 for t in toks], dtype=bool)
+    for r in (1, 2):
+        o = golden.morph_open(flag, r)
+        assert (golden.morph_open(o, r) == o).all()
+        c = golden.morph_close(flag, r)
+        assert (golden.morph_close(c, r) == c).all()
+        # open shrinks-or-keeps, close grows-or-keeps
+        assert not (o & ~flag).any()
+        assert not (flag & ~c).any()
+
+
+@given(flags_strategy)
+@settings(max_examples=60, deadline=None)
+def test_inpaint_invariants(flags):
+    """Inpaint changes only flagged positions; every output value existed in
+    the row; unflagged positions are untouched."""
+    flag = np.asarray(flags, dtype=bool)
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 500, size=flag.size).astype(np.int32)
+    out = golden.inpaint_row(toks, flag)
+    assert (out[~flag] == toks[~flag]).all()
+    assert set(out.tolist()) <= set(toks.tolist())
+    if not flag.all():
+        # filled values come only from unflagged positions
+        allowed = set(toks[~flag].tolist())
+        assert set(out[flag].tolist()) <= allowed
+
+
+@given(tokens_strategy, st.integers(min_value=-1, max_value=255))
+@settings(max_examples=60, deadline=None)
+def test_process_row_shape_dtype_passthrough(toks, wm):
+    """Output preserves shape/dtype (reference images-in/images-out contract,
+    test_watermark_core.py:38-45); wm<0 is byte-identity."""
+    t = np.asarray(toks, dtype=np.int32)
+    r = golden.process_row(t, wm)
+    assert r.tokens.shape == t.shape and r.tokens.dtype == np.int32
+    if wm < 0:
+        assert (r.tokens == t).all()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=256))
+@settings(max_examples=60, deadline=None)
+def test_detection_respects_bounds(counts):
+    """Any detected wm token is inside the gray band with coverage in the
+    configured range (watermark_detector.py:181 rule)."""
+    h = np.zeros(256, dtype=np.int64)
+    for i, c in enumerate(counts):
+        h[i % 256] += c
+    wm, cov = golden.detect_wm_token(h)
+    cfg = DEFAULT_CONFIG
+    if wm >= 0:
+        assert cfg.wm_gray_lo <= wm <= cfg.wm_gray_hi
+        assert cfg.wm_cov_lo <= cov <= cfg.wm_cov_hi
+        total = h.sum()
+        assert abs(cov - h[wm] / total * 100.0) < 1e-12
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60), st.integers(1, 50))
+@settings(max_examples=60, deadline=None)
+def test_session_assignment_properties(ts, gap):
+    """Sessions partition the sorted stream; gaps within a session <= gap,
+    between sessions > gap."""
+    t = np.sort(np.asarray(ts, dtype=np.int64))
+    sess = golden.assign_session_windows(t, gap)
+    assert sess[0] == t[0]
+    for i in range(1, t.size):
+        if t[i] - t[i - 1] > gap:
+            assert sess[i] == t[i]  # new session starts here
+        else:
+            assert sess[i] == sess[i - 1]
