@@ -357,6 +357,23 @@ class KeyedStateActor:
     def buffered_keys(self) -> list[tuple[str, int]]:
         return sorted(self.buffers)
 
+    # -- multi-consumer protocol (partitioned log ingestion) --------------
+
+    def ingest_keep(self, batch: pa.Table, watermark: int) -> int:
+        """Like :meth:`ingest`, but emitted windows accumulate in an actor
+        outbox instead of riding the ack (consumers from several input
+        partitions feed one actor; the driver drains the outbox).  Returns
+        the number of rows emitted so far."""
+        emitted, _ = self.ingest(batch, watermark)
+        self._outbox = getattr(self, "_outbox", [])
+        self._outbox.extend(emitted)
+        return self.n_emitted
+
+    def take_outbox(self) -> list[pa.Table]:
+        out = getattr(self, "_outbox", [])
+        self._outbox = []
+        return out
+
     def flush(self) -> list[pa.Table]:
         """End of stream: finalize every remaining window."""
         if self.cfg.window_kind == "session":

@@ -79,6 +79,40 @@ def test_salted_streaming_sticky_mode(ray_session, tmp_path):
     assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
 
 
+def test_partitioned_streaming_matches_golden(ray_session, tmp_path):
+    """Multi-consumer partitioned-log ingestion: per-partition watermarks
+    merged by the tracker, golden-equal output, per-partition metrics."""
+    import os
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming_partitioned,
+    )
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    # 6 time-ordered file chunks (chunk-deterministic generator)
+    for s in range(0, 600, 100):
+        t = synth.generate_stream(100, start_row=s, n_sources=3, n_tok_lo=48, n_tok_hi=128, disorder=8)
+        import pyarrow.parquet as pq_
+
+        pq_.write_table(t, str(d / f"chunk-{s:06d}.parquet"))
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
+    full = pa.concat_tables(
+        [pq.read_table(str(d / f)) for f in sorted(os.listdir(d))]
+    )
+    expected = golden.golden_pipeline(full, cfg).sort_by("doc_id")
+    res, metrics = run_streaming_partitioned(
+        str(d), cfg, n_actors=3, n_partitions=3, micro_batch_rows=64
+    )
+    assert res.n_late == 0
+    got = res.output.sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    assert len(metrics) == 3
+    assert sum(m["rows"] for m in metrics) == 600
+    assert all(m["rows_per_sec"] > 0 for m in metrics)
+
+
 def test_late_rows_routed_not_dropped(ray_session, tmp_path):
     # heavy disorder + zero lateness -> some rows arrive after their window closed
     p = str(tmp_path / "late.parquet")
