@@ -129,14 +129,40 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(g) -> pa.Table:
-    import pandas as pd
+def _candidate_pairs(band_ds) -> set[tuple[int, int]]:
+    """(band, band_hash, doc_id) rows → candidate pairs, vectorized.
 
-    ids = sorted(set(int(x) for x in g["doc_id"]))
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame(
-        {"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]}
-    )
+    The band table is tiny (docs × bands rows of 20 bytes), so bucketing
+    happens on the driver with one lexsort — a per-bucket ``map_groups``
+    pays per-group overhead on ~#docs×#bands groups and dominates runtime.
+    For corpora where even the band table is huge, fall back to
+    ``groupby(["band","band_hash"])`` over the same rows (associative)."""
+    bands, hashes, ids = [], [], []
+    for b in band_ds.iter_batches(batch_format="pyarrow"):
+        bands.append(np.asarray(b["band"], dtype=np.int64))
+        hashes.append(np.asarray(b["band_hash"], dtype=np.int64))
+        ids.append(np.asarray(b["doc_id"], dtype=np.int64))
+    if not bands:
+        return set()
+    band = np.concatenate(bands)
+    h = np.concatenate(hashes)
+    d = np.concatenate(ids)
+    order = np.lexsort((d, h, band))
+    band, h, d = band[order], h[order], d[order]
+    new = np.empty(band.size, dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (h[1:] != h[:-1])
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], band.size)
+    cand: set[tuple[int, int]] = set()
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        bucket = np.unique(d[s:e])
+        for i in range(bucket.size):
+            for j in range(i + 1, bucket.size):
+                cand.add((int(bucket[i]), int(bucket[j])))
+    return cand
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -151,17 +177,16 @@ def minhash_lsh_dedup(ds, *, num_hashes: int = 64, bands: int = 16, threshold: f
     Returns pa.Table (a, b, jacc) with a < b, jacc >= threshold.
     """
     rows = num_hashes // bands
+    # instance => stateless tasks on warm workers (the class form would
+    # spawn an actor pool per execution); materialized because both the
+    # banding and the verify stage read it
     sigds = ds.map_batches(
-        MinHashStage, fn_constructor_args=(num_hashes,), batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+        MinHashStage(num_hashes), batch_format="pyarrow"
+    ).materialize()
     band_ds = sigds.select_columns(["doc_id", "sig"]).map_batches(
         lambda b: _band_rows(b, bands, rows), batch_format="pyarrow"
     )
-    pairs_ds = band_ds.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    cand = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
+    cand = _candidate_pairs(band_ds)
     if not cand:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jacc": pa.array([], pa.float64())})
     need = {d for p in cand for d in p}
@@ -222,7 +247,7 @@ class SimHashStage:
 def simhash_dedup(ds, *, max_hamming: int = 3):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by 16-bit
     band blocking (a pair within distance 3 shares at least one of 4 bands)."""
-    sig_ds = ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+    sig_ds = ds.map_batches(SimHashStage(), batch_format="pyarrow").materialize()
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -237,10 +262,7 @@ def simhash_dedup(ds, *, max_hamming: int = 3):
             }
         )
 
-    pairs_ds = sig_ds.map_batches(explode, batch_format="pyarrow").groupby(
-        ["band", "band_hash"]
-    ).map_groups(_bucket_pairs, batch_format="pandas")
-    cand = {(int(r["a"]), int(r["b"])) for r in pairs_ds.take_all()}
+    cand = _candidate_pairs(sig_ds.map_batches(explode, batch_format="pyarrow"))
     sig = {int(r["doc_id"]): np.uint64(r["simhash"]) for r in sig_ds.take_all()}
     out_a, out_b, out_h = [], [], []
     for a, b in sorted(cand):
