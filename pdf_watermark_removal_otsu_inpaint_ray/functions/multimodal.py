@@ -85,6 +85,64 @@ class DecodeStage:
         )
 
 
+class ResizeStage:
+    """Image-resize stage (stub codec, real plumbing).
+
+    Real implementation would decode → resample → re-encode per item inside
+    the actor (codec loaded once in ``__init__``); the stub transforms the
+    fake-decoded dimensions deterministically so downstream schema/layout
+    are exercised.  ``batch_size`` must stay small for real media rows."""
+
+    def __init__(self, max_side: int = 256, fake: bool = True):
+        if not fake:  # pragma: no cover
+            raise NotImplementedError("real resize needs PIL, absent here")
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy(zero_copy_only=False)
+        h = batch["height"].to_numpy(zero_copy_only=False)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h).astype(np.float64))
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "media_type": batch["media_type"],
+                "width": pa.array(np.maximum(1, (w * scale)).astype(np.int64), pa.int64()),
+                "height": pa.array(np.maximum(1, (h * scale)).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Video frame-sampling stage (stub): emits one row per sampled frame
+    (flat_map shape — a real decoder would seek per timestamp).  Frame count
+    derives deterministically from the payload; stride sampling mirrors the
+    reference's deterministic downsample choice (document_classifier.py:84-89)."""
+
+    def __init__(self, every_n: int = 10, fake: bool = True):
+        if not fake:  # pragma: no cover
+            raise NotImplementedError("real frame sampling needs ffmpeg")
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["item_id"].to_numpy(zero_copy_only=False)
+        kinds = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_frame = [], []
+        for i, p in enumerate(payloads):
+            if kinds[i] != "video":
+                continue
+            n_frames = 1 + len(p) % 97  # deterministic fake duration
+            for f in range(0, n_frames, self.every_n):
+                out_id.append(int(ids[i]))
+                out_frame.append(f)
+        return pa.table(
+            {
+                "item_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int64()),
+            }
+        )
+
+
 class FeatureStage:
     """Fake feature extractor: 8-dim deterministic embedding per item from
     payload bytes (stands in for a model forward pass; model load would go

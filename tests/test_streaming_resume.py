@@ -1,0 +1,49 @@
+"""Streaming + exactly-once sink resume: a streaming job that dies mid-write
+replays the stream; the sink's committed partitions are skipped and the
+final output is byte-identical to an uninterrupted run (the engine's
+checkpoint-resume semantics: state rebuilds by replay, output commits are
+the checkpoint)."""
+
+import pyarrow as pa
+import pytest
+
+from pdf_watermark_removal_otsu_inpaint_ray import synth
+from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming
+from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+    committed_partitions,
+    read_output,
+    write_exactly_once,
+)
+
+
+def _collect(out_dir):
+    return pa.concat_tables(
+        [pa.table(b) for b in read_output(out_dir).iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+
+
+def test_streaming_kill_and_replay(ray_session, tmp_path):
+    import ray.data
+
+    p = str(tmp_path / "s.parquet")
+    synth.write_stream(p, 500, n_sources=3, n_tok_lo=48, n_tok_hi=128, disorder=8)
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
+
+    clean = str(tmp_path / "clean")
+    run_streaming(p, cfg, n_actors=2, micro_batch_rows=100, out_dir=clean, num_partitions=6)
+
+    # crashed attempt: stream completes but the sink dies before partition 2
+    crash = str(tmp_path / "crash")
+    res = run_streaming(p, cfg, n_actors=2, micro_batch_rows=100)
+    with pytest.raises(Exception):
+        write_exactly_once(
+            ray.data.from_arrow(res.output), crash, num_partitions=6,
+            fail_partitions=frozenset({2}),
+        )
+    assert 2 not in committed_partitions(crash)
+
+    # resume: replay the whole stream (state rebuilds), sink skips committed
+    run_streaming(p, cfg, n_actors=2, micro_batch_rows=100, out_dir=crash, num_partitions=6)
+    assert committed_partitions(crash) == set(range(6))
+    assert _collect(crash).equals(_collect(clean))
