@@ -151,7 +151,17 @@ class KeyedStateActor:
         cfg = self.cfg
         rows = pa.concat_tables(self.buffers.pop(key))
         hist = self.hists.get(key)
-        wm_tok, _cov = detect_wm_token(hist, cfg) if hist is not None else (-1, 0.0)
+        # sticky mode: first detection wins per source (the source's whole
+        # key range lives on this actor in unsalted routing, and windows
+        # finalize in ascending order, so actor-local sticky state matches
+        # golden.apply_sticky; watermark_detector.py:562-568,188)
+        self._sticky = getattr(self, "_sticky", {})
+        if cfg.detection_mode == "sticky" and key[0] in self._sticky:
+            wm_tok = self._sticky[key[0]]
+        else:
+            wm_tok, _cov = detect_wm_token(hist, cfg) if hist is not None else (-1, 0.0)
+            if cfg.detection_mode == "sticky" and wm_tok >= 0:
+                self._sticky[key[0]] = wm_tok
         fb = flatten_list_column(rows["tokens"])
         wm_row = np.full(rows.num_rows, wm_tok, dtype=np.int64)
         res = process_batch_flat(fb, wm_row, cfg)

@@ -26,8 +26,10 @@ def stream_path(tmp_path_factory):
         DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16),
         DEFAULT_CONFIG.with_(window_kind="sliding", window_size=32, window_slide=16, allowed_lateness=16),
         DEFAULT_CONFIG.with_(window_kind="session", session_gap=8, allowed_lateness=16),
+        DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16,
+                             detection_mode="sticky"),
     ],
-    ids=["tumbling", "sliding", "session"],
+    ids=["tumbling", "sliding", "session", "sticky"],
 )
 def test_streaming_matches_golden_when_nothing_late(ray_session, stream_path, cfg):
     table = pq.read_table(stream_path)
