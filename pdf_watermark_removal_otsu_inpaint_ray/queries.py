@@ -211,6 +211,49 @@ def q_inpaint_global(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_streaming_inpaint(sf_dir: str):
+    """Incremental streaming engine over the derived sequence stream
+    (single read, keyed state actors, watermark-driven finalize).  Rows-only
+    driver check; golden equality lives in tests/test_streaming.py.  With
+    lateness covering the stream's disorder it produces exactly the
+    flagship's windowed result."""
+    from .pipelines.streaming import run_streaming
+
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="tumbling", window_size=64, allowed_lateness=8
+    )
+    res = run_streaming(_seq_ds(sf_dir), cfg, n_actors=2, micro_batch_rows=256)
+    fb = flatten_list_column(res.output["tokens"])
+    sums = np.zeros(fb.n_rows, dtype=np.int64)
+    np.add.at(sums, fb.seg, fb.values.astype(np.int64))
+    return pa.table(
+        {
+            "doc_id": res.output["doc_id"],
+            "tok_sum_out": pa.array(sums, pa.int64()),
+            "wm_token": res.output["wm_token"].cast(pa.int64()),
+        }
+    )
+
+
+def q_auto_tuned(sf_dir: str):
+    """Classifier-driven per-source parameter tuning (A5/A6) end to end —
+    rows-only; golden equality in tests/test_auto_and_classifier.py."""
+    from .pipelines.auto_tune import run_auto_tuned
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+    out = run_auto_tuned(_seq_ds(sf_dir), cfg, batch_size=256)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        sums = np.zeros(fb.n_rows, dtype=np.int64)
+        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
+        return pa.table(
+            {"doc_id": b["doc_id"], "tok_sum_out": pa.array(sums, pa.int64())}
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_inpaint_tumbling(sf_dir: str):
     from .pipelines.flagship import run_flagship
 
@@ -441,6 +484,8 @@ QUERIES = {
     "flag_coverage": q_flag_coverage,
     "inpaint_global": q_inpaint_global,
     "inpaint_tumbling": q_inpaint_tumbling,
+    "streaming_inpaint": q_streaming_inpaint,
+    "auto_tuned_inpaint": q_auto_tuned,
     "motif_spans": q_motif_spans,
     "motif_category_counts": q_motif_category_counts,
     "motif_removal_filter": q_motif_removal_filter,
