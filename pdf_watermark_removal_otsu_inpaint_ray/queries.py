@@ -472,6 +472,66 @@ def q_media_decode(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# relational breadth over the TPC-H-ish tables (predicate pushdown at the
+# read, broadcast join, grouped aggregates — O3/J1 analogs on scalar tables)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_by_status(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])
+    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+def q_lineitem_filtered_counts(sf_dir: str):
+    """Row-group predicate pushed into the Parquet read (S1 pushdown)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate"],
+        filter=(pc.field("l_shipdate") < pa.scalar(np.datetime64("1996-06-01", "us"))),
+    )
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="n"))
+
+
+def q_top_customers(sf_dir: str):
+    """Broadcast join orders→customer + grouped count, deterministic top-10
+    (count desc, custkey asc)."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    names = np.asarray(cust["c_name"].to_pylist(), dtype=object)[order]
+    keys = keys[order]
+    ref = ray.put((keys, names))
+
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    counts = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders")).to_pandas()
+    counts = counts.sort_values(["n_orders", "o_custkey"], ascending=[False, True]).head(10)
+    k, v = ray.get(ref)
+    pos = np.searchsorted(k, counts["o_custkey"].to_numpy())
+    counts["c_name"] = v[pos]
+    return pa.table(
+        {
+            "o_custkey": pa.array(counts["o_custkey"].to_numpy(), pa.int64()),
+            "c_name": pa.array(list(counts["c_name"]), pa.string()),
+            "n_orders": pa.array(counts["n_orders"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -505,6 +565,9 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf": q_knn_ivf,
     "media_decode": q_media_decode,
+    "orders_by_status": q_orders_by_status,
+    "lineitem_filtered_counts": q_lineitem_filtered_counts,
+    "top_customers": q_top_customers,
 }
 
 _MOTIF_UNION = "\nUNION ALL\n".join(
@@ -687,6 +750,25 @@ ORACLE_SQL = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     """,
-    # no oracle (rows-only): inpaint_global, inpaint_tumbling (golden-verified
-    # in pytest), minhash_lsh, simhash, knn_ivf (sketch/ANN, pytest-verified)
+    "orders_by_status": """
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "lineitem_filtered_counts": """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-06-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+        r AS (SELECT o_custkey, n_orders,
+                     row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rk
+              FROM c)
+        SELECT r.o_custkey, cu.c_name, CAST(r.n_orders AS BIGINT) AS n_orders
+        FROM r JOIN customer cu ON cu.c_custkey = r.o_custkey
+        WHERE rk <= 10
+    """,
+    # no oracle (rows-only): inpaint_global, inpaint_tumbling,
+    # streaming_inpaint, auto_tuned_inpaint (golden-verified in pytest),
+    # minhash_lsh, simhash, knn_ivf (sketch/ANN, pytest-verified)
 }
