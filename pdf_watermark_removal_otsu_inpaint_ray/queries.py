@@ -520,7 +520,10 @@ def q_top_customers(sf_dir: str):
     counts = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders")).to_pandas()
     counts = counts.sort_values(["n_orders", "o_custkey"], ascending=[False, True]).head(10)
     k, v = ray.get(ref)
-    pos = np.searchsorted(k, counts["o_custkey"].to_numpy())
+    want = counts["o_custkey"].to_numpy()
+    pos = np.minimum(np.searchsorted(k, want), k.size - 1)
+    hit = k[pos] == want  # inner-join semantics: drop custkeys absent from customer
+    counts, pos = counts[hit], pos[hit]
     counts["c_name"] = v[pos]
     return pa.table(
         {

@@ -68,8 +68,14 @@ def _cached_get(ref):
 def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=None):
     """Build a plain map_batches function whose stage object is constructed
     once per worker process (module-level cache) from broadcast refs."""
-    stage_key = ("stage", wm_ref.hex() if hasattr(wm_ref, "hex") else id(wm_ref),
-                 hash(cfg), emit_metadata)
+    def _ident(x):
+        return x.hex() if hasattr(x, "hex") else id(x)
+
+    # the key must cover EVERY constructor input: two pipelines sharing a wm
+    # ref but differing in motif docs or forced spans must not share a stage
+    stage_key = ("stage", _ident(wm_ref), hash(cfg), emit_metadata,
+                 _ident(motif_ref) if motif_ref is not None else None,
+                 _ident(spans_ref) if spans_ref is not None else None)
 
     def inpaint_fn(batch: pa.Table) -> pa.Table:
         stage = _PROCESS_CACHE.get(stage_key)

@@ -58,6 +58,16 @@ class KeyedStateActor:
         self.session_horizon: dict[str, int] = {}
         self.n_late = 0
         self.n_emitted = 0
+        # Actor-local watermark is MONOTONIC: parallel consumers can deliver
+        # ingest(wm=12) then ingest(wm=4); judging lateness against a stale
+        # caller watermark would re-open an already-finalized window and
+        # re-emit it from a straggler-only histogram.  All ingest paths clamp
+        # to max(self.wm, caller_wm) first.
+        self.wm = -(1 << 62)
+
+    def _clamp_wm(self, watermark: int) -> int:
+        self.wm = max(self.wm, watermark)
+        return self.wm
 
     # -- ingest -----------------------------------------------------------
 
@@ -65,15 +75,25 @@ class KeyedStateActor:
         """Absorb a micro-batch, then finalize every window the watermark
         passed.  Returns (emitted output tables, late rows so far)."""
         cfg = self.cfg
+        watermark = self._clamp_wm(watermark)
         if cfg.window_kind == "session":
             return self._ingest_session(batch, watermark)
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         src = np.asarray(batch["source"])
         govern = self._governing(ts)
 
-        # late routing: governing window already finalized
+        # late routing: governing window already finalized (the monotonic
+        # watermark implies every finalized window has end <= watermark, but
+        # consult self.finalized too so a window finalized by an external
+        # coordinator can never re-open)
         win_end = np.array([_window_end(int(w), cfg) for w in govern], dtype=np.int64)
         late = win_end <= watermark
+        if self.finalized:
+            fin = np.array(
+                [(str(s), int(w)) in self.finalized for s, w in zip(src, govern)],
+                dtype=bool,
+            )
+            late |= fin
         late_batch = batch.filter(pa.array(late)) if late.any() else None
         if late_batch is not None:
             self.n_late += late_batch.num_rows
@@ -145,6 +165,14 @@ class KeyedStateActor:
         due = [k for k in self.buffers if _window_end(k[1], cfg) <= watermark]
         for key in sorted(due):
             out.append(self._emit_window(key))
+        if cfg.window_kind == "sliding":
+            # Evict a sliding hist only once its window can no longer accept
+            # rows — the same window-end-vs-watermark predicate that governs
+            # finalize/lateness.  (Evicting by min(live buffered window)
+            # drops hists of still-open windows: a window with end >
+            # watermark can legally receive more on-time rows.)
+            for hk in [k for k in self.hists if _window_end(k[1], cfg) <= watermark]:
+                self.hists.pop(hk)
         return out
 
     def _emit_window(self, key: tuple[str, int]) -> pa.Table:
@@ -179,15 +207,11 @@ class KeyedStateActor:
                 "n_passes": pa.array(res.n_passes, pa.int32()),
             }
         )
-        # evict: histogram freed; for sliding, drop hists no longer needed by
-        # any live (unfinalized) governing window
+        # evict this window's hist; further sliding-hist eviction is
+        # watermark-gated in _finalize_upto (a hist with window end past the
+        # watermark may still receive on-time rows)
         self.finalized.add(key)
         self.hists.pop(key, None)
-        if cfg.window_kind == "sliding":
-            live = {k[1] for k in self.buffers}
-            horizon = min(live) if live else key[1] + 1
-            for hk in [k for k in self.hists if k[1] < horizon]:
-                self.hists.pop(hk)
         self.n_emitted += out.num_rows
         return out
 
@@ -290,11 +314,17 @@ class KeyedStateActor:
         """Coordinated-mode ingest: buffer + return hist deltas, no local
         finalize.  Returns (sources, windows, hist_matrix, n_late)."""
         cfg = self.cfg
+        watermark = self._clamp_wm(watermark)
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         src = np.asarray(batch["source"])
         govern = self._governing(ts)
         win_end = np.array([_window_end(int(w), cfg) for w in govern], dtype=np.int64)
         late = win_end <= watermark
+        if self.finalized:
+            late |= np.array(
+                [(str(s), int(w)) in self.finalized for s, w in zip(src, govern)],
+                dtype=bool,
+            )
         if late.any():
             late_batch = batch.filter(pa.array(late))
             self.n_late += late_batch.num_rows
@@ -339,6 +369,7 @@ class KeyedStateActor:
         out = []
         for s, w, wm_tok in wm_items:
             key = (s, w)
+            self.finalized.add(key)
             tables = self.buffers.pop(key, None)
             if not tables:
                 continue
