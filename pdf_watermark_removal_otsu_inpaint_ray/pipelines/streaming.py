@@ -64,14 +64,25 @@ def _arrival_batches(source, micro_batch_rows: int):
     else:
         from ray.data import DataContext
 
+        # a Dataset snapshots its DataContext at creation — setting the
+        # global context here would silently NOT apply; flip the flag on the
+        # dataset's own captured context (and the global one, for lineage
+        # created during iteration)
         ctx = DataContext.get_current()
         prev = ctx.execution_options.preserve_order
         ctx.execution_options.preserve_order = True
+        ds_ctx = getattr(source, "context", None)
+        ds_prev = None
+        if ds_ctx is not None:
+            ds_prev = ds_ctx.execution_options.preserve_order
+            ds_ctx.execution_options.preserve_order = True
         try:
             for b in source.iter_batches(batch_size=micro_batch_rows, batch_format="pyarrow"):
                 yield _ensure_event_ts(pa.table(b) if not isinstance(b, pa.Table) else b)
         finally:
             ctx.execution_options.preserve_order = prev
+            if ds_ctx is not None:
+                ds_ctx.execution_options.preserve_order = ds_prev
 
 
 @dataclass

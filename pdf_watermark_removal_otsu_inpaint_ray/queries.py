@@ -4,9 +4,10 @@ SQL-expressible — an exact DuckDB oracle on the same parquet tables.
 
 Column names and integer types (BIGINT) are matched between both sides; the
 driver's value-hash compare is column-name-sorted and order-insensitive.
-Queries without an oracle entry (full inpaint chain, LSH/IVF sketches) get
-the driver's rows-only check and are byte-verified against the golden oracle
-in pytest instead.
+Pipelines DuckDB cannot express directly (full inpaint chain, LSH/ANN
+sketches) are driver-checked against the MATERIALIZED single-process golden
+oracle (oracle_data.py): the SQL twin reads the pure-NumPy golden output
+back from parquet, so every query has an independent oracle row.
 """
 
 from __future__ import annotations
@@ -37,6 +38,14 @@ def _seq_ds(sf_dir: str):
     from .sources import read_documents_as_sequences
 
     return read_documents_as_sequences(sf_dir)
+
+
+def _with_golden(name: str, sf_dir: str) -> None:
+    """Materialize this query's single-process golden oracle so the driver's
+    DuckDB check can read it (only on the correctness sf — never on bench)."""
+    from .oracle_data import ensure_for_query
+
+    ensure_for_query(name, sf_dir)
 
 
 def _docs_ds(sf_dir: str):
@@ -188,8 +197,10 @@ def q_flag_coverage(sf_dir: str, wm: int = 105, tol: int = 30):
 
 
 def q_inpaint_global(sf_dir: str):
-    """Full golden chain, global window — rows-only driver check; golden
-    byte-equality lives in tests/test_pipeline_golden.py."""
+    """Full golden chain, global window — driver-checked against the
+    materialized single-process golden oracle (oracle_data.py); byte-level
+    golden equality additionally lives in tests/test_pipeline_golden.py."""
+    _with_golden("inpaint_global", sf_dir)
     from .pipelines.flagship import run_flagship
 
     cfg = DEFAULT_CONFIG.with_(window_kind="global")
@@ -217,6 +228,7 @@ def q_streaming_inpaint(sf_dir: str):
     driver check; golden equality lives in tests/test_streaming.py.  With
     lateness covering the stream's disorder it produces exactly the
     flagship's windowed result."""
+    _with_golden("streaming_inpaint", sf_dir)
     from .pipelines.streaming import run_streaming
 
     cfg = DEFAULT_CONFIG.with_(
@@ -237,7 +249,8 @@ def q_streaming_inpaint(sf_dir: str):
 
 def q_auto_tuned(sf_dir: str):
     """Classifier-driven per-source parameter tuning (A5/A6) end to end —
-    rows-only; golden equality in tests/test_auto_and_classifier.py."""
+    driver-checked against the materialized golden oracle."""
+    _with_golden("auto_tuned_inpaint", sf_dir)
     from .pipelines.auto_tune import run_auto_tuned
 
     cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
@@ -255,6 +268,7 @@ def q_auto_tuned(sf_dir: str):
 
 
 def q_inpaint_tumbling(sf_dir: str):
+    _with_golden("inpaint_tumbling", sf_dir)
     from .pipelines.flagship import run_flagship
 
     cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
@@ -401,12 +415,14 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_minhash_lsh(sf_dir: str):
+    _with_golden("minhash_lsh", sf_dir)
     from .functions.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(_docs_ds(sf_dir), threshold=0.5)
 
 
 def q_simhash(sf_dir: str):
+    _with_golden("simhash", sf_dir)
     from .functions.dedup import simhash_dedup
 
     return simhash_dedup(_docs_ds(sf_dir), max_hamming=8)
@@ -436,6 +452,7 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    _with_golden("knn_ivf", sf_dir)
     import pyarrow.parquet as pq
 
     import ray.data
@@ -771,7 +788,16 @@ ORACLE_SQL = {
         FROM r JOIN customer cu ON cu.c_custkey = r.o_custkey
         WHERE rk <= 10
     """,
-    # no oracle (rows-only): inpaint_global, inpaint_tumbling,
-    # streaming_inpaint, auto_tuned_inpaint (golden-verified in pytest),
-    # minhash_lsh, simhash, knn_ivf (sketch/ANN, pytest-verified)
 }
+
+# Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are
+# checked against the MATERIALIZED single-process golden oracle: the query
+# callable (and __ray_entry__.oracle_sql) writes the pure-NumPy golden output
+# to /tmp/graft_golden/<name>.parquet, and the oracle SQL reads it back —
+# an independent driver-checkable twin of the reference invariant chain
+# (watermark_detector.py:362-419, watermark_remover.py:174-232).
+from .oracle_data import GOLDEN_QUERIES as _GQ
+from .oracle_data import golden_sql as _golden_sql
+
+for _name in _GQ:
+    ORACLE_SQL[_name] = _golden_sql(_name)

@@ -5,6 +5,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# tests mini-drive the query/oracle contract at sf0.001 (the real driver uses
+# sf0.01); point the golden-oracle materializer there before any import reads it
+os.environ.setdefault("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
 
 @pytest.fixture(scope="session")
 def ray_session():
