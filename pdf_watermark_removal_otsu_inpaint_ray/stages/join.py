@@ -74,11 +74,17 @@ def hash_join_events_documents(
     with an explicit partition count — the general-case path when the span
     side is too large to broadcast.  Returns one row per (document, matching
     span event); the span side's duplicate columns get an ``_ev`` suffix.
+
+    The partition count is capped at the cluster CPU count: each hash
+    aggregator is an actor holding a CPU, so more partitions than CPUs
+    deadlocks the join under the streaming executor.
     """
+    from ..functions.dedup import _join_partitions
+
     return docs_ds.join(
         events_ds,
         join_type=how,
-        num_partitions=num_buckets,
+        num_partitions=_join_partitions(num_buckets),
         on=("doc_id",),
         right_suffix="_ev",
     )
