@@ -87,10 +87,12 @@ def _arrival_batches(source, micro_batch_rows: int):
 
 @dataclass
 class StreamingResult:
-    output: pa.Table
+    output: pa.Table | None  # None in sink mode: rows live under out_dir
     late: pa.Table | None
     n_late: int
     actor_stats: list[dict] = field(default_factory=list)
+    out_dir: str | None = None
+    commit_report: pa.Table | None = None
 
 
 def run_streaming(
@@ -104,10 +106,27 @@ def run_streaming(
 ) -> StreamingResult:
     """Run the incremental engine over a Parquet path / Dataset.
 
-    ``out_dir``: optional exactly-once sink for the emitted stream.
+    ``out_dir``: optional exactly-once sink.  In sink mode finalized
+    windows flow from each state actor STRAIGHT into the sink's staged
+    layout (stage_table), and the driver only commits per-partition
+    manifests at end of stream — rewritten tokens never pass through the
+    driver; ``result.output`` is None (read with ``read_output(out_dir)``).
     Ray must already be initialised by the caller.
     """
-    actors = [KeyedStateActor.remote(cfg) for _ in range(n_actors)]
+    import os
+
+    sink_done: frozenset[int] = frozenset()
+    if out_dir is not None:
+        from ..sinks.exactly_once import committed_partitions
+
+        os.makedirs(out_dir, exist_ok=True)
+        sink_done = frozenset(committed_partitions(out_dir))
+    actors = [
+        KeyedStateActor.remote(
+            cfg, sink_dir=out_dir, sink_partitions=num_partitions, sink_done=sink_done
+        )
+        for _ in range(n_actors)
+    ]
     tracker = WatermarkTracker.remote(1, cfg.allowed_lateness)
 
     emitted_refs: list = []
@@ -137,18 +156,29 @@ def run_streaming(
 
     late_tables = [t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None]
     stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+
+    if out_dir is not None:
+        # sink mode: emitted_refs stayed empty — drain actor stage buffers,
+        # then commit per-partition manifests (driver moves manifests only)
+        from ..sinks.exactly_once import finalize_staged
+
+        ray.get([a.sink_flush.remote() for a in actors])
+        report = finalize_staged(out_dir)
+        return StreamingResult(
+            output=None,
+            late=late,
+            n_late=sum(s["n_late"] for s in stats),
+            actor_stats=stats,
+            out_dir=out_dir,
+            commit_report=report,
+        )
+
     out = (
         pa.concat_tables(emitted_refs).sort_by("doc_id")
         if emitted_refs
         else None
     )
-    late = pa.concat_tables(late_tables) if late_tables else None
-
-    if out_dir is not None and out is not None:
-        from ..sinks.exactly_once import write_exactly_once
-
-        write_exactly_once(ray.data.from_arrow(out), out_dir, num_partitions=num_partitions)
-
     return StreamingResult(
         output=out if out is not None else _empty_out(),
         late=late,

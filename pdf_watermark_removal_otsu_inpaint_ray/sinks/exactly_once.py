@@ -167,6 +167,60 @@ def _finalize_partition(
     return report
 
 
+def stage_table(
+    out_dir: str,
+    table: pa.Table,
+    num_partitions: int,
+    done: frozenset[int] = frozenset(),
+) -> int:
+    """Append one table to the staged layout: split by hash(doc_id), one
+    parquet file per touched partition, atomic rename.  Safe from any
+    process (map task or state actor — the sink dir is shared storage).
+    Rows of already-committed partitions are dropped.  Returns rows staged."""
+    part = hash_partition_ids(table["doc_id"], num_partitions)
+    if done:
+        keep = ~np.isin(part, list(done))
+        table = table.filter(pa.array(keep))
+        part = part[keep]
+    for p in np.unique(part):
+        sub = table.filter(pa.array(part == p))
+        sdir = _staged_dir(out_dir, int(p))
+        os.makedirs(sdir, exist_ok=True)
+        tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(sub, tmp)
+        os.replace(tmp, os.path.join(sdir, f"stage-{uuid.uuid4().hex}.parquet"))
+    return table.num_rows
+
+
+def finalize_staged(
+    out_dir: str,
+    *,
+    resume: bool = True,
+    fail_partitions: frozenset[int] = frozenset(),
+) -> pa.Table:
+    """Commit every staged partition (one Ray task each) and return the
+    per-partition report.  The driver only moves manifests — never rows."""
+    import ray
+
+    done = committed_partitions(out_dir) if resume else set()
+    sroot = os.path.join(out_dir, "_staged")
+    parts = sorted(
+        int(d.split("=")[1]) for d in os.listdir(sroot) if d.startswith("part=")
+    ) if os.path.isdir(sroot) else []
+    parts = [p for p in parts if p not in done]
+    fin = ray.remote(num_cpus=1)(_finalize_partition)
+    reports: list[pa.Table] = []
+    errors: list[Exception] = []
+    for p, ref in [(p, fin.remote(out_dir, p, fail_partitions)) for p in parts]:
+        try:
+            reports.append(ray.get(ref))
+        except Exception as e:  # let healthy partitions commit, then raise
+            errors.append(e)
+    if errors:
+        raise errors[0]
+    return pa.concat_tables(reports) if reports else _manifest_row(-1, "empty", 0).slice(0, 0)
+
+
 def _manifest_row(part: int, status: str, rows: int) -> pa.Table:
     return pa.table(
         {
@@ -205,25 +259,12 @@ def write_exactly_once(
     attempt are deduped away (the pipeline is deterministic).
     ``fail_partitions`` is test-only fault injection (raise before commit).
     """
-    import ray
-
     os.makedirs(out_dir, exist_ok=True)
-    done = committed_partitions(out_dir) if resume else set()
+    done = frozenset(committed_partitions(out_dir)) if resume else frozenset()
 
     def stage(batch: pa.Table) -> pa.Table:
-        part = hash_partition_ids(batch["doc_id"], num_partitions)
-        if done:
-            keep = ~np.isin(part, list(done))
-            batch = batch.filter(pa.array(keep))
-            part = part[keep]
-        for p in np.unique(part):
-            sub = batch.filter(pa.array(part == p))
-            sdir = _staged_dir(out_dir, int(p))
-            os.makedirs(sdir, exist_ok=True)
-            tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
-            pq.write_table(sub, tmp)
-            os.replace(tmp, os.path.join(sdir, f"stage-{uuid.uuid4().hex}.parquet"))
-        return _manifest_row(-1, "staged", batch.num_rows)
+        n = stage_table(out_dir, batch, num_partitions, done)
+        return _manifest_row(-1, "staged", n)
 
     # large stage batches keep the staged-file count ~ (rows/batch) * P
     for _ in ds.map_batches(
@@ -231,23 +272,7 @@ def write_exactly_once(
     ).iter_batches():
         pass
 
-    sroot = os.path.join(out_dir, "_staged")
-    parts = sorted(
-        int(d.split("=")[1]) for d in os.listdir(sroot) if d.startswith("part=")
-    ) if os.path.isdir(sroot) else []
-    parts = [p for p in parts if p not in done]
-
-    fin = ray.remote(num_cpus=1)(_finalize_partition)
-    reports: list[pa.Table] = []
-    errors: list[Exception] = []
-    for p, ref in [(p, fin.remote(out_dir, p, fail_partitions)) for p in parts]:
-        try:
-            reports.append(ray.get(ref))
-        except Exception as e:  # let healthy partitions commit, then raise
-            errors.append(e)
-    if errors:
-        raise errors[0]
-    return pa.concat_tables(reports) if reports else _manifest_row(-1, "empty", 0).slice(0, 0)
+    return finalize_staged(out_dir, resume=resume, fail_partitions=fail_partitions)
 
 
 def read_output(out_dir: str):

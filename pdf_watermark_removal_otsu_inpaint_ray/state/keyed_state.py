@@ -46,8 +46,25 @@ def _window_end(window_id: int, cfg: EngineConfig) -> int:
 
 @ray.remote
 class KeyedStateActor:
-    def __init__(self, cfg: EngineConfig):
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        sink_dir: str | None = None,
+        sink_partitions: int = 8,
+        sink_stage_rows: int = 32768,
+        sink_done: frozenset[int] = frozenset(),
+    ):
+        """``sink_dir``: when set, finalized windows flow DIRECTLY into the
+        exactly-once sink's staged layout from this actor (buffered to
+        ``sink_stage_rows`` to bound file counts) — the driver only commits
+        manifests at end of stream, token data never rides the acks."""
         self.cfg = cfg
+        self.sink_dir = sink_dir
+        self.sink_partitions = sink_partitions
+        self.sink_stage_rows = sink_stage_rows
+        self._sink_done = sink_done
+        self._sink_buf: list[pa.Table] = []
+        self._sink_rows = 0
         self.hists: dict[tuple[str, int], np.ndarray] = {}
         self.buffers: dict[tuple[str, int], list[pa.Table]] = {}
         self.finalized: set[tuple[str, int]] = set()
@@ -69,6 +86,35 @@ class KeyedStateActor:
         self.wm = max(self.wm, watermark)
         return self.wm
 
+    # -- sink-direct emission --------------------------------------------
+
+    def _divert(self, tables: list[pa.Table]) -> list[pa.Table]:
+        """In sink mode, stage emitted windows locally instead of returning
+        them (rewritten tokens never travel back through the driver)."""
+        if self.sink_dir is None or not tables:
+            return tables
+        for t in tables:
+            if t.num_rows:
+                self._sink_buf.append(t)
+                self._sink_rows += t.num_rows
+        if self._sink_rows >= self.sink_stage_rows:
+            self._flush_sink()
+        return []
+
+    def _flush_sink(self) -> None:
+        if not self._sink_buf:
+            return
+        from ..sinks.exactly_once import stage_table
+
+        table = pa.concat_tables(self._sink_buf)
+        self._sink_buf, self._sink_rows = [], 0
+        stage_table(self.sink_dir, table, self.sink_partitions, self._sink_done)
+
+    def sink_flush(self) -> int:
+        """End-of-stream: push any buffered emissions to the staged layout."""
+        self._flush_sink()
+        return self.n_emitted
+
     # -- ingest -----------------------------------------------------------
 
     def ingest(self, batch: pa.Table, watermark: int) -> tuple[list[pa.Table], int]:
@@ -77,7 +123,8 @@ class KeyedStateActor:
         cfg = self.cfg
         watermark = self._clamp_wm(watermark)
         if cfg.window_kind == "session":
-            return self._ingest_session(batch, watermark)
+            emitted, n_late = self._ingest_session(batch, watermark)
+            return self._divert(emitted), n_late
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         src = np.asarray(batch["source"])
         govern = self._governing(ts)
@@ -107,7 +154,7 @@ class KeyedStateActor:
         if late_batch is not None and late_batch.num_rows:
             self._late_rows = getattr(self, "_late_rows", [])
             self._late_rows.append(late_batch)
-        return emitted, self.n_late
+        return self._divert(emitted), self.n_late
 
     def _governing(self, ts: np.ndarray) -> np.ndarray:
         cfg = self.cfg
@@ -219,74 +266,111 @@ class KeyedStateActor:
     # accumulation reset by clear_qr_codes(), watermark_detector.py:143-145) --
 
     def _ingest_session(self, batch: pa.Table, watermark: int):
+        """Vectorized session ingest: one lexsort per batch, gap-split into
+        micro-sessions per source (np.diff), bulk histograms per segment
+        (batch_histograms), then an interval merge with the open sessions.
+        The gap relation is transitive, so merging sorted intervals with
+        ``next.start <= cur.last + gap`` reproduces row-at-a-time semantics
+        exactly (the reference analog: per-document QR accumulation reset by
+        clear_qr_codes(), watermark_detector.py:143-145)."""
         cfg = self.cfg
-        ts = np.asarray(batch["event_ts"], dtype=np.int64)
-        src = np.asarray(batch["source"])
-        order = np.lexsort((np.asarray(batch["doc_id"]), ts))
         late_idx: list[int] = []
-        from ..golden import hist_of
-
-        for i in order:
-            s, t = str(src[i]), int(ts[i])
-            if t <= self.session_horizon.get(s, -(1 << 62)):
-                late_idx.append(int(i))
-                continue
-            row = batch.slice(int(i), 1)
-            gray = (np.asarray(row["tokens"][0].as_py(), dtype=np.int64)) % cfg.gray_mod
-            h = hist_of(gray, cfg)
-            sessions = self.sessions.setdefault(s, [])
-            # merge candidates: any session with start - gap <= t <= last + gap
-            hits = [
-                k for k, ses in enumerate(sessions)
-                if ses["start"] - cfg.session_gap <= t <= ses["last"] + cfg.session_gap
-            ]
-            if not hits:
-                sessions.append({"start": t, "last": t, "hist": h, "tables": [row]})
-                sessions.sort(key=lambda x: x["start"])
-            else:
-                base = sessions[hits[0]]
-                base["start"] = min(base["start"], t)
-                base["last"] = max(base["last"], t)
-                base["hist"] = base["hist"] + h
-                base["tables"].append(row)
-                for k in reversed(hits[1:]):  # bridging row merges sessions
-                    other = sessions.pop(k)
-                    base["start"] = min(base["start"], other["start"])
-                    base["last"] = max(base["last"], other["last"])
-                    base["hist"] += other["hist"]
-                    base["tables"].extend(other["tables"])
+        if batch.num_rows:
+            ts0 = np.asarray(batch["event_ts"], dtype=np.int64)
+            src0 = np.asarray(batch["source"])
+            doc0 = np.asarray(batch["doc_id"])
+            order = np.lexsort((doc0, ts0, src0))  # by source, then ts, then doc
+            batch = batch.take(pa.array(order))
+            ts, src = ts0[order], src0[order]
+            starts = np.nonzero(np.concatenate([[True], src[1:] != src[:-1]]))[0]
+            ends = np.append(starts[1:], src.size)
+            for st, en in zip(starts, ends):
+                s = str(src[st])
+                horizon = self.session_horizon.get(s, -(1 << 62))
+                tloc = ts[st:en]
+                late_loc = tloc <= horizon
+                if late_loc.any():
+                    late_idx.extend((st + np.nonzero(late_loc)[0]).tolist())
+                keep = np.nonzero(~late_loc)[0]
+                if keep.size == 0:
+                    continue
+                sub = batch.take(pa.array(st + keep))
+                tk = tloc[keep]
+                seg_break = np.concatenate([[True], np.diff(tk) > cfg.session_gap])
+                seg_id = (np.cumsum(seg_break) - 1).astype(np.int64)
+                n_seg = int(seg_id[-1]) + 1
+                fb = flatten_list_column(sub["tokens"])
+                H = batch_histograms(fb, seg_id, n_seg, cfg)
+                seg_starts = np.nonzero(seg_break)[0]
+                seg_ends = np.append(seg_starts[1:], tk.size)
+                merged = self.sessions.get(s, []) + [
+                    {
+                        "start": int(tk[a]),
+                        "last": int(tk[b - 1]),
+                        "hist": H[k],
+                        "tables": [sub.slice(a, b - a)],
+                    }
+                    for k, (a, b) in enumerate(zip(seg_starts, seg_ends))
+                ]
+                merged.sort(key=lambda x: x["start"])
+                out = [merged[0]]
+                for ses in merged[1:]:
+                    cur = out[-1]
+                    if ses["start"] <= cur["last"] + cfg.session_gap:
+                        cur["last"] = max(cur["last"], ses["last"])
+                        cur["hist"] = cur["hist"] + ses["hist"]
+                        cur["tables"].extend(ses["tables"])
+                    else:
+                        out.append(ses)
+                self.sessions[s] = out
         emitted = self._finalize_sessions(watermark)
         if late_idx:
-            late_batch = batch.take(late_idx)
+            late_batch = batch.take(pa.array(late_idx))
             self.n_late += late_batch.num_rows
             self._late_rows = getattr(self, "_late_rows", [])
             self._late_rows.append(late_batch)
         return emitted, self.n_late
 
     def _finalize_sessions(self, watermark: int) -> list[pa.Table]:
+        """Emit every closed session in ONE fused rewrite: due sessions'
+        histograms stack into a single vectorized detection
+        (detect_wm_many == detect_wm_token per row), their buffered tables
+        concat once, and process_batch_flat runs once with a per-row wm
+        vector — per-session kernel overhead does not scale with the number
+        of (typically small) sessions."""
         cfg = self.cfg
-        out = []
+        due: list[tuple[str, dict]] = []
         for s in sorted(self.sessions):
             keep = []
             for ses in self.sessions[s]:
                 if ses["last"] + cfg.session_gap <= watermark:
-                    out.append(self._emit_session(s, ses))
+                    due.append((s, ses))
                 else:
                     keep.append(ses)
             self.sessions[s] = keep
-        return out
+        if not due:
+            return []
+        from ..stages.detect import detect_wm_many
 
-    def _emit_session(self, source: str, ses: dict) -> pa.Table:
-        cfg = self.cfg
-        rows = pa.concat_tables(ses["tables"])
-        wm_tok, _cov = detect_wm_token(ses["hist"], cfg)
-        fb = flatten_list_column(rows["tokens"])
-        res = process_batch_flat(fb, np.full(rows.num_rows, wm_tok, dtype=np.int64), cfg)
-        off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
-        self.session_horizon[source] = max(
-            self.session_horizon.get(source, -(1 << 62)), ses["last"] + cfg.session_gap
-        )
+        wm_arr, _ = detect_wm_many(np.stack([ses["hist"] for _, ses in due]), cfg)
+        tables, wm_rows = [], []
+        for (s, ses), wm_tok in zip(due, wm_arr):
+            t = pa.concat_tables(ses["tables"])
+            tables.append(t)
+            wm_rows.append(np.full(t.num_rows, int(wm_tok), dtype=np.int64))
+            self.session_horizon[s] = max(
+                self.session_horizon.get(s, -(1 << 62)), ses["last"] + cfg.session_gap
+            )
+        rows = pa.concat_tables(tables)
+        res = self._rewrite_rows(rows, np.concatenate(wm_rows))
         self.n_emitted += rows.num_rows
+        return [res]
+
+    def _rewrite_rows(self, rows: pa.Table, wm_row: np.ndarray) -> pa.Table:
+        cfg = self.cfg
+        fb = flatten_list_column(rows["tokens"])
+        res = process_batch_flat(fb, wm_row, cfg)
+        off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
         return pa.table(
             {
                 "doc_id": rows["doc_id"],
@@ -393,7 +477,7 @@ class KeyedStateActor:
                 )
             )
             self.n_emitted += rows.num_rows
-        return out
+        return self._divert(out)
 
     def buffered_keys(self) -> list[tuple[str, int]]:
         return sorted(self.buffers)
@@ -420,8 +504,9 @@ class KeyedStateActor:
         if self.cfg.window_kind == "session":
             out = self._finalize_sessions(1 << 62)
             self.sessions.clear()
-            return out
-        return self._finalize_upto(1 << 62)
+        else:
+            out = self._finalize_upto(1 << 62)
+        return self._divert(out)
 
     def late_rows(self) -> pa.Table | None:
         rows = getattr(self, "_late_rows", [])

@@ -144,12 +144,20 @@ def test_state_evicted_after_watermark(ray_session, stream_path):
 
 
 def test_streaming_with_exactly_once_sink(ray_session, stream_path, tmp_path):
+    """Sink mode: finalized windows are staged DIRECTLY by the state actors
+    (result.output is None — no driver-side concat of the rewritten stream);
+    reading back the committed partitions equals the golden pipeline."""
     from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import read_output
 
     cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
     out_dir = str(tmp_path / "out")
     res = run_streaming(stream_path, cfg, n_actors=2, micro_batch_rows=128, out_dir=out_dir)
+    assert res.output is None and res.out_dir == out_dir
+    assert res.commit_report is not None and res.commit_report.num_rows > 0
     got = pa.concat_tables(
         [pa.table(b) for b in read_output(out_dir).iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
-    assert got["doc_id"].to_pylist() == res.output.sort_by("doc_id")["doc_id"].to_pylist()
+    expected = golden.golden_pipeline(pq.read_table(stream_path), cfg).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
