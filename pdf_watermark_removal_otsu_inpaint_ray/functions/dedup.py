@@ -541,33 +541,58 @@ def ngram_jaccard_pairs(ds, *, ngram: int = 3, threshold: float = 0.5):
 # ---------------------------------------------------------------------------
 
 
+@ray.remote
+def _block_pair_sims(blk_a: pa.Table, blk_b: pa.Table, threshold: float) -> pa.Table:
+    """Cosine pairs between two normalized blocks (zero-copy from the object
+    store); the ``lo < hi`` filter keeps each unordered pair exactly once."""
+    from .similarity import matrix_of
+
+    ids_a = np.asarray(blk_a["vec_id"], np.int64)
+    ids_b = np.asarray(blk_b["vec_id"], np.int64)
+    S = matrix_of(blk_a["embedding"]) @ matrix_of(blk_b["embedding"]).T
+    ai, bj = np.nonzero(S >= threshold)
+    a, c = ids_a[ai], ids_b[bj]
+    lo, hi = np.minimum(a, c), np.maximum(a, c)
+    keep = lo < hi
+    return pa.table({"a": pa.array(lo[keep], pa.int64()), "b": pa.array(hi[keep], pa.int64())})
+
+
 def embedding_near_dup(ds, *, threshold: float = 0.95):
-    """Pairs (a < b) with cosine >= threshold, via per-batch float64 matmul
-    against the broadcast full matrix (small side).  At scale: LSH/IVF
-    bucketing first (similarity.py), same verify."""
-    import pandas as pd
+    """EXACT pairs (a < b) with cosine >= threshold, distributed as
+    block-pair tasks: the normalized embedding blocks stay in the object
+    store (refs only on the driver) and one Ray task per block pair (i <= j)
+    computes its matmul — O((N/B)²) tasks, no driver-side matrix, no
+    broadcast of the full corpus.  The pair list (output-scale) is the only
+    thing collected.  At 100 TB prefer :func:`similarity.ivf_near_dup`
+    (bucketed, approximate) — exact all-pairs is inherently quadratic.
+    """
 
-    all_rows = ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    M = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-    order = np.argsort(ids)
-    ids, M = ids[order], M[order]
-    ref = ray.put((ids, M))
-
-    def batch_sims(b: pa.Table) -> pa.Table:
-        gids, gM = ray.get(ref)
-        bid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def normalize(b: pa.Table) -> pa.Table:
         from .similarity import matrix_of
 
-        B = matrix_of(b["embedding"])
-        B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
-        S = B @ gM.T
-        ai, bj = np.nonzero(S >= threshold)
-        a, c = bid[ai], gids[bj]
-        keep = a < c
-        return pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(c[keep], pa.int64())})
+        M = matrix_of(b["embedding"])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        flat = pa.array(M.reshape(-1), pa.float64())
+        offs = pa.array(np.arange(0, (len(b) + 1) * M.shape[1], M.shape[1], dtype=np.int32), pa.int32())
+        return pa.table(
+            {
+                "vec_id": b["vec_id"].cast(pa.int64()),
+                "embedding": pa.ListArray.from_arrays(offs, flat),
+            }
+        )
 
-    return ds.select_columns(["vec_id", "embedding"]).map_batches(
-        batch_sims, batch_format="pyarrow"
-    )
+    norm = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        normalize, batch_format="pyarrow"
+    ).materialize()
+    refs = norm.to_arrow_refs()
+    tasks = [
+        _block_pair_sims.remote(refs[i], refs[j], threshold)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    if not parts:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    # a pair can only appear once (block pairs are disjoint except self-pairs
+    # already triangle-filtered), so a concat suffices
+    return pa.concat_tables(parts)

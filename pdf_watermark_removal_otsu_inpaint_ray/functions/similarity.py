@@ -116,3 +116,124 @@ class IvfIndex:
 
         pruned = ds_with_parts.map_batches(prune, batch_format="pyarrow")
         return cosine_topk(pruned, q, k)
+
+    # -- partition-pruned storage path (the 100 TB shape) -----------------
+
+    def write_partitioned(self, ds, path: str) -> str:
+        """Materialize the index layout: ``ivf_part`` becomes a Parquet
+        partition KEY (``path/ivf_part=K/``), so a probe reads only its
+        partitions' files from storage — the scan itself is pruned, not
+        just filtered after a full read."""
+        self.add_partition_column(ds).write_parquet(path, partition_cols=["ivf_part"])
+        return path
+
+    def probe_paths(self, path: str, query: np.ndarray) -> list[str]:
+        """Parquet FILES of the probed partitions (ray.data.read_parquet
+        handles a multi-path list as files, not directories)."""
+        import os
+
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-30)
+        probes = np.argsort(-(self.centroids @ q))[: self.n_probe]
+        files: list[str] = []
+        for p in probes:
+            d = os.path.join(path, f"ivf_part={int(p)}")
+            if os.path.isdir(d):
+                files.extend(
+                    sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+                )
+        return files
+
+    def search_partitioned(self, path: str, query: np.ndarray, k: int = 10) -> pa.Table:
+        """ANN search reading ONLY the probed partition directories."""
+        import ray.data
+
+        dirs = self.probe_paths(path, query)
+        if not dirs:
+            return pa.table({"vec_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())})
+        ds = ray.data.read_parquet(dirs, columns=["vec_id", "embedding"])
+        return cosine_topk(ds, np.asarray(query, dtype=np.float64), k)
+
+
+def ivf_near_dup(
+    ds,
+    sample: np.ndarray,
+    *,
+    threshold: float = 0.5,
+    n_list: int = 8,
+    n_probe: int = 2,
+    num_parts: int = 64,
+) -> pa.Table:
+    """IVF-bucketed embedding near-dup — the scale path for
+    ``embedding_near_dup``: each vector joins its ``n_probe`` nearest
+    coarse partitions (multi-probe), pairs are found by within-partition
+    matmuls in a distributed ``groupby(part)``, and cross-partition
+    duplicates dedup in a coarse second groupby.  Recall is approximate by
+    construction (pairs split across non-shared partitions are missed);
+    the exact all-pairs twin is ``dedup.embedding_near_dup``.
+    """
+    import pandas as pd
+
+    import ray.data  # noqa: F401  (groupby path)
+
+    idx = IvfIndex(n_list=n_list, n_probe=n_probe).fit(sample)
+    cref = ray.put(idx.centroids)
+
+    def assign_multi(b: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        M = matrix_of(b["embedding"])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        top = np.argsort(-(Mn @ C.T), axis=1)[:, :n_probe]
+        n = len(b)
+        ids = np.asarray(b["vec_id"], np.int64)
+        emb = b["embedding"]
+        out_id = np.repeat(ids, n_probe)
+        out_part = top.reshape(-1).astype(np.int64)
+        idx_rep = np.repeat(np.arange(n), n_probe)
+        return pa.table(
+            {
+                "part": pa.array(out_part, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "embedding": emb.take(pa.array(idx_rep)),
+            }
+        )
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        M = np.array([np.asarray(e, np.float64) for e in g["embedding"]], dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        S = M @ M.T
+        ai, bj = np.nonzero(S >= threshold)
+        a, c = ids[ai], ids[bj]
+        keep = a < c
+        if not keep.any():
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
+        pairs = np.unique(np.stack([a[keep], c[keep]], axis=1), axis=0)
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    from .dedup import _collect_arrow
+
+    pairs_ds = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(assign_multi, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(within, batch_format="pandas")
+    )
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        pk = (np.asarray(b["a"], np.int64) * 1_000_003 + np.asarray(b["b"], np.int64)) % num_parts
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.unique(
+            np.stack([g["a"].to_numpy().astype(np.int64), g["b"].to_numpy().astype(np.int64)], axis=1),
+            axis=0,
+        )
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    out = (
+        pairs_ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(dedup, batch_format="pandas")
+    )
+    return _collect_arrow(out, pa.schema([("a", pa.int64()), ("b", pa.int64())]))

@@ -37,6 +37,7 @@ GOLDEN_QUERIES = (
     "minhash_lsh",
     "simhash",
     "knn_ivf",
+    "embedding_near_dup_ivf",
 )
 
 

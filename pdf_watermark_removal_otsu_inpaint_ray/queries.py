@@ -459,11 +459,8 @@ def q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.5)
 
 
-def q_knn_ivf(sf_dir: str):
-    _with_golden("knn_ivf", sf_dir)
+def _ivf_fit(sf_dir: str, n_list: int, n_probe: int):
     import pyarrow.parquet as pq
-
-    import ray.data
 
     from .functions.similarity import IvfIndex, matrix_of
 
@@ -471,9 +468,42 @@ def q_knn_ivf(sf_dir: str):
     q = t.filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
     sample = matrix_of(t["embedding"].slice(0, 256))
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
-    idx = IvfIndex(n_list=8, n_probe=3).fit(sample)
+    return IvfIndex(n_list=n_list, n_probe=n_probe).fit(sample), np.asarray(q), sample
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN with PARTITION-PRUNED READS: the index layout is written once
+    per sf dir with ivf_part as a Parquet partition key; the search reads
+    only the probed partition directories from storage (the 100 TB shape —
+    the scan is pruned, not filtered after a full read)."""
+    _with_golden("knn_ivf", sf_dir)
+    import hashlib as _h
+    import os
+
+    import ray.data
+
+    idx, q, _ = _ivf_fit(sf_dir, n_list=8, n_probe=3)
+    tag = _h.blake2b(os.path.abspath(sf_dir).encode(), digest_size=6).hexdigest()
+    layout = f"/tmp/graft_ivf/{tag}"
+    if not os.path.isdir(layout) or not os.listdir(layout):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        idx.write_partitioned(ds, layout)
+    return idx.search_partitioned(layout, q, k=10)
+
+
+def q_embedding_near_dup_ivf(sf_dir: str):
+    """IVF-bucketed near-dup (multi-probe top-2 partitions) — the scale
+    path for embedding_near_dup; checked against its materialized golden."""
+    _with_golden("embedding_near_dup_ivf", sf_dir)
+    import ray.data
+
+    from .functions.similarity import ivf_near_dup
+
+    _, _, sample = _ivf_fit(sf_dir, n_list=8, n_probe=2)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return idx.search(idx.add_partition_column(ds), np.asarray(q), k=10)
+    return ivf_near_dup(ds, sample, threshold=0.5, n_list=8, n_probe=2)
 
 
 def q_media_decode(sf_dir: str):
@@ -593,6 +623,7 @@ QUERIES = {
     "embedding_knn": q_embedding_knn,
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf": q_knn_ivf,
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "media_decode": q_media_decode,
     "orders_by_status": q_orders_by_status,
     "lineitem_filtered_counts": q_lineitem_filtered_counts,
