@@ -1,13 +1,15 @@
 """Multimodal columns: opaque binary payloads with typed metadata.
 
 Images / audio / video travel as ``binary`` columns; decode / resize /
-feature-extract are actor-pool ``map_batches`` stages.  The decode libraries
-(PIL, ffmpeg, torchaudio…) are NOT in this container, so the decode kernel is
-STUBBED: with ``fake=True`` (default) it produces a deterministic fake decode
-(metadata derived from the payload bytes) so the Ray-side plumbing — schema,
-batch sizing for large binary rows, actor signature, output layout — is real
-and tested; with ``fake=False`` it raises ``NotImplementedError`` unless a
-real codec is importable.
+feature-extract are actor-pool ``map_batches`` stages.  The decode kernels
+are REAL pure-NumPy codecs (:mod:`.codecs`): images are binary PPM (P6) —
+the same wire format the reference's own render path produces before PIL
+wraps it (pdf_processor.py:28-48) — audio is RIFF/WAVE PCM16, video is a
+concatenated-PPM frame stream.  No external media library is needed; the
+payloads are valid files any external tool can read.
+
+Memory note (SURVEY.md §4.2): real media rows are large — keep
+``batch_size`` small so payload × batch × concurrency fits the worker heap.
 """
 
 from __future__ import annotations
@@ -17,26 +19,76 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .codecs import (
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_ppm_stream,
+    encode_wav_pcm16,
+    ppm_stream_offsets,
+    resize_nearest,
+)
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("item_id", pa.int64()),
-        ("payload", pa.binary()),      # opaque encoded media
+        ("payload", pa.binary()),      # encoded media (PPM / WAV / PPM stream)
         ("media_type", pa.string()),   # "image" | "audio" | "video"
         ("meta", pa.string()),         # JSON sidecar
     ]
 )
 
+# Deterministic dimension formulas (shared with the media_decode SQL oracle:
+# the decoded values must reproduce these from the payload BYTES alone)
+AUDIO_RATE = 8000
+VIDEO_W, VIDEO_H = 16, 8
+
+
+def _image_dims(item_id: int) -> tuple[int, int]:
+    return 8 + item_id % 24, 8 + (item_id // 7) % 16  # (W, H)
+
+
+def _audio_samples(item_id: int) -> int:
+    return 100 + item_id % 400
+
+
+def _video_frames(item_id: int) -> int:
+    return 2 + item_id % 6
+
+
+def _bytes_of(text: str, n: int) -> np.ndarray:
+    """First n bytes of the utf-8 text, tiled to length n."""
+    raw = np.frombuffer(text.encode() or b"\x00", dtype=np.uint8)
+    return np.resize(raw, n)
+
 
 def documents_to_media_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic fake media table from the documents table (test corpus):
-    payload = utf-8 bytes of text; media_type round-robins by doc_id."""
+    """Deterministic REAL media table from the documents table: each doc
+    becomes a valid PPM image, WAV clip, or PPM-stream video (round-robin by
+    doc_id) whose pixel/sample bytes derive from the text."""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch["text"].to_pylist()
     kinds = ["image", "audio", "video"]
+    payloads: list[bytes] = []
+    for i, t in zip(ids, texts):
+        k = kinds[i % 3]
+        if k == "image":
+            w, h = _image_dims(int(i))
+            payloads.append(encode_ppm(_bytes_of(t, w * h * 3).reshape(h, w, 3)))
+        elif k == "audio":
+            n = _audio_samples(int(i))
+            samples = (_bytes_of(t, n).astype(np.int16) - 128) * 256
+            payloads.append(encode_wav_pcm16(samples, AUDIO_RATE))
+        else:
+            frames = [
+                _bytes_of(t[f:] + t[:f], VIDEO_W * VIDEO_H * 3).reshape(VIDEO_H, VIDEO_W, 3)
+                for f in range(_video_frames(int(i)))
+            ]
+            payloads.append(encode_ppm_stream(frames))
     return pa.table(
         {
             "item_id": pa.array(ids, pa.int64()),
-            "payload": pa.array([t.encode() for t in texts], pa.binary()),
+            "payload": pa.array(payloads, pa.binary()),
             "media_type": pa.array([kinds[i % 3] for i in ids], pa.string()),
             "meta": pa.array(["{}"] * len(ids), pa.string()),
         }
@@ -44,109 +96,112 @@ def documents_to_media_batch(batch: pa.Table) -> pa.Table:
 
 
 class DecodeStage:
-    """Actor-pool decode stage.  Small ``batch_size`` is mandatory for real
-    media (payload × batch × concurrency must fit the worker heap —
-    SURVEY.md §4.2 memory note)."""
+    """Actor-pool decode stage — REAL parse of the payload bytes.
 
-    def __init__(self, fake: bool = True):
-        self.fake = fake
-        self.pil = None
-        if not fake:
-            try:  # pragma: no cover - PIL absent in this container
-                from PIL import Image  # noqa: F401
-
-                self.pil = Image
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real media decode needs PIL/ffmpeg, absent in this "
-                    "container; use fake=True for plumbing tests"
-                ) from e
+    image → PPM header+pixels, audio → WAV chunks, video → frame scan.
+    width/height carry (W, H) for visual types and (n_samples, channels)
+    for audio; n_frames is 1 for stills/clips.
+    """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        if self.fake:
-            # deterministic fake: dims from a keyed hash of the payload
-            dims = [
-                int.from_bytes(hashlib.blake2b(p, digest_size=4).digest(), "little")
-                for p in payloads
-            ]
-            width = pa.array([64 + d % 512 for d in dims], pa.int64())
-            height = pa.array([64 + (d >> 9) % 512 for d in dims], pa.int64())
-        else:  # pragma: no cover
-            raise NotImplementedError("real decode path requires media codecs")
+        kinds = batch["media_type"].to_pylist()
+        width, height, frames = [], [], []
+        for p, k in zip(payloads, kinds):
+            if k == "image":
+                arr = decode_ppm(p)
+                width.append(arr.shape[1])
+                height.append(arr.shape[0])
+                frames.append(1)
+            elif k == "audio":
+                samples, _rate, channels = decode_wav(p)
+                width.append(samples.size)
+                height.append(channels)
+                frames.append(1)
+            else:
+                offs = ppm_stream_offsets(p)
+                width.append(offs[0][1])
+                height.append(offs[0][2])
+                frames.append(len(offs))
         return pa.table(
             {
                 "item_id": batch["item_id"],
                 "media_type": batch["media_type"],
                 "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
-                "width": width,
-                "height": height,
+                "width": pa.array(width, pa.int64()),
+                "height": pa.array(height, pa.int64()),
+                "n_frames": pa.array(frames, pa.int64()),
             }
         )
 
 
 class ResizeStage:
-    """Image-resize stage (stub codec, real plumbing).
+    """Image-resize stage — REAL decode → nearest-neighbor resample →
+    re-encode per item.  Non-image rows pass through unchanged."""
 
-    Real implementation would decode → resample → re-encode per item inside
-    the actor (codec loaded once in ``__init__``); the stub transforms the
-    fake-decoded dimensions deterministically so downstream schema/layout
-    are exercised.  ``batch_size`` must stay small for real media rows."""
-
-    def __init__(self, max_side: int = 256, fake: bool = True):
-        if not fake:  # pragma: no cover
-            raise NotImplementedError("real resize needs PIL, absent here")
+    def __init__(self, max_side: int = 256):
         self.max_side = max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        w = batch["width"].to_numpy(zero_copy_only=False)
-        h = batch["height"].to_numpy(zero_copy_only=False)
-        scale = np.minimum(1.0, self.max_side / np.maximum(w, h).astype(np.float64))
+        payloads = batch["payload"].to_pylist()
+        kinds = batch["media_type"].to_pylist()
+        out_payload, width, height = [], [], []
+        for p, k in zip(payloads, kinds):
+            if k == "image":
+                arr = resize_nearest(decode_ppm(p), self.max_side)
+                out_payload.append(encode_ppm(arr))
+                width.append(arr.shape[1])
+                height.append(arr.shape[0])
+            else:
+                out_payload.append(p)
+                width.append(-1)
+                height.append(-1)
         return pa.table(
             {
                 "item_id": batch["item_id"],
                 "media_type": batch["media_type"],
-                "width": pa.array(np.maximum(1, (w * scale)).astype(np.int64), pa.int64()),
-                "height": pa.array(np.maximum(1, (h * scale)).astype(np.int64), pa.int64()),
+                "payload": pa.array(out_payload, pa.binary()),
+                "width": pa.array(width, pa.int64()),
+                "height": pa.array(height, pa.int64()),
             }
         )
 
 
 class FrameSampleStage:
-    """Video frame-sampling stage (stub): emits one row per sampled frame
-    (flat_map shape — a real decoder would seek per timestamp).  Frame count
-    derives deterministically from the payload; stride sampling mirrors the
-    reference's deterministic downsample choice (document_classifier.py:84-89)."""
+    """Video frame sampling — REAL header scan of the PPM stream builds the
+    seek table (no pixel decode); one output row per sampled frame
+    (flat_map shape).  Stride sampling mirrors the reference's
+    deterministic downsample choice (document_classifier.py:84-89)."""
 
-    def __init__(self, every_n: int = 10, fake: bool = True):
-        if not fake:  # pragma: no cover
-            raise NotImplementedError("real frame sampling needs ffmpeg")
+    def __init__(self, every_n: int = 10):
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["item_id"].to_numpy(zero_copy_only=False)
         kinds = batch["media_type"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        out_id, out_frame = [], []
+        out_id, out_frame, out_off = [], [], []
         for i, p in enumerate(payloads):
             if kinds[i] != "video":
                 continue
-            n_frames = 1 + len(p) % 97  # deterministic fake duration
-            for f in range(0, n_frames, self.every_n):
+            offs = ppm_stream_offsets(p)
+            for f in range(0, len(offs), self.every_n):
                 out_id.append(int(ids[i]))
                 out_frame.append(f)
+                out_off.append(offs[f][0])
         return pa.table(
             {
                 "item_id": pa.array(out_id, pa.int64()),
                 "frame_idx": pa.array(out_frame, pa.int64()),
+                "byte_offset": pa.array(out_off, pa.int64()),
             }
         )
 
 
 class FeatureStage:
-    """Fake feature extractor: 8-dim deterministic embedding per item from
-    payload bytes (stands in for a model forward pass; model load would go
-    here in ``__init__`` — the T3 actor-pool slot)."""
+    """Deterministic feature extractor: 8-dim embedding per item from
+    payload bytes (stands in for a model forward pass; a real learned
+    detector with heavy per-actor state lives in functions/learned.py)."""
 
     def __init__(self, dim: int = 8):
         self.dim = dim

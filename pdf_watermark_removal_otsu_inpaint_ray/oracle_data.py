@@ -38,6 +38,8 @@ GOLDEN_QUERIES = (
     "simhash",
     "knn_ivf",
     "embedding_near_dup_ivf",
+    "learned_detector",
+    "inpaint_session",
 )
 
 

@@ -46,21 +46,30 @@ def run_flagship(
     broadcast small side).  ``concurrency`` sizes the inpaint actor pool;
     default lets Ray autoscale between 2 actors and the CPU count.
     """
+    session_map = None
+    if cfg.window_kind == "session":
+        # phase 0: per-source session boundaries (one distributed pass over
+        # (source, event_ts) pairs; broadcast like the wm table)
+        from ..stages.detect import session_window_mapping
+
+        session_map = session_window_mapping(ds, cfg)
     if wm is None:
         # automatic mode (M3/M4) and the fixed-token override (M15) are
         # row-local: no histogram phase at all
         if cfg.detection_method == "auto" or cfg.fixed_wm_token >= 0:
             wm = {}
         else:
-            wm = compute_wm_table(ds, cfg)
+            wm = compute_wm_table(ds, cfg, session_map=session_map)
     wm_ref = ray.put(wm)
     motif_ref = ray.put(motif_docs) if motif_docs else None
     spans_ref = ray.put(spans) if spans else None
+    session_ref = ray.put(session_map) if session_map is not None else None
     if concurrency is not None:
         # explicit actor pool (kept for API compat / expensive-state variants)
         return ds.map_batches(
             InpaintStage,
-            fn_constructor_args=(wm_ref, cfg, motif_ref, emit_metadata, spans_ref),
+            fn_constructor_args=(wm_ref, cfg, motif_ref, emit_metadata, spans_ref,
+                                 session_ref),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -71,7 +80,7 @@ def run_flagship(
     from ..stages.inpaint import make_inpaint_fn
 
     return ds.map_batches(
-        make_inpaint_fn(wm_ref, cfg, motif_ref, emit_metadata, spans_ref),
+        make_inpaint_fn(wm_ref, cfg, motif_ref, emit_metadata, spans_ref, session_ref),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -206,10 +206,31 @@ def _consume_partition(
 
     from ..sources.parquet import _ensure_event_ts
 
+    from collections import deque
+
     t0 = time.perf_counter()
     rows = 0
     max_ts = None
-    pending = []
+    # The tracker may only learn a batch's max_ts AFTER its ingest acks:
+    # the watermark contract is "no more rows <= wm will ARRIVE", and
+    # arrival means delivered to the state actor — not merely sent.  A
+    # faster partition's wm would otherwise finalize windows whose rows
+    # from a slower partition are still in the actor's mailbox (the
+    # monotonic actor watermark then correctly — but wrongly — lates them).
+    inflight: deque = deque()  # (batch_max_ts, [ack refs]) in send order
+
+    def drain(block: bool) -> None:
+        while inflight:
+            head_mx, head_refs = inflight[0]
+            if block:
+                ray.get(head_refs)
+            else:
+                ready, _ = ray.wait(head_refs, num_returns=len(head_refs), timeout=0)
+                if len(ready) < len(head_refs):
+                    return
+            inflight.popleft()
+            tracker.update.remote(partition_id, head_mx)
+
     for path in paths:
         pf = pq_.ParquetFile(path)
         for rb in pf.iter_batches(batch_size=micro_batch_rows):
@@ -217,18 +238,18 @@ def _consume_partition(
             ts = np.asarray(batch["event_ts"], dtype=np.int64)
             wm = ray.get(tracker.watermark.remote())
             route = hash_partition_ids(batch["source"].combine_chunks(), n_actors)
+            refs = []
             for a in range(n_actors):
                 idx = np.nonzero(route == a)[0]
                 if idx.size:
-                    pending.append(actors[a].ingest_keep.remote(batch.take(idx), wm))
+                    refs.append(actors[a].ingest_keep.remote(batch.take(idx), wm))
             mx = int(ts.max())
             max_ts = mx if max_ts is None else max(max_ts, mx)
-            tracker.update.remote(partition_id, mx)
+            inflight.append((mx, refs))
             rows += batch.num_rows
-            if len(pending) > n_actors * 4:
-                ray.get(pending)
-                pending = []
-    ray.get(pending)
+            drain(block=len(inflight) > 8)
+            drain(block=False)
+    drain(block=True)
     ray.get(tracker.close_partition.remote(partition_id))
     dt = time.perf_counter() - t0
     return {

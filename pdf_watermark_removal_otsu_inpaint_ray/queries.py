@@ -289,6 +289,31 @@ def q_inpaint_tumbling(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_inpaint_session(sf_dir: str):
+    """Batch-path SESSION windows end to end: phase 0 computes per-source
+    session boundaries in one distributed pass; detection and rewrite assign
+    windows from the broadcast mapping; checked against the session golden."""
+    _with_golden("inpaint_session", sf_dir)
+    from .pipelines.flagship import run_flagship
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="session", session_gap=16)
+    out = run_flagship(_seq_ds(sf_dir), cfg, batch_size=256)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        sums = np.zeros(fb.n_rows, dtype=np.int64)
+        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tok_sum_out": pa.array(sums, pa.int64()),
+                "wm_token": b["wm_token"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # motif / CEP / join queries (T2, J1, J3, A4)
 # ---------------------------------------------------------------------------
@@ -506,6 +531,16 @@ def q_embedding_near_dup_ivf(sf_dir: str):
     return ivf_near_dup(ds, sample, threshold=0.5, n_list=8, n_probe=2)
 
 
+def q_learned_detector(sf_dir: str):
+    """T3 actor-pool learned detector: 64 MB deterministic weights built
+    once per actor in __init__, fused to a score LUT, vectorized gather per
+    batch; checked against the materialized single-process golden."""
+    _with_golden("learned_detector", sf_dir)
+    from .functions.learned import learned_scores
+
+    return learned_scores(_seq_ds(sf_dir), concurrency=(2, 4), batch_size=256)
+
+
 def q_media_decode(sf_dir: str):
     from .functions.multimodal import DecodeStage, documents_to_media_batch
 
@@ -515,11 +550,16 @@ def q_media_decode(sf_dir: str):
     )
 
     def sql_comparable(b: pa.Table) -> pa.Table:
+        # width/height/n_frames are DECODED from the payload bytes by the
+        # real PPM/WAV/stream parsers; the oracle recomputes them from the
+        # generation formulas — a mismatch means the codec mis-parsed
         return pa.table(
             {
                 "item_id": b["item_id"],
                 "media_type": b["media_type"],
-                "n_bytes": b["n_bytes"],
+                "width": b["width"],
+                "height": b["height"],
+                "n_frames": b["n_frames"],
             }
         )
 
@@ -604,6 +644,7 @@ QUERIES = {
     "inpaint_tumbling": q_inpaint_tumbling,
     "streaming_inpaint": q_streaming_inpaint,
     "auto_tuned_inpaint": q_auto_tuned,
+    "inpaint_session": q_inpaint_session,
     "motif_spans": q_motif_spans,
     "motif_category_counts": q_motif_category_counts,
     "motif_removal_filter": q_motif_removal_filter,
@@ -624,6 +665,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf": q_knn_ivf,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+    "learned_detector": q_learned_detector,
     "media_decode": q_media_decode,
     "orders_by_status": q_orders_by_status,
     "lineitem_filtered_counts": q_lineitem_filtered_counts,
@@ -812,7 +854,12 @@ ORACLE_SQL = {
         SELECT CAST(doc_id AS BIGINT) AS item_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 24
+                    WHEN 1 THEN 100 + doc_id % 400 ELSE 16 END AS BIGINT) AS width,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id // 7) % 16
+                    WHEN 1 THEN 1 ELSE 8 END AS BIGINT) AS height,
+               CAST(CASE doc_id % 3 WHEN 2 THEN 2 + doc_id % 6
+                    ELSE 1 END AS BIGINT) AS n_frames
         FROM documents
     """,
     "orders_by_status": """

@@ -60,6 +60,11 @@ def _register_builtins() -> None:
     )
     register_inpainter("nearest", kernels.inpaint_flat)
 
+    # learned detector (T3): per-process cached heavy LUT, yolo-path analog
+    from .functions.learned import learned_flag_detector
+
+    register_detector("learned", learned_flag_detector)
+
     # presets mirroring get_optimal_parameters + the electronic-color preset
     # (document_classifier.py:180-229)
     def _electronic_color(cfg):

@@ -27,8 +27,9 @@ WmKey = tuple[str, int]
 def assign_windows_batch(source: np.ndarray, ts: np.ndarray, cfg: EngineConfig) -> np.ndarray:
     """Governing window id per row (tumbling/sliding/global — batch-local).
 
-    Session windows need per-source global ordering and are handled by the
-    streaming engine (state.keyed_state) / golden oracle instead.
+    Session windows need per-source global ordering: build a
+    :func:`session_window_mapping` once (small — bounded by distinct
+    (source, event_ts) pairs) and assign via :func:`lookup_session_windows`.
     """
     if cfg.window_kind == "tumbling":
         return ts // cfg.window_size
@@ -37,6 +38,75 @@ def assign_windows_batch(source: np.ndarray, ts: np.ndarray, cfg: EngineConfig) 
     if cfg.window_kind == "global":
         return np.zeros_like(ts)
     raise ValueError(f"window kind {cfg.window_kind} is not batch-assignable")
+
+
+SessionMap = dict[str, tuple[np.ndarray, np.ndarray]]
+
+
+def session_window_mapping(ds, cfg: EngineConfig) -> SessionMap:
+    """Batch-path session windows, phase 0: one distributed pass computes
+    ``source -> (ts_sorted_unique, window_id)`` (window id = the session's
+    first event_ts, golden.assign_session_windows semantics).  The mapping
+    is bounded by distinct (source, event_ts) pairs — event-time-range ×
+    sources, NOT data volume — so it broadcasts like the wm table."""
+    import pandas as pd
+
+    from ..golden import assign_session_windows
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.unique(g["event_ts"].to_numpy().astype(np.int64))
+        win = assign_session_windows(ts, cfg.session_gap)
+        return pd.DataFrame(
+            {"source": g["source"].iloc[0], "event_ts": ts, "window_id": win}
+        )
+
+    # pre-shrink to distinct (source, ts) pairs inside map_batches so the
+    # groupby shuffles pair rows, not data rows
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"])
+        ts = np.asarray(b["event_ts"], dtype=np.int64)
+        key = pd.MultiIndex.from_arrays([src, ts])
+        mask = ~key.duplicated()
+        return pa.table(
+            {
+                "source": pa.array(src[mask], pa.string()),
+                "event_ts": pa.array(ts[mask], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns(["source", "event_ts"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(per_source, batch_format="pandas")
+    )
+    out: SessionMap = {}
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b) if not isinstance(b, pa.Table) else b
+        src = np.asarray(t["source"])
+        ts = np.asarray(t["event_ts"], dtype=np.int64)
+        win = np.asarray(t["window_id"], dtype=np.int64)
+        for s in np.unique(src):
+            m = src == s
+            prev = out.get(str(s))
+            if prev is None:
+                out[str(s)] = (ts[m], win[m])
+            else:  # group split across output blocks: merge + re-sort
+                mt = np.concatenate([prev[0], ts[m]])
+                mw = np.concatenate([prev[1], win[m]])
+                o = np.argsort(mt)
+                out[str(s)] = (mt[o], mw[o])
+    return out
+
+
+def lookup_session_windows(session_map: SessionMap, src: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """Vectorized per-row window id from the broadcast session mapping."""
+    out = np.empty(ts.size, dtype=np.int64)
+    for s in np.unique(src):
+        m = src == s
+        t_sorted, win = session_map[str(s)]
+        out[m] = win[np.searchsorted(t_sorted, ts[m])]
+    return out
 
 
 class HistogramPartials:
@@ -48,8 +118,9 @@ class HistogramPartials:
     the ≤ size/slide window shifts — still one np.add.at per shift.
     """
 
-    def __init__(self, cfg: EngineConfig):
+    def __init__(self, cfg: EngineConfig, session_map: "SessionMap | None" = None):
         self.cfg = cfg
+        self.session_map = session_map
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -61,7 +132,10 @@ class HistogramPartials:
         out_win: list[int] = []
         hists: list[np.ndarray] = []
 
-        if cfg.window_kind == "sliding":
+        if cfg.window_kind == "session":
+            shift_windows = [lookup_session_windows(self.session_map, src, ts)]
+            valid_masks = [np.ones(ts.size, dtype=bool)]
+        elif cfg.window_kind == "sliding":
             n_shifts = -(-cfg.window_size // cfg.window_slide)  # ceil
             shift_windows = [ts // cfg.window_slide - j for j in range(n_shifts)]
             valid_masks = [
@@ -128,7 +202,12 @@ def detect_wm_many(hists: np.ndarray, cfg: EngineConfig) -> tuple[np.ndarray, np
     return wm.astype(np.int64), covp
 
 
-def compute_wm_table(ds, cfg: EngineConfig, batch_size: int = 4096) -> dict[WmKey, tuple[int, float]]:
+def compute_wm_table(
+    ds,
+    cfg: EngineConfig,
+    batch_size: int = 4096,
+    session_map: "SessionMap | None" = None,
+) -> dict[WmKey, tuple[int, float]]:
     """Run phase 1 on a sequence Dataset → {(source, window): (wm, cov%)}.
 
     ``ds`` must carry (tokens, source, event_ts).  Partials are already
@@ -140,7 +219,7 @@ def compute_wm_table(ds, cfg: EngineConfig, batch_size: int = 4096) -> dict[WmKe
     the driver — the histograms are associative.)
     """
     partials = ds.map_batches(
-        HistogramPartials(cfg), batch_format="pyarrow", batch_size=batch_size
+        HistogramPartials(cfg, session_map), batch_format="pyarrow", batch_size=batch_size
     )
     srcs: list[str] = []
     wins: list[np.ndarray] = []

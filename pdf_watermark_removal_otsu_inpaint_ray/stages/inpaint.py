@@ -65,7 +65,8 @@ def _cached_get(ref):
     return _PROCESS_CACHE[key]
 
 
-def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=None):
+def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=None,
+                    session_ref=None):
     """Build a plain map_batches function whose stage object is constructed
     once per worker process (module-level cache) from broadcast refs."""
     def _ident(x):
@@ -75,21 +76,20 @@ def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=N
     # ref but differing in motif docs or forced spans must not share a stage
     stage_key = ("stage", _ident(wm_ref), hash(cfg), emit_metadata,
                  _ident(motif_ref) if motif_ref is not None else None,
-                 _ident(spans_ref) if spans_ref is not None else None)
+                 _ident(spans_ref) if spans_ref is not None else None,
+                 _ident(session_ref) if session_ref is not None else None)
+
+    def _fetch(x):
+        if x is None:
+            return None
+        return _cached_get(x) if hasattr(x, "hex") else x
 
     def inpaint_fn(batch: pa.Table) -> pa.Table:
         stage = _PROCESS_CACHE.get(stage_key)
         if stage is None:
             stage = InpaintStage(
-                _cached_get(wm_ref) if hasattr(wm_ref, "hex") else wm_ref,
-                cfg,
-                (_cached_get(motif_ref) if hasattr(motif_ref, "hex") else motif_ref)
-                if motif_ref is not None
-                else None,
-                emit_metadata,
-                (_cached_get(spans_ref) if hasattr(spans_ref, "hex") else spans_ref)
-                if spans_ref is not None
-                else None,
+                _fetch(wm_ref), cfg, _fetch(motif_ref), emit_metadata,
+                _fetch(spans_ref), _fetch(session_ref),
             )
             _PROCESS_CACHE[stage_key] = stage
         return stage(batch)
@@ -111,6 +111,7 @@ class InpaintStage:
         motif_ref=None,
         emit_metadata: bool = True,
         spans_ref=None,
+        session_ref=None,
     ):
         def fetch(x):
             return ray.get(x) if isinstance(x, ray.ObjectRef) else x
@@ -119,6 +120,8 @@ class InpaintStage:
         self.motif_docs = fetch(motif_ref) if motif_ref is not None else frozenset()
         # doc_id -> padded [start, stop) ranges from the span-event join (J1)
         self.spans = fetch(spans_ref) if spans_ref is not None else {}
+        # broadcast session-window mapping (batch-path session windows)
+        self.session_map = fetch(session_ref) if session_ref is not None else None
         self.cfg = cfg
         self.emit_metadata = emit_metadata
 
@@ -127,7 +130,12 @@ class InpaintStage:
         fb = flatten_list_column(batch["tokens"])
         src = np.asarray(batch["source"])
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
-        win = assign_windows_batch(src, ts, cfg)
+        if cfg.window_kind == "session":
+            from .detect import lookup_session_windows
+
+            win = lookup_session_windows(self.session_map, src, ts)
+        else:
+            win = assign_windows_batch(src, ts, cfg)
         wm_row = lookup_wm_rows(self.wm, src, win, default=cfg.fixed_wm_token)
 
         max_span_row = None

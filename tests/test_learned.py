@@ -1,0 +1,52 @@
+"""T3 learned-detector actor pool: heavy state loads once per ACTOR (not per
+batch), distributed scores are bit-identical to the single-process golden,
+and the registry exposes the detector by name."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+
+def test_learned_scores_match_golden_and_load_once(ray_session):
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.learned import (
+        golden_learned_scores,
+        learned_scores,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_documents_as_sequences
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_documents_as_sequences(sf)
+    # small batches force many __call__ invocations per actor
+    out = learned_scores(ds, concurrency=(2, 2), batch_size=32, emit_diag=True).to_pandas()
+    assert len(out) == 500
+
+    # the pool ran >= 2 actors; every actor built the weights exactly once
+    per_pid = out.groupby("pid")["n_loads"].nunique()
+    assert (per_pid == 1).all(), "an actor rebuilt its weights mid-stream"
+    assert out.groupby("pid").size().min() >= 1
+    n_batches = -(-500 // 32)
+    assert out["n_loads"].max() <= 2 < n_batches  # loads bounded by pool size, not batches
+
+    from pdf_watermark_removal_otsu_inpaint_ray.synth import tokenize_documents_batch
+
+    table = tokenize_documents_batch(
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "source"])
+    )
+    exp = golden_learned_scores(table).to_pandas().sort_values("doc_id", ignore_index=True)
+    got = out[["doc_id", "score_milli", "n_flagged"]].sort_values("doc_id", ignore_index=True)
+    assert got["score_milli"].tolist() == exp["score_milli"].tolist()
+    assert got["n_flagged"].tolist() == exp["n_flagged"].tolist()
+
+
+def test_learned_detector_registered():
+    import numpy as np
+
+    from pdf_watermark_removal_otsu_inpaint_ray.registry import get_detector
+
+    det = get_detector("learned")
+    vals = np.arange(100, dtype=np.int64)
+    mask = det(vals, None, None, None)
+    assert mask.dtype == bool and mask.shape == (100,)
+    # deterministic across calls (cached LUT)
+    assert np.array_equal(mask, det(vals, None, None, None))

@@ -28,14 +28,21 @@ def test_decode_resize_frame_feature_pipeline(ray_session):
 
     media = _media_ds()
     decoded = media.map_batches(DecodeStage, batch_format="pyarrow", batch_size=64,
-                                concurrency=(1, 2))
-    resized = decoded.map_batches(ResizeStage(max_side=128), batch_format="pyarrow").to_pandas()
-    assert (resized[["width", "height"]].max(axis=1) <= 128).all()
+                                concurrency=(1, 2)).to_pandas()
+    assert len(decoded) == 500
+    imgs = decoded[decoded["media_type"] == "image"]
+    assert (imgs["width"] >= 8).all() and (imgs["width"] <= 31).all()
+    vids = decoded[decoded["media_type"] == "video"]
+    assert (vids["n_frames"] >= 2).all() and (vids["n_frames"] <= 7).all()
+
+    resized = media.map_batches(ResizeStage(max_side=16), batch_format="pyarrow").to_pandas()
+    rimgs = resized[resized["media_type"] == "image"]
+    assert (rimgs[["width", "height"]].max(axis=1) <= 16).all()
     assert len(resized) == 500
 
-    frames = media.map_batches(FrameSampleStage(every_n=7), batch_format="pyarrow").to_pandas()
+    frames = media.map_batches(FrameSampleStage(every_n=3), batch_format="pyarrow").to_pandas()
     assert len(frames) > 0
-    assert (frames["frame_idx"] % 7 == 0).all()
+    assert (frames["frame_idx"] % 3 == 0).all()
     # only video items emit frames (media_type round-robins by doc_id % 3 == 2)
     assert set(frames["item_id"] % 3) == {2}
 
@@ -54,11 +61,38 @@ def test_decode_resize_frame_feature_pipeline(ray_session):
     assert all(list(x) == list(y) for x, y in zip(a["feature"], b["feature"]))
 
 
-def test_decode_real_path_raises_clearly():
-    from pdf_watermark_removal_otsu_inpaint_ray.functions.multimodal import DecodeStage
+def test_codecs_round_trip():
+    """The payloads are REAL formats: encode → decode is byte/pixel exact,
+    and resize produces the expected nearest-neighbor grid."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.codecs import (
+        decode_ppm,
+        decode_ppm_stream,
+        decode_wav,
+        encode_ppm,
+        encode_ppm_stream,
+        encode_wav_pcm16,
+        resize_nearest,
+    )
 
-    with pytest.raises(NotImplementedError):
-        DecodeStage(fake=False)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    small = resize_nearest(img, 8)
+    assert max(small.shape[:2]) == 8 and small.shape[2] == 3
+
+    samples = rng.integers(-32768, 32767, size=301, dtype=np.int16)
+    got, rate, ch = decode_wav(encode_wav_pcm16(samples, 8000))
+    assert rate == 8000 and ch == 1 and np.array_equal(got, samples)
+
+    frames = [rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8) for _ in range(4)]
+    back = decode_ppm_stream(encode_ppm_stream(frames))
+    assert len(back) == 4 and all(np.array_equal(a, b) for a, b in zip(back, frames))
+
+    # malformed payloads raise clearly
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        decode_wav(b"nonsense bytes")
 
 
 def test_ivf_recall_vs_brute_force(ray_session):

@@ -85,3 +85,25 @@ def test_motif_override_plumbed(ray_session, stream_path):
     )
     got = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
     _assert_equal_outputs(got, expected)
+
+
+def test_session_flagship_matches_golden(ray_session, tmp_path):
+    """Batch-path session windows (phase-0 mapping + broadcast lookup) equal
+    the per-source gap-merge golden on a disordered synthetic stream."""
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray import golden, synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.flagship import run_flagship
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_sequences
+
+    p = str(tmp_path / "sess.parquet")
+    synth.write_stream(p, 400, n_sources=4, n_tok_lo=48, n_tok_hi=128, disorder=6,
+                       rows_per_ts=1)
+    cfg = DEFAULT_CONFIG.with_(window_kind="session", session_gap=5)
+    expected = golden.golden_pipeline(pq.read_table(p), cfg).sort_by("doc_id")
+    got = run_flagship(read_sequences(p), cfg, batch_size=64).to_pandas()
+    got = got.sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].map(list).tolist() == expected["tokens"].to_pylist()
+    assert got["wm_token"].tolist() == expected["wm_token"].to_pylist()
