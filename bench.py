@@ -210,10 +210,34 @@ def main() -> None:
         timings["streaming_incremental"] = round(time.perf_counter() - t0, 3)
         assert res.output.num_rows == n_rows
 
+        # sink-direct streaming: actors stage straight into the exactly-once
+        # layout; driver commits manifests only (the scale path)
+        sink_dir = os.path.join(BENCH_OUT, f"stream_sink_{NUM_CPUS}_{int(time.time() * 1e6)}")
+        t0 = time.perf_counter()
+        res2 = run_streaming(
+            stream, cfg, n_actors=max(2, NUM_CPUS // 4), micro_batch_rows=2048,
+            out_dir=sink_dir, num_partitions=max(16, NUM_CPUS),
+        )
+        timings["streaming_sink_direct"] = round(time.perf_counter() - t0, 3)
+        assert res2.output is None
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
+        # session-windowed streaming (vectorized gap-merge state)
+        t0 = time.perf_counter()
+        res3 = run_streaming(
+            stream, cfg.with_(window_kind="session", session_gap=4),
+            n_actors=max(2, NUM_CPUS // 4), micro_batch_rows=2048,
+        )
+        timings["streaming_session"] = round(time.perf_counter() - t0, 3)
+        assert res3.output.num_rows + res3.n_late == n_rows
+
     # representative table queries over $GRAFT_SF_DIR (skipped in scaling
     # subruns, which time the headline only)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
-        for name in ("gray_histogram", "dedup_exact", "minhash_lsh", "embedding_knn", "tumbling_counts"):
+        for name in (
+            "gray_histogram", "dedup_exact", "minhash_lsh", "simhash",
+            "embedding_knn", "learned_detector", "motif_doc_join", "tumbling_counts",
+        ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)
             if hasattr(r, "materialize"):

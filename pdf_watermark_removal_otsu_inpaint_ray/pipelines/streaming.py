@@ -131,11 +131,20 @@ def run_streaming(
 
     emitted_refs: list = []
     pending: list = []
+    wm = -(1 << 62)
+    batch_idx = 0
     for batch in _arrival_batches(source, micro_batch_rows):
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         # the watermark a batch is judged against excludes the batch itself
-        # (it advances only after the data that generated it is absorbed)
-        wm = ray.get(tracker.watermark.remote())
+        # (it advances only after the data that generated it is absorbed).
+        # Refreshed every few batches instead of per batch: one blocking
+        # tracker round-trip per micro-batch serializes ingestion, and
+        # correctness only needs the watermark to be monotone + a lower
+        # bound of the true one (staleness delays finalization, never
+        # corrupts it).
+        if batch_idx % 4 == 0:
+            wm = max(wm, ray.get(tracker.watermark.remote()))
+        batch_idx += 1
         route = hash_partition_ids(batch["source"].combine_chunks(), n_actors)
         for a in range(n_actors):
             idx = np.nonzero(route == a)[0]
@@ -231,12 +240,18 @@ def _consume_partition(
             inflight.popleft()
             tracker.update.remote(partition_id, head_mx)
 
+    wm = -(1 << 62)
+    batch_idx = 0
     for path in paths:
         pf = pq_.ParquetFile(path)
         for rb in pf.iter_batches(batch_size=micro_batch_rows):
             batch = _ensure_event_ts(pa.Table.from_batches([rb]))
             ts = np.asarray(batch["event_ts"], dtype=np.int64)
-            wm = ray.get(tracker.watermark.remote())
+            # cached watermark, refreshed every few batches (monotone lower
+            # bound suffices; staleness only delays finalization)
+            if batch_idx % 4 == 0:
+                wm = max(wm, ray.get(tracker.watermark.remote()))
+            batch_idx += 1
             route = hash_partition_ids(batch["source"].combine_chunks(), n_actors)
             refs = []
             for a in range(n_actors):

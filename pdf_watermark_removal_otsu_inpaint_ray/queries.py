@@ -359,6 +359,42 @@ def q_motif_removal_filter(sf_dir: str):
     return _motif_events(sf_dir).map_batches(filt, batch_format="pyarrow")
 
 
+def q_motif_doc_join(sf_dir: str):
+    """J1 general case: co-partitioned NATIVE hash join of the span-event
+    stream against the document stream on doc_id (stages/join.py) — the
+    path used when the span side is too large to broadcast."""
+    from .stages.join import hash_join_events_documents
+
+    docs = _seq_ds(sf_dir)
+    events = _motif_events(sf_dir)
+
+    def ev_cols(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "span_start": b["span_start"].cast(pa.int64()),
+                "span_len": b["span_len"].cast(pa.int64()),
+                "category": b["category"],
+            }
+        )
+
+    def doc_cols(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": b["n_tok"].cast(pa.int64()),
+            }
+        )
+
+    joined = hash_join_events_documents(
+        docs.map_batches(doc_cols, batch_format="pyarrow"),
+        events.map_batches(ev_cols, batch_format="pyarrow"),
+        num_buckets=8,
+    )
+    return joined
+
+
 # ---------------------------------------------------------------------------
 # event-stream windows + join (§2.9, J1 analog on real timestamps)
 # ---------------------------------------------------------------------------
@@ -648,6 +684,7 @@ QUERIES = {
     "motif_spans": q_motif_spans,
     "motif_category_counts": q_motif_category_counts,
     "motif_removal_filter": q_motif_removal_filter,
+    "motif_doc_join": q_motif_doc_join,
     "tumbling_counts": q_tumbling_counts,
     "sliding_counts": q_sliding_counts,
     "session_windows": q_session_windows,
@@ -749,6 +786,12 @@ ORACLE_SQL = {
     "motif_removal_filter": f"""
         SELECT doc_id, category FROM ({_MOTIF_UNION})
         WHERE category IN ('advertisement', 'unknown', 'website')
+    """,
+    "motif_doc_join": f"""
+        SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS n_tok,
+               m.span_start, m.span_len, m.category
+        FROM (SELECT {_DOCID_SQL} AS doc_id, source, text FROM documents) d
+        JOIN ({_MOTIF_UNION}) m USING (doc_id)
     """,
     "tumbling_counts": """
         SELECT event_type,
