@@ -40,6 +40,7 @@ GOLDEN_QUERIES = (
     "embedding_near_dup_ivf",
     "learned_detector",
     "inpaint_session",
+    "run_summary",
 )
 
 
@@ -269,6 +270,30 @@ def _golden_learned_detector(sf_dir: str) -> pa.Table:
     return golden_learned_scores(_seq_table(sf_dir))
 
 
+def _golden_run_summary(sf_dir: str) -> pa.Table:
+    from .config import DEFAULT_CONFIG
+    from .golden import golden_pipeline
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+    out = golden_pipeline(_seq_table(sf_dir), cfg).to_pandas()
+    out["n_wm"] = (out["wm_token"] >= 0).astype("int64")
+    g = out.groupby("source", as_index=False).agg(
+        rows=("doc_id", "size"),
+        total_passes=("n_passes", "sum"),
+        max_radius=("radius", "max"),
+        n_wm_detected=("n_wm", "sum"),
+    )
+    return pa.table(
+        {
+            "source": pa.array(g["source"], pa.string()),
+            "rows": pa.array(g["rows"].astype("int64"), pa.int64()),
+            "total_passes": pa.array(g["total_passes"].astype("int64"), pa.int64()),
+            "max_radius": pa.array(g["max_radius"].astype("int64"), pa.int64()),
+            "n_wm_detected": pa.array(g["n_wm_detected"].astype("int64"), pa.int64()),
+        }
+    )
+
+
 def _golden_inpaint_session(sf_dir: str) -> pa.Table:
     from .config import DEFAULT_CONFIG
     from .golden import golden_pipeline
@@ -295,6 +320,7 @@ _COMPUTE = {
     "embedding_near_dup_ivf": _golden_embedding_near_dup_ivf,
     "learned_detector": _golden_learned_detector,
     "inpaint_session": _golden_inpaint_session,
+    "run_summary": _golden_run_summary,
 }
 
 

@@ -289,6 +289,41 @@ def q_inpaint_tumbling(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_run_summary(sf_dir: str):
+    """A7 run summary: per-source aggregates of the rewritten stream's
+    metadata columns (streamed grouped partials — integer-only outputs so
+    the compare is exact regardless of reduction order)."""
+    _with_golden("run_summary", sf_dir)
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .pipelines.flagship import run_flagship
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
+    out = run_flagship(_seq_ds(sf_dir), cfg, batch_size=256)
+
+    def mark(b: pa.Table) -> pa.Table:
+        wm = np.asarray(b["wm_token"], dtype=np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_passes": b["n_passes"].cast(pa.int64()),
+                "radius": b["radius"].cast(pa.int64()),
+                "n_wm": pa.array((wm >= 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        out.map_batches(mark, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="rows"),
+            Sum("n_passes", alias_name="total_passes"),
+            Max("radius", alias_name="max_radius"),
+            Sum("n_wm", alias_name="n_wm_detected"),
+        )
+    )
+
+
 def q_inpaint_session(sf_dir: str):
     """Batch-path SESSION windows end to end: phase 0 computes per-source
     session boundaries in one distributed pass; detection and rewrite assign
@@ -681,6 +716,7 @@ QUERIES = {
     "streaming_inpaint": q_streaming_inpaint,
     "auto_tuned_inpaint": q_auto_tuned,
     "inpaint_session": q_inpaint_session,
+    "run_summary": q_run_summary,
     "motif_spans": q_motif_spans,
     "motif_category_counts": q_motif_category_counts,
     "motif_removal_filter": q_motif_removal_filter,
