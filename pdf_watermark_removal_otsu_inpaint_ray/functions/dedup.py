@@ -281,39 +281,76 @@ def _verify_pairs_distributed(cand_tbl: pa.Table, payload_ds, pair_value, out_fi
     )
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        pay = g.loc[g["pair_id"] < 0, "payload"]
-        h = g[g["pair_id"] >= 0]
-        if pay.empty or h.empty:
-            return pd.DataFrame(
-                {"pair_id": pd.Series([], dtype=np.int64), "a": pd.Series([], dtype=np.int64),
-                 "b": pd.Series([], dtype=np.int64), "payload": pd.Series([], dtype=object)}
-            )
-        p = pay.iloc[0]
+        # one COARSE partition of doc_ids: sort by doc_id, sweep runs; each
+        # run holds a doc's payload row (pair_id < 0 sorts first) plus its
+        # pair-half rows — vectorized boundary scan, no per-doc groups
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        pid = g["pair_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((pid, doc))
+        doc, pid = doc[order], pid[order]
+        aa = g["a"].to_numpy().astype(np.int64)[order]
+        bb = g["b"].to_numpy().astype(np.int64)[order]
+        payload = g["payload"].to_numpy()[order]
+        starts = np.nonzero(np.concatenate([[True], doc[1:] != doc[:-1]]))[0]
+        ends = np.append(starts[1:], doc.size)
+        out_pid, out_a, out_b, out_pay = [], [], [], []
+        for s, e2 in zip(starts, ends):
+            if pid[s] >= 0:  # no payload row for this doc
+                continue
+            p = payload[s]
+            for k in range(s + 1, e2):
+                if pid[k] >= 0:
+                    out_pid.append(pid[k])
+                    out_a.append(aa[k])
+                    out_b.append(bb[k])
+                    out_pay.append(p)
         return pd.DataFrame(
-            {"pair_id": h["pair_id"].to_numpy(), "a": h["a"].to_numpy(),
-             "b": h["b"].to_numpy(), "payload": [p] * len(h)}
+            {"pair_id": np.asarray(out_pid, np.int64), "a": np.asarray(out_a, np.int64),
+             "b": np.asarray(out_b, np.int64), "payload": out_pay}
         )
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
-             out_field: pd.Series([], dtype=out_dtype)}
-        )
-        if len(g) != 2:
-            return empty
-        v = pair_value(np.asarray(g["payload"].iloc[0]), np.asarray(g["payload"].iloc[1]))
-        if v is None:
-            return empty
+    def add_pk(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["pair_id"], np.int64) % 64
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def finish_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one COARSE partition of pairs: sort by pair_id, sweep boundary
+        # runs — no per-pair pandas group (the per-pair DataFrame overhead
+        # dominated the simhash-scale case)
+        pid = g["pair_id"].to_numpy().astype(np.int64)
+        order = np.argsort(pid, kind="stable")
+        pid = pid[order]
+        aa = g["a"].to_numpy().astype(np.int64)[order]
+        bb = g["b"].to_numpy().astype(np.int64)[order]
+        payload = g["payload"].to_numpy()[order]
+        starts = np.nonzero(np.concatenate([[True], pid[1:] != pid[:-1]]))[0]
+        ends = np.append(starts[1:], pid.size)
+        out_a, out_b, out_v = [], [], []
+        for s, e2 in zip(starts, ends):
+            if e2 - s != 2:  # a half missing its payload side
+                continue
+            v = pair_value(np.asarray(payload[s]), np.asarray(payload[s + 1]))
+            if v is None:
+                continue
+            out_a.append(aa[s])
+            out_b.append(bb[s])
+            out_v.append(v)
         return pd.DataFrame(
-            {"a": [np.int64(g["a"].iloc[0])], "b": [np.int64(g["b"].iloc[0])],
-             out_field: [out_dtype(v)]}
+            {"a": np.asarray(out_a, np.int64), "b": np.asarray(out_b, np.int64),
+             out_field: np.asarray(out_v, out_dtype)}
         )
+
+    def add_doc_pk(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["doc_id"], np.int64) % 64
+        return b.append_column("doc_pk", pa.array(pk, pa.int64()))
 
     out = (
-        u.groupby("doc_id")
+        u.map_batches(add_doc_pk, batch_format="pyarrow")
+        .groupby("doc_pk")
         .map_groups(attach, batch_format="pandas")
-        .groupby("pair_id")
-        .map_groups(finish, batch_format="pandas")
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(finish_part, batch_format="pandas")
     )
     arrow_t = pa.float64() if out_dtype is np.float64 else pa.int64()
     return _collect_arrow(
