@@ -84,3 +84,55 @@ def test_session_assignment_properties(ts, gap):
             assert sess[i] == t[i]  # new session starts here
         else:
             assert sess[i] == sess[i - 1]
+
+
+def test_minhash_distributed_equals_twin_on_dup_heavy_corpus(ray_session):
+    """High-pair-count regression: the fully distributed LSH pipeline
+    (salted bucket groupbys + partition-sweep verify) produces EXACTLY the
+    pair set of an independently coded single-process bucket+Jaccard twin
+    on a duplicate-heavy corpus (the regime where per-group overheads and
+    cross-band dedup bugs would surface)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        MinHashStage,
+        _band_rows,
+        jaccard,
+        minhash_lsh_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(300)]
+    texts, ids = [], []
+    for b in range(80):
+        base = " ".join(rng.choice(words, 30))
+        for v in range(6):
+            texts.append(base + (f" variant {v}" if v else ""))
+            ids.append(b * 6 + v)
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts),
+         "source": pa.array(["s"] * len(ids))}
+    )
+    out = minhash_lsh_dedup(ray.data.from_arrow(t).repartition(4), threshold=0.5)
+    got = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+
+    stage = MinHashStage(64)
+    sig = stage(t)
+    band = _band_rows(sig, 16, 4)
+    buckets = {}
+    for bb, h, d in zip(band["band"].to_pylist(), band["band_hash"].to_pylist(),
+                        band["doc_id"].to_pylist()):
+        buckets.setdefault((bb, h), []).append(d)
+    cand = set()
+    for m in buckets.values():
+        u = sorted(set(m))
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                cand.add((u[i], u[j]))
+    sh = {d: np.asarray(s, np.int64)
+          for d, s in zip(sig["doc_id"].to_pylist(), sig["shingles"].to_pylist())}
+    exp = {(a, b) for a, b in cand if jaccard(sh[a], sh[b]) >= 0.5}
+    assert got == exp and len(got) > 500
