@@ -231,6 +231,20 @@ def main() -> None:
         timings["streaming_session"] = round(time.perf_counter() - t0, 3)
         assert res3.output.num_rows + res3.n_late == n_rows
 
+        # partitioned-log streaming: parallel consumers, per-partition
+        # watermarks (the multi-node ingestion shape)
+        from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+            run_streaming_partitioned,
+        )
+
+        t0 = time.perf_counter()
+        res4, _pmetrics = run_streaming_partitioned(
+            stream, cfg, n_actors=max(2, NUM_CPUS // 4),
+            n_partitions=max(2, NUM_CPUS // 8), micro_batch_rows=2048,
+        )
+        timings["streaming_partitioned"] = round(time.perf_counter() - t0, 3)
+        assert res4.output.num_rows + res4.n_late == n_rows
+
     # representative table queries over $GRAFT_SF_DIR (skipped in scaling
     # subruns, which time the headline only)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):

@@ -136,3 +136,33 @@ def test_minhash_distributed_equals_twin_on_dup_heavy_corpus(ray_session):
           for d, s in zip(sig["doc_id"].to_pylist(), sig["shingles"].to_pylist())}
     exp = {(a, b) for a, b in cand if jaccard(sh[a], sh[b]) >= 0.5}
     assert got == exp and len(got) > 500
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40),
+    n=st.integers(1, 2000), rate=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+def test_codec_round_trips_random(h, w, n, rate, data):
+    """Property: PPM and WAV encode→decode are exact for arbitrary shapes."""
+    import numpy as np
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.codecs import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    got, r, ch = decode_wav(encode_wav_pcm16(samples, rate))
+    assert r == rate and ch == 1 and np.array_equal(got, samples)
