@@ -88,7 +88,13 @@ def build_config(args) -> "EngineConfig":
     if args.preset:
         from . import registry
 
-        cfg = registry.apply_preset(args.preset, cfg)
+        try:
+            cfg = registry.apply_preset(args.preset, cfg)
+        except KeyError:
+            raise ValueError(
+                f"unknown preset {args.preset!r} "
+                "(want electronic | scanned | mixed | electronic-color)"
+            ) from None
     return cfg
 
 
@@ -118,19 +124,35 @@ def main(argv: list[str] | None = None) -> int:
                    help="incremental engine (single read, keyed state actors)")
     args = p.parse_args(argv)
 
+    import sys as _sys
+
+    try:
+        cfg = build_config(args)
+        if args.rows:
+            parse_rows(args.rows)  # fail fast on a malformed spec
+    except (ValueError, KeyError) as err:
+        print(f"error: {err}", file=_sys.stderr)
+        return 2
+
     import ray
 
     owns_ray = not ray.is_initialized()
     if owns_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
-        cfg = build_config(args)
         if args.streaming:
             from .pipelines.streaming import run_streaming
 
             res = run_streaming(args.input, cfg, out_dir=args.output,
                                 num_partitions=args.partitions)
-            print(json.dumps({"rows": res.output.num_rows, "late": res.n_late}))
+            # sink mode: rows staged by the actors; output lives under
+            # --output (res.output is None by design)
+            rows = sum(s["n_emitted"] for s in res.actor_stats)
+            committed = (
+                res.commit_report.num_rows if res.commit_report is not None else 0
+            )
+            print(json.dumps({"rows": rows, "late": res.n_late,
+                              "partitions": committed}))
         else:
             from .pipelines.flagship import run_flagship
             from .sinks.exactly_once import write_exactly_once
