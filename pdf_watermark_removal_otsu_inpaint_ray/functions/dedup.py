@@ -399,8 +399,11 @@ def minhash_lsh_dedup(ds, *, num_hashes: int = 64, bands: int = 16, threshold: f
         ids = np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
         keep = np.array([int(x) in needed for x in ids], dtype=bool)
         if not keep.any():
+            # same schema as the non-empty branch (payload, not shingles) —
+            # downstream tag_payload expects 'payload' even if Ray ever stops
+            # dropping zero-row blocks
             return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "shingles": pa.array([], pa.list_(pa.int64()))}
+                {"doc_id": pa.array([], pa.int64()), "payload": pa.array([], pa.list_(pa.int64()))}
             )
         sub = b.filter(pa.array(keep))
         sh = [shingle_hashes(t, stage.ngram) for t in sub["text"].to_pylist()]

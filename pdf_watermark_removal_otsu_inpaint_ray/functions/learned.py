@@ -68,13 +68,12 @@ class LearnedDetectorStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         fb = flatten_list_column(batch["tokens"])
         s = self.lut[fb.values.astype(np.int64) % VOCAB]
-        # clamp boundaries for empty rows (reduceat raises on index == size);
-        # the lens > 0 mask zeroes their bogus partial afterwards
-        bounds = np.minimum(fb.offsets[:-1], max(s.size - 1, 0))
-        score_sum = (
-            np.add.reduceat(s, bounds) if s.size else np.zeros(fb.n_rows, np.int64)
-        )
-        score_sum = np.where(fb.lens > 0, score_sum, 0)
+        # per-row sum via bincount on the row-segment ids: empty rows simply
+        # receive no contributions (reduceat would need boundary clamping,
+        # which truncates the last non-empty row when a batch ENDS with an
+        # empty row — each token must land in exactly its own row).  float64
+        # weights are exact here: |score| <= ~6000 milli, row sums << 2^53.
+        score_sum = np.bincount(fb.seg, weights=s, minlength=fb.n_rows).astype(np.int64)
         flagged = np.bincount(
             fb.seg, weights=(s > FLAG_MILLI), minlength=fb.n_rows
         ).astype(np.int64)

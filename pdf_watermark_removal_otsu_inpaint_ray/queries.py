@@ -579,7 +579,13 @@ def q_knn_ivf(sf_dir: str):
     import ray.data
 
     idx, q, _ = _ivf_fit(sf_dir, n_list=8, n_probe=3)
-    tag = _h.blake2b(os.path.abspath(sf_dir).encode(), digest_size=6).hexdigest()
+    # cache tag covers the source CONTENT (size + mtime), not just the path:
+    # a regenerated embeddings.parquet at the same path must invalidate the
+    # cached layout or search results diverge from the fresh golden oracle
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+    tag = _h.blake2b(key.encode(), digest_size=6).hexdigest()
     layout = f"/tmp/graft_ivf/{tag}"
     if not os.path.isdir(layout) or not os.listdir(layout):
         ds = ray.data.read_parquet(

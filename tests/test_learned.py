@@ -39,6 +39,39 @@ def test_learned_scores_match_golden_and_load_once(ray_session):
     assert got["n_flagged"].tolist() == exp["n_flagged"].tolist()
 
 
+def test_learned_stage_batch_ending_with_empty_row():
+    """Regression: a batch whose LAST row has zero tokens must not truncate
+    the preceding row's final token (the old clamped reduceat dropped it)."""
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.learned import (
+        LearnedDetectorStage,
+        golden_learned_scores,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"], pa.string()),
+            "tokens": pa.array([[5, 7, 9], [11, 13], []], pa.list_(pa.int32())),
+        }
+    )
+    got = LearnedDetectorStage()(batch)
+    exp = golden_learned_scores(batch)
+    assert got["score_milli"].to_pylist() == exp["score_milli"].to_pylist()
+    assert got["n_flagged"].to_pylist() == exp["n_flagged"].to_pylist()
+    # middle-empty and all-empty shapes too
+    for rows in ([[1, 2], [], [3]], [[], [], []], [[], [4, 4, 4], []]):
+        b = pa.table(
+            {
+                "doc_id": pa.array([f"d{i}" for i in range(len(rows))], pa.string()),
+                "tokens": pa.array(rows, pa.list_(pa.int32())),
+            }
+        )
+        g, e = LearnedDetectorStage()(b), golden_learned_scores(b)
+        assert g["score_milli"].to_pylist() == e["score_milli"].to_pylist()
+        assert g["n_flagged"].to_pylist() == e["n_flagged"].to_pylist()
+
+
 def test_learned_detector_registered():
     import numpy as np
 
