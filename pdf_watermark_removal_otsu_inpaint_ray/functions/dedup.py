@@ -32,6 +32,110 @@ import ray
 WORD_RE = re.compile(r"\S+")
 MERSENNE61 = (1 << 61) - 1
 
+# --- vectorized multiply-shift hashing (the signature-stage hot path) ------
+#
+# Per-WORD 64-bit hashes are a byte-polynomial mod 2^64 (FNV-prime
+# multiplier, positional power table, one np.add.reduceat over the batch's
+# flattened utf-8 buffer) finished with the splitmix64 mixer; per-GRAM
+# hashes combine n consecutive word hashes with positional odd coefficients
+# and re-mix.  Everything is deterministic pure arithmetic — identical
+# across processes and platforms (uint64 wraparound is the modulus), and
+# ~30× cheaper than the per-gram BLAKE2b it replaced.  The pure-Python
+# mirror of this definition lives in oracle_data._py_simhash (independent
+# oracle twin).
+
+_POLY_P = np.uint64(1099511628211)  # FNV-1a prime, odd
+_LEN_SALT = np.uint64(0x2545F4914F6CDD1D)
+_GRAM_C = np.uint64(0x100000001B3)
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+_POW64: dict[str, np.ndarray] = {}
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wraparound = mod 2^64)."""
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(30))
+        x = x * _MIX_C1
+        x = x ^ (x >> np.uint64(27))
+        x = x * _MIX_C2
+        return x ^ (x >> np.uint64(31))
+
+
+def _pow_table_64(base: np.uint64, n: int, key: str) -> np.ndarray:
+    """base^k mod 2^64 for k < n (cached, grown on demand)."""
+    cached = _POW64.get(key)
+    if cached is None or cached.size < n:
+        size = max(n, 1024)
+        p = np.empty(size, dtype=np.uint64)
+        p[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for i in range(1, size):
+                p[i] = p[i - 1] * base
+        _POW64[key] = p
+        cached = p
+    return cached
+
+
+def _word_hashes_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """All words of all texts → (flat uint64 word hashes, per-doc offsets).
+
+    The regex tokenization runs per doc (C speed); the hashing is one
+    vectorized polynomial over the batch's entire flattened utf-8 buffer.
+    """
+    words_all: list[bytes] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = WORD_RE.findall(t.lower())
+        counts[i] = len(ws)
+        words_all.extend(w.encode() for w in ws)
+    doc_off = np.concatenate([[0], np.cumsum(counts)])
+    if not words_all:
+        return np.zeros(0, dtype=np.uint64), doc_off
+    lens = np.fromiter((len(w) for w in words_all), np.int64, len(words_all))
+    flat = np.frombuffer(b"".join(words_all), dtype=np.uint8).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
+    term = flat * _pow_table_64(_POLY_P, int(lens.max()) + 1, "poly")[pos]
+    sums = np.add.reduceat(term, starts)  # uint64 wraparound == mod 2^64
+    h = _mix64(sums ^ (lens.astype(np.uint64) * _LEN_SALT))
+    return h, doc_off
+
+
+def _gram_hashes_flat(
+    wh: np.ndarray, doc_off: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word hashes → per-doc n-gram hashes (63-bit int64), flat + offsets.
+
+    A doc with m >= n words yields its m-n+1 full grams (positional
+    combine of n consecutive word hashes); a doc with 0 < m < n yields ONE
+    gram over all m words (the " ".join(words) analog); an empty doc yields
+    none.  Fully vectorized except the (rare) short-doc fallback.
+    """
+    counts = np.diff(doc_off)
+    n_full = np.maximum(counts - n + 1, 0)
+    n_gram = np.where(counts == 0, 0, np.maximum(n_full, 1))
+    goff = np.concatenate([[0], np.cumsum(n_gram)])
+    out = np.zeros(int(goff[-1]), dtype=np.uint64)
+    W = wh.size
+    if W >= n:
+        cpow = _pow_table_64(_GRAM_C, n + 1, "gram")
+        acc = np.zeros(W - n + 1, dtype=np.uint64)
+        for j in range(n):
+            acc += wh[j : W - n + 1 + j] * cpow[n - 1 - j]
+        # validity: the gram may not cross its doc boundary
+        seg = np.repeat(np.arange(counts.size), counts)[: W - n + 1]
+        valid = np.arange(W - n + 1, dtype=np.int64) + n <= doc_off[1:][seg]
+        vi = np.nonzero(valid)[0]
+        out[goff[seg[vi]] + (vi - doc_off[:-1][seg[vi]])] = _mix64(acc[vi])
+    # short docs (0 < m < n): one gram combining all m word hashes
+    for d in np.nonzero((counts > 0) & (counts < n))[0]:
+        m = int(counts[d])
+        ws = wh[doc_off[d] : doc_off[d] + m]
+        cpow = _pow_table_64(_GRAM_C, m + 1, "gram")
+        out[goff[d]] = _mix64((ws * cpow[:m][::-1]).sum(dtype=np.uint64))
+    return (out >> np.uint64(1)).astype(np.int64), goff
+
 
 def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") >> 1
@@ -43,7 +147,7 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_hash", h)
 
 
-def exact_dedup(ds, group_on: str = "content_hash"):
+def exact_dedup(ds, group_on: str = "content_hash", num_parts: int = 64):
     """Exact dedup: keep the lowest doc_id per identical text.
 
     Returns (text, keep_id, n_dup).  The DEFAULT groups on the 8-byte
@@ -53,21 +157,43 @@ def exact_dedup(ds, group_on: str = "content_hash"):
     raw-text-shuffle variant as the oracle twin by construction.  (A 63-bit
     BLAKE2b collision would merge two distinct texts; at 10^12 docs the
     collision odds are ~1e-14 — standard for hash-keyed dedup.)
+
+    Distribution shape: the groupby runs on COARSE ``num_parts`` partitions
+    (hash of the dedup key), and each partition collapses its keys with one
+    vectorized pandas groupby-agg (C-speed reducers) — with mostly-unique
+    corpora a per-KEY callback would build one DataFrame per document (the
+    `_distinct_pairs` lesson).  Correct because a key's rows land in exactly
+    one partition.
     """
     import pandas as pd
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "text": [g["text"].iloc[0]],
-                "keep_id": [np.int64(g["doc_id"].min())],
-                "n_dup": [np.int64(len(g))],
-            }
-        )
+    from ..sinks.exactly_once import hash_partition_ids
 
     if group_on == "content_hash":
         ds = ds.map_batches(content_hash_batch, batch_format="pyarrow")
-    return ds.groupby(group_on).map_groups(keep_first, batch_format="pandas")
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        if group_on == "content_hash":
+            pk = np.asarray(b["content_hash"], np.int64) % num_parts
+        else:
+            pk = hash_partition_ids(b["text"].combine_chunks(), num_parts)
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(group_on, sort=False)
+        return pd.DataFrame(
+            {
+                "text": gb["text"].first().to_numpy(),
+                "keep_id": gb["doc_id"].min().to_numpy().astype(np.int64),
+                "n_dup": gb["doc_id"].size().to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(collapse, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -76,18 +202,19 @@ def exact_dedup(ds, group_on: str = "content_hash"):
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Sorted unique 63-bit hashes of word n-grams."""
-    words = WORD_RE.findall(text.lower())
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(np.array([_hash64(g) for g in grams], dtype=np.int64))
+    """Sorted unique 63-bit hashes of word n-grams (vectorized)."""
+    wh, doc_off = _word_hashes_flat([text])
+    grams, _ = _gram_hashes_flat(wh, doc_off, n)
+    return np.unique(grams)
 
 
 class MinHashStage:
-    """doc → (doc_id, sig[k], shingles[]) — signature via multiply-shift
-    universal hashing (deterministic, overflow-free in uint64)."""
+    """doc batch → (doc_id, sig[k], shingles[]) — vectorized end to end:
+    one flat word-hash pass over the batch, flat gram hashes with doc-
+    boundary masking, then the k minhash values for EVERY doc at once via
+    ``np.minimum.reduceat`` over the (grams × k) multiply-shift matrix
+    (duplicate grams cannot change a min, so no per-doc unique is needed
+    for the signature — only for the emitted shingle payload)."""
 
     def __init__(self, num_hashes: int = 64, ngram: int = 3, seed: int = 12345):
         rng = np.random.default_rng(seed)
@@ -103,40 +230,67 @@ class MinHashStage:
         h = (x * self.a[None, :] + self.b[None, :]) >> np.uint64(3)
         return h.min(axis=0).astype(np.int64)
 
+    def signatures_flat(self, grams: np.ndarray, goff: np.ndarray) -> np.ndarray:
+        """(docs, k) int64 signature matrix for per-doc gram slices."""
+        n_docs = goff.size - 1
+        sig = np.zeros((n_docs, self.k), dtype=np.int64)
+        counts = np.diff(goff)
+        nz = np.nonzero(counts > 0)[0]
+        if nz.size == 0:
+            return sig
+        H = (grams.astype(np.uint64)[:, None] * self.a[None, :] + self.b[None, :]) >> np.uint64(3)
+        sig[nz] = np.minimum.reduceat(H, goff[nz]).astype(np.int64)
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        shingles = [shingle_hashes(t, self.ngram) for t in texts]
-        sigs = [self.signature(s) for s in shingles]
+        wh, doc_off = _word_hashes_flat(texts)
+        grams, goff = _gram_hashes_flat(wh, doc_off, self.ngram)
+        sig = self.signatures_flat(grams, goff)
+        shingles = [np.unique(grams[goff[i] : goff[i + 1]]) for i in range(len(texts))]
+        sh_lens = np.fromiter((s.size for s in shingles), np.int64, len(shingles))
+        sh_off = pa.array(np.concatenate([[0], np.cumsum(sh_lens)]).astype(np.int32), pa.int32())
+        sh_flat = pa.array(
+            np.concatenate(shingles) if shingles else np.zeros(0, np.int64), pa.int64()
+        )
+        k_off = pa.array(
+            np.arange(0, (len(texts) + 1) * self.k, self.k, dtype=np.int32), pa.int32()
+        )
         return pa.table(
             {
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
-                "shingles": pa.array([s.tolist() for s in shingles], pa.list_(pa.int64())),
+                "sig": pa.ListArray.from_arrays(k_off, pa.array(sig.reshape(-1), pa.int64())),
+                "shingles": pa.ListArray.from_arrays(sh_off, sh_flat),
             }
         )
 
 
 def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    sigs = batch["sig"].to_pylist()
-    out_band, out_hash, out_id = [], [], []
-    for i, sig in enumerate(sigs):
-        for b in range(bands):
-            chunk = bytes(np.asarray(sig[b * rows : (b + 1) * rows], dtype=np.int64).data)
-            out_band.append(b)
-            out_hash.append(int.from_bytes(hashlib.blake2b(chunk, digest_size=8).digest(), "little") >> 1)
-            out_id.append(int(ids[i]))
+    """(doc_id, sig) rows → (band, band_hash, doc_id) rows, vectorized:
+    reshape the signature matrix to (docs, bands, rows) and combine each
+    band's rows with positional coefficients + mix — no per-doc hashing."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    from ..stages.kernels import flatten_list_column
+
+    fb = flatten_list_column(batch["sig"])
+    n_docs = ids.size
+    S = fb.values.astype(np.uint64).reshape(n_docs, bands, rows)
+    cpow = _pow_table_64(_GRAM_C, rows + 1, "gram")[:rows][::-1]
+    bh = (_mix64((S * cpow[None, None, :]).sum(axis=2, dtype=np.uint64)) >> np.uint64(1)).astype(np.int64)
     return pa.table(
         {
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n_docs), pa.int32()),
+            "band_hash": pa.array(bh.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
         }
     )
 
 
-def _distinct_pairs(band_ds, num_parts: int = 64):
-    """(band, band_hash, doc_id) rows → distinct candidate-pair Dataset.
+def _distinct_pairs(band_ds, num_parts: int = 64, final_dedup: str = "driver"):
+    """(band, band_hash, doc_id) rows → candidate-pair Dataset (distinct
+    within each bucket partition; cross-band dedup per ``final_dedup`` —
+    "driver" leaves it to :func:`_candidate_pairs_tbl`'s vectorized sweep,
+    "distributed" appends the second coarse groupby stage).
 
     Fully distributed with COARSE partitions: grouping directly on the LSH
     bucket key would create one tiny pandas group per bucket (tens of
@@ -187,6 +341,9 @@ def _distinct_pairs(band_ds, num_parts: int = 64):
         .map_groups(emit, batch_format="pandas")
     )
 
+    if final_dedup == "driver":
+        return pairs_ds
+
     def add_pk2(b: pa.Table) -> pa.Table:
         pk = (np.asarray(b["a"], np.int64) * 1_000_003 + np.asarray(b["b"], np.int64)) % num_parts
         return b.append_column("pk", pa.array(pk, pa.int64()))
@@ -206,6 +363,32 @@ def _distinct_pairs(band_ds, num_parts: int = 64):
         .groupby("pk")
         .map_groups(dedup, batch_format="pandas")
     )
+
+
+def _candidate_pairs_tbl(band_ds) -> pa.Table:
+    """Collect the distinct candidate-pair table to the driver.
+
+    The per-bucket groupby already dedups within its partition; the
+    CROSS-band dedup happens here as one vectorized lexsort over the
+    collected rows instead of a second distributed groupby — the pair set
+    is output-scale by construction (it is what every caller collects
+    anyway), so trading a full shuffle stage (~2 s fixed at sf0.1) for a
+    driver sort of the same rows is a pure win.  The distributed dedup
+    path remains available via _distinct_pairs(final_dedup="distributed")
+    for a pair set too large to sort on the driver — at that point the
+    collect itself is the bottleneck and the caller must keep pairs as a
+    Dataset end to end."""
+    raw = _collect_arrow(
+        _distinct_pairs(band_ds), pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    )
+    if raw.num_rows == 0:
+        return raw
+    a = np.asarray(raw["a"], np.int64)
+    b = np.asarray(raw["b"], np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    return pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())})
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -381,10 +564,7 @@ def minhash_lsh_dedup(ds, *, num_hashes: int = 64, bands: int = 16, threshold: f
         return _band_rows(stage(b).select(["doc_id", "sig"]), bands, rows)
 
     band_ds = ds.map_batches(sig_bands, batch_format="pyarrow")
-    cand_tbl = _collect_arrow(
-        _distinct_pairs(band_ds),
-        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
-    )
+    cand_tbl = _candidate_pairs_tbl(band_ds)
     if cand_tbl.num_rows == 0:
         return _empty_pairs("jacc", pa.float64())
     need = frozenset(
@@ -429,27 +609,29 @@ def minhash_lsh_dedup(ds, *, num_hashes: int = 64, bands: int = 16, threshold: f
 
 
 class SimHashStage:
-    """64-bit SimHash over word unigrams (bit-vote, vectorized per doc)."""
+    """64-bit SimHash over word unigrams — vectorized across the WHOLE
+    batch: one flat word-hash pass, a (words × 64) bit matrix, per-doc bit
+    votes via ``np.add.reduceat`` on doc boundaries, and one packed sign
+    comparison.  Bit k of the signature is the majority of bit k across the
+    doc's word hashes (ties → 0).  The pure-Python independent oracle twin
+    is oracle_data._py_simhash."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        sigs = []
-        for t in texts:
-            words = WORD_RE.findall(t.lower())
-            if not words:
-                sigs.append(0)
-                continue
-            hs = np.array([_hash64(w) for w in words], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for k in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(k)
-            sigs.append(int(sig.astype(np.int64).view(np.int64)))
+        wh, doc_off = _word_hashes_flat(texts)
+        counts = np.diff(doc_off)
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        nz = np.nonzero(counts > 0)[0]
+        if nz.size:
+            kbits = np.arange(64, dtype=np.uint64)
+            bits = ((wh[:, None] >> kbits[None, :]) & np.uint64(1)).astype(np.int32)
+            ones = np.add.reduceat(bits, doc_off[:-1][nz], axis=0)
+            votes = 2 * ones - counts[nz][:, None]
+            sigs[nz] = ((votes > 0).astype(np.uint64) << kbits[None, :]).sum(axis=1)
         return pa.table(
             {
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "simhash": pa.array(sigs, pa.int64()),
+                "simhash": pa.array(sigs.view(np.int64), pa.int64()),
             }
         )
 
@@ -462,15 +644,26 @@ def _join_partitions(requested: int) -> int:
     return max(2, min(requested, total))
 
 
-def simhash_dedup(ds, *, max_hamming: int = 3, num_partitions: int = 16):
+def simhash_dedup(
+    ds, *, max_hamming: int = 3, num_partitions: int = 16, verify_mode: str = "broadcast"
+):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by 16-bit
     band blocking (a pair within distance 3 shares at least one of 4 bands).
 
     Distributed shape mirrors :func:`minhash_lsh_dedup` for candidate
-    generation; the verify differs: signatures are 8-byte scalars, so the
-    candidate pairs double-join against the signature table with the NATIVE
-    hash-partitioned ``Dataset.join`` and the Hamming distance computes
-    vectorized per joined batch (byte-view popcount)."""
+    generation; the verify differs because signatures are 8-byte SCALARS:
+
+    * ``verify_mode="broadcast"`` (default): the candidate docs' signatures
+      are collected once (8 bytes per candidate id — the same output scale
+      as the candidate-id set the pipeline already broadcasts) and the
+      Hamming popcount runs as one vectorized pass over the already-driver-
+      held pair table.  No join actors: at sf0.1 this removes ~8 s of
+      fixed two-stage hash-join cost for identical output.
+    * ``verify_mode="join"``: the original double NATIVE hash-partitioned
+      ``Dataset.join`` against the signature table — the shape for the
+      (adversarial) regime where even the candidate-id set outgrows driver
+      memory.  Join partition count capped at CPUs (deadlock guard below).
+    """
     import ray.data
 
     stage = SimHashStage()
@@ -489,10 +682,7 @@ def simhash_dedup(ds, *, max_hamming: int = 3, num_partitions: int = 16):
             }
         )
 
-    cand_tbl = _collect_arrow(
-        _distinct_pairs(ds.map_batches(explode, batch_format="pyarrow")),
-        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
-    )
+    cand_tbl = _candidate_pairs_tbl(ds.map_batches(explode, batch_format="pyarrow"))
     if cand_tbl.num_rows == 0:
         return _empty_pairs("hamming", pa.int64())
 
@@ -513,6 +703,30 @@ def simhash_dedup(ds, *, max_hamming: int = 3, num_partitions: int = 16):
         return t.filter(pa.array(keep))
 
     sig_ds = ds.map_batches(sigs_needed, batch_format="pyarrow")
+
+    if verify_mode == "broadcast":
+        sig_tbl = _collect_arrow(
+            sig_ds, pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())])
+        )
+        sids = np.asarray(sig_tbl["doc_id"], np.int64)
+        svals = np.asarray(sig_tbl["simhash"], np.int64)
+        order = np.argsort(sids)
+        sids, svals = sids[order], svals[order].astype(np.uint64)
+        a_ids = np.asarray(cand_tbl["a"], np.int64)
+        b_ids = np.asarray(cand_tbl["b"], np.int64)
+        xa = svals[np.searchsorted(sids, a_ids)]
+        xb = svals[np.searchsorted(sids, b_ids)]
+        xor = np.ascontiguousarray(xa ^ xb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(xor, axis=1).sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(a_ids[keep], pa.int64()),
+                "b": pa.array(b_ids[keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
     np_parts = _join_partitions(num_partitions)
     joined = (
         ray.data.from_arrow(cand_tbl)
@@ -582,11 +796,16 @@ def ngram_jaccard_pairs(ds, *, ngram: int = 3, threshold: float = 0.5):
 
 
 @ray.remote
-def _block_pair_sims(blk_a: pa.Table, blk_b: pa.Table, threshold: float) -> pa.Table:
-    """Cosine pairs between two normalized blocks (zero-copy from the object
-    store); the ``lo < hi`` filter keeps each unordered pair exactly once."""
+def _block_pair_sims_paths(path_a: str, path_b: str, threshold: float) -> pa.Table:
+    """Cosine pairs between two normalized blocks read FROM STORAGE (each
+    task pulls exactly its two block files — nothing is pinned in the
+    object store); the ``lo < hi`` filter keeps each unordered pair once."""
+    import pyarrow.parquet as pq_
+
     from .similarity import matrix_of
 
+    blk_a = pq_.read_table(path_a)
+    blk_b = blk_a if path_b == path_a else pq_.read_table(path_b)
     ids_a = np.asarray(blk_a["vec_id"], np.int64)
     ids_b = np.asarray(blk_b["vec_id"], np.int64)
     S = matrix_of(blk_a["embedding"]) @ matrix_of(blk_b["embedding"]).T
@@ -597,15 +816,21 @@ def _block_pair_sims(blk_a: pa.Table, blk_b: pa.Table, threshold: float) -> pa.T
     return pa.table({"a": pa.array(lo[keep], pa.int64()), "b": pa.array(hi[keep], pa.int64())})
 
 
-def embedding_near_dup(ds, *, threshold: float = 0.95):
+def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = None):
     """EXACT pairs (a < b) with cosine >= threshold, distributed as
-    block-pair tasks: the normalized embedding blocks stay in the object
-    store (refs only on the driver) and one Ray task per block pair (i <= j)
-    computes its matmul — O((N/B)²) tasks, no driver-side matrix, no
-    broadcast of the full corpus.  The pair list (output-scale) is the only
-    thing collected.  At 100 TB prefer :func:`similarity.ivf_near_dup`
-    (bucketed, approximate) — exact all-pairs is inherently quadratic.
+    block-pair tasks over a STREAMED staging layout: normalized blocks are
+    written once to shared storage (``write_parquet`` — one file per block,
+    streaming with backpressure, NO ``materialize()`` pin of the corpus in
+    the object store) and one Ray task per block pair (i <= j) reads its
+    two files and computes the matmul — O((N/B)²) tasks, no driver-side
+    matrix, no corpus-sized object-store residency.  The pair list
+    (output-scale) is the only thing collected.  At 100 TB prefer
+    :func:`similarity.ivf_near_dup` (bucketed, approximate) — exact
+    all-pairs is inherently quadratic regardless of distribution.
     """
+    import os
+    import shutil
+    import tempfile
 
     def normalize(b: pa.Table) -> pa.Table:
         from .similarity import matrix_of
@@ -623,14 +848,22 @@ def embedding_near_dup(ds, *, threshold: float = 0.95):
 
     norm = ds.select_columns(["vec_id", "embedding"]).map_batches(
         normalize, batch_format="pyarrow"
-    ).materialize()
-    refs = norm.to_arrow_refs()
-    tasks = [
-        _block_pair_sims.remote(refs[i], refs[j], threshold)
-        for i in range(len(refs))
-        for j in range(i, len(refs))
-    ]
-    parts = [t for t in ray.get(tasks) if t.num_rows]
+    )
+    work = work_dir or tempfile.mkdtemp(prefix="graft_near_dup_")
+    try:
+        norm.write_parquet(work)
+        files = sorted(
+            os.path.join(work, f) for f in os.listdir(work) if f.endswith(".parquet")
+        )
+        tasks = [
+            _block_pair_sims_paths.remote(files[i], files[j], threshold)
+            for i in range(len(files))
+            for j in range(i, len(files))
+        ]
+        parts = [t for t in ray.get(tasks) if t.num_rows]
+    finally:
+        if work_dir is None:
+            shutil.rmtree(work, ignore_errors=True)
     if not parts:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     # a pair can only appear once (block pairs are disjoint except self-pairs

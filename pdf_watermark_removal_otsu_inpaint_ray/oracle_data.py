@@ -139,7 +139,14 @@ def _golden_auto_tuned(sf_dir: str) -> pa.Table:
 def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     """Single-process MinHash-LSH twin: same deterministic signatures and
     banding as the engine, bucketing + exact-Jaccard verify in plain driver
-    code (the distributed path must reproduce this pair set exactly)."""
+    code (the distributed path must reproduce this pair set exactly).
+
+    SHARED-CODE BOUNDARY: MinHashStage/_band_rows are imported from the
+    engine, so this oracle cross-checks the DISTRIBUTION layer (salted
+    bucket groupbys, repartition-join verify), not the signature kernel
+    itself.  The signature kernel is independently cross-checked by (a) the
+    pure-Python spec mirror in _py_word_hash (tests/test_properties.py) and
+    (b) _golden_simhash below, which shares no engine code at all."""
     from .functions.dedup import MinHashStage, _band_rows, jaccard
 
     stage = MinHashStage(64)
@@ -172,12 +179,64 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     )
 
 
-def _golden_simhash(sf_dir: str) -> pa.Table:
-    from .functions.dedup import SimHashStage
+_M64 = (1 << 64) - 1
 
-    sig = SimHashStage()(_docs_table(sf_dir))
-    ids = np.asarray(sig["doc_id"], dtype=np.int64)
-    sigs = np.asarray(sig["simhash"], dtype=np.int64).astype(np.uint64)
+
+def _py_mix64(x: int) -> int:
+    """Pure-Python splitmix64 finalizer (mirror of dedup._mix64)."""
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _M64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def _py_word_hash(word: str) -> int:
+    """Pure-Python word hash: byte polynomial (FNV prime 1099511628211,
+    positional powers) mod 2^64, xor length salt, splitmix64 — written
+    from the hash SPEC, sharing no code with the vectorized
+    dedup._word_hashes_flat it cross-checks."""
+    data = word.encode()
+    h, p = 0, 1
+    for byte in data:
+        h = (h + byte * p) & _M64
+        p = (p * 1099511628211) & _M64
+    return _py_mix64(h ^ ((len(data) * 0x2545F4914F6CDD1D) & _M64))
+
+
+def _py_simhash(text: str) -> int:
+    """Pure-Python SimHash (bit-k majority of word-hash bit k, ties → 0);
+    independent twin of dedup.SimHashStage.  Returns int64 two's-complement."""
+    import re as _re
+
+    words = _re.findall(r"\S+", text.lower())
+    if not words:
+        return 0
+    votes = [0] * 64
+    for w in words:
+        h = _py_word_hash(w)
+        for k in range(64):
+            votes[k] += 1 if (h >> k) & 1 else -1
+    sig = 0
+    for k in range(64):
+        if votes[k] > 0:
+            sig |= 1 << k
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def _golden_simhash(sf_dir: str) -> pa.Table:
+    """INDEPENDENT single-process SimHash oracle: signatures recomputed in
+    pure Python from the hash spec (_py_word_hash/_py_simhash — no imports
+    from functions.dedup), bucketing + Hamming verify in plain driver code.
+    A bug in the shared vectorized signature kernel is therefore VISIBLE to
+    the driver correctness check, not just a distribution-layer bug.
+    (The minhash_lsh oracle still shares the signature definition with the
+    engine by import — its independence boundary is bucketing + verify.)"""
+    docs = _docs_table(sf_dir)
+    ids = np.asarray(docs["doc_id"], dtype=np.int64)
+    sigs = np.array(
+        [_py_simhash(t) for t in docs["text"].to_pylist()], dtype=np.int64
+    ).view(np.uint64)
     buckets: dict[tuple[int, int], list[int]] = {}
     for i in range(ids.size):
         for j in range(4):
@@ -324,6 +383,11 @@ _COMPUTE = {
 }
 
 
+# bump when any golden-relevant definition changes (hash kernels, detection
+# rules) so stale materialized goldens in a reused /tmp are invalidated
+_ORACLE_VERSION = "r3-vechash-1"
+
+
 def ensure_golden(sf_dir: str, names=None) -> None:
     """Compute + write any missing/stale golden parquet for ``sf_dir``."""
     sf_dir = os.path.abspath(sf_dir)
@@ -334,9 +398,10 @@ def ensure_golden(sf_dir: str, names=None) -> None:
             continue
         path = golden_path(name)
         marker = path + ".src"
+        stamp = f"{sf_dir}|{_ORACLE_VERSION}"
         try:
             with open(marker) as f:
-                if f.read().strip() == sf_dir and os.path.exists(path):
+                if f.read().strip() == stamp and os.path.exists(path):
                     continue
         except OSError:
             pass
@@ -345,7 +410,7 @@ def ensure_golden(sf_dir: str, names=None) -> None:
         pq.write_table(table, tmp)
         os.replace(tmp, path)
         with open(marker + ".tmp", "w") as f:
-            f.write(sf_dir)
+            f.write(stamp)
         os.replace(marker + ".tmp", marker)
 
 

@@ -86,6 +86,86 @@ def test_session_assignment_properties(ts, gap):
             assert sess[i] == sess[i - 1]
 
 
+_text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=120
+)
+
+
+@given(st.lists(_text_strategy, min_size=1, max_size=8))
+@settings(max_examples=40, deadline=None)
+def test_vectorized_hashing_matches_python_spec(texts):
+    """The vectorized batch word/simhash kernels reproduce the pure-Python
+    spec implementations (oracle_data) byte-for-byte on arbitrary unicode,
+    including empty docs and batches ending with empty docs."""
+    import re
+
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        MinHashStage,
+        SimHashStage,
+        _word_hashes_flat,
+        shingle_hashes,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.oracle_data import (
+        _py_simhash,
+        _py_word_hash,
+    )
+
+    wh, off = _word_hashes_flat(texts)
+    exp = []
+    for t in texts:
+        exp.extend(_py_word_hash(w) for w in re.findall(r"\S+", t.lower()))
+    assert wh.tolist() == exp
+    assert off[-1] == len(exp)
+
+    b = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    assert SimHashStage()(b)["simhash"].to_pylist() == [_py_simhash(t) for t in texts]
+
+    # flat minhash signatures == scalar per-doc path over unique shingles
+    stage = MinHashStage(32)
+    out = stage(b)
+    for i, t in enumerate(texts):
+        sh = shingle_hashes(t, stage.ngram)
+        assert out["shingles"][i].as_py() == sh.tolist()
+        assert out["sig"][i].as_py() == stage.signature(sh).tolist()
+
+
+def test_simhash_broadcast_verify_equals_join_verify(ray_session):
+    """The broadcast-signature popcount verify and the native double-join
+    verify produce the identical pair set on a dup-heavy corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import simhash_dedup
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(120)]
+    texts, ids = [], []
+    for b in range(50):
+        base = list(rng.choice(words, 25))
+        for v in range(4):
+            t = base.copy()
+            if v:
+                t[v] = f"alt{v}"
+            texts.append(" ".join(t))
+            ids.append(b * 4 + v)
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts),
+         "source": pa.array(["s"] * len(ids))}
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got_b = simhash_dedup(ds, max_hamming=10, verify_mode="broadcast")
+    got_j = simhash_dedup(ds, max_hamming=10, verify_mode="join")
+    key = lambda tb: sorted(zip(tb["a"].to_pylist(), tb["b"].to_pylist(), tb["hamming"].to_pylist()))
+    assert key(got_b) == key(got_j)
+    assert got_b.num_rows > 50
+
+
 def test_minhash_distributed_equals_twin_on_dup_heavy_corpus(ray_session):
     """High-pair-count regression: the fully distributed LSH pipeline
     (salted bucket groupbys + partition-sweep verify) produces EXACTLY the
