@@ -245,6 +245,21 @@ def main() -> None:
         timings["streaming_partitioned"] = round(time.perf_counter() - t0, 3)
         assert res4.output.num_rows + res4.n_late == n_rows
 
+        # partitioned consumers + sink-direct exactly-once output: the full
+        # multi-node ingestion shape (no rewritten or late row on the driver)
+        psink = os.path.join(BENCH_OUT, f"pstream_sink_{NUM_CPUS}_{int(time.time() * 1e6)}")
+        t0 = time.perf_counter()
+        res5, _pm5 = run_streaming_partitioned(
+            stream, cfg, n_actors=max(2, NUM_CPUS // 4),
+            n_partitions=max(2, NUM_CPUS // 8), micro_batch_rows=2048,
+            out_dir=psink, num_partitions=max(16, NUM_CPUS),
+        )
+        timings["streaming_partitioned_sink"] = round(time.perf_counter() - t0, 3)
+        assert res5.output is None
+        committed = int(res5.commit_report["row_count"].to_pandas().sum())
+        assert committed + res5.n_late == n_rows, (committed, res5.n_late)
+        shutil.rmtree(psink, ignore_errors=True)
+
     # representative table queries over $GRAFT_SF_DIR (skipped in scaling
     # subruns, which time the headline only)
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):

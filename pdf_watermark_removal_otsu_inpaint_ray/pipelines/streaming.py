@@ -88,11 +88,53 @@ def _arrival_batches(source, micro_batch_rows: int):
 @dataclass
 class StreamingResult:
     output: pa.Table | None  # None in sink mode: rows live under out_dir
-    late: pa.Table | None
+    late: pa.Table | None  # None in sink mode: read with read_late(out_dir)
     n_late: int
     actor_stats: list[dict] = field(default_factory=list)
     out_dir: str | None = None
     commit_report: pa.Table | None = None
+    late_report: pa.Table | None = None
+
+
+def _sink_done_sets(out_dir: str | None) -> tuple[frozenset[int], frozenset[int]]:
+    """(main, late) committed-partition sets for resume (empty without sink)."""
+    if out_dir is None:
+        return frozenset(), frozenset()
+    import os
+
+    from ..sinks.exactly_once import committed_partitions, late_dir
+
+    os.makedirs(out_dir, exist_ok=True)
+    return (
+        frozenset(committed_partitions(out_dir)),
+        frozenset(committed_partitions(late_dir(out_dir))),
+    )
+
+
+def _finalize_sink(actors, stats, late, out_dir: str) -> StreamingResult:
+    """Sink-mode epilogue shared by every streaming variant: drain actor
+    stage buffers, commit main + late layouts (driver moves manifests
+    only), return a sink-shaped StreamingResult."""
+    import os
+
+    from ..sinks.exactly_once import finalize_staged, late_dir
+
+    ray.get([a.sink_flush.remote() for a in actors])
+    report = finalize_staged(out_dir)
+    lrep = None
+    if os.path.isdir(os.path.join(late_dir(out_dir), "_staged")) or os.path.isdir(
+        os.path.join(late_dir(out_dir), "_manifests")
+    ):
+        lrep = finalize_staged(late_dir(out_dir))
+    return StreamingResult(
+        output=None,
+        late=late,
+        n_late=sum(s["n_late"] for s in stats),
+        actor_stats=stats,
+        out_dir=out_dir,
+        commit_report=report,
+        late_report=lrep,
+    )
 
 
 def run_streaming(
@@ -113,17 +155,14 @@ def run_streaming(
     driver; ``result.output`` is None (read with ``read_output(out_dir)``).
     Ray must already be initialised by the caller.
     """
-    import os
-
-    sink_done: frozenset[int] = frozenset()
-    if out_dir is not None:
-        from ..sinks.exactly_once import committed_partitions
-
-        os.makedirs(out_dir, exist_ok=True)
-        sink_done = frozenset(committed_partitions(out_dir))
+    sink_done, late_done = _sink_done_sets(out_dir)
     actors = [
         KeyedStateActor.remote(
-            cfg, sink_dir=out_dir, sink_partitions=num_partitions, sink_done=sink_done
+            cfg,
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            late_done=late_done,
         )
         for _ in range(n_actors)
     ]
@@ -170,18 +209,7 @@ def run_streaming(
     if out_dir is not None:
         # sink mode: emitted_refs stayed empty — drain actor stage buffers,
         # then commit per-partition manifests (driver moves manifests only)
-        from ..sinks.exactly_once import finalize_staged
-
-        ray.get([a.sink_flush.remote() for a in actors])
-        report = finalize_staged(out_dir)
-        return StreamingResult(
-            output=None,
-            late=late,
-            n_late=sum(s["n_late"] for s in stats),
-            actor_stats=stats,
-            out_dir=out_dir,
-            commit_report=report,
-        )
+        return _finalize_sink(actors, stats, late, out_dir)
 
     out = (
         pa.concat_tables(emitted_refs).sort_by("doc_id")
@@ -283,6 +311,8 @@ def run_streaming_partitioned(
     n_actors: int = 4,
     n_partitions: int = 4,
     micro_batch_rows: int = 1024,
+    out_dir: str | None = None,
+    num_partitions: int = 8,
 ) -> tuple[StreamingResult, list[dict]]:
     """Partitioned-log streaming: one parallel consumer task per input
     partition, per-partition watermarks merged (min) by the tracker, keyed
@@ -292,7 +322,14 @@ def run_streaming_partitioned(
     allowed_lateness``, so cross-partition skew only delays finalization —
     it can never produce false lates.  Input files are assigned round-robin
     (files are time-ordered chunks, keeping partitions roughly in lockstep).
-    Returns (StreamingResult, per-partition metrics).
+
+    ``out_dir``: optional exactly-once sink (this is the multi-node
+    ingestion shape): finalized windows stage straight from each state
+    actor into the sink layout, late rows into ``<out_dir>/_late``, and the
+    driver only commits manifests at end of stream — no rewritten or late
+    row ever rides the driver.  Read back with ``read_output(out_dir)`` /
+    ``read_late(out_dir)``.  Returns (StreamingResult, per-partition
+    metrics).
     """
     import os
 
@@ -305,7 +342,17 @@ def run_streaming_partitioned(
     n_partitions = min(n_partitions, max(1, len(paths)))
     groups = [paths[i::n_partitions] for i in range(n_partitions)]
 
-    actors = [KeyedStateActor.remote(cfg) for _ in range(n_actors)]
+    sink_done, late_done = _sink_done_sets(out_dir)
+    actors = [
+        KeyedStateActor.remote(
+            cfg,
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            late_done=late_done,
+        )
+        for _ in range(n_actors)
+    ]
     tracker = WatermarkTracker.remote(n_partitions, cfg.allowed_lateness)
     metrics = ray.get(
         [
@@ -320,11 +367,15 @@ def run_streaming_partitioned(
         emitted.extend(tables)
     late_tables = [t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None]
     stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+    if out_dir is not None:
+        # sink mode: flush/outbox stayed empty (emissions were diverted)
+        return _finalize_sink(actors, stats, late, out_dir), metrics
     out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
     return (
         StreamingResult(
             output=out if out is not None else _empty_out(),
-            late=pa.concat_tables(late_tables) if late_tables else None,
+            late=late,
             n_late=sum(s["n_late"] for s in stats),
             actor_stats=stats,
         ),
@@ -339,6 +390,8 @@ def run_streaming_salted(
     n_actors: int = 4,
     salt_buckets: int = 4,
     micro_batch_rows: int = 512,
+    out_dir: str | None = None,
+    num_partitions: int = 8,
 ) -> StreamingResult:
     """Coordinated streaming with hot-key salting (SURVEY §4.2).
 
@@ -350,13 +403,28 @@ def run_streaming_salted(
     runs the Otsu detection (windowed or sticky), and broadcasts the agreed
     wm tokens back via ``finalize_windows``.  Tumbling/sliding only —
     session gap-merge needs all of a source's rows on one actor.
+
+    ``out_dir``: optional exactly-once sink — rewritten rows stage from
+    each actor straight into the sink layout (the finalize_windows acks
+    carry no token data), late rows into ``<out_dir>/_late``; the driver
+    commits manifests at end of stream.
     """
     from ..golden import detect_wm_token
     from ..state.keyed_state import _window_end
 
     if cfg.window_kind not in ("tumbling", "sliding"):
         raise ValueError("salted streaming supports tumbling/sliding windows")
-    actors = [KeyedStateActor.remote(cfg) for _ in range(n_actors)]
+    sink_done, late_done = _sink_done_sets(out_dir)
+    actors = [
+        KeyedStateActor.remote(
+            cfg,
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            late_done=late_done,
+        )
+        for _ in range(n_actors)
+    ]
     tracker = WatermarkTracker.remote(1, cfg.allowed_lateness)
 
     hists: dict[tuple[str, int], np.ndarray] = {}
@@ -418,10 +486,13 @@ def run_streaming_salted(
 
     late_tables = [t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None]
     stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+    if out_dir is not None:
+        return _finalize_sink(actors, stats, late, out_dir)
     out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
     return StreamingResult(
         output=out if out is not None else _empty_out(),
-        late=pa.concat_tables(late_tables) if late_tables else None,
+        late=late,
         n_late=sum(s["n_late"] for s in stats),
         actor_stats=stats,
     )

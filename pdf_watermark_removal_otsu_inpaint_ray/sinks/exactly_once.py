@@ -275,6 +275,19 @@ def write_exactly_once(
     return finalize_staged(out_dir, resume=resume, fail_partitions=fail_partitions)
 
 
+def late_dir(out_dir: str) -> str:
+    """The late-data side-output layout nested under a sink dir (same
+    staged/commit protocol as the main output)."""
+    return os.path.join(out_dir, "_late")
+
+
+def read_late(out_dir: str):
+    """Read back the committed late-data side output of a sink-mode
+    streaming run (raises FileNotFoundError when no late rows were
+    committed)."""
+    return read_output(late_dir(out_dir))
+
+
 def read_output(out_dir: str):
     """Read back only committed partitions (a crashed run's torn temp files
     are invisible: data.parquet only appears via atomic rename)."""

@@ -53,18 +53,27 @@ class KeyedStateActor:
         sink_partitions: int = 8,
         sink_stage_rows: int = 32768,
         sink_done: frozenset[int] = frozenset(),
+        late_done: frozenset[int] = frozenset(),
     ):
         """``sink_dir``: when set, finalized windows flow DIRECTLY into the
         exactly-once sink's staged layout from this actor (buffered to
         ``sink_stage_rows`` to bound file counts) — the driver only commits
-        manifests at end of stream, token data never rides the acks."""
+        manifests at end of stream, token data never rides the acks.  Late
+        rows likewise stage to ``<sink_dir>/_late`` (same atomic-rename
+        protocol), so actor late-buffer memory stays O(stage buffer), never
+        O(stream): the SURVEY §2.9 side output is a SINK, not actor state.
+        ``late_done``: committed partitions of the late layout (resume)."""
         self.cfg = cfg
         self.sink_dir = sink_dir
         self.sink_partitions = sink_partitions
         self.sink_stage_rows = sink_stage_rows
         self._sink_done = sink_done
+        self._late_done = late_done
         self._sink_buf: list[pa.Table] = []
         self._sink_rows = 0
+        self._late_buf: list[pa.Table] = []
+        self._late_buf_rows = 0
+        self._late_mem: list[pa.Table] = []
         self.hists: dict[tuple[str, int], np.ndarray] = {}
         self.buffers: dict[tuple[str, int], list[pa.Table]] = {}
         self.finalized: set[tuple[str, int]] = set()
@@ -113,7 +122,36 @@ class KeyedStateActor:
     def sink_flush(self) -> int:
         """End-of-stream: push any buffered emissions to the staged layout."""
         self._flush_sink()
+        self._flush_late()
         return self.n_emitted
+
+    # -- late-data side output --------------------------------------------
+
+    def _note_late(self, late_batch: pa.Table) -> None:
+        """Count + route a late batch: to the ``<sink_dir>/_late`` staged
+        layout in sink mode (bounded actor buffer), to actor memory only in
+        driver-collected mode (small runs/tests)."""
+        self.n_late += late_batch.num_rows
+        if self.sink_dir is None:
+            self._late_mem.append(late_batch)
+            return
+        self._late_buf.append(late_batch)
+        self._late_buf_rows += late_batch.num_rows
+        if self._late_buf_rows >= self.sink_stage_rows:
+            self._flush_late()
+
+    def _flush_late(self) -> None:
+        if not self._late_buf:
+            return
+        import os
+
+        from ..sinks.exactly_once import stage_table
+
+        table = pa.concat_tables(self._late_buf)
+        self._late_buf, self._late_buf_rows = [], 0
+        stage_table(
+            os.path.join(self.sink_dir, "_late"), table, self.sink_partitions, self._late_done
+        )
 
     # -- ingest -----------------------------------------------------------
 
@@ -142,8 +180,6 @@ class KeyedStateActor:
             )
             late |= fin
         late_batch = batch.filter(pa.array(late)) if late.any() else None
-        if late_batch is not None:
-            self.n_late += late_batch.num_rows
         keep = ~late
         if not keep.all():
             batch = batch.filter(pa.array(keep))
@@ -152,8 +188,7 @@ class KeyedStateActor:
             self._accumulate(batch, ts, src, govern)
         emitted = self._finalize_upto(watermark)
         if late_batch is not None and late_batch.num_rows:
-            self._late_rows = getattr(self, "_late_rows", [])
-            self._late_rows.append(late_batch)
+            self._note_late(late_batch)
         return self._divert(emitted), self.n_late
 
     def _governing(self, ts: np.ndarray) -> np.ndarray:
@@ -325,10 +360,7 @@ class KeyedStateActor:
                 self.sessions[s] = out
         emitted = self._finalize_sessions(watermark)
         if late_idx:
-            late_batch = batch.take(pa.array(late_idx))
-            self.n_late += late_batch.num_rows
-            self._late_rows = getattr(self, "_late_rows", [])
-            self._late_rows.append(late_batch)
+            self._note_late(batch.take(pa.array(late_idx)))
         return emitted, self.n_late
 
     def _finalize_sessions(self, watermark: int) -> list[pa.Table]:
@@ -410,10 +442,7 @@ class KeyedStateActor:
                 dtype=bool,
             )
         if late.any():
-            late_batch = batch.filter(pa.array(late))
-            self.n_late += late_batch.num_rows
-            self._late_rows = getattr(self, "_late_rows", [])
-            self._late_rows.append(late_batch)
+            self._note_late(batch.filter(pa.array(late)))
             keep = ~late
             batch = batch.filter(pa.array(keep))
             ts, src, govern = ts[keep], src[keep], govern[keep]
@@ -509,8 +538,14 @@ class KeyedStateActor:
         return self._divert(out)
 
     def late_rows(self) -> pa.Table | None:
-        rows = getattr(self, "_late_rows", [])
-        return pa.concat_tables(rows) if rows else None
+        """Driver-collected late rows (None in sink mode, where late rows
+        live in the ``<sink_dir>/_late`` layout — ``read_late(out_dir)``)."""
+        return pa.concat_tables(self._late_mem) if self._late_mem else None
+
+    def late_buffer_rows(self) -> int:
+        """Rows currently held in the actor's late STAGE buffer (sink
+        mode) — tests assert this stays O(stage threshold), not O(stream)."""
+        return self._late_buf_rows + sum(t.num_rows for t in self._late_mem)
 
     def state_stats(self) -> dict:
         live_sessions = sum(len(v) for v in self.sessions.values())

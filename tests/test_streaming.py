@@ -143,6 +143,149 @@ def test_state_evicted_after_watermark(ray_session, stream_path):
         assert s["live_hists"] == 0
 
 
+def test_partitioned_sink_mode_golden_and_replay(ray_session, tmp_path):
+    """Partitioned-consumer streaming in sink-direct mode: rewritten rows
+    never ride the driver (output is None), the committed layout equals the
+    golden pipeline, and a kill-and-replay resume is byte-identical to an
+    uninterrupted run."""
+    import os
+
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming_partitioned,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        committed_partitions,
+        read_output,
+        write_exactly_once,
+    )
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    for s in range(0, 600, 100):
+        t = synth.generate_stream(100, start_row=s, n_sources=3, n_tok_lo=48, n_tok_hi=128, disorder=8)
+        pq.write_table(t, str(d / f"chunk-{s:06d}.parquet"))
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
+
+    clean = str(tmp_path / "clean")
+    res, metrics = run_streaming_partitioned(
+        str(d), cfg, n_actors=3, n_partitions=3, micro_batch_rows=64,
+        out_dir=clean, num_partitions=6,
+    )
+    assert res.output is None and res.out_dir == clean
+    assert res.commit_report is not None and res.commit_report.num_rows > 0
+    assert len(metrics) == 3 and sum(m["rows"] for m in metrics) == 600
+
+    def collect(out):
+        return pa.concat_tables(
+            [pa.table(b) for b in read_output(out).iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+
+    full = pa.concat_tables([pq.read_table(str(d / f)) for f in sorted(os.listdir(d))])
+    expected = golden.golden_pipeline(full, cfg).sort_by("doc_id")
+    got = collect(clean)
+    assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
+
+    # crashed attempt: same result rows, sink dies before partition 1
+    crash = str(tmp_path / "crash")
+    res_mem, _ = run_streaming_partitioned(str(d), cfg, n_actors=3, n_partitions=3, micro_batch_rows=64)
+    with pytest.raises(Exception):
+        write_exactly_once(
+            ray.data.from_arrow(res_mem.output), crash, num_partitions=6,
+            fail_partitions=frozenset({1}),
+        )
+    assert 1 not in committed_partitions(crash)
+    # resume through the partitioned sink path: replay drops committed parts
+    run_streaming_partitioned(
+        str(d), cfg, n_actors=3, n_partitions=3, micro_batch_rows=64,
+        out_dir=crash, num_partitions=6,
+    )
+    assert committed_partitions(crash) == set(range(6))
+    assert collect(crash).equals(collect(clean))
+
+
+def test_salted_sink_mode_golden(ray_session, tmp_path):
+    """Salted coordinated streaming in sink-direct mode: finalize_windows
+    acks carry no token data; committed layout equals golden."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming_salted
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import read_output
+
+    p = str(tmp_path / "hot.parquet")
+    synth.write_stream(p, 500, n_sources=1, n_tok_lo=48, n_tok_hi=128, disorder=8)
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
+    out_dir = str(tmp_path / "out")
+    res = run_streaming_salted(
+        p, cfg, n_actors=4, salt_buckets=4, micro_batch_rows=100, out_dir=out_dir
+    )
+    assert res.output is None and res.commit_report is not None
+    got = pa.concat_tables(
+        [pa.table(b) for b in read_output(out_dir).iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+    expected = golden.golden_pipeline(pq.read_table(p), cfg).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+
+
+def test_late_rows_staged_to_side_output_in_sink_mode(ray_session, tmp_path):
+    """SURVEY §2.9 late side output as a SINK: with a sink dir, late rows
+    land committed under <out_dir>/_late (counted, not dropped, not held in
+    actor memory), and main + late partitions the input exactly."""
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_late,
+        read_output,
+    )
+
+    p = str(tmp_path / "late.parquet")
+    synth.write_stream(p, 600, n_sources=2, n_tok_lo=48, n_tok_hi=96, disorder=64)
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=16, allowed_lateness=0)
+    out_dir = str(tmp_path / "out")
+    res = run_streaming(p, cfg, n_actors=2, micro_batch_rows=64, out_dir=out_dir)
+    assert res.n_late > 0
+    assert res.late is None  # not driver-collected in sink mode
+    assert res.late_report is not None and res.late_report.num_rows > 0
+    late = pa.concat_tables(
+        [pa.table(b) for b in read_late(out_dir).iter_batches(batch_format="pyarrow")]
+    )
+    assert late.num_rows == res.n_late
+    main = pa.concat_tables(
+        [pa.table(b) for b in read_output(out_dir).iter_batches(batch_format="pyarrow")]
+    )
+    inp = pq.read_table(p)
+    got_ids = sorted(main["doc_id"].to_pylist() + late["doc_id"].to_pylist())
+    assert got_ids == sorted(inp["doc_id"].to_pylist())
+    # late rows pass through with original tokens
+    orig = {i: t for i, t in zip(inp["doc_id"].to_pylist(), inp["tokens"].to_pylist())}
+    for i, t in zip(late["doc_id"].to_pylist(), late["tokens"].to_pylist()):
+        assert t == orig[i], i
+
+
+def test_late_actor_buffer_stays_bounded(ray_session, tmp_path):
+    """The actor's late buffer is O(stage threshold), never O(stream): with
+    a tiny stage threshold, repeated late batches spill to the staged layout
+    instead of accumulating in actor memory."""
+    import os
+
+    from pdf_watermark_removal_otsu_inpaint_ray.state.keyed_state import KeyedStateActor
+
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=16, allowed_lateness=0)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+    actor = KeyedStateActor.remote(cfg, sink_dir=out_dir, sink_stage_rows=50)
+    t = synth.generate_stream(40, n_sources=1, n_tok_lo=8, n_tok_hi=16, disorder=0)
+    # watermark far in the future -> every row is late
+    import ray as _ray
+
+    for _ in range(10):
+        _ray.get(actor.ingest.remote(t, 1 << 40))
+    assert _ray.get(actor.late_buffer_rows.remote()) < 100  # < 2x threshold
+    staged = os.path.join(out_dir, "_late", "_staged")
+    assert os.path.isdir(staged) and len(os.listdir(staged)) > 0
+    assert _ray.get(actor.state_stats.remote())["n_late"] == 400
+
+
 def test_streaming_with_exactly_once_sink(ray_session, stream_path, tmp_path):
     """Sink mode: finalized windows are staged DIRECTLY by the state actors
     (result.output is None — no driver-side concat of the rewritten stream);
