@@ -412,8 +412,14 @@ def run_streaming_salted(
     from ..golden import detect_wm_token
     from ..state.keyed_state import _window_end
 
+    if cfg.window_kind == "session":
+        return _run_salted_sessions(
+            source, cfg, n_actors=n_actors, salt_buckets=salt_buckets,
+            micro_batch_rows=micro_batch_rows, out_dir=out_dir,
+            num_partitions=num_partitions,
+        )
     if cfg.window_kind not in ("tumbling", "sliding"):
-        raise ValueError("salted streaming supports tumbling/sliding windows")
+        raise ValueError("salted streaming supports tumbling/sliding/session windows")
     sink_done, late_done = _sink_done_sets(out_dir)
     actors = [
         KeyedStateActor.remote(
@@ -483,6 +489,116 @@ def run_streaming_salted(
         items = [(s, w, sticky.get(s, -1)) for s, w in left]
         for tables in ray.get([a.finalize_windows.remote(items) for a in actors]):
             emitted.extend(tables)
+
+    late_tables = [t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None]
+    stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+    if out_dir is not None:
+        return _finalize_sink(actors, stats, late, out_dir)
+    out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
+    return StreamingResult(
+        output=out if out is not None else _empty_out(),
+        late=late,
+        n_late=sum(s["n_late"] for s in stats),
+        actor_stats=stats,
+    )
+
+
+def _run_salted_sessions(
+    source,
+    cfg: EngineConfig,
+    *,
+    n_actors: int,
+    salt_buckets: int,
+    micro_batch_rows: int,
+    out_dir: str | None,
+    num_partitions: int,
+) -> StreamingResult:
+    """Coordinated session windows under hot-key salting (SURVEY §4.2).
+
+    No single actor sees all of a salted source's rows, so actors only
+    buffer rows and return per-batch session FRAGMENTS (source, start,
+    last, hist); session boundaries are associative interval data (the gap
+    relation is transitive), so the driver gap-merges fragments globally —
+    exactly like the histogram deltas of the windowed salted path — decides
+    closure against the watermark, detects per closed session, and
+    broadcasts (source, lo, hi, wm_token) items back for rewrite + evict.
+    Late rows are judged against the driver's per-source closed horizon
+    (same rule as the unsalted session path)."""
+    from ..golden import detect_wm_token
+
+    sink_done, late_done = _sink_done_sets(out_dir)
+    actors = [
+        KeyedStateActor.remote(
+            cfg,
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            late_done=late_done,
+        )
+        for _ in range(n_actors)
+    ]
+    tracker = WatermarkTracker.remote(1, cfg.allowed_lateness)
+
+    sessions: dict[str, list[dict]] = {}  # src -> sorted [{start, last, hist}]
+    horizons: dict[str, int] = {}
+    emitted: list[pa.Table] = []
+
+    def merge_fragments(srcs, starts, lasts, Hm) -> None:
+        for i in range(len(srcs)):
+            s = srcs[i]
+            frags = sessions.get(s, [])
+            frags.append({"start": int(starts[i]), "last": int(lasts[i]), "hist": Hm[i].copy()})
+            frags.sort(key=lambda x: x["start"])
+            out = [frags[0]]
+            for ses in frags[1:]:
+                cur = out[-1]
+                if ses["start"] <= cur["last"] + cfg.session_gap:
+                    cur["last"] = max(cur["last"], ses["last"])
+                    cur["hist"] = cur["hist"] + ses["hist"]
+                else:
+                    out.append(ses)
+            sessions[s] = out
+
+    def finalize_due(watermark: int) -> None:
+        items: list[tuple[str, int, int, int]] = []
+        for s in sorted(sessions):
+            keep = []
+            for ses in sessions[s]:
+                if ses["last"] + cfg.session_gap <= watermark:
+                    wm_tok, _cov = detect_wm_token(ses["hist"], cfg)
+                    items.append((s, ses["start"], ses["last"], int(wm_tok)))
+                    horizons[s] = max(
+                        horizons.get(s, -(1 << 62)), ses["last"] + cfg.session_gap
+                    )
+                else:
+                    keep.append(ses)
+            sessions[s] = keep
+        if items:
+            for tables in ray.get(
+                [a.finalize_sessions_salted.remote(items) for a in actors]
+            ):
+                emitted.extend(tables)
+
+    for batch in _arrival_batches(source, micro_batch_rows):
+        ts = np.asarray(batch["event_ts"], dtype=np.int64)
+        wm = ray.get(tracker.watermark.remote())
+        finalize_due(wm)
+        ids = batch["doc_id"].combine_chunks()
+        salt = hash_partition_ids(ids, salt_buckets)
+        src = np.asarray(batch["source"])
+        route_keys = pa.array([f"{s}#{int(x)}" for s, x in zip(src, salt)], pa.string())
+        route = hash_partition_ids(route_keys, n_actors)
+        acks = []
+        for a in range(n_actors):
+            idx = np.nonzero(route == a)[0]
+            if idx.size:
+                acks.append(actors[a].ingest_session_partial.remote(batch.take(idx), horizons))
+        for srcs, starts, lasts, Hm, _n_late in ray.get(acks):  # per-batch barrier
+            merge_fragments(srcs, starts, lasts, Hm)
+        tracker.update.remote(0, int(ts.max()))
+
+    finalize_due(1 << 62)
 
     late_tables = [t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None]
     stats = ray.get([a.state_stats.remote() for a in actors])

@@ -378,6 +378,27 @@ def q_motif_spans(sf_dir: str):
     return _motif_events(sf_dir).map_batches(cast64, batch_format="pyarrow")
 
 
+def q_motif_payload_counts(sf_dir: str):
+    """Payload classification breadth (reference QR content heuristics,
+    qr_detector.py:38-121): each span's trailing 24-token payload window is
+    classified by the registry's default rule table — prefix dispatch
+    (scan/window), a count rule (>=2 'row' occurrences — the tel: digit-
+    count analog), an ordered-pair rule (key..value — the lat,lon pattern
+    analog), fallback 'plain'.  Grouped counts per (category, payload_class)
+    with a full DuckDB CASE-chain twin."""
+    from ray.data.aggregate import Count
+
+    from .registry import get_payload_rules
+    from .stages.motif import MotifStage
+
+    motifs = [(cat, tuple(ord(c) for c in marker)) for cat, marker in MOTIFS]
+    ev = _seq_ds(sf_dir).map_batches(
+        MotifStage(motifs, DEFAULT_CONFIG, payload_rules=get_payload_rules("default")),
+        batch_format="pyarrow",
+    )
+    return ev.groupby(["category", "payload_class"]).aggregate(Count(alias_name="n"))
+
+
 def q_motif_category_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -724,6 +745,7 @@ QUERIES = {
     "inpaint_session": q_inpaint_session,
     "run_summary": q_run_summary,
     "motif_spans": q_motif_spans,
+    "motif_payload_counts": q_motif_payload_counts,
     "motif_category_counts": q_motif_category_counts,
     "motif_removal_filter": q_motif_removal_filter,
     "motif_doc_join": q_motif_doc_join,
@@ -821,6 +843,23 @@ ORACLE_SQL = {
         FROM documents
     """,
     "motif_spans": _MOTIF_UNION,
+    # payload = the 24 chars after the first marker occurrence; CASE order
+    # mirrors the engine rule priority exactly (first hit wins)
+    "motif_payload_counts": "\nUNION ALL\n".join(
+        f"""SELECT category, payload_class, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT '{c}' AS category,
+                   CASE WHEN p LIKE ' scan%' THEN 'scan_link'
+                        WHEN p LIKE ' window%' THEN 'windowed'
+                        WHEN len(regexp_extract_all(p, 'row')) >= 2 THEN 'tabular'
+                        WHEN strpos(p, 'key') > 0
+                             AND strpos(substr(p, strpos(p, 'key') + 3), 'value') > 0
+                             THEN 'keyed_pair'
+                        ELSE 'plain' END AS payload_class
+            FROM (SELECT substr(text, strpos(text, '{m}') + {len(m)}, 24) AS p
+                  FROM documents WHERE strpos(text, '{m}') > 0)
+        ) GROUP BY category, payload_class"""
+        for c, m in MOTIFS
+    ),
     "motif_category_counts": f"""
         SELECT category, CAST(count(*) AS BIGINT) AS n
         FROM ({_MOTIF_UNION}) GROUP BY category

@@ -19,6 +19,7 @@ from typing import Callable
 _DETECTORS: dict[str, Callable] = {}
 _INPAINTERS: dict[str, Callable] = {}
 _PRESETS: dict[str, Callable] = {}
+_PAYLOAD_RULES: dict[str, list] = {}
 
 
 def register_detector(name: str, fn: Callable) -> Callable:
@@ -48,6 +49,17 @@ def apply_preset(name: str, cfg):
     return _PRESETS[name](cfg)
 
 
+def register_payload_rules(name: str, rules: list) -> list:
+    """Register a named payload-classifier rule table (motif analog of the
+    reference's QR content-type heuristic table, qr_detector.py:38-121)."""
+    _PAYLOAD_RULES[name] = rules
+    return rules
+
+
+def get_payload_rules(name: str) -> list:
+    return _PAYLOAD_RULES[name]
+
+
 def _register_builtins() -> None:
     from .stages import kernels
 
@@ -69,6 +81,10 @@ def _register_builtins() -> None:
     # (document_classifier.py:180-229)
     def _electronic_color(cfg):
         return cfg.with_(tolerance=15, strength=1.0, kernel_size=2, protect_text=True, passes=1)
+
+    from .stages.motif import DEFAULT_PAYLOAD_RULES
+
+    register_payload_rules("default", DEFAULT_PAYLOAD_RULES)
 
     register_preset("electronic-color", _electronic_color)
     for name in ("electronic", "scanned", "mixed"):

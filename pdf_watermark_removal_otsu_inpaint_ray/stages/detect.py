@@ -202,52 +202,122 @@ def detect_wm_many(hists: np.ndarray, cfg: EngineConfig) -> tuple[np.ndarray, np
     return wm.astype(np.int64), covp
 
 
+def _merge_hist_rows(
+    srcs: np.ndarray, wins: np.ndarray, hists: np.ndarray, gray_mod: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized associative merge of (source, window, hist) partial rows:
+    factorize the key pairs, one ``np.add.at``.  Returns (src_u_per_row,
+    win_per_row, merged_hists) with one row per distinct key."""
+    s_u, s_inv = np.unique(np.asarray(srcs, dtype=object), return_inverse=True)
+    w_min = int(wins.min())
+    w_span = int(wins.max()) - w_min + 1
+    combo = s_inv.astype(np.int64) * w_span + (wins - w_min)
+    c_u, c_inv = np.unique(combo, return_inverse=True)
+    merged = np.zeros((c_u.size, gray_mod), dtype=np.int64)
+    np.add.at(merged, c_inv, hists)
+    return s_u[c_u // w_span], c_u % w_span + w_min, merged
+
+
+def _tree_merge_partials(partials, cfg: EngineConfig, num_parts: int = 64):
+    """Distributed partial-merge round: coarse-partition the partial rows by
+    hash(source, window) and merge each partition with the same vectorized
+    factorized ``np.add.at`` — every (source, window) lands in exactly one
+    partition, so the driver then receives EXACTLY one row per key (volume
+    bounded by key cardinality, independent of input block count)."""
+    from ..sinks.exactly_once import hash_partition_ids
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        hs = hash_partition_ids(b["source"].combine_chunks(), 1 << 30)
+        pk = (hs * 31 + np.asarray(b["window_id"], np.int64)) % num_parts
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    gm = cfg.gray_mod
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        srcs = np.asarray(g["source"].to_pylist(), dtype=object)
+        wins = np.asarray(g["window_id"], np.int64)
+        hists = flatten_list_column(g["hist"]).values.reshape(g.num_rows, gm).astype(np.int64)
+        o_src, o_win, merged = _merge_hist_rows(srcs, wins, hists, gm)
+        n = merged.shape[0]
+        offs = pa.array(np.arange(0, (n + 1) * gm, gm, dtype=np.int32), pa.int32())
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in o_src], pa.string()),
+                "window_id": pa.array(o_win.astype(np.int64), pa.int64()),
+                "hist": pa.ListArray.from_arrays(offs, pa.array(merged.reshape(-1), pa.int64())),
+            }
+        )
+
+    return (
+        partials.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(merge_part, batch_format="pyarrow")
+    )
+
+
 def compute_wm_table(
     ds,
     cfg: EngineConfig,
     batch_size: int = 4096,
     session_map: "SessionMap | None" = None,
+    tree_merge: bool | None = None,
+    tree_merge_threshold: int = 1 << 20,
 ) -> dict[WmKey, tuple[int, float]]:
     """Run phase 1 on a sequence Dataset → {(source, window): (wm, cov%)}.
 
     ``ds`` must carry (tokens, source, event_ts).  Partials are already
-    merged per batch inside :class:`HistogramPartials`; the final reduce is
-    a single vectorized ``np.add.at`` on the driver over the streamed
-    partial rows — the key space is bounded (sources × live windows), and
-    partial volume is ~keys × 2 KB per input block.  (At extreme key
-    cardinality, insert a partial-merging ``map_batches`` tree stage before
-    the driver — the histograms are associative.)
+    merged per batch inside :class:`HistogramPartials`; the driver reduce
+    is INCREMENTAL — each streamed partial block is factorize-merged
+    (``_merge_hist_rows``) into the running per-key dict, so driver memory
+    is O(distinct keys), never O(partial rows).
+
+    ``tree_merge``: at adversarial (source × window) cardinality, set True
+    to insert a distributed partial-merging round (:func:`_tree_merge_partials`
+    — histograms are associative) so the driver receives exactly ONE row
+    per key instead of one per (key × input block).  ``None`` auto-enables
+    it when the dataset's known input block count × a per-block key
+    estimate exceeds ``tree_merge_threshold`` rows; the extra shuffle only
+    pays for itself at high cardinality, so the default stays off for the
+    bounded key spaces of the flagship pipelines.
     """
     partials = ds.map_batches(
         HistogramPartials(cfg, session_map), batch_format="pyarrow", batch_size=batch_size
     )
-    srcs: list[str] = []
-    wins: list[np.ndarray] = []
-    hists: list[np.ndarray] = []
+    if tree_merge is None:
+        # cheap upper-bound estimate: blocks × (typical keys per block).
+        # input_files/num_blocks are metadata-only for parquet reads.
+        try:
+            n_blocks = ds.num_blocks()
+        except Exception:
+            n_blocks = None
+        tree_merge = bool(n_blocks and n_blocks * 4096 > tree_merge_threshold)
+    if tree_merge:
+        partials = _tree_merge_partials(partials, cfg)
+
+    acc: dict[WmKey, np.ndarray] = {}
     for batch in partials.iter_batches(batch_format="pyarrow"):
+        batch = pa.table(batch) if not isinstance(batch, pa.Table) else batch
         if batch.num_rows == 0:
             continue
-        srcs.extend(batch["source"].to_pylist())
-        wins.append(np.asarray(batch["window_id"], dtype=np.int64))
+        srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
+        wins = np.asarray(batch["window_id"], dtype=np.int64)
         fbh = flatten_list_column(batch["hist"])
-        hists.append(fbh.values.reshape(batch.num_rows, cfg.gray_mod))
-    if not srcs:
+        hists = fbh.values.reshape(batch.num_rows, cfg.gray_mod).astype(np.int64)
+        o_src, o_win, merged = _merge_hist_rows(srcs, wins, hists, cfg.gray_mod)
+        for k in range(merged.shape[0]):
+            key = (str(o_src[k]), int(o_win[k]))
+            prev = acc.get(key)
+            if prev is None:
+                acc[key] = merged[k].copy()
+            else:
+                prev += merged[k]
+    if not acc:
         return {}
-    win_all = np.concatenate(wins)
-    hist_all = np.concatenate(hists).astype(np.int64)
-    # vectorized merge over factorized (source, window) keys
-    s_u, s_inv = np.unique(np.asarray(srcs, dtype=object), return_inverse=True)
-    w_min = int(win_all.min())
-    w_span = int(win_all.max()) - w_min + 1
-    combo = s_inv.astype(np.int64) * w_span + (win_all - w_min)
-    c_u, c_inv = np.unique(combo, return_inverse=True)
-    merged = np.zeros((c_u.size, cfg.gray_mod), dtype=np.int64)
-    np.add.at(merged, c_inv, hist_all)
-    wm_arr, cov_arr = detect_wm_many(merged, cfg)
-    wm: dict[WmKey, tuple[int, float]] = {}
-    for k, c in enumerate(c_u):
-        key = (str(s_u[c // w_span]), int(c % w_span + w_min))
-        wm[key] = (int(wm_arr[k]), float(cov_arr[k]))
+    keys = sorted(acc)
+    wm_arr, cov_arr = detect_wm_many(np.stack([acc[k] for k in keys]), cfg)
+    wm: dict[WmKey, tuple[int, float]] = {
+        key: (int(wm_arr[i]), float(cov_arr[i])) for i, key in enumerate(keys)
+    }
     if cfg.detection_mode == "sticky":
         apply_sticky(wm)
     return wm

@@ -40,17 +40,31 @@ class MotifStage:
     ``motifs``: list of (category, pattern tuple).  Emits the *first* match
     per (row, category) — mirroring the reference emitting one QRCodeInfo per
     detected code with its category (qr_detector.py:226-268).
+
+    ``payload_rules``: optional list of :class:`PayloadRule` — when set, a
+    ``payload_class`` column classifies each span's trailing payload window
+    (the reference's QR content-type heuristics, qr_detector.py:38-121).
     """
 
-    def __init__(self, motifs: list[tuple[str, tuple[int, ...]]], cfg: EngineConfig):
+    def __init__(
+        self,
+        motifs: list[tuple[str, tuple[int, ...]]],
+        cfg: EngineConfig,
+        payload_rules: "list[PayloadRule] | None" = None,
+        payload_window: int = 24,
+    ):
         self.motifs = [(c, np.asarray(p, dtype=np.int32)) for c, p in motifs]
         self.cfg = cfg
+        self.payload_rules = payload_rules
+        self.payload_window = payload_window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fb = flatten_list_column(batch["tokens"])
         ids = np.asarray(batch["doc_id"])
         srcs = np.asarray(batch["source"])
-        out_id, out_src, out_start, out_len, out_cat = [], [], [], [], []
+        out_id, out_src, out_cat = [], [], []
+        flat_starts: list[np.ndarray] = []
+        out_len: list[int] = []
         for cat, pat in self.motifs:
             starts = find_pattern_flat(fb, pat)
             if starts.size == 0:
@@ -61,18 +75,124 @@ class MotifStage:
             starts, rows = starts[first], rows[first]
             out_id.extend(ids[rows])
             out_src.extend(srcs[rows])
-            out_start.extend((starts - fb.offsets[rows]).tolist())
+            flat_starts.append(starts)
             out_len.extend([int(pat.size)] * rows.size)
             out_cat.extend([cat] * rows.size)
-        return pa.table(
-            {
-                "doc_id": pa.array([str(x) for x in out_id], pa.string()),
-                "source": pa.array([str(x) for x in out_src], pa.string()),
-                "span_start": pa.array(out_start, pa.int32()),
-                "span_len": pa.array(out_len, pa.int32()),
-                "category": pa.array(out_cat, pa.string()),
-            }
-        )
+        fs = np.concatenate(flat_starts) if flat_starts else np.zeros(0, np.int64)
+        lens = np.asarray(out_len, dtype=np.int64)
+        cols = {
+            "doc_id": pa.array([str(x) for x in out_id], pa.string()),
+            "source": pa.array([str(x) for x in out_src], pa.string()),
+            "span_start": pa.array((fs - fb.offsets[fb.seg[fs]] if fs.size else fs).astype(np.int32), pa.int32()),
+            "span_len": pa.array(lens.astype(np.int32), pa.int32()),
+            "category": pa.array(out_cat, pa.string()),
+        }
+        if self.payload_rules is not None:
+            cls = (
+                classify_payloads(fb, fs, lens, self.payload_rules, self.payload_window)
+                if fs.size
+                else np.zeros(0, dtype=object)
+            )
+            cols["payload_class"] = pa.array(cls.tolist(), pa.string())
+        return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# payload classification (reference analog: QR content-type heuristics,
+# qr_detector.py:38-121 — prefix dispatch URL:/WIFI:/mailto:, the tel:
+# digit-COUNT rule, and the lat,lon coordinate-PATTERN regex).  The token-
+# space analogs classify the payload window (the P tokens following a
+# matched span) with three vectorized rule kinds:
+#
+# * prefix      — payload starts with a pattern (URL:/WIFI: dispatch);
+# * count_min   — >= k occurrences of a pattern in the window (phone
+#                 digit-count rule);
+# * ordered_pair— pattern A followed by pattern B inside the window
+#                 (coordinate "lat,lon" regex shape).
+#
+# Rules evaluate in priority order (first hit wins, like the reference's
+# if/elif chain); unmatched payloads fall back to "plain".  Rule tables are
+# registry-pluggable (registry.register_payload_rules), mirroring the
+# reference's pluggable detector dispatch.
+# ---------------------------------------------------------------------------
+
+
+class PayloadRule:
+    """One classification rule; ``kind`` in {prefix, count_min, ordered_pair}."""
+
+    def __init__(self, category: str, kind: str, patterns: tuple[str, ...], min_count: int = 1):
+        if kind not in ("prefix", "count_min", "ordered_pair"):
+            raise ValueError(f"unknown payload rule kind {kind}")
+        self.category = category
+        self.kind = kind
+        self.patterns = tuple(np.array([ord(c) for c in p], dtype=np.int32) for p in patterns)
+        self.min_count = min_count
+
+
+DEFAULT_PAYLOAD_RULES = [
+    PayloadRule("scan_link", "prefix", (" scan",)),
+    PayloadRule("windowed", "prefix", (" window",)),
+    PayloadRule("tabular", "count_min", ("row",), min_count=2),
+    PayloadRule("keyed_pair", "ordered_pair", ("key", "value")),
+]
+
+
+def classify_payloads(
+    fb: FlatBatch,
+    flat_starts: np.ndarray,
+    span_lens: np.ndarray,
+    rules: list[PayloadRule] | None = None,
+    window: int = 24,
+) -> np.ndarray:
+    """Category per span event from its payload window, fully vectorized.
+
+    ``flat_starts``: flat value-index of each span start; the payload
+    window is the ``window`` tokens after the span, clamped at row end
+    (qr_detector.py:373-400 clamps the same way)."""
+    rules = DEFAULT_PAYLOAD_RULES if rules is None else rules
+    w0 = flat_starts + span_lens
+    w_end = np.minimum(w0 + window, fb.row_end[flat_starts])
+    out = np.full(w0.size, None, dtype=object)
+    unset = np.ones(w0.size, dtype=bool)
+    for rule in rules:
+        if not unset.any():
+            break
+        if rule.kind == "prefix":
+            q = rule.patterns[0]
+            ok = w0 + q.size <= w_end
+            if ok.any():
+                idx = np.nonzero(ok)[0]
+                gather = fb.values[w0[idx][:, None] + np.arange(q.size)[None, :]]
+                ok2 = (gather == q[None, :]).all(axis=1)
+                hit = np.zeros(w0.size, dtype=bool)
+                hit[idx] = ok2
+            else:
+                hit = ok
+        elif rule.kind == "count_min":
+            q = rule.patterns[0]
+            m = find_pattern_flat(fb, q)
+            lo = np.searchsorted(m, w0)
+            hi = np.searchsorted(m, w_end - q.size + 1)
+            hit = (hi - lo) >= rule.min_count
+        else:  # ordered_pair
+            qa, qb = rule.patterns
+            ma = find_pattern_flat(fb, qa)
+            mb = find_pattern_flat(fb, qb)
+            if ma.size == 0 or mb.size == 0:
+                hit = np.zeros(w0.size, dtype=bool)
+            else:
+                ia = np.searchsorted(ma, w0)
+                iac = np.minimum(ia, ma.size - 1)
+                has_a = (ia < ma.size) & (ma[iac] + qa.size <= w_end)
+                pos_a = np.where(has_a, ma[iac], 0)
+                lo_b = np.searchsorted(mb, pos_a + qa.size)
+                hi_b = np.searchsorted(mb, w_end - qb.size + 1)
+                hit = has_a & (hi_b > lo_b)
+        take = hit & unset
+        out[take] = rule.category
+        unset &= ~hit
+    out[unset] = "plain"
+    return out
 
 
 def category_filter(events: pa.Table, categories: tuple[str, ...]) -> pa.Table:

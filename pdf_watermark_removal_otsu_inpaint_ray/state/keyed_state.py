@@ -475,6 +475,103 @@ class KeyedStateActor:
         Hm = np.stack(hists) if hists else np.zeros((0, cfg.gray_mod), dtype=np.int64)
         return out_src, out_win, Hm, self.n_late
 
+    # -- coordinated SESSION protocol (salted session windows) ------------
+    #
+    # With a hot source salted across actors, no single actor sees all of a
+    # source's rows, so the session gap-merge cannot run actor-locally.
+    # Session BOUNDARIES are associative interval data, exactly like the
+    # histogram partials: each actor returns its batch's micro-session
+    # fragments (source, start, last, hist); the driver gap-merges the
+    # fragments globally (the merge relation is transitive, so merging
+    # merged fragments equals merging rows), decides closure against the
+    # watermark, and broadcasts (source, lo, hi, wm_token) items back.
+
+    def ingest_session_partial(self, batch: pa.Table, horizons: dict):
+        """Buffer rows + return per-batch session fragments.  ``horizons``:
+        driver's per-source late horizon (last CLOSED session's last+gap) —
+        the same lateness rule as the unsalted session path.
+        Returns (sources, starts, lasts, hist_matrix, n_late)."""
+        cfg = self.cfg
+        self._salted_rows = getattr(self, "_salted_rows", {})
+        ts0 = np.asarray(batch["event_ts"], dtype=np.int64)
+        src0 = np.asarray(batch["source"])
+        out_src: list[str] = []
+        out_start: list[int] = []
+        out_last: list[int] = []
+        hists: list[np.ndarray] = []
+        if batch.num_rows:
+            doc0 = np.asarray(batch["doc_id"])
+            order = np.lexsort((doc0, ts0, src0))
+            batch = batch.take(pa.array(order))
+            ts, src = ts0[order], src0[order]
+            starts = np.nonzero(np.concatenate([[True], src[1:] != src[:-1]]))[0]
+            ends = np.append(starts[1:], src.size)
+            late_idx: list[int] = []
+            for st, en in zip(starts, ends):
+                s = str(src[st])
+                horizon = horizons.get(s, -(1 << 62))
+                tloc = ts[st:en]
+                late_loc = tloc <= horizon
+                if late_loc.any():
+                    late_idx.extend((st + np.nonzero(late_loc)[0]).tolist())
+                keep = np.nonzero(~late_loc)[0]
+                if keep.size == 0:
+                    continue
+                sub = batch.take(pa.array(st + keep))
+                tk = tloc[keep]
+                seg_break = np.concatenate([[True], np.diff(tk) > cfg.session_gap])
+                seg_id = (np.cumsum(seg_break) - 1).astype(np.int64)
+                n_seg = int(seg_id[-1]) + 1
+                fb = flatten_list_column(sub["tokens"])
+                H = batch_histograms(fb, seg_id, n_seg, cfg)
+                seg_starts = np.nonzero(seg_break)[0]
+                seg_ends = np.append(seg_starts[1:], tk.size)
+                for k, (a, b) in enumerate(zip(seg_starts, seg_ends)):
+                    out_src.append(s)
+                    out_start.append(int(tk[a]))
+                    out_last.append(int(tk[b - 1]))
+                    hists.append(H[k])
+                self._salted_rows.setdefault(s, []).append(sub)
+            if late_idx:
+                self._note_late(batch.take(pa.array(late_idx)))
+        Hm = np.stack(hists) if hists else np.zeros((0, cfg.gray_mod), dtype=np.int64)
+        return (
+            out_src,
+            np.asarray(out_start, np.int64),
+            np.asarray(out_last, np.int64),
+            Hm,
+            self.n_late,
+        )
+
+    def finalize_sessions_salted(
+        self, items: list[tuple[str, int, int, int]]
+    ) -> list[pa.Table]:
+        """Rewrite + emit + evict this actor's buffered rows of each closed
+        session ``(source, lo, hi, wm_token)`` (rows with lo <= ts <= hi)."""
+        self._salted_rows = getattr(self, "_salted_rows", {})
+        out = []
+        for s, lo, hi, wm_tok in items:
+            tables = self._salted_rows.get(s)
+            if not tables:
+                continue
+            t = pa.concat_tables(tables)
+            ts = np.asarray(t["event_ts"], dtype=np.int64)
+            m = (ts >= lo) & (ts <= hi)
+            rest = t.filter(pa.array(~m))
+            self._salted_rows[s] = [rest] if rest.num_rows else []
+            if not m.any():
+                continue
+            rows = t.filter(pa.array(m))
+            out.append(
+                self._rewrite_rows(rows, np.full(rows.num_rows, int(wm_tok), dtype=np.int64))
+            )
+            self.n_emitted += rows.num_rows
+        return self._divert(out)
+
+    def salted_session_buffered(self) -> int:
+        rows = getattr(self, "_salted_rows", {})
+        return sum(t.num_rows for lst in rows.values() for t in lst)
+
     def finalize_windows(self, wm_items: list[tuple[str, int, int]]) -> list[pa.Table]:
         """Rewrite + emit + evict the given (source, window, wm_token) keys
         (only those this actor buffered)."""
@@ -553,7 +650,8 @@ class KeyedStateActor:
             "live_windows": len(self.buffers) + live_sessions,
             "live_hists": len(self.hists),
             "buffered_rows": sum(t.num_rows for lst in self.buffers.values() for t in lst)
-            + sum(t.num_rows for v in self.sessions.values() for s in v for t in s["tables"]),
+            + sum(t.num_rows for v in self.sessions.values() for s in v for t in s["tables"])
+            + self.salted_session_buffered(),
             "n_late": self.n_late,
             "n_emitted": self.n_emitted,
         }

@@ -118,3 +118,63 @@ def test_hash_join_events_documents(ray_session, stream_path):
     assert len(joined) == exp_events.num_rows
     assert set(joined["doc_id"]) == set(exp_events["doc_id"].to_pylist())
     assert "span_start" in joined.columns and "category" in joined.columns
+
+
+def test_payload_classification_rules_and_registry(ray_session):
+    """Payload classifier: each rule kind fires correctly on crafted rows
+    (prefix / count_min / ordered_pair / fallback), priority order wins,
+    and custom rule tables plug in through the registry."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.registry import (
+        get_payload_rules,
+        register_payload_rules,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.motif import (
+        MotifStage,
+        PayloadRule,
+    )
+
+    texts = [
+        "xx spark scan more words here",      # prefix ' scan' -> scan_link
+        "xx spark window agg",                # prefix ' window' -> windowed
+        "xx spark row and row again",         # 2x 'row' -> tabular
+        "xx spark key then value later",      # ordered key..value -> keyed_pair
+        "xx spark value then key later",      # wrong order -> plain
+        "xx spark nothing special",           # -> plain
+        "xx spark scan row row",              # prefix beats count (priority)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))], pa.string()),
+            "tokens": pa.array(
+                [[ord(c) for c in x] for x in texts], pa.list_(pa.int32())
+            ),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+        }
+    )
+    motifs = [("website", tuple(ord(c) for c in "spark"))]
+    st = MotifStage(motifs, DEFAULT_CONFIG, payload_rules=get_payload_rules("default"))
+    out = st(t)
+    got = dict(zip(out["doc_id"].to_pylist(), out["payload_class"].to_pylist()))
+    assert got == {
+        "d0": "scan_link", "d1": "windowed", "d2": "tabular",
+        "d3": "keyed_pair", "d4": "plain", "d5": "plain", "d6": "scan_link",
+    }
+
+    # custom registered table: single rule, everything else plain
+    register_payload_rules("only_agg", [PayloadRule("agg_like", "count_min", ("agg",))])
+    st2 = MotifStage(motifs, DEFAULT_CONFIG, payload_rules=get_payload_rules("only_agg"))
+    got2 = dict(zip(st2(t)["doc_id"].to_pylist(), st2(t)["payload_class"].to_pylist()))
+    assert got2["d1"] == "agg_like" and got2["d0"] == "plain"
+
+    # window clamp: payload truncated at row end never matches past-end text
+    t3 = pa.table(
+        {
+            "doc_id": pa.array(["e0"], pa.string()),
+            "tokens": pa.array([[ord(c) for c in "xx spark sca"]], pa.list_(pa.int32())),
+            "source": pa.array(["s"], pa.string()),
+        }
+    )
+    assert st(t3)["payload_class"].to_pylist() == ["plain"]

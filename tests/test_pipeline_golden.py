@@ -107,3 +107,36 @@ def test_session_flagship_matches_golden(ray_session, tmp_path):
     assert got["doc_id"].tolist() == expected["doc_id"].to_pylist()
     assert got["tokens"].map(list).tolist() == expected["tokens"].to_pylist()
     assert got["wm_token"].tolist() == expected["wm_token"].to_pylist()
+
+
+def test_tree_merge_partials_adversarial_cardinality(ray_session, tmp_path):
+    """At adversarial (source × window) cardinality the distributed
+    partial-merge round yields the identical wm table as the flat driver
+    reduce, and the driver receives exactly one partial row per key."""
+    import numpy as np
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.detect import (
+        HistogramPartials,
+        _tree_merge_partials,
+        compute_wm_table,
+    )
+
+    p = str(tmp_path / "adv.parquet")
+    synth.write_stream(p, 3000, n_sources=30, disorder=4)
+    # window_size=4 -> thousands of (source, window) keys
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=4)
+    wm_flat = compute_wm_table(ray.data.read_parquet(p), cfg, batch_size=256, tree_merge=False)
+    wm_tree = compute_wm_table(ray.data.read_parquet(p), cfg, batch_size=256, tree_merge=True)
+    assert len(wm_flat) > 500
+    assert wm_flat == wm_tree
+
+    # driver-side partial volume after the tree round == distinct keys
+    partials = ray.data.read_parquet(p).map_batches(
+        HistogramPartials(cfg), batch_format="pyarrow", batch_size=256
+    )
+    merged = _tree_merge_partials(partials, cfg)
+    rows = sum(len(b) for b in merged.iter_batches(batch_format="pyarrow"))
+    assert rows == len(wm_flat)

@@ -304,3 +304,53 @@ def test_streaming_with_exactly_once_sink(ray_session, stream_path, tmp_path):
     assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
     assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
     assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
+
+
+def test_salted_session_windows_match_golden(ray_session, tmp_path):
+    """Coordinated session windows under hot-key salting: driver gap-merges
+    per-actor session fragments (associative interval merge), output equals
+    the per-source golden gap-merge, state fully evicted, works sink-direct."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming_salted
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import read_output
+
+    p = str(tmp_path / "hot.parquet")
+    synth.write_stream(p, 500, n_sources=1, disorder=6, rows_per_ts=1)
+    cfg = DEFAULT_CONFIG.with_(window_kind="session", session_gap=5, allowed_lateness=16)
+    expected = golden.golden_pipeline(pq.read_table(p), cfg).sort_by("doc_id")
+    res = run_streaming_salted(p, cfg, n_actors=4, salt_buckets=4, micro_batch_rows=64)
+    assert res.n_late == 0
+    got = res.output.sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
+    assert sum(1 for s in res.actor_stats if s["n_emitted"] > 0) >= 2  # truly salted
+    for s in res.actor_stats:
+        assert s["buffered_rows"] == 0  # state evicted
+
+    out_dir = str(tmp_path / "sink")
+    res2 = run_streaming_salted(
+        p, cfg, n_actors=4, salt_buckets=4, micro_batch_rows=64, out_dir=out_dir
+    )
+    assert res2.output is None
+    got2 = pa.concat_tables(
+        [pa.table(b) for b in read_output(out_dir).iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")
+    assert got2["tokens"].to_pylist() == expected["tokens"].to_pylist()
+
+
+def test_salted_session_late_rows_counted(ray_session, tmp_path):
+    """Salted session path: rows behind a source's closed-session horizon
+    are routed to the late output (counted, not dropped, not emitted)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming_salted
+
+    p = str(tmp_path / "late.parquet")
+    synth.write_stream(p, 500, n_sources=2, disorder=64, rows_per_ts=1)
+    cfg = DEFAULT_CONFIG.with_(window_kind="session", session_gap=2, allowed_lateness=0)
+    res = run_streaming_salted(p, cfg, n_actors=3, salt_buckets=2, micro_batch_rows=32)
+    inp = pq.read_table(p)
+    if res.n_late:
+        assert res.late is not None and res.late.num_rows == res.n_late
+        got_ids = sorted(res.output["doc_id"].to_pylist() + res.late["doc_id"].to_pylist())
+    else:
+        got_ids = sorted(res.output["doc_id"].to_pylist())
+    assert got_ids == sorted(inp["doc_id"].to_pylist())
