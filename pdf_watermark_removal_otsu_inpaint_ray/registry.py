@@ -20,6 +20,7 @@ _DETECTORS: dict[str, Callable] = {}
 _INPAINTERS: dict[str, Callable] = {}
 _PRESETS: dict[str, Callable] = {}
 _PAYLOAD_RULES: dict[str, list] = {}
+_MOTIF_MATCHERS: dict[str, Callable] = {}
 
 
 def register_detector(name: str, fn: Callable) -> Callable:
@@ -47,6 +48,18 @@ def get_inpainter(name: str) -> Callable:
 
 def apply_preset(name: str, cfg):
     return _PRESETS[name](cfg)
+
+
+def register_motif_matcher(name: str, fn: Callable) -> Callable:
+    """Register a motif matcher backend ``(fb, pattern) -> flat start
+    indices`` (reference analog: the opencv|pyzbar dual QR backend
+    dispatch, qr_detector.py:150-169)."""
+    _MOTIF_MATCHERS[name] = fn
+    return fn
+
+
+def get_motif_matcher(name: str) -> Callable:
+    return _MOTIF_MATCHERS[name]
 
 
 def register_payload_rules(name: str, rules: list) -> list:
@@ -82,9 +95,15 @@ def _register_builtins() -> None:
     def _electronic_color(cfg):
         return cfg.with_(tolerance=15, strength=1.0, kernel_size=2, protect_text=True, passes=1)
 
-    from .stages.motif import DEFAULT_PAYLOAD_RULES
+    from .stages.motif import (
+        DEFAULT_PAYLOAD_RULES,
+        find_pattern_flat,
+        find_pattern_rolling,
+    )
 
     register_payload_rules("default", DEFAULT_PAYLOAD_RULES)
+    register_motif_matcher("exact", find_pattern_flat)
+    register_motif_matcher("rolling-hash", find_pattern_rolling)
 
     register_preset("electronic-color", _electronic_color)
     for name in ("electronic", "scanned", "mixed"):

@@ -34,6 +34,38 @@ def find_pattern_flat(fb: FlatBatch, pattern: np.ndarray) -> np.ndarray:
     return starts[starts + L <= fb.row_end[starts]]
 
 
+def find_pattern_rolling(fb: FlatBatch, pattern: np.ndarray) -> np.ndarray:
+    """Alternate matcher backend: Rabin-Karp rolling hash over the flat
+    values (one cumsum of weighted terms + one vectorized compare per
+    batch, independent of pattern length), candidates verified exactly —
+    identical result set to :func:`find_pattern_flat`.  The dual-backend
+    dispatch mirrors the reference's opencv|pyzbar QR backend selection
+    (qr_detector.py:150-169); prefer this backend for LONG patterns, where
+    the shifted-AND matcher pays one pass per pattern position."""
+    L = pattern.size
+    n = fb.values.size
+    if L == 0 or n < L:
+        return np.zeros(0, dtype=np.int64)
+    P = np.uint64(1099511628211)  # odd -> multiplication is invertible mod 2^64
+    pw = np.empty(n + 1, dtype=np.uint64)
+    pw[0] = np.uint64(1)
+    np.multiply.accumulate(np.full(n, P, dtype=np.uint64), dtype=np.uint64, out=pw[1:])
+    # window hash at i satisfies  S[i+L]-S[i] == T * P^i  (no inverse needed)
+    w = fb.values.astype(np.uint64) * pw[:n]
+    S = np.concatenate([[np.uint64(0)], np.cumsum(w, dtype=np.uint64)])
+    T = (pattern.astype(np.uint64) * pw[:L]).sum(dtype=np.uint64)
+    cand = np.nonzero((S[L:] - S[: n - L + 1]) == T * pw[: n - L + 1])[0]
+    if cand.size == 0:
+        return cand.astype(np.int64)
+    # exact verification of hash candidates (collisions are ~2^-64, but the
+    # contract is exactness)
+    ok = np.ones(cand.size, dtype=bool)
+    for j in range(L):
+        ok &= fb.values[cand + j] == pattern[j]
+    starts = cand[ok].astype(np.int64)
+    return starts[starts + L <= fb.row_end[starts]]
+
+
 class MotifStage:
     """Stateless map_batches body: sequence batch → span-event rows.
 
@@ -52,11 +84,15 @@ class MotifStage:
         cfg: EngineConfig,
         payload_rules: "list[PayloadRule] | None" = None,
         payload_window: int = 24,
+        matcher: str = "exact",
     ):
+        from ..registry import get_motif_matcher
+
         self.motifs = [(c, np.asarray(p, dtype=np.int32)) for c, p in motifs]
         self.cfg = cfg
         self.payload_rules = payload_rules
         self.payload_window = payload_window
+        self.matcher = get_motif_matcher(matcher)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fb = flatten_list_column(batch["tokens"])
@@ -66,7 +102,7 @@ class MotifStage:
         flat_starts: list[np.ndarray] = []
         out_len: list[int] = []
         for cat, pat in self.motifs:
-            starts = find_pattern_flat(fb, pat)
+            starts = self.matcher(fb, pat)
             if starts.size == 0:
                 continue
             rows = fb.seg[starts]

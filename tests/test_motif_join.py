@@ -178,3 +178,51 @@ def test_payload_classification_rules_and_registry(ray_session):
         }
     )
     assert st(t3)["payload_class"].to_pylist() == ["plain"]
+
+def test_motif_matcher_backends_agree():
+    """The rolling-hash matcher backend returns the identical start set as
+    the shifted-AND exact matcher (self-overlapping patterns, row-boundary
+    straddles, empty rows), and plugs in through the registry by name."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_watermark_removal_otsu_inpaint_ray.registry import get_motif_matcher
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.kernels import flatten_list_column
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.motif import (
+        MotifStage,
+        find_pattern_flat,
+        find_pattern_rolling,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rows=st.lists(
+            st.lists(st.integers(0, 3), min_size=0, max_size=30), min_size=1, max_size=8
+        ),
+        pat=st.lists(st.integers(0, 3), min_size=1, max_size=5),
+    )
+    def check(rows, pat):
+        t = pa.table({"tokens": pa.array(rows, pa.list_(pa.int32()))})
+        fb = flatten_list_column(t["tokens"])
+        p = np.asarray(pat, dtype=np.int32)
+        a = find_pattern_flat(fb, p)
+        b = find_pattern_rolling(fb, p)
+        assert a.tolist() == b.tolist()
+
+    check()
+
+    # registry dispatch: MotifStage(matcher="rolling-hash") == default
+    texts = ["ab spark cd", "spark", "no match", "sparkspark"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))], pa.string()),
+            "tokens": pa.array([[ord(c) for c in x] for x in texts], pa.list_(pa.int32())),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+        }
+    )
+    motifs = [("website", tuple(ord(c) for c in "spark"))]
+    e = MotifStage(motifs, DEFAULT_CONFIG)(t)
+    r = MotifStage(motifs, DEFAULT_CONFIG, matcher="rolling-hash")(t)
+    assert e.equals(r)
