@@ -270,6 +270,10 @@ def _consume_partition(
 
     wm = -(1 << 62)
     batch_idx = 0
+    # watermark lag: this partition's event-time frontier minus the GLOBAL
+    # watermark at observation time (the north star's per-partition lag
+    # metric) — high lag means this partition runs ahead of the slowest one
+    lag_sum, lag_max, lag_n = 0, None, 0
     for path in paths:
         pf = pq_.ParquetFile(path)
         for rb in pf.iter_batches(batch_size=micro_batch_rows):
@@ -279,6 +283,11 @@ def _consume_partition(
             # bound suffices; staleness only delays finalization)
             if batch_idx % 4 == 0:
                 wm = max(wm, ray.get(tracker.watermark.remote()))
+                if wm > -(1 << 61):
+                    lag = int(ts.max()) - wm
+                    lag_sum += lag
+                    lag_max = lag if lag_max is None else max(lag_max, lag)
+                    lag_n += 1
             batch_idx += 1
             route = hash_partition_ids(batch["source"].combine_chunks(), n_actors)
             refs = []
@@ -301,6 +310,8 @@ def _consume_partition(
         "max_event_ts": max_ts,
         "seconds": round(dt, 3),
         "rows_per_sec": round(rows / dt, 1) if dt > 0 else 0.0,
+        "wm_lag_max": lag_max,
+        "wm_lag_avg": round(lag_sum / lag_n, 1) if lag_n else None,
     }
 
 

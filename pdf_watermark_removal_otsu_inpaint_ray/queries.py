@@ -161,24 +161,26 @@ def q_wm_detect_global(sf_dir: str):
 
 def q_dominant_tokens(sf_dir: str, k: int = 10):
     """A2: top-k dominant gray values per source with band classification
-    (reference ColorAnalyzer.analyze_watermark_color, color_analyzer.py:65-126)."""
-    hist = q_gray_histogram(sf_dir).to_pandas()
-    out = []
-    for src, g in hist.groupby("source"):
-        g = g.sort_values(["cnt", "gray"], ascending=[False, False]).head(k)
-        for rk, (_, r) in enumerate(g.iterrows(), start=1):
-            gray = int(r["gray"])
-            band = (
-                "background" if gray > 250 else "content" if gray <= 140 else "candidate"
-            )
-            out.append((src, gray, int(r["cnt"]), rk, band))
+    (reference ColorAnalyzer.analyze_watermark_color, color_analyzer.py:65-126).
+    Result is bounded at sources × k rows; the rank/band derivation is
+    vectorized (groupby-cumcount + np.select, no per-row iteration)."""
+    hist = (
+        q_gray_histogram(sf_dir)
+        .to_pandas()
+        .sort_values(["source", "cnt", "gray"], ascending=[True, False, False],
+                     ignore_index=True)
+    )
+    hist["rk"] = hist.groupby("source").cumcount() + 1
+    top = hist[hist["rk"] <= k]
+    gray = top["gray"].to_numpy().astype(np.int64)
+    band = np.select([gray > 250, gray <= 140], ["background", "content"], "candidate")
     return pa.table(
         {
-            "source": pa.array([o[0] for o in out], pa.string()),
-            "gray": pa.array([o[1] for o in out], pa.int64()),
-            "cnt": pa.array([o[2] for o in out], pa.int64()),
-            "rk": pa.array([o[3] for o in out], pa.int64()),
-            "band": pa.array([o[4] for o in out], pa.string()),
+            "source": pa.array(top["source"].to_numpy(), pa.string()),
+            "gray": pa.array(gray, pa.int64()),
+            "cnt": pa.array(top["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            "rk": pa.array(top["rk"].to_numpy().astype(np.int64), pa.int64()),
+            "band": pa.array(band.tolist(), pa.string()),
         }
     )
 

@@ -354,3 +354,30 @@ def test_salted_session_late_rows_counted(ray_session, tmp_path):
     else:
         got_ids = sorted(res.output["doc_id"].to_pylist())
     assert got_ids == sorted(inp["doc_id"].to_pylist())
+
+
+def test_partitioned_metrics_include_wm_lag(ray_session, tmp_path):
+    """Per-partition metrics carry the north star's watermark-lag numbers
+    (partition event-time frontier minus global watermark at observation)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming_partitioned,
+    )
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    for s in range(0, 1200, 100):
+        pq.write_table(
+            synth.generate_stream(100, start_row=s, n_sources=3, disorder=8),
+            str(d / f"c{s:06d}.parquet"),
+        )
+    # small micro-batches so the in-flight window forces ack-gated tracker
+    # updates mid-stream (a live global watermark becomes observable)
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32, allowed_lateness=16)
+    _res, metrics = run_streaming_partitioned(
+        str(d), cfg, n_actors=2, n_partitions=2, micro_batch_rows=16
+    )
+    assert all("wm_lag_max" in m and "wm_lag_avg" in m for m in metrics)
+    observed = [m for m in metrics if m["wm_lag_max"] is not None]
+    assert observed, metrics  # at least one partition observed a live watermark
+    for m in observed:
+        assert m["wm_lag_max"] >= 0  # frontier never behind the global min-watermark
