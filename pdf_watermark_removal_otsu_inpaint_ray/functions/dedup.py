@@ -14,13 +14,13 @@ Scale shapes (ray_guide.md "Aggregation at scale"):
              via ``ray.put``); at 100 TB the broadcast side becomes an IVF
              index (see functions/similarity.py).
 
-All hashing is keyed BLAKE2b / multiply-shift — deterministic across
-processes (never Python's seeded ``hash``).
+All hashing is vectorized multiply-shift polynomial hashing (splitmix64
+finalizer) — deterministic across processes (never Python's seeded
+``hash``), mirrored by the pure-Python spec in oracle_data._py_word_hash.
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import numpy as np
@@ -137,13 +137,32 @@ def _gram_hashes_flat(
     return (out >> np.uint64(1)).astype(np.int64), goff
 
 
-def _hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") >> 1
+def _text_hashes(texts: list[str]) -> np.ndarray:
+    """63-bit content hash per text — one vectorized polynomial over the
+    batch's flattened utf-8 buffer (same spec as the word hash, applied to
+    the whole text), no per-row hashing."""
+    if not texts:
+        return np.zeros(0, dtype=np.int64)
+    enc = [t.encode() for t in texts]
+    lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+    if lens.sum() == 0:
+        return np.full(len(texts), int(_mix64(np.uint64(0))) >> 1, dtype=np.int64)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
+    term = flat * _pow_table_64(_POLY_P, int(lens.max()) + 1, "poly")[pos]
+    # reduceat mis-handles zero-length segments (empty texts): compute over
+    # clamped starts, then overwrite empties with the canonical empty hash
+    starts_c = np.minimum(starts, flat.size - 1)
+    sums = np.add.reduceat(term, starts_c)
+    sums = np.where(lens > 0, sums, np.uint64(0))
+    h = _mix64(sums ^ (lens.astype(np.uint64) * _LEN_SALT))
+    return (h >> np.uint64(1)).astype(np.int64)
 
 
 def content_hash_batch(batch: pa.Table) -> pa.Table:
     """Add a 63-bit deterministic content hash (the at-scale dedup key)."""
-    h = pa.array([_hash64(t) for t in batch["text"].to_pylist()], pa.int64())
+    h = pa.array(_text_hashes(batch["text"].to_pylist()), pa.int64())
     return batch.append_column("content_hash", h)
 
 
@@ -466,7 +485,8 @@ def _verify_pairs_distributed(cand_tbl: pa.Table, payload_ds, pair_value, out_fi
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         # one COARSE partition of doc_ids: sort by doc_id, sweep runs; each
         # run holds a doc's payload row (pair_id < 0 sorts first) plus its
-        # pair-half rows — vectorized boundary scan, no per-doc groups
+        # pair-half rows — fully vectorized: np.repeat propagates each run's
+        # payload to its half rows, no inner Python loop
         doc = g["doc_id"].to_numpy().astype(np.int64)
         pid = g["pair_id"].to_numpy().astype(np.int64)
         order = np.lexsort((pid, doc))
@@ -476,20 +496,14 @@ def _verify_pairs_distributed(cand_tbl: pa.Table, payload_ds, pair_value, out_fi
         payload = g["payload"].to_numpy()[order]
         starts = np.nonzero(np.concatenate([[True], doc[1:] != doc[:-1]]))[0]
         ends = np.append(starts[1:], doc.size)
-        out_pid, out_a, out_b, out_pay = [], [], [], []
-        for s, e2 in zip(starts, ends):
-            if pid[s] >= 0:  # no payload row for this doc
-                continue
-            p = payload[s]
-            for k in range(s + 1, e2):
-                if pid[k] >= 0:
-                    out_pid.append(pid[k])
-                    out_a.append(aa[k])
-                    out_b.append(bb[k])
-                    out_pay.append(p)
+        run_of = np.repeat(np.arange(starts.size), ends - starts)
+        has_payload = pid[starts] < 0  # payload row sorts first in its run
+        # half rows = rows with pid >= 0 inside runs that carry a payload
+        half = (pid >= 0) & has_payload[run_of]
+        n_half_per_run = np.bincount(run_of[half], minlength=starts.size)
+        src_pay = np.repeat(payload[starts], n_half_per_run)
         return pd.DataFrame(
-            {"pair_id": np.asarray(out_pid, np.int64), "a": np.asarray(out_a, np.int64),
-             "b": np.asarray(out_b, np.int64), "payload": out_pay}
+            {"pair_id": pid[half], "a": aa[half], "b": bb[half], "payload": src_pay}
         )
 
     def add_pk(b: pa.Table) -> pa.Table:
