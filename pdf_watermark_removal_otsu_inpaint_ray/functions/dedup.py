@@ -772,6 +772,50 @@ def simhash_dedup(
     )
 
 
+def connected_components(pairs: pa.Table) -> pa.Table:
+    """Near-dup CLUSTER extraction: (a, b) pair table → one row per doc that
+    appears in any pair, with ``cluster_id`` = the smallest doc_id in its
+    connected component and ``keep`` = 1 for that canonical doc (the
+    keep-one-per-cluster rule of training-data near-dup removal).
+
+    Union-find with path compression over the OUTPUT-SCALE pair set — the
+    same driver-residency assumption every pair-returning query here
+    already makes (the pair set was collected to build ``pairs``).  At a
+    scale where pairs outgrow the driver, run iterative label propagation
+    as repeated repartition joins instead.
+    """
+    a = np.asarray(pairs["a"], np.int64)
+    b = np.asarray(pairs["b"], np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    parent = np.arange(ids.size, dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, int(parent[i])
+        return root
+
+    for i, j in zip(ai, bi):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            # union by smaller representative id keeps roots deterministic
+            lo, hi = (ri, rj) if ids[ri] <= ids[rj] else (rj, ri)
+            parent[hi] = lo
+    roots = np.array([find(int(i)) for i in range(ids.size)], dtype=np.int64)
+    cluster = ids[roots]  # root chosen by min id -> cluster_id = min id
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "keep": pa.array((ids == cluster).astype(np.int64), pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard within source partitions (oracle-SQL-comparable)
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ GOLDEN_QUERIES = (
     "learned_detector",
     "inpaint_session",
     "run_summary",
+    "dedup_clusters",
 )
 
 
@@ -175,6 +176,42 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
             "a": pa.array([r[0] for r in rows], pa.int64()),
             "b": pa.array([r[1] for r in rows], pa.int64()),
             "jacc": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _golden_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Independent clustering twin: the engine uses union-find with path
+    compression; this oracle runs naive LABEL PROPAGATION to a fixed point
+    over the single-process twin's pair set (shared: the MinHash pair
+    definition; independent: the component algorithm)."""
+    pairs = _golden_minhash_lsh(sf_dir)
+    a = np.asarray(pairs["a"], np.int64)
+    b = np.asarray(pairs["b"], np.int64)
+    labels: dict[int, int] = {}
+    for x in np.concatenate([a, b]).tolist():
+        labels[x] = x
+    changed = True
+    while changed:
+        changed = False
+        for x, y in zip(a.tolist(), b.tolist()):
+            m = min(labels[x], labels[y])
+            if labels[x] != m or labels[y] != m:
+                labels[x] = labels[y] = m
+                changed = True
+    # propagate to closure: label chains (x -> labels[x]) may lag one step
+    def root(x: int) -> int:
+        while labels[x] != x:
+            x = labels[x]
+        return x
+
+    ids = sorted(labels)
+    cluster = [root(x) for x in ids]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "keep": pa.array([int(i == c) for i, c in zip(ids, cluster)], pa.int64()),
         }
     )
 
@@ -380,6 +417,7 @@ _COMPUTE = {
     "learned_detector": _golden_learned_detector,
     "inpaint_session": _golden_inpaint_session,
     "run_summary": _golden_run_summary,
+    "dedup_clusters": _golden_dedup_clusters,
 }
 
 

@@ -541,6 +541,70 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs_ds(sf_dir), ngram=1, threshold=0.5)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster extraction (keep-one-per-cluster): distributed
+    MinHash-LSH pairs → connected components → (doc_id, cluster_id=min id
+    in component, keep).  Driver-checked against a materialized golden
+    whose clustering is an INDEPENDENT label-propagation implementation."""
+    _with_golden("dedup_clusters", sf_dir)
+    from .functions.dedup import connected_components, minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(_docs_ds(sf_dir), threshold=0.5)
+    return connected_components(pairs)
+
+
+def q_length_quantiles(sf_dir: str):
+    """Per-source exact length quantiles (p25/p50/p75/p95 of char length)
+    via pre-aggregated (source, length) counts — the shuffle moves count
+    rows, never documents; the interpolation matches SQL percentile_cont.
+    Emitted in centi-units (BIGINT) so the driver hash compare is exact."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"])
+        ln = pc.utf8_length(b["text"].combine_chunks()).to_numpy(zero_copy_only=False).astype(np.int64)
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        key = s_inv.astype(np.int64) * 1_000_000 + ln
+        k_u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(s_u[k_u // 1_000_000], pa.string()),
+                "length": pa.array(k_u % 1_000_000, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        _docs_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "length"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    rows = merged.to_pandas().sort_values(["source", "length"], ignore_index=True)
+    out_src, out_q = [], {q: [] for q in (25, 50, 75, 95)}
+    for src, g in rows.groupby("source", sort=True):
+        lens = g["length"].to_numpy().astype(np.int64)
+        cnts = g["cnt"].to_numpy().astype(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        out_src.append(src)
+        for q in (25, 50, 75, 95):
+            pos = (q / 100.0) * (n - 1)
+            lo_i = int(np.floor(pos))
+            hi_i = min(lo_i + 1, n - 1)
+            frac = pos - lo_i
+            lo_v = lens[np.searchsorted(cum, lo_i + 1)]
+            hi_v = lens[np.searchsorted(cum, hi_i + 1)]
+            val = lo_v + (hi_v - lo_v) * frac  # percentile_cont interpolation
+            out_q[q].append(int(np.floor(val * 100.0 + 0.5)))
+    return pa.table(
+        {
+            "source": pa.array(out_src, pa.string()),
+            **{f"p{q}_c": pa.array(out_q[q], pa.int64()) for q in (25, 50, 75, 95)},
+        }
+    )
+
+
 def q_minhash_lsh(sf_dir: str):
     _with_golden("minhash_lsh", sf_dir)
     from .functions.dedup import minhash_lsh_dedup
@@ -762,6 +826,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_text": q_dedup_exact_text,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "length_quantiles": q_length_quantiles,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "embedding_knn": q_embedding_knn,
@@ -962,6 +1028,14 @@ ORACLE_SQL = {
         FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    """,
+    "length_quantiles": """
+        SELECT source,
+               CAST(floor(percentile_cont(0.25) WITHIN GROUP (ORDER BY length(text)) * 100 + 0.5) AS BIGINT) AS p25_c,
+               CAST(floor(percentile_cont(0.50) WITHIN GROUP (ORDER BY length(text)) * 100 + 0.5) AS BIGINT) AS p50_c,
+               CAST(floor(percentile_cont(0.75) WITHIN GROUP (ORDER BY length(text)) * 100 + 0.5) AS BIGINT) AS p75_c,
+               CAST(floor(percentile_cont(0.95) WITHIN GROUP (ORDER BY length(text)) * 100 + 0.5) AS BIGINT) AS p95_c
+        FROM documents GROUP BY source
     """,
     "embedding_knn": """
         WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)

@@ -246,3 +246,24 @@ def test_codec_round_trips_random(h, w, n, rate, data):
     samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
     got, r, ch = decode_wav(encode_wav_pcm16(samples, rate))
     assert r == rate and ch == 1 and np.array_equal(got, samples)
+
+
+def test_connected_components_union_find():
+    """Union-find clusters: chains merge transitively, cluster_id is the
+    component's min doc id, keep marks exactly one doc per cluster."""
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import connected_components
+
+    pairs = pa.table(
+        {
+            # component {1,2,3,9} via chain 9-3, 3-2, 2-1; component {5,7}
+            "a": pa.array([9, 3, 2, 5], pa.int64()),
+            "b": pa.array([3, 2, 1, 7], pa.int64()),
+        }
+    )
+    out = connected_components(pairs)
+    got = {d: c for d, c in zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist())}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+    keeps = {d for d, k in zip(out["doc_id"].to_pylist(), out["keep"].to_pylist()) if k}
+    assert keeps == {1, 5}
