@@ -273,6 +273,38 @@ def main() -> None:
                 r.materialize()
             timings[name] = round(time.perf_counter() - t0, 3)
 
+        # exact dedup at 10x corpus (dup-heavy: every text appears >= 10x) —
+        # shows the coarse-partition groupby-agg stage is key-vectorized,
+        # not per-row/per-group bound
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        import ray.data as _rd
+
+        from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import exact_dedup
+
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        dpath = os.path.join(CACHE_DIR, f"docs10x_{os.path.basename(SF_DIR.rstrip('/'))}.parquet")
+        if not os.path.exists(dpath):
+            docs = _pq.read_table(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+            )
+            copies = [
+                docs.set_column(
+                    0, "doc_id", _pc.add(docs["doc_id"], _pa.scalar(k * 10_000_000, _pa.int64()))
+                )
+                for k in range(10)
+            ]
+            _pq.write_table(_pa.concat_tables(copies), dpath)
+        t0 = time.perf_counter()
+        n10 = sum(
+            len(b)
+            for b in exact_dedup(_rd.read_parquet(dpath)).iter_batches(batch_format="pyarrow")
+        )
+        timings["dedup_exact_10x"] = round(time.perf_counter() - t0, 3)
+        assert n10 > 0
+
     print(
         json.dumps(
             {
