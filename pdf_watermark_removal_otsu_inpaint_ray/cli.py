@@ -131,7 +131,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.rows:
             parse_rows(args.rows)  # fail fast on a malformed spec
     except (ValueError, KeyError) as err:
-        print(f"error: {err}", file=_sys.stderr)
+        from .i18n import t
+
+        print(t("error", err=err), file=_sys.stderr)
         return 2
 
     import ray
@@ -153,6 +155,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"rows": rows, "late": res.n_late,
                               "partitions": committed}))
+            from .i18n import t
+
+            for line in (t("streaming_mode"), t("completed"),
+                         t("rows_processed", rows=rows),
+                         t("late_rows", late=res.n_late),
+                         t("output_saved", path=args.output)):
+                print(line, file=_sys.stderr)
         else:
             from .pipelines.flagship import run_flagship
             from .sinks.exactly_once import write_exactly_once
@@ -176,6 +185,13 @@ def main(argv: list[str] | None = None) -> int:
 
             m = manifest_metrics(args.output)
             print(json.dumps({"partitions": m["partitions"], "rows": m["total_rows"]}))
+            from .i18n import t
+
+            for line in (t("batch_mode"), t("completed"),
+                         t("rows_processed", rows=m["total_rows"]),
+                         t("partitions_committed", parts=m["partitions"]),
+                         t("output_saved", path=args.output)):
+                print(line, file=_sys.stderr)
         return 0
     finally:
         if owns_ray:

@@ -59,9 +59,18 @@ class LearnedDetectorStage:
 
     _process_loads = 0  # per worker process
 
-    def __init__(self, emit_diag: bool = False):
+    def __init__(self, emit_diag: bool = False, weights_cache: str | None = None):
+        """``weights_cache``: when set, acquire the checkpoint through the
+        ModelManager (S5 analog) and MEMORY-MAP it from the node-local
+        cache — one 64 MB build per node instead of one per actor; scores
+        are bit-identical either way (same bytes feed the same fuse)."""
         LearnedDetectorStage._process_loads += 1
-        self.weights = _build_weights()
+        if weights_cache is not None:
+            from .model_manager import ModelManager
+
+            self.weights = ModelManager(weights_cache).load_weights("wm-detector-64m")
+        else:
+            self.weights = _build_weights()
         self.lut = _fuse_lut(self.weights)
         self.emit_diag = emit_diag
 
