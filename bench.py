@@ -285,7 +285,13 @@ def main() -> None:
         from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import exact_dedup
 
         os.makedirs(CACHE_DIR, exist_ok=True)
-        dpath = os.path.join(CACHE_DIR, f"docs10x_{os.path.basename(SF_DIR.rstrip('/'))}.parquet")
+        # cache key covers the SOURCE CONTENT (size+mtime), not just the sf
+        # name — a regenerated documents.parquet must invalidate the 10x file
+        st10 = os.stat(f"{SF_DIR}/documents.parquet")
+        dpath = os.path.join(
+            CACHE_DIR,
+            f"docs10x_{os.path.basename(SF_DIR.rstrip('/'))}_{st10.st_size}_{st10.st_mtime_ns}.parquet",
+        )
         if not os.path.exists(dpath):
             docs = _pq.read_table(
                 f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]

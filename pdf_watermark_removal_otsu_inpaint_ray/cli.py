@@ -126,13 +126,17 @@ def main(argv: list[str] | None = None) -> int:
 
     import sys as _sys
 
+    from .i18n import t
+
+    def summary(*lines: str) -> None:  # localized, on stderr; stdout stays JSON
+        for line in lines:
+            print(line, file=_sys.stderr)
+
     try:
         cfg = build_config(args)
         if args.rows:
             parse_rows(args.rows)  # fail fast on a malformed spec
     except (ValueError, KeyError) as err:
-        from .i18n import t
-
         print(t("error", err=err), file=_sys.stderr)
         return 2
 
@@ -155,13 +159,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"rows": rows, "late": res.n_late,
                               "partitions": committed}))
-            from .i18n import t
-
-            for line in (t("streaming_mode"), t("completed"),
-                         t("rows_processed", rows=rows),
-                         t("late_rows", late=res.n_late),
-                         t("output_saved", path=args.output)):
-                print(line, file=_sys.stderr)
+            summary(t("streaming_mode"), t("completed"),
+                    t("rows_processed", rows=rows),
+                    t("late_rows", late=res.n_late),
+                    t("output_saved", path=args.output))
         else:
             from .pipelines.flagship import run_flagship
             from .sinks.exactly_once import write_exactly_once
@@ -185,13 +186,10 @@ def main(argv: list[str] | None = None) -> int:
 
             m = manifest_metrics(args.output)
             print(json.dumps({"partitions": m["partitions"], "rows": m["total_rows"]}))
-            from .i18n import t
-
-            for line in (t("batch_mode"), t("completed"),
-                         t("rows_processed", rows=m["total_rows"]),
-                         t("partitions_committed", parts=m["partitions"]),
-                         t("output_saved", path=args.output)):
-                print(line, file=_sys.stderr)
+            summary(t("batch_mode"), t("completed"),
+                    t("rows_processed", rows=m["total_rows"]),
+                    t("partitions_committed", parts=m["partitions"]),
+                    t("output_saved", path=args.output))
         return 0
     finally:
         if owns_ray:

@@ -151,11 +151,14 @@ def _text_hashes(texts: list[str]) -> np.ndarray:
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     pos = np.arange(flat.size, dtype=np.int64) - np.repeat(starts, lens)
     term = flat * _pow_table_64(_POLY_P, int(lens.max()) + 1, "poly")[pos]
-    # reduceat mis-handles zero-length segments (empty texts): compute over
-    # clamped starts, then overwrite empties with the canonical empty hash
-    starts_c = np.minimum(starts, flat.size - 1)
-    sums = np.add.reduceat(term, starts_c)
-    sums = np.where(lens > 0, sums, np.uint64(0))
+    # reduceat only over NON-EMPTY texts' starts: empty texts occupy zero
+    # bytes, so non-empty segments stay contiguous and each runs exactly to
+    # the next non-empty start (clamping starts instead would truncate the
+    # last non-empty text whenever the batch ENDS with empty texts — the
+    # same boundary bug class fixed in learned.py)
+    nz = lens > 0
+    sums = np.zeros(len(texts), dtype=np.uint64)
+    sums[nz] = np.add.reduceat(term, starts[nz])
     h = _mix64(sums ^ (lens.astype(np.uint64) * _LEN_SALT))
     return (h >> np.uint64(1)).astype(np.int64)
 
@@ -630,18 +633,33 @@ class SimHashStage:
     doc's word hashes (ties → 0).  The pure-Python independent oracle twin
     is oracle_data._py_simhash."""
 
+    # bound the (words × 64) bit-matrix intermediate: ≤ 2^17 words per slab
+    # keeps peak extra memory ≈ 100 MB per task regardless of batch size
+    CHUNK_WORDS = 1 << 17
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         wh, doc_off = _word_hashes_flat(texts)
         counts = np.diff(doc_off)
         sigs = np.zeros(len(texts), dtype=np.uint64)
         nz = np.nonzero(counts > 0)[0]
-        if nz.size:
-            kbits = np.arange(64, dtype=np.uint64)
-            bits = ((wh[:, None] >> kbits[None, :]) & np.uint64(1)).astype(np.int32)
-            ones = np.add.reduceat(bits, doc_off[:-1][nz], axis=0)
-            votes = 2 * ones - counts[nz][:, None]
-            sigs[nz] = ((votes > 0).astype(np.uint64) << kbits[None, :]).sum(axis=1)
+        kbits = np.arange(64, dtype=np.uint64)
+        i = 0
+        while i < nz.size:
+            # greedy doc run with <= CHUNK_WORDS words (an oversized doc
+            # still gets its own run — per-doc memory is irreducible)
+            j = i + 1
+            words = int(counts[nz[i]])
+            while j < nz.size and words + counts[nz[j]] <= self.CHUNK_WORDS:
+                words += int(counts[nz[j]])
+                j += 1
+            sel = nz[i:j]
+            w0, w1 = int(doc_off[sel[0]]), int(doc_off[sel[-1] + 1])
+            bits = ((wh[w0:w1, None] >> kbits[None, :]) & np.uint64(1)).astype(np.int32)
+            ones = np.add.reduceat(bits, (doc_off[sel] - w0).astype(np.int64), axis=0)
+            votes = 2 * ones - counts[sel][:, None]
+            sigs[sel] = ((votes > 0).astype(np.uint64) << kbits[None, :]).sum(axis=1)
+            i = j
         return pa.table(
             {
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()),
@@ -882,7 +900,10 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = No
     the object store) and one Ray task per block pair (i <= j) reads its
     two files and computes the matmul — O((N/B)²) tasks, no driver-side
     matrix, no corpus-sized object-store residency.  The pair list
-    (output-scale) is the only thing collected.  At 100 TB prefer
+    (output-scale) is the only thing collected.  ``work_dir`` (or the
+    ``PDFWM_RAY_SHARED_TMP`` env root) must be on storage every node can
+    read — the same contract as the exactly-once sink dir; the default
+    local-/tmp fallback is single-node only.  At 100 TB prefer
     :func:`similarity.ivf_near_dup` (bucketed, approximate) — exact
     all-pairs is inherently quadratic regardless of distribution.
     """
@@ -907,7 +928,11 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = No
     norm = ds.select_columns(["vec_id", "embedding"]).map_batches(
         normalize, batch_format="pyarrow"
     )
-    work = work_dir or tempfile.mkdtemp(prefix="graft_near_dup_")
+    # the staging dir must be visible to every node (same contract as the
+    # exactly-once sink dir): pass work_dir on shared storage, or set
+    # PDFWM_RAY_SHARED_TMP; the local-tmp fallback is single-node only
+    shared_root = os.environ.get("PDFWM_RAY_SHARED_TMP")
+    work = work_dir or tempfile.mkdtemp(prefix="graft_near_dup_", dir=shared_root)
     try:
         norm.write_parquet(work)
         files = sorted(

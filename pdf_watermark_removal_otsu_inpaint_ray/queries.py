@@ -564,12 +564,13 @@ def q_length_quantiles(sf_dir: str):
         src = np.asarray(b["source"])
         ln = pc.utf8_length(b["text"].combine_chunks()).to_numpy(zero_copy_only=False).astype(np.int64)
         s_u, s_inv = np.unique(src, return_inverse=True)
-        key = s_inv.astype(np.int64) * 1_000_000 + ln
+        span = int(ln.max()) + 1 if ln.size else 1  # dynamic: no length cap
+        key = s_inv.astype(np.int64) * span + ln
         k_u, cnt = np.unique(key, return_counts=True)
         return pa.table(
             {
-                "source": pa.array(s_u[k_u // 1_000_000], pa.string()),
-                "length": pa.array(k_u % 1_000_000, pa.int64()),
+                "source": pa.array(s_u[k_u // span], pa.string()),
+                "length": pa.array(k_u % span, pa.int64()),
                 "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )

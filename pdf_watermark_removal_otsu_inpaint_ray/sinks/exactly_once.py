@@ -64,9 +64,13 @@ def hash_partition_ids(doc_ids: pa.Array | pa.ChunkedArray, num_partitions: int)
     off0 = off - off[0]
     pos = np.arange(flat.size, dtype=np.int64) - np.repeat(off0[:-1], lens)
     term = (flat * _pow_table(int(lens.max()))[pos]) % _HASH_MOD
-    starts = np.minimum(off0[:-1], max(flat.size - 1, 0))
-    h = np.add.reduceat(term, starts) % _HASH_MOD
-    h = np.where(lens > 0, h, 0)
+    # reduceat only over NON-EMPTY keys' starts: empty keys occupy zero
+    # bytes, so clamping starts would truncate the last non-empty key's hash
+    # whenever a batch ends with empty keys — making the same key's
+    # partition depend on batch composition (breaks exactly-once dedup)
+    nz = lens > 0
+    h = np.zeros(len(arr), dtype=np.int64)
+    h[nz] = np.add.reduceat(term, off0[:-1][nz]) % _HASH_MOD
     return h % num_partitions
 
 

@@ -261,7 +261,7 @@ def compute_wm_table(
     batch_size: int = 4096,
     session_map: "SessionMap | None" = None,
     tree_merge: bool | None = None,
-    tree_merge_threshold: int = 1 << 20,
+    tree_merge_threshold: int = 4096,
 ) -> dict[WmKey, tuple[int, float]]:
     """Run phase 1 on a sequence Dataset → {(source, window): (wm, cov%)}.
 
@@ -275,22 +275,26 @@ def compute_wm_table(
     to insert a distributed partial-merging round (:func:`_tree_merge_partials`
     — histograms are associative) so the driver receives exactly ONE row
     per key instead of one per (key × input block).  ``None`` auto-enables
-    it when the dataset's known input block count × a per-block key
-    estimate exceeds ``tree_merge_threshold`` rows; the extra shuffle only
-    pays for itself at high cardinality, so the default stays off for the
+    it only for genuinely huge scans (input file count above
+    ``tree_merge_threshold`` — at that scan width one extra merge round is
+    noise relative to the read, and the per-file partial fan-in to the
+    driver is the real risk).  Key CARDINALITY is not knowable before the
+    scan, so callers with known adversarial (source × window) spaces should
+    pass ``tree_merge=True`` explicitly; the default stays off for the
     bounded key spaces of the flagship pipelines.
     """
     partials = ds.map_batches(
         HistogramPartials(cfg, session_map), batch_format="pyarrow", batch_size=batch_size
     )
     if tree_merge is None:
-        # cheap upper-bound estimate: blocks × (typical keys per block).
-        # input_files/num_blocks are metadata-only for parquet reads.
+        # metadata-only estimate (works on lazy parquet reads; num_blocks()
+        # raises before execution): one partial row set per input file at
+        # minimum, so a very wide scan implies wide driver fan-in
         try:
-            n_blocks = ds.num_blocks()
+            n_files = len(ds.input_files())
         except Exception:
-            n_blocks = None
-        tree_merge = bool(n_blocks and n_blocks * 4096 > tree_merge_threshold)
+            n_files = 0
+        tree_merge = n_files > tree_merge_threshold
     if tree_merge:
         partials = _tree_merge_partials(partials, cfg)
 

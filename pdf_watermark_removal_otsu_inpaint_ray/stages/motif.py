@@ -159,6 +159,11 @@ class PayloadRule:
     def __init__(self, category: str, kind: str, patterns: tuple[str, ...], min_count: int = 1):
         if kind not in ("prefix", "count_min", "ordered_pair"):
             raise ValueError(f"unknown payload rule kind {kind}")
+        need = 2 if kind == "ordered_pair" else 1
+        if len(patterns) != need:  # fail at construction, not classify time
+            raise ValueError(f"{kind} rule takes exactly {need} pattern(s), got {len(patterns)}")
+        if any(not p for p in patterns):
+            raise ValueError("empty payload-rule pattern")
         self.category = category
         self.kind = kind
         self.patterns = tuple(np.array([ord(c) for c in p], dtype=np.int32) for p in patterns)

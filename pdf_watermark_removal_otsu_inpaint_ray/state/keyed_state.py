@@ -143,15 +143,11 @@ class KeyedStateActor:
     def _flush_late(self) -> None:
         if not self._late_buf:
             return
-        import os
-
-        from ..sinks.exactly_once import stage_table
+        from ..sinks.exactly_once import late_dir, stage_table
 
         table = pa.concat_tables(self._late_buf)
         self._late_buf, self._late_buf_rows = [], 0
-        stage_table(
-            os.path.join(self.sink_dir, "_late"), table, self.sink_partitions, self._late_done
-        )
+        stage_table(late_dir(self.sink_dir), table, self.sink_partitions, self._late_done)
 
     # -- ingest -----------------------------------------------------------
 

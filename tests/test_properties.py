@@ -267,3 +267,25 @@ def test_connected_components_union_find():
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
     keeps = {d for d, k in zip(out["doc_id"].to_pylist(), out["keep"].to_pylist()) if k}
     assert keeps == {1, 5}
+
+
+def test_content_and_partition_hashes_batch_boundary_independent():
+    """Regression (review finding): a batch ENDING with empty strings must
+    not perturb the preceding non-empty string's content hash or partition
+    id — hashes are per-value, never batch-composition-dependent."""
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import _text_hashes
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import hash_partition_ids
+
+    alone = _text_hashes(["ab"])
+    trailing = _text_hashes(["ab", ""])
+    middle = _text_hashes(["", "ab", "", ""])
+    assert alone[0] == trailing[0] == middle[1]
+    assert _text_hashes([""])[0] == trailing[1] == middle[0] == middle[2]
+
+    pa_alone = hash_partition_ids(pa.array(["doc-7"]), 64)
+    pa_trailing = hash_partition_ids(pa.array(["doc-7", "", ""]), 64)
+    pa_middle = hash_partition_ids(pa.array(["", "doc-7"]), 64)
+    assert pa_alone[0] == pa_trailing[0] == pa_middle[1]
+    assert hash_partition_ids(pa.array([""]), 64)[0] == pa_trailing[1]
