@@ -256,16 +256,20 @@ def _consume_partition(
     # monotonic actor watermark then correctly — but wrongly — lates them).
     inflight: deque = deque()  # (batch_max_ts, [ack refs]) in send order
 
-    def drain(block: bool) -> None:
+    def drain(max_depth: int) -> None:
+        """Pop acked heads (non-blocking), then block only until the queue
+        is back under ``max_depth`` — never stall the whole pipeline to
+        depth 0 on a high-water mark."""
         while inflight:
             head_mx, head_refs = inflight[0]
-            if block:
-                ray.get(head_refs)
-            else:
-                ready, _ = ray.wait(head_refs, num_returns=len(head_refs), timeout=0)
-                if len(ready) < len(head_refs):
-                    return
+            ready, _ = ray.wait(head_refs, num_returns=len(head_refs), timeout=0)
+            if len(ready) < len(head_refs):
+                break
             inflight.popleft()
+            tracker.update.remote(partition_id, head_mx)
+        while len(inflight) > max_depth:
+            head_mx, head_refs = inflight.popleft()
+            ray.get(head_refs)
             tracker.update.remote(partition_id, head_mx)
 
     wm = -(1 << 62)
@@ -299,9 +303,8 @@ def _consume_partition(
             max_ts = mx if max_ts is None else max(max_ts, mx)
             inflight.append((mx, refs))
             rows += batch.num_rows
-            drain(block=len(inflight) > 8)
-            drain(block=False)
-    drain(block=True)
+            drain(max_depth=8)
+    drain(max_depth=0)
     ray.get(tracker.close_partition.remote(partition_id))
     dt = time.perf_counter() - t0
     return {
@@ -365,13 +368,21 @@ def run_streaming_partitioned(
         for _ in range(n_actors)
     ]
     tracker = WatermarkTracker.remote(n_partitions, cfg.allowed_lateness)
-    metrics = ray.get(
-        [
-            _consume_partition.remote(i, groups[i], actors, tracker, n_actors, micro_batch_rows)
-            for i in range(n_partitions)
-        ]
-    )
+    consumer_refs = [
+        _consume_partition.remote(i, groups[i], actors, tracker, n_actors, micro_batch_rows)
+        for i in range(n_partitions)
+    ]
     emitted: list[pa.Table] = []
+    if out_dir is None:
+        # drain actor outboxes WHILE consumers run: without this the whole
+        # rewritten output accumulates in actor memory until end of stream
+        # (sink mode diverts emissions to storage, so nothing to drain)
+        pending = list(consumer_refs)
+        while pending:
+            _done, pending = ray.wait(pending, timeout=0.25)
+            for tables in ray.get([a.take_outbox.remote() for a in actors]):
+                emitted.extend(tables)
+    metrics = ray.get(consumer_refs)
     for tables in ray.get([a.flush.remote() for a in actors]):
         emitted.extend(tables)
     for tables in ray.get([a.take_outbox.remote() for a in actors]):
@@ -456,7 +467,9 @@ def run_streaming_salted(
             return
         items = []
         for s, w in due:
-            if cfg.detection_mode == "sticky" and s in sticky:
+            if cfg.fixed_wm_token >= 0:  # user override skips detection (M15)
+                wm_tok = cfg.fixed_wm_token
+            elif cfg.detection_mode == "sticky" and s in sticky:
                 wm_tok = sticky[s]
             else:
                 wm_tok, _ = detect_wm_token(hists[(s, w)], cfg)
@@ -471,11 +484,12 @@ def run_streaming_salted(
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         wm = ray.get(tracker.watermark.remote())
         finalize_due(wm)
-        ids = batch["doc_id"].combine_chunks()
-        salt = hash_partition_ids(ids, salt_buckets)
-        src = np.asarray(batch["source"])
-        route_keys = pa.array([f"{s}#{int(x)}" for s, x in zip(src, salt)], pa.string())
-        route = hash_partition_ids(route_keys, n_actors)
+        # vectorized (source, salt) -> actor routing: no per-row Python
+        # string building on the driver (the salted path exists precisely
+        # because the driver must keep up with a hot key)
+        salt = hash_partition_ids(batch["doc_id"].combine_chunks(), salt_buckets)
+        src_h = hash_partition_ids(batch["source"].combine_chunks(), 1 << 30)
+        route = ((src_h * np.int64(salt_buckets) + salt) * np.int64(1_000_003)) % n_actors
         acks = []
         for a in range(n_actors):
             idx = np.nonzero(route == a)[0]
@@ -497,7 +511,8 @@ def run_streaming_salted(
     leftovers = ray.get([a.buffered_keys.remote() for a in actors])
     left = sorted({k for ks in leftovers for k in map(tuple, ks)})
     if left:
-        items = [(s, w, sticky.get(s, -1)) for s, w in left]
+        fixed = cfg.fixed_wm_token if cfg.fixed_wm_token >= 0 else None
+        items = [(s, w, fixed if fixed is not None else sticky.get(s, -1)) for s, w in left]
         for tables in ray.get([a.finalize_windows.remote(items) for a in actors]):
             emitted.extend(tables)
 
@@ -571,13 +586,22 @@ def _run_salted_sessions(
                     out.append(ses)
             sessions[s] = out
 
+    sticky: dict[str, int] = {}
+
     def finalize_due(watermark: int) -> None:
         items: list[tuple[str, int, int, int]] = []
         for s in sorted(sessions):
             keep = []
-            for ses in sessions[s]:
+            for ses in sessions[s]:  # ascending start per source (merge invariant)
                 if ses["last"] + cfg.session_gap <= watermark:
-                    wm_tok, _cov = detect_wm_token(ses["hist"], cfg)
+                    if cfg.fixed_wm_token >= 0:  # user override skips detection
+                        wm_tok = cfg.fixed_wm_token
+                    elif cfg.detection_mode == "sticky" and s in sticky:
+                        wm_tok = sticky[s]
+                    else:
+                        wm_tok, _cov = detect_wm_token(ses["hist"], cfg)
+                        if cfg.detection_mode == "sticky" and wm_tok >= 0:
+                            sticky[s] = int(wm_tok)
                     items.append((s, ses["start"], ses["last"], int(wm_tok)))
                     horizons[s] = max(
                         horizons.get(s, -(1 << 62)), ses["last"] + cfg.session_gap
@@ -595,11 +619,12 @@ def _run_salted_sessions(
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         wm = ray.get(tracker.watermark.remote())
         finalize_due(wm)
-        ids = batch["doc_id"].combine_chunks()
-        salt = hash_partition_ids(ids, salt_buckets)
-        src = np.asarray(batch["source"])
-        route_keys = pa.array([f"{s}#{int(x)}" for s, x in zip(src, salt)], pa.string())
-        route = hash_partition_ids(route_keys, n_actors)
+        # vectorized (source, salt) -> actor routing: no per-row Python
+        # string building on the driver (the salted path exists precisely
+        # because the driver must keep up with a hot key)
+        salt = hash_partition_ids(batch["doc_id"].combine_chunks(), salt_buckets)
+        src_h = hash_partition_ids(batch["source"].combine_chunks(), 1 << 30)
+        route = ((src_h * np.int64(salt_buckets) + salt) * np.int64(1_000_003)) % n_actors
         acks = []
         for a in range(n_actors):
             idx = np.nonzero(route == a)[0]

@@ -41,6 +41,8 @@ def _window_end(window_id: int, cfg: EngineConfig) -> int:
         return (window_id + 1) * cfg.window_size
     if cfg.window_kind == "sliding":
         return window_id * cfg.window_slide + cfg.window_size
+    if cfg.window_kind == "global":
+        return 1 << 62  # one all-stream window: finalizes only at flush
     raise ValueError(f"streaming window kind {cfg.window_kind}")
 
 
@@ -93,7 +95,31 @@ class KeyedStateActor:
 
     def _clamp_wm(self, watermark: int) -> int:
         self.wm = max(self.wm, watermark)
+        # prune the finalized-key set: a window whose end <= wm is already
+        # rejected by the lateness predicate, so retaining its key only
+        # matters for externally-finalized windows AHEAD of the actor's
+        # watermark — without pruning the set grows O(windows ever seen)
+        if len(self.finalized) > 1024:
+            cfg = self.cfg
+            self.finalized = {
+                k for k in self.finalized if _window_end(k[1], cfg) > self.wm
+            }
         return self.wm
+
+    def _fixed_wm(self) -> int | None:
+        """User token override: detection is skipped entirely (M15,
+        golden.py fixed_wm_token semantics)."""
+        return self.cfg.fixed_wm_token if self.cfg.fixed_wm_token >= 0 else None
+
+    def _window_ends_vec(self, govern: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.window_kind == "tumbling":
+            return (govern + 1) * cfg.window_size
+        if cfg.window_kind == "sliding":
+            return govern * cfg.window_slide + cfg.window_size
+        if cfg.window_kind == "global":
+            return np.full(govern.size, 1 << 62, dtype=np.int64)
+        raise ValueError(cfg.window_kind)
 
     # -- sink-direct emission --------------------------------------------
 
@@ -167,7 +193,7 @@ class KeyedStateActor:
         # watermark implies every finalized window has end <= watermark, but
         # consult self.finalized too so a window finalized by an external
         # coordinator can never re-open)
-        win_end = np.array([_window_end(int(w), cfg) for w in govern], dtype=np.int64)
+        win_end = self._window_ends_vec(govern)
         late = win_end <= watermark
         if self.finalized:
             fin = np.array(
@@ -193,12 +219,14 @@ class KeyedStateActor:
             return ts // cfg.window_size
         if cfg.window_kind == "sliding":
             return ts // cfg.window_slide
+        if cfg.window_kind == "global":
+            return np.zeros(ts.size, dtype=np.int64)
         raise ValueError(cfg.window_kind)
 
     def _contributing(self, ts: np.ndarray) -> list[np.ndarray]:
         cfg = self.cfg
-        if cfg.window_kind == "tumbling":
-            return [(ts // cfg.window_size, np.ones(ts.size, bool))]
+        if cfg.window_kind in ("tumbling", "global"):
+            return [(self._governing(ts), np.ones(ts.size, bool))]
         out = []
         n_shifts = -(-cfg.window_size // cfg.window_slide)
         for j in range(n_shifts):
@@ -240,6 +268,20 @@ class KeyedStateActor:
     def _finalize_upto(self, watermark: int) -> list[pa.Table]:
         cfg = self.cfg
         out = []
+        if cfg.detection_mode == "sticky" and self._fixed_wm() is None:
+            # golden.apply_sticky scans EVERY window ascending — including
+            # sliding windows that only ever CONTRIBUTED (no governing rows
+            # buffered here): run the sticky detection over all due hists
+            # first, so a contributing-only window's detection can fix the
+            # source's token before any buffered window emits
+            self._sticky = getattr(self, "_sticky", {})
+            for key in sorted(
+                k for k in self.hists if _window_end(k[1], cfg) <= watermark
+            ):
+                if key[0] not in self._sticky:
+                    wm_tok, _cov = detect_wm_token(self.hists[key], cfg)
+                    if wm_tok >= 0:
+                        self._sticky[key[0]] = wm_tok
         due = [k for k in self.buffers if _window_end(k[1], cfg) <= watermark]
         for key in sorted(due):
             out.append(self._emit_window(key))
@@ -257,34 +299,21 @@ class KeyedStateActor:
         cfg = self.cfg
         rows = pa.concat_tables(self.buffers.pop(key))
         hist = self.hists.get(key)
+        fixed = self._fixed_wm()
         # sticky mode: first detection wins per source (the source's whole
         # key range lives on this actor in unsalted routing, and windows
         # finalize in ascending order, so actor-local sticky state matches
         # golden.apply_sticky; watermark_detector.py:562-568,188)
         self._sticky = getattr(self, "_sticky", {})
-        if cfg.detection_mode == "sticky" and key[0] in self._sticky:
+        if fixed is not None:
+            wm_tok = fixed
+        elif cfg.detection_mode == "sticky" and key[0] in self._sticky:
             wm_tok = self._sticky[key[0]]
         else:
             wm_tok, _cov = detect_wm_token(hist, cfg) if hist is not None else (-1, 0.0)
             if cfg.detection_mode == "sticky" and wm_tok >= 0:
                 self._sticky[key[0]] = wm_tok
-        fb = flatten_list_column(rows["tokens"])
-        wm_row = np.full(rows.num_rows, wm_tok, dtype=np.int64)
-        res = process_batch_flat(fb, wm_row, cfg)
-        off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
-        out = pa.table(
-            {
-                "doc_id": rows["doc_id"],
-                "tokens": pa.ListArray.from_arrays(off32, pa.array(res.values, pa.int32())),
-                "n_tok": rows["n_tok"],
-                "source": rows["source"],
-                "event_ts": rows["event_ts"],
-                "wm_token": pa.array(res.wm_row, pa.int32()),
-                "coverage_pct": pa.array(res.coverage_pct, pa.float64()),
-                "radius": pa.array(res.radius, pa.int32()),
-                "n_passes": pa.array(res.n_passes, pa.int32()),
-            }
-        )
+        out = self._rewrite_rows(rows, np.full(rows.num_rows, wm_tok, dtype=np.int64))
         # evict this window's hist; further sliding-hist eviction is
         # watermark-gated in _finalize_upto (a hist with window end past the
         # watermark may still receive on-time rows)
@@ -380,7 +409,23 @@ class KeyedStateActor:
             return []
         from ..stages.detect import detect_wm_many
 
-        wm_arr, _ = detect_wm_many(np.stack([ses["hist"] for _, ses in due]), cfg)
+        fixed = self._fixed_wm()
+        if fixed is not None:
+            wm_arr = np.full(len(due), fixed, dtype=np.int64)
+        else:
+            wm_arr, _ = detect_wm_many(np.stack([ses["hist"] for _, ses in due]), cfg)
+            if cfg.detection_mode == "sticky":
+                # golden applies sticky across session windows too (window
+                # id = session start; sessions close in ascending start per
+                # source, so actor-local first-detection-wins state matches
+                # golden.apply_sticky)
+                self._sticky = getattr(self, "_sticky", {})
+                wm_arr = wm_arr.copy()
+                for i, (s, _ses) in enumerate(due):
+                    if s in self._sticky:
+                        wm_arr[i] = self._sticky[s]
+                    elif wm_arr[i] >= 0:
+                        self._sticky[s] = int(wm_arr[i])
         tables, wm_rows = [], []
         for (s, ses), wm_tok in zip(due, wm_arr):
             t = pa.concat_tables(ses["tables"])
@@ -430,7 +475,7 @@ class KeyedStateActor:
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         src = np.asarray(batch["source"])
         govern = self._governing(ts)
-        win_end = np.array([_window_end(int(w), cfg) for w in govern], dtype=np.int64)
+        win_end = self._window_ends_vec(govern)
         late = win_end <= watermark
         if self.finalized:
             late |= np.array(
@@ -571,7 +616,6 @@ class KeyedStateActor:
     def finalize_windows(self, wm_items: list[tuple[str, int, int]]) -> list[pa.Table]:
         """Rewrite + emit + evict the given (source, window, wm_token) keys
         (only those this actor buffered)."""
-        cfg = self.cfg
         out = []
         for s, w, wm_tok in wm_items:
             key = (s, w)
@@ -580,23 +624,8 @@ class KeyedStateActor:
             if not tables:
                 continue
             rows = pa.concat_tables(tables)
-            fb = flatten_list_column(rows["tokens"])
-            res = process_batch_flat(fb, np.full(rows.num_rows, wm_tok, dtype=np.int64), cfg)
-            off32 = pa.array(fb.offsets.astype(np.int32), pa.int32())
             out.append(
-                pa.table(
-                    {
-                        "doc_id": rows["doc_id"],
-                        "tokens": pa.ListArray.from_arrays(off32, pa.array(res.values, pa.int32())),
-                        "n_tok": rows["n_tok"],
-                        "source": rows["source"],
-                        "event_ts": rows["event_ts"],
-                        "wm_token": pa.array(res.wm_row, pa.int32()),
-                        "coverage_pct": pa.array(res.coverage_pct, pa.float64()),
-                        "radius": pa.array(res.radius, pa.int32()),
-                        "n_passes": pa.array(res.n_passes, pa.int32()),
-                    }
-                )
+                self._rewrite_rows(rows, np.full(rows.num_rows, wm_tok, dtype=np.int64))
             )
             self.n_emitted += rows.num_rows
         return self._divert(out)

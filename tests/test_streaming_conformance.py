@@ -89,3 +89,112 @@ def test_partitioned_session_windows_multi_consumer(ray_session, tmp_path):
     assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
     assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
     assert len(metrics) == 3
+
+
+def _mk_rows(specs):
+    """specs: list of (doc_id, ts, tokens list) -> stream table."""
+    return pa.table(
+        {
+            "doc_id": pa.array([s[0] for s in specs], pa.string()),
+            "tokens": pa.array([s[2] for s in specs], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(s[2]) for s in specs], pa.int32()),
+            "source": pa.array(["s"] * len(specs), pa.string()),
+            "event_ts": pa.array([s[1] for s in specs], pa.int64()),
+        }
+    )
+
+
+def test_sticky_sliding_detects_on_contributing_windows(ray_session, tmp_path):
+    """Regression (review finding): in sticky+sliding mode a window that
+    only ever CONTRIBUTED rows (never governed any) can carry the source's
+    FIRST detection; streaming must scan all due window hists ascending,
+    not just buffered ones, to fix the same sticky token as golden."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming
+
+    rows = []
+    for i, ts in enumerate(range(24, 32)):  # governing w3; contribute to w0..w3
+        rows.append((f"a{i:02d}", ts, [120] * 10 + [30] * 90))
+    for i, ts in enumerate(range(48, 56)):  # governing w6
+        rows.append((f"b{i:02d}", ts, [200] * 15 + [30] * 85))
+    t = _mk_rows(rows)
+    p = str(tmp_path / "s.parquet")
+    pq.write_table(t, p)
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="sliding", window_size=32, window_slide=8,
+        allowed_lateness=4, detection_mode="sticky",
+    )
+    expected = golden.golden_pipeline(t, cfg).sort_by("doc_id")
+    res = run_streaming(p, cfg, n_actors=1, micro_batch_rows=4)
+    got = res.output.sort_by("doc_id")
+    assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+
+
+@pytest.mark.parametrize("kind,kw", [
+    ("tumbling", dict(window_size=24)),
+    ("session", dict(session_gap=4)),
+])
+def test_fixed_wm_token_streaming_matches_golden(ray_session, tmp_path, kind, kw):
+    """Regression (review finding): cfg.fixed_wm_token must skip detection
+    in EVERY streaming variant, exactly like golden/flagship (M15)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming,
+        run_streaming_salted,
+    )
+
+    p = str(tmp_path / "s.parquet")
+    synth.write_stream(p, 300, n_sources=2, disorder=4, rows_per_ts=1)
+    cfg = DEFAULT_CONFIG.with_(window_kind=kind, allowed_lateness=8,
+                               fixed_wm_token=150, **kw)
+    expected = golden.golden_pipeline(pq.read_table(p), cfg).sort_by("doc_id")
+    assert set(expected["wm_token"].to_pylist()) == {150}
+    for runner, label in ((run_streaming, "coordinated"), (run_streaming_salted, "salted")):
+        res = runner(p, cfg, n_actors=3, micro_batch_rows=64)
+        got = res.output.sort_by("doc_id")
+        assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist(), label
+        assert got["tokens"].to_pylist() == expected["tokens"].to_pylist(), label
+
+
+def test_sticky_sessions_streaming_matches_golden(ray_session, tmp_path):
+    """Regression (review finding): sticky mode applies across SESSION
+    windows (first detected session fixes the source's token), in both the
+    unsalted actor path and the salted driver path."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming,
+        run_streaming_salted,
+    )
+
+    p = str(tmp_path / "s.parquet")
+    synth.write_stream(p, 400, n_sources=3, disorder=4, rows_per_ts=1)
+    cfg = DEFAULT_CONFIG.with_(window_kind="session", session_gap=5,
+                               allowed_lateness=8, detection_mode="sticky")
+    expected = golden.golden_pipeline(pq.read_table(p), cfg).sort_by("doc_id")
+    for runner, label in ((run_streaming, "coordinated"), (run_streaming_salted, "salted")):
+        res = runner(p, cfg, n_actors=3, micro_batch_rows=64)
+        got = res.output.sort_by("doc_id")
+        assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist(), label
+        assert got["tokens"].to_pylist() == expected["tokens"].to_pylist(), label
+
+
+def test_global_window_streaming_matches_golden(ray_session, tmp_path):
+    """Regression (review finding): window_kind='global' (a documented
+    config golden/flagship support) now runs in the streaming engine —
+    one all-stream window per source, finalized at end-of-stream flush."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming,
+        run_streaming_partitioned,
+    )
+
+    p = str(tmp_path / "s.parquet")
+    synth.write_stream(p, 300, n_sources=3, disorder=6, rows_per_ts=1)
+    cfg = DEFAULT_CONFIG.with_(window_kind="global", allowed_lateness=8)
+    expected = golden.golden_pipeline(pq.read_table(p), cfg).sort_by("doc_id")
+    res = run_streaming(p, cfg, n_actors=2, micro_batch_rows=64)
+    assert res.n_late == 0
+    got = res.output.sort_by("doc_id")
+    assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+    assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
+    res2, _m = run_streaming_partitioned(p, cfg, n_actors=2, n_partitions=1,
+                                         micro_batch_rows=64)
+    got2 = res2.output.sort_by("doc_id")
+    assert got2["tokens"].to_pylist() == expected["tokens"].to_pylist()
