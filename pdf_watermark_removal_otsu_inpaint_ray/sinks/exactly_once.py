@@ -78,6 +78,48 @@ def _manifest_path(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, "_manifests", f"part-{part:05d}.json")
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-renamed entry survives power loss —
+    without this the data/manifest renames are not crash-durable and could
+    be reordered by the journal (manifest says committed, data file gone)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+_LAYOUT_CACHE: dict[str, int] = {}
+
+
+def _check_layout(out_dir: str, num_partitions: int) -> None:
+    """Pin the sink's partition count in a layout marker: resuming with a
+    DIFFERENT count would re-hash uncommitted rows into other partition ids
+    while committed_partitions() still reflects the old ones — the same
+    doc_id could then commit twice.  First writer records; later callers
+    must match."""
+    if _LAYOUT_CACHE.get(out_dir) == num_partitions:
+        return
+    mdir = os.path.join(out_dir, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    marker = os.path.join(mdir, "_layout.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            existing = int(json.load(f)["num_partitions"])
+        if existing != num_partitions:
+            raise RuntimeError(
+                f"sink {out_dir} was written with num_partitions={existing}; "
+                f"resuming with {num_partitions} would break exactly-once "
+                "(doc_ids re-hash across committed partitions)"
+            )
+    else:
+        _atomic_write_bytes(marker, json.dumps({"num_partitions": num_partitions}).encode())
+    _LAYOUT_CACHE[out_dir] = num_partitions
+
+
 def committed_partitions(out_dir: str) -> set[int]:
     mdir = os.path.join(out_dir, "_manifests")
     out = set()
@@ -105,12 +147,19 @@ def _atomic_write_bytes(path: str, data: bytes) -> None:
 
 
 def _commit_partition(
-    out_dir: str, part: int, table: pa.Table, fail_partitions: frozenset[int]
+    out_dir: str,
+    part: int,
+    table: pa.Table,
+    fail_partitions: frozenset[int],
+    overwrite: bool = False,
 ) -> pa.Table:
     """Commit one partition: dedup by doc_id, stable sort, temp+fsync+rename,
-    manifest.  Idempotent: a committed manifest short-circuits replays."""
+    manifest.  Idempotent: a committed manifest short-circuits replays —
+    unless ``overwrite`` (the resume=False path), which recommits over it
+    (previously a non-resume rewrite staged fresh rows and then silently
+    discarded them here, leaving stale output)."""
     mpath = _manifest_path(out_dir, part)
-    if os.path.exists(mpath):
+    if not overwrite and os.path.exists(mpath):
         with open(mpath) as f:
             if json.load(f).get("committed"):
                 return _manifest_row(part, "skipped", 0)
@@ -130,6 +179,7 @@ def _commit_partition(
     with open(tmp, "rb+") as f:
         os.fsync(f.fileno())
     os.replace(tmp, final)
+    _fsync_dir(pdir)  # the DATA rename must be durable before the manifest
     fingerprint = f"{table.num_rows}:{int(hash_partition_ids(table['doc_id'], _HASH_MOD).sum())}"
     manifest = {
         "partition_id": part,
@@ -139,6 +189,7 @@ def _commit_partition(
         "committed": True,
     }
     _atomic_write_bytes(mpath, json.dumps(manifest).encode())
+    _fsync_dir(os.path.dirname(mpath))
     return _manifest_row(part, "committed", table.num_rows)
 
 
@@ -147,7 +198,7 @@ def _staged_dir(out_dir: str, part: int) -> str:
 
 
 def _finalize_partition(
-    out_dir: str, part: int, fail_partitions: frozenset[int]
+    out_dir: str, part: int, fail_partitions: frozenset[int], overwrite: bool = False
 ) -> pa.Table:
     """Merge a partition's staged files → sort/dedup → atomic commit.
 
@@ -161,7 +212,7 @@ def _finalize_partition(
     if not files:
         return _manifest_row(part, "empty", 0)
     data = pa.concat_tables([pq.read_table(f) for f in files])
-    report = _commit_partition(out_dir, part, data, fail_partitions)
+    report = _commit_partition(out_dir, part, data, fail_partitions, overwrite=overwrite)
     for f in files:
         os.remove(f)
     try:
@@ -181,6 +232,7 @@ def stage_table(
     parquet file per touched partition, atomic rename.  Safe from any
     process (map task or state actor — the sink dir is shared storage).
     Rows of already-committed partitions are dropped.  Returns rows staged."""
+    _check_layout(out_dir, num_partitions)
     part = hash_partition_ids(table["doc_id"], num_partitions)
     if done:
         keep = ~np.isin(part, list(done))
@@ -208,14 +260,24 @@ def finalize_staged(
 
     done = committed_partitions(out_dir) if resume else set()
     sroot = os.path.join(out_dir, "_staged")
-    parts = sorted(
+    all_parts = sorted(
         int(d.split("=")[1]) for d in os.listdir(sroot) if d.startswith("part=")
     ) if os.path.isdir(sroot) else []
-    parts = [p for p in parts if p not in done]
+    parts = [p for p in all_parts if p not in done]
+    # stale stages of ALREADY-COMMITTED partitions (leftovers of a crashed
+    # earlier attempt) are dead weight forever if left: their rows were
+    # dropped source-side and finalize skips them — clean them up here
+    import shutil as _sh
+
+    for p in all_parts:
+        if p in done:
+            _sh.rmtree(_staged_dir(out_dir, p), ignore_errors=True)
     fin = ray.remote(num_cpus=1)(_finalize_partition)
     reports: list[pa.Table] = []
     errors: list[Exception] = []
-    for p, ref in [(p, fin.remote(out_dir, p, fail_partitions)) for p in parts]:
+    for p, ref in [
+        (p, fin.remote(out_dir, p, fail_partitions, not resume)) for p in parts
+    ]:
         try:
             reports.append(ray.get(ref))
         except Exception as e:  # let healthy partitions commit, then raise
@@ -260,7 +322,12 @@ def write_exactly_once(
     Returns the per-partition commit report.  With ``resume=True``, rows of
     already-committed partitions are dropped at the source side (a restarted
     job redoes only missing partitions); stale staged files from a crashed
-    attempt are deduped away (the pipeline is deterministic).
+    attempt are deduped away (the pipeline is deterministic).  With
+    ``resume=False`` every partition that receives rows is RE-committed
+    over any prior manifest (for a fully fresh layout, delete ``out_dir``).
+    The partition count is pinned in a layout marker — resuming with a
+    different ``num_partitions`` raises instead of silently re-hashing
+    doc_ids across committed partitions.
     ``fail_partitions`` is test-only fault injection (raise before commit).
     """
     os.makedirs(out_dir, exist_ok=True)

@@ -21,21 +21,45 @@ SEQ_COLUMNS = ["doc_id", "tokens", "n_tok", "source", "event_ts"]
 def _ensure_event_ts(batch: pa.Table) -> pa.Table:
     """Derive event_ts from doc_id ordering when the stream carries none.
 
-    doc_ids are zero-padded decimal (or suffixed "-docNNN"); the trailing
-    integer run is the deterministic event time (SURVEY.md §1.2).
+    doc_ids are zero-padded decimal (or suffixed "-docNNN"); the TRAILING
+    integer run is the deterministic event time (SURVEY.md §1.2).  The
+    extraction is one vectorized RE2 pass (``pc.extract_regex``) — no
+    per-row/per-char Python on the streaming micro-batch hot path, and a
+    doc_id with several digit runs ("src01-doc0005") yields 5, never the
+    concatenation 10005 (which would teleport the watermark by the source
+    index and mass-late every other source's rows).
     """
     if "event_ts" in batch.column_names:
         return batch
-    ids = batch["doc_id"].to_pylist()
-    ts = np.array([int("".join(ch for ch in i if ch.isdigit()) or 0) for i in ids], dtype=np.int64)
-    return batch.append_column("event_ts", pa.array(ts, pa.int64()))
+    import pyarrow.compute as pc
+
+    ext = pc.extract_regex(
+        batch["doc_id"].combine_chunks().cast(pa.string()), r"(?P<ts>[0-9]+)$"
+    )
+    ts = pc.fill_null(pc.cast(pc.struct_field(ext, "ts"), pa.int64()), 0)
+    return batch.append_column("event_ts", ts)
 
 
 def read_sequences(paths: str | list[str], *, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """Read a tokenized-sequence Parquet stream; adds event_ts if missing."""
+    """Read a tokenized-sequence Parquet stream; adds event_ts if missing.
+
+    "Missing" is judged against the FILE schema, not the pruned projection:
+    a caller selecting ``columns`` without event_ts from a stream that HAS
+    real event times gets the pruned columns untouched — fabricating
+    timestamps there would silently change window assignment based on
+    which columns a stage happened to select.
+    """
+    import os
+
+    import pyarrow.parquet as pq_
+
+    first = paths if isinstance(paths, str) else paths[0]
+    if os.path.isdir(first):
+        inner = sorted(f for f in os.listdir(first) if f.endswith(".parquet"))
+        first = os.path.join(first, inner[0]) if inner else first
+    file_has_ts = "event_ts" in pq_.read_schema(first).names
     ds = ray.data.read_parquet(paths, columns=columns)
-    names = ds.schema().names
-    if "event_ts" not in names:
+    if not file_has_ts and (columns is None or "doc_id" in columns):
         ds = ds.map_batches(_ensure_event_ts, batch_format="pyarrow")
     return ds
 

@@ -16,23 +16,32 @@ import ray
 class WatermarkTracker:
     def __init__(self, num_partitions: int, allowed_lateness: int):
         self.max_ts = {p: None for p in range(num_partitions)}
+        self.closed: set[int] = set()  # tombstones: closure is permanent
         self.lateness = allowed_lateness
 
     def update(self, partition_id: int, max_ts: int) -> int:
+        # a closed partition can never be resurrected: Ray retries a dead
+        # consumer task, and its replayed update() arriving AFTER its
+        # close_partition() must not re-insert the key — that would REGRESS
+        # the watermark other consumers already observed
+        if partition_id in self.closed:
+            return self.watermark()
         cur = self.max_ts.get(partition_id)
         if cur is None or max_ts > cur:
             self.max_ts[partition_id] = max_ts
         return self.watermark()
 
     def watermark(self) -> int:
+        if not self.max_ts:  # every partition closed: nothing can arrive
+            return 1 << 62
         vals = list(self.max_ts.values())
         if any(v is None for v in vals):
             return -(1 << 62)
         return min(vals) - self.lateness
 
     def close_partition(self, partition_id: int) -> int:
-        """A finished partition stops holding the watermark back."""
+        """A finished partition stops holding the watermark back (permanent:
+        a replayed update for it is ignored)."""
+        self.closed.add(partition_id)
         self.max_ts.pop(partition_id, None)
-        if not self.max_ts:
-            return 1 << 62
         return self.watermark()

@@ -51,7 +51,8 @@ def manifest_metrics(out_dir: str) -> dict:
     parts = []
     if os.path.isdir(mdir):
         for f in sorted(os.listdir(mdir)):
-            if f.endswith(".json"):
+            # per-partition manifests only (the dir also holds _layout.json)
+            if f.startswith("part-") and f.endswith(".json"):
                 with open(os.path.join(mdir, f)) as fh:
                     parts.append(json.load(fh))
     rows = [p.get("row_count", 0) for p in parts]

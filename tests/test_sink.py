@@ -122,3 +122,87 @@ def test_no_torn_files_visible(ray_session, stream_path, tmp_path):
     # committed set is consistent with on-disk data files
     for p in committed_partitions(out):
         assert os.path.exists(os.path.join(out, f"part={p:05d}", "data.parquet"))
+
+
+def test_resume_false_recommits_over_stale_output(ray_session, tmp_path):
+    """Regression (review finding): resume=False must RE-commit partitions
+    that already have manifests — previously fresh rows were staged and then
+    silently discarded, leaving stale output."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+        write_exactly_once,
+    )
+
+    out = str(tmp_path / "o")
+    a = synth.generate_stream(100, n_sources=2)
+    write_exactly_once(ray.data.from_arrow(a), out, num_partitions=4)
+    b = synth.generate_stream(100, start_row=500, n_sources=2)
+    report = write_exactly_once(ray.data.from_arrow(b), out, num_partitions=4, resume=False)
+    assert set(report["status"].to_pylist()) == {"committed"}
+    got = pa.concat_tables(
+        [pa.table(x) for x in read_output(out).iter_batches(batch_format="pyarrow")]
+    )
+    assert sorted(got["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist())
+
+
+def test_layout_marker_rejects_partition_count_change(ray_session, tmp_path):
+    """Resuming a sink with a different num_partitions must raise — doc_ids
+    would re-hash across committed partitions and commit twice."""
+    import pytest
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks import exactly_once as eo
+
+    out = str(tmp_path / "o")
+    a = synth.generate_stream(80, n_sources=2)
+    eo.write_exactly_once(ray.data.from_arrow(a), out, num_partitions=4)
+    eo._LAYOUT_CACHE.clear()  # fresh-process analog
+    with pytest.raises(Exception, match="num_partitions"):
+        eo.write_exactly_once(ray.data.from_arrow(a), out, num_partitions=8)
+
+
+def test_finalize_cleans_stale_staged_dirs_of_committed_parts(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        _staged_dir,
+        finalize_staged,
+        stage_table,
+        write_exactly_once,
+    )
+
+    out = str(tmp_path / "o")
+    a = synth.generate_stream(80, n_sources=2)
+    write_exactly_once(ray.data.from_arrow(a), out, num_partitions=4)
+    # simulate a crashed attempt's leftover stage for a committed partition
+    stage_table(out, a, 4, done=frozenset())
+    assert any(os.path.isdir(_staged_dir(out, p)) for p in range(4))
+    finalize_staged(out)  # resume: skips committed parts AND cleans stages
+    assert not any(os.path.isdir(_staged_dir(out, p)) for p in range(4))
+
+
+def test_watermark_tracker_tombstones_and_empty(ray_session):
+    import ray as _ray
+
+    from pdf_watermark_removal_otsu_inpaint_ray.state.watermark_tracker import (
+        WatermarkTracker,
+    )
+
+    tr = WatermarkTracker.remote(2, 0)
+    _ray.get(tr.update.remote(0, 100))
+    _ray.get(tr.update.remote(1, 50))
+    assert _ray.get(tr.watermark.remote()) == 50
+    _ray.get(tr.close_partition.remote(1))
+    assert _ray.get(tr.watermark.remote()) == 100
+    # a replayed update for the closed partition must not regress the wm
+    _ray.get(tr.update.remote(1, 10))
+    assert _ray.get(tr.watermark.remote()) == 100
+    _ray.get(tr.close_partition.remote(0))
+    assert _ray.get(tr.watermark.remote()) == 1 << 62  # empty: nothing can arrive
