@@ -25,7 +25,8 @@ def matrix_of(col: pa.ChunkedArray | pa.ListArray) -> np.ndarray:
     vals = np.asarray(col.values, dtype=np.float64)
     lens = np.diff(off)
     dim = int(lens[0]) if lens.size else 0
-    assert (lens == dim).all(), "ragged embedding column"
+    if (lens != dim).any():  # real check, not assert: -O must not skip it
+        raise ValueError("ragged embedding column (row lengths differ / null rows)")
     return vals[off[0] : off[-1]].reshape(-1, dim)
 
 
@@ -42,7 +43,11 @@ def cosine_topk(ds, query: np.ndarray, k: int = 10) -> pa.Table:
         sims = (M @ qv) / np.maximum(np.linalg.norm(M, axis=1), 1e-30)
         ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         take = min(k, sims.size)
-        part = np.argpartition(-sims, take - 1)[:take] if take else np.zeros(0, int)
+        # deterministic per-batch selection: exact sim TIES at the k-th
+        # value must keep the lowest vec_ids (argpartition keeps an
+        # arbitrary tied subset, which can drop the id the global
+        # (sim desc, vec_id asc) order would rank — block-layout-dependent)
+        part = np.lexsort((ids, -sims))[:take]
         return pa.table(
             {
                 "vec_id": pa.array(ids[part], pa.int64()),

@@ -353,7 +353,9 @@ def assign_session_windows(ts_sorted: np.ndarray, gap: int) -> np.ndarray:
     if ts_sorted.size == 0:
         return ts_sorted.copy()
     new_session = np.concatenate([[True], np.diff(ts_sorted) > gap])
-    starts = np.where(new_session, ts_sorted, 0)
+    # filler must be -inf, not 0: with negative timestamps a 0 filler would
+    # beat a negative session start in maximum.accumulate
+    starts = np.where(new_session, ts_sorted, np.iinfo(np.int64).min)
     return np.maximum.accumulate(starts)
 
 
@@ -443,8 +445,13 @@ def golden_pipeline(
     Returns the output table: doc_id, tokens (rewritten), n_tok, source,
     event_ts, wm_token, coverage_pct, radius, n_passes.
     """
-    wm = {} if cfg.fixed_wm_token >= 0 else golden_wm_table(table, cfg)
-    row_win = golden_row_window(table, cfg)
+    fixed = cfg.fixed_wm_token >= 0
+    wm = {} if fixed else golden_wm_table(table, cfg)
+    # per-row window lookup is unused when the fixed token skips detection
+    # (session assignment is the oracle's priciest step)
+    row_win = (
+        np.zeros(table.num_rows, dtype=np.int64) if fixed else golden_row_window(table, cfg)
+    )
     src = table["source"].to_pylist()
     ids = table["doc_id"].to_pylist()
     toks = table["tokens"].to_pylist()

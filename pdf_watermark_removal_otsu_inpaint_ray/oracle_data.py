@@ -306,6 +306,7 @@ def _golden_knn_ivf(sf_dir: str) -> pa.Table:
     probed partitions, lexsort tie-break."""
     from .functions.similarity import IvfIndex, matrix_of
 
+    k = 10  # matches q_knn_ivf's search_partitioned(k=10)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t["vec_id"], dtype=np.int64)
     M = matrix_of(t["embedding"])
@@ -315,11 +316,12 @@ def _golden_knn_ivf(sf_dir: str) -> pa.Table:
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
     part = np.argmax(Mn @ idx.centroids.T, axis=1)
     qn = q / max(np.linalg.norm(q), 1e-30)
-    probes = set(int(p) for p in np.argsort(-(idx.centroids @ qn))[:3])
+    # idx.n_probe, not a literal: the probe count must track q_knn_ivf
+    probes = set(int(p) for p in np.argsort(-(idx.centroids @ qn))[: idx.n_probe])
     keep = np.isin(part, list(probes))
     kids = ids[keep]
     sims = (M[keep] @ qn) / np.maximum(np.linalg.norm(M[keep], axis=1), 1e-30)
-    order = np.lexsort((kids, -sims))[:10]
+    order = np.lexsort((kids, -sims))[:k]
     return pa.table(
         {
             "vec_id": pa.array(kids[order], pa.int64()),
@@ -371,7 +373,12 @@ def _golden_run_summary(sf_dir: str) -> pa.Table:
     from .golden import golden_pipeline
 
     cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
-    out = golden_pipeline(_seq_table(sf_dir), cfg).to_pandas()
+    # prune the token lists before pandas: only scalar columns aggregate
+    out = (
+        golden_pipeline(_seq_table(sf_dir), cfg)
+        .select(["doc_id", "source", "wm_token", "radius", "n_passes"])
+        .to_pandas()
+    )
     out["n_wm"] = (out["wm_token"] >= 0).astype("int64")
     g = out.groupby("source", as_index=False).agg(
         rows=("doc_id", "size"),
