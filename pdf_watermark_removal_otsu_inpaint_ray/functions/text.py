@@ -102,13 +102,13 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     w = (pos.astype(np.int64) * FP_MULT) % FP_MOD
     term = (flat.astype(np.int64) * w) % FP_MOD
     off = np.concatenate([[0], np.cumsum(lens)])
+    fp = np.zeros(len(texts), np.int64)
     if len(texts) and flat.size:
-        # reduceat: clip start indices of empty docs (fixed up by the where)
-        starts = np.minimum(off[:-1], flat.size - 1)
-        fp = np.add.reduceat(term, starts)
-        fp = np.where(np.asarray(lens) > 0, fp, 0)
-    else:
-        fp = np.zeros(len(texts), np.int64)
+        # reduceat only over NON-EMPTY docs' starts: clipping starts would
+        # steal the preceding doc's final token whenever the batch ends
+        # with empty texts (same boundary class as hash_partition_ids)
+        nz = np.asarray(lens) > 0
+        fp[nz] = np.add.reduceat(term, off[:-1][nz])
     return pa.table(
         {
             "doc_id": pc.cast(batch["doc_id"], pa.int64()),

@@ -65,7 +65,18 @@ def run_auto_tuned(
     """Distributed auto-tuned rewrite; returns the union of per-parameter-set
     flagship outputs (metadata columns omitted so group schemas align)."""
     cfgs = auto_tuned_configs(ds, cfg)
-    wm = compute_wm_table(ds, cfg)
+    # mirror run_flagship's phase-1 gating: session windows need the
+    # broadcastable session mapping (crashes in workers without it), and
+    # auto/fixed detection never consults the wm table at all
+    session_map = None
+    if cfg.window_kind == "session":
+        from ..stages.detect import session_window_mapping
+
+        session_map = session_window_mapping(ds, cfg)
+    if cfg.detection_method == "auto" or cfg.fixed_wm_token >= 0:
+        wm = {}
+    else:
+        wm = compute_wm_table(ds, cfg, session_map=session_map)
 
     groups: dict[EngineConfig, list[str]] = {}
     for s, c in cfgs.items():
