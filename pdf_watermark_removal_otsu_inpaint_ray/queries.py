@@ -401,6 +401,28 @@ def q_motif_payload_counts(sf_dir: str):
     return ev.groupby(["category", "payload_class"]).aggregate(Count(alias_name="n"))
 
 
+def q_motif_payload_qr(sf_dir: str):
+    """QR-breadth payload classification (qr_detector.py:309-351): the
+    registry's "qr" classifier is the reference's full TWO-stage dispatch —
+    a 9-branch prioritized type chain (url→wifi→contact→email→phone→sms→
+    location→calendar→text) with OR'd sub-predicates (mailto: prefix OR
+    '@'-anywhere; tel: prefix OR the 7..15-digit count-range rule), then
+    the keyword classifier (advertisement/documentation/general) for the
+    wifi and text types — 10 output categories.  Grouped counts per
+    (category, payload_class) with a nested-CASE DuckDB twin."""
+    from ray.data.aggregate import Count
+
+    from .registry import get_payload_rules
+    from .stages.motif import MotifStage
+
+    motifs = [(cat, tuple(ord(c) for c in marker)) for cat, marker in MOTIFS]
+    ev = _seq_ds(sf_dir).map_batches(
+        MotifStage(motifs, DEFAULT_CONFIG, payload_rules=get_payload_rules("qr")),
+        batch_format="pyarrow",
+    )
+    return ev.groupby(["category", "payload_class"]).aggregate(Count(alias_name="n"))
+
+
 def q_motif_category_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -813,6 +835,7 @@ QUERIES = {
     "run_summary": q_run_summary,
     "motif_spans": q_motif_spans,
     "motif_payload_counts": q_motif_payload_counts,
+    "motif_payload_qr": q_motif_payload_qr,
     "motif_category_counts": q_motif_category_counts,
     "motif_removal_filter": q_motif_removal_filter,
     "motif_doc_join": q_motif_doc_join,
@@ -848,6 +871,16 @@ _MOTIF_UNION = "\nUNION ALL\n".join(
     f"CAST({len(m)} AS BIGINT) AS span_len, '{c}' AS category "
     f"FROM documents WHERE strpos(text, '{m}') > 0"
     for c, m in MOTIFS
+)
+
+# inner keyword CASE of the two-stage QR classifier (qr_detector.py:123-129
+# via 57-89): ad keywords before doc keywords, 'general' fallback
+_QR_KW_SQL = (
+    "CASE WHEN strpos(p, 'spark') > 0 OR strpos(p, 'fast') > 0 "
+    "OR strpos(p, 'big') > 0 THEN 'advertisement' "
+    "WHEN strpos(p, 'filter') > 0 OR strpos(p, 'agg') > 0 "
+    "OR strpos(p, 'column') > 0 THEN 'documentation' "
+    "ELSE 'general' END"
 )
 
 ORACLE_SQL = {
@@ -924,6 +957,31 @@ ORACLE_SQL = {
                              AND strpos(substr(p, strpos(p, 'key') + 3), 'value') > 0
                              THEN 'keyed_pair'
                         ELSE 'plain' END AS payload_class
+            FROM (SELECT substr(text, strpos(text, '{m}') + {len(m)}, 24) AS p
+                  FROM documents WHERE strpos(text, '{m}') > 0)
+        ) GROUP BY category, payload_class"""
+        for c, m in MOTIFS
+    ),
+    # two-stage QR dispatch twin: outer CASE = type chain in reference
+    # priority order, inner CASE = keyword classifier for the wifi/text
+    # fall-through (qr_detector.py:309-351)
+    "motif_payload_qr": "\nUNION ALL\n".join(
+        f"""SELECT category, payload_class, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT '{c}' AS category,
+                   CASE WHEN p LIKE ' query%' OR p LIKE ' table%' THEN 'website'
+                        WHEN p LIKE ' stream%' THEN {_QR_KW_SQL}
+                        WHEN strpos(p, 'customer') > 0 THEN 'contact'
+                        WHEN p LIKE ' merge%' OR strpos(p, 'join') > 0 THEN 'email'
+                        WHEN p LIKE ' line%'
+                             OR len(regexp_extract_all(p, '[a-e]')) BETWEEN 7 AND 15
+                             THEN 'phone'
+                        WHEN p LIKE ' slow%' OR p LIKE ' small%' THEN 'sms'
+                        WHEN p LIKE ' group%'
+                             OR (strpos(p, 'key') > 0
+                                 AND strpos(substr(p, strpos(p, 'key') + 3), 'value') > 0)
+                             THEN 'location'
+                        WHEN strpos(p, 'vector') > 0 THEN 'calendar'
+                        ELSE {_QR_KW_SQL} END AS payload_class
             FROM (SELECT substr(text, strpos(text, '{m}') + {len(m)}, 24) AS p
                   FROM documents WHERE strpos(text, '{m}') > 0)
         ) GROUP BY category, payload_class"""

@@ -102,6 +102,12 @@ def _register_builtins() -> None:
     )
 
     register_payload_rules("default", DEFAULT_PAYLOAD_RULES)
+
+    # QR-breadth two-stage classifier (qr_detector.py:309-351): 9-type
+    # dispatch + keyword fallback, 10 output categories
+    from .stages.motif import TwoStageClassifier
+
+    register_payload_rules("qr", TwoStageClassifier())
     register_motif_matcher("exact", find_pattern_flat)
     register_motif_matcher("rolling-hash", find_pattern_rolling)
 

@@ -73,9 +73,11 @@ class MotifStage:
     per (row, category) — mirroring the reference emitting one QRCodeInfo per
     detected code with its category (qr_detector.py:226-268).
 
-    ``payload_rules``: optional list of :class:`PayloadRule` — when set, a
-    ``payload_class`` column classifies each span's trailing payload window
-    (the reference's QR content-type heuristics, qr_detector.py:38-121).
+    ``payload_rules``: optional list of :class:`PayloadRule` (flat chain,
+    'plain' fallback) or a :class:`TwoStageClassifier` (the QR-breadth
+    type→keyword dispatch) — when set, a ``payload_class`` column
+    classifies each span's trailing payload window (the reference's QR
+    content-type heuristics, qr_detector.py:38-121, 309-351).
     """
 
     def __init__(
@@ -124,8 +126,14 @@ class MotifStage:
             "category": pa.array(out_cat, pa.string()),
         }
         if self.payload_rules is not None:
+            rules = self.payload_rules
+            _classify = (
+                rules.classify
+                if isinstance(rules, TwoStageClassifier)
+                else lambda fb, fs, lens, w: classify_payloads(fb, fs, lens, rules, w)
+            )
             cls = (
-                classify_payloads(fb, fs, lens, self.payload_rules, self.payload_window)
+                _classify(fb, fs, lens, self.payload_window)
                 if fs.size
                 else np.zeros(0, dtype=object)
             )
@@ -140,34 +148,56 @@ class MotifStage:
 # space analogs classify the payload window (the P tokens following a
 # matched span) with three vectorized rule kinds:
 #
-# * prefix      — payload starts with a pattern (URL:/WIFI: dispatch);
-# * count_min   — >= k occurrences of a pattern in the window (phone
-#                 digit-count rule);
-# * ordered_pair— pattern A followed by pattern B inside the window
-#                 (coordinate "lat,lon" regex shape).
+# * prefix          — payload starts with a pattern (URL:/WIFI: dispatch);
+# * count_min       — occurrence count of a pattern in the window within
+#                     [min_count, max_count] (contains-anywhere when
+#                     min_count=1; the >=2 'row' tabular rule);
+# * ordered_pair    — pattern A followed by pattern B inside the window
+#                     (coordinate "lat,lon" regex shape);
+# * charclass_range — count of tokens inside a contiguous codepoint class
+#                     within [min_count, max_count] (the tel: 7..15-digit
+#                     rule, qr_detector.py:38-45: digits are the contiguous
+#                     class 48..57).
 #
 # Rules evaluate in priority order (first hit wins, like the reference's
-# if/elif chain); unmatched payloads fall back to "plain".  Rule tables are
-# registry-pluggable (registry.register_payload_rules), mirroring the
-# reference's pluggable detector dispatch.
+# if/elif chain); several rules may share a category, which gives the
+# reference's OR'd predicates (``tel:`` prefix OR digit count,
+# qr_detector.py:106-107) for free.  Unmatched payloads fall back to
+# "plain".  Rule tables are registry-pluggable
+# (registry.register_payload_rules), mirroring the reference's pluggable
+# detector dispatch.
 # ---------------------------------------------------------------------------
 
 
 class PayloadRule:
-    """One classification rule; ``kind`` in {prefix, count_min, ordered_pair}."""
+    """One classification rule; ``kind`` in {prefix, count_min,
+    ordered_pair, charclass_range}."""
 
-    def __init__(self, category: str, kind: str, patterns: tuple[str, ...], min_count: int = 1):
-        if kind not in ("prefix", "count_min", "ordered_pair"):
+    def __init__(
+        self,
+        category: str,
+        kind: str,
+        patterns: tuple[str, ...],
+        min_count: int = 1,
+        max_count: int | None = None,
+        cls: tuple[str, str] | None = None,
+    ):
+        if kind not in ("prefix", "count_min", "ordered_pair", "charclass_range"):
             raise ValueError(f"unknown payload rule kind {kind}")
-        need = 2 if kind == "ordered_pair" else 1
+        need = {"ordered_pair": 2, "charclass_range": 0}.get(kind, 1)
         if len(patterns) != need:  # fail at construction, not classify time
             raise ValueError(f"{kind} rule takes exactly {need} pattern(s), got {len(patterns)}")
         if any(not p for p in patterns):
             raise ValueError("empty payload-rule pattern")
+        if kind == "charclass_range":
+            if cls is None or len(cls) != 2 or cls[0] > cls[1]:
+                raise ValueError("charclass_range needs cls=(lo_char, hi_char) with lo <= hi")
+            self.cls_lo, self.cls_hi = ord(cls[0]), ord(cls[1])
         self.category = category
         self.kind = kind
         self.patterns = tuple(np.array([ord(c) for c in p], dtype=np.int32) for p in patterns)
         self.min_count = min_count
+        self.max_count = max_count
 
 
 DEFAULT_PAYLOAD_RULES = [
@@ -178,21 +208,16 @@ DEFAULT_PAYLOAD_RULES = [
 ]
 
 
-def classify_payloads(
+def _apply_rules(
     fb: FlatBatch,
-    flat_starts: np.ndarray,
-    span_lens: np.ndarray,
-    rules: list[PayloadRule] | None = None,
-    window: int = 24,
-) -> np.ndarray:
-    """Category per span event from its payload window, fully vectorized.
-
-    ``flat_starts``: flat value-index of each span start; the payload
-    window is the ``window`` tokens after the span, clamped at row end
-    (qr_detector.py:373-400 clamps the same way)."""
-    rules = DEFAULT_PAYLOAD_RULES if rules is None else rules
-    w0 = flat_starts + span_lens
-    w_end = np.minimum(w0 + window, fb.row_end[flat_starts])
+    w0: np.ndarray,
+    w_end: np.ndarray,
+    rules: list[PayloadRule],
+) -> tuple[np.ndarray, np.ndarray]:
+    """One first-hit-wins pass of ``rules`` over payload windows
+    ``[w0, w_end)``; returns (category object array, still-unset mask) with
+    NO fallback applied — callers choose the fallback (plain chain vs the
+    two-stage QR dispatch)."""
     out = np.full(w0.size, None, dtype=object)
     unset = np.ones(w0.size, dtype=bool)
     for rule in rules:
@@ -214,7 +239,19 @@ def classify_payloads(
             m = find_pattern_flat(fb, q)
             lo = np.searchsorted(m, w0)
             hi = np.searchsorted(m, w_end - q.size + 1)
-            hit = (hi - lo) >= rule.min_count
+            cnt = hi - lo
+            hit = cnt >= rule.min_count
+            if rule.max_count is not None:
+                hit &= cnt <= rule.max_count
+        elif rule.kind == "charclass_range":
+            # count of window tokens inside the contiguous codepoint class,
+            # via one prefix sum (the 7..15-digit tel: rule shape)
+            mask = (fb.values >= rule.cls_lo) & (fb.values <= rule.cls_hi)
+            psum = np.concatenate([[0], np.cumsum(mask)])
+            cnt = psum[w_end] - psum[w0]
+            hit = cnt >= rule.min_count
+            if rule.max_count is not None:
+                hit &= cnt <= rule.max_count
         else:  # ordered_pair
             qa, qb = rule.patterns
             ma = find_pattern_flat(fb, qa)
@@ -232,8 +269,118 @@ def classify_payloads(
         take = hit & unset
         out[take] = rule.category
         unset &= ~hit
+    return out, unset
+
+
+def _payload_windows(
+    fb: FlatBatch, flat_starts: np.ndarray, span_lens: np.ndarray, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Payload window ``[w0, w_end)`` per span: the ``window`` tokens after
+    the span, clamped at row end (qr_detector.py:373-400 clamps the same
+    way)."""
+    w0 = flat_starts + span_lens
+    w_end = np.minimum(w0 + window, fb.row_end[flat_starts])
+    return w0, w_end
+
+
+def classify_payloads(
+    fb: FlatBatch,
+    flat_starts: np.ndarray,
+    span_lens: np.ndarray,
+    rules: list[PayloadRule] | None = None,
+    window: int = 24,
+) -> np.ndarray:
+    """Category per span event from its payload window, fully vectorized;
+    flat first-hit-wins chain with 'plain' fallback."""
+    rules = DEFAULT_PAYLOAD_RULES if rules is None else rules
+    w0, w_end = _payload_windows(fb, flat_starts, span_lens, window)
+    out, unset = _apply_rules(fb, w0, w_end, rules)
     out[unset] = "plain"
     return out
+
+
+# ---------------------------------------------------------------------------
+# QR-breadth two-stage classifier (qr_detector.py:309-351): the reference
+# classifies content in TWO stages — a 9-branch prioritized TYPE dispatch
+# (url→wifi→contact→email→phone→sms→location→calendar→text), then a
+# type→category map in which the ``wifi`` and ``text`` types fall through to
+# a keyword classifier (_classify_text_content, qr_detector.py:123-129:
+# advertisement / documentation / general).  Each type predicate is an OR of
+# sub-predicates (_is_email = ``mailto:`` prefix OR ``@`` anywhere;
+# _is_phone = ``tel:`` prefix OR 7..15-digit count, qr_detector.py:92-121),
+# expressed here as consecutive rules sharing a category.  Patterns are
+# token-space analogs drawn from the synthetic corpus vocabulary; the
+# STRUCTURE (dispatch order, OR'd predicates, the count-range rule, the
+# wifi fall-through quirk) mirrors the reference exactly.
+# ---------------------------------------------------------------------------
+
+_TEXT_TYPE = "__text__"  # sentinel: type resolved, category via keywords
+
+QR_TYPE_RULES = [
+    PayloadRule("website", "prefix", (" query",)),  # _is_url: http:// | https://
+    PayloadRule("website", "prefix", (" table",)),  # _is_url: www.
+    PayloadRule(_TEXT_TYPE, "prefix", (" stream",)),  # _is_wifi: WIFI: (category
+    # falls through to the keyword classifier — qr_detector.py:339-351 maps
+    # the WIFI type through the final else branch, a faithful quirk)
+    PayloadRule("contact", "count_min", ("customer",)),  # _is_contact: VCARD anywhere
+    PayloadRule("email", "prefix", (" merge",)),  # _is_email: mailto:
+    PayloadRule("email", "count_min", ("join",)),  # _is_email: '@' anywhere
+    PayloadRule("phone", "prefix", (" line",)),  # _is_phone: tel:
+    PayloadRule("phone", "charclass_range", (), min_count=7, max_count=15,
+                cls=("a", "e")),  # _is_phone_number: 7..15 chars of a
+    # contiguous class (digits 48..57 in the reference; a..e here)
+    PayloadRule("sms", "prefix", (" slow",)),  # _is_sms: sms:
+    PayloadRule("sms", "prefix", (" small",)),  # _is_sms: SMSTO:
+    PayloadRule("location", "prefix", (" group",)),  # _is_location: geo:
+    PayloadRule("location", "ordered_pair", ("key", "value")),  # _is_coordinates:
+    # lat , lon ordered pattern
+    PayloadRule("calendar", "count_min", ("vector",)),  # _is_calendar: VEVENT anywhere
+]
+
+QR_KEYWORD_RULES = [
+    # _is_likely_advertisement keyword list (qr_detector.py:57-72), checked
+    # before documentation like the reference's if/elif
+    PayloadRule("advertisement", "count_min", ("spark",)),
+    PayloadRule("advertisement", "count_min", ("fast",)),
+    PayloadRule("advertisement", "count_min", ("big",)),
+    # _is_likely_documentation keyword list (qr_detector.py:74-89)
+    PayloadRule("documentation", "count_min", ("filter",)),
+    PayloadRule("documentation", "count_min", ("agg",)),
+    PayloadRule("documentation", "count_min", ("column",)),
+]
+
+
+class TwoStageClassifier:
+    """Two-pass payload classifier mirroring _classify_qr_content
+    (qr_detector.py:309-351): ``type_rules`` first-hit-wins; spans whose
+    type is the text sentinel (or unmatched) are classified by
+    ``keyword_rules``, falling back to ``fallback``."""
+
+    def __init__(
+        self,
+        type_rules: list[PayloadRule] | None = None,
+        keyword_rules: list[PayloadRule] | None = None,
+        fallback: str = "general",
+    ):
+        self.type_rules = QR_TYPE_RULES if type_rules is None else type_rules
+        self.keyword_rules = QR_KEYWORD_RULES if keyword_rules is None else keyword_rules
+        self.fallback = fallback
+
+    def classify(
+        self,
+        fb: FlatBatch,
+        flat_starts: np.ndarray,
+        span_lens: np.ndarray,
+        window: int = 24,
+    ) -> np.ndarray:
+        w0, w_end = _payload_windows(fb, flat_starts, span_lens, window)
+        out, unset = _apply_rules(fb, w0, w_end, self.type_rules)
+        to_text = unset | (out == _TEXT_TYPE)
+        if to_text.any():
+            kw, kw_unset = _apply_rules(fb, w0, w_end, self.keyword_rules)
+            kw[kw_unset] = self.fallback
+            out[to_text] = kw[to_text]
+        return out
 
 
 def category_filter(events: pa.Table, categories: tuple[str, ...]) -> pa.Table:

@@ -179,6 +179,87 @@ def test_payload_classification_rules_and_registry(ray_session):
     )
     assert st(t3)["payload_class"].to_pylist() == ["plain"]
 
+
+def test_qr_two_stage_classifier(ray_session):
+    """QR-breadth classifier (qr_detector.py:309-351 analog): type chain
+    priority, OR'd predicates, the charclass count-range rule, and the
+    wifi fall-through quirk (a wifi-typed payload is keyword-classified,
+    NOT matched by later type rules)."""
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.registry import get_payload_rules
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.motif import (
+        MotifStage,
+        PayloadRule,
+        TwoStageClassifier,
+    )
+
+    texts = [
+        "xx spark query join more",        # url prefix wins over '@'-contains
+        "xx spark table xyz",              # second url prefix (www. analog)
+        "xx spark stream join spark",      # wifi quirk: NOT email; ad keyword
+        "xx spark stream join zz",         # wifi quirk, no keyword -> general
+        "xx spark zz customer zz",         # VCARD-anywhere -> contact
+        "xx spark merge zz",               # mailto: prefix -> email
+        "xx spark zz join zz",             # '@'-anywhere -> email
+        "xx spark line zz",                # tel: prefix -> phone
+        "xx spark zz vector zz",           # VEVENT-anywhere -> calendar
+        "xx spark zz filter zz",           # doc keyword via text type
+        "xx spark zz zz zz zz",            # nothing -> general
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))], pa.string()),
+            "tokens": pa.array(
+                [[ord(c) for c in x] for x in texts], pa.list_(pa.int32())
+            ),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+        }
+    )
+    motifs = [("website", tuple(ord(c) for c in "spark"))]
+    qr = get_payload_rules("qr")
+    assert isinstance(qr, TwoStageClassifier)
+    st = MotifStage(motifs, DEFAULT_CONFIG, payload_rules=qr)
+    out = st(t)
+    got = dict(zip(out["doc_id"].to_pylist(), out["payload_class"].to_pylist()))
+    assert got == {
+        "d0": "website", "d1": "website", "d2": "advertisement",
+        "d3": "general", "d4": "contact", "d5": "email", "d6": "email",
+        "d7": "phone", "d8": "calendar", "d9": "documentation",
+        "d10": "general",
+    }
+
+    # charclass_range boundaries: count of [a-e] chars in the 24-token
+    # window must land inside [min,max] (the 7..15-digit tel: rule shape)
+    rules = [PayloadRule("hit", "charclass_range", (), min_count=3, max_count=4,
+                         cls=("a", "e"))]
+    st2 = MotifStage(motifs, DEFAULT_CONFIG, payload_rules=rules)
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(["lo", "in", "hi"], pa.string()),
+            "tokens": pa.array(
+                [
+                    [ord(c) for c in "zz spark zz ab zz"],       # 2 -> plain
+                    [ord(c) for c in "zz spark zz abc zz"],      # 3 -> hit
+                    [ord(c) for c in "zz spark abcde zz"],       # 5 -> plain
+                ],
+                pa.list_(pa.int32()),
+            ),
+            "source": pa.array(["s"] * 3, pa.string()),
+        }
+    )
+    got2 = dict(zip(st2(t2)["doc_id"].to_pylist(), st2(t2)["payload_class"].to_pylist()))
+    assert got2 == {"lo": "plain", "in": "hit", "hi": "plain"}
+
+    # construction-time validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        PayloadRule("x", "charclass_range", ())  # missing cls
+    with pytest.raises(ValueError):
+        PayloadRule("x", "charclass_range", (), cls=("e", "a"))  # lo > hi
+
+
 def test_motif_matcher_backends_agree():
     """The rolling-hash matcher backend returns the identical start set as
     the shifted-AND exact matcher (self-overlapping patterns, row-boundary
