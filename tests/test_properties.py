@@ -289,3 +289,84 @@ def test_content_and_partition_hashes_batch_boundary_independent():
     pa_middle = hash_partition_ids(pa.array(["", "doc-7"]), 64)
     assert pa_alone[0] == pa_trailing[0] == pa_middle[1]
     assert hash_partition_ids(pa.array([""]), 64)[0] == pa_trailing[1]
+
+
+_QR_WORDS = [
+    "query", "table", "stream", "customer", "merge", "join", "line", "slow",
+    "small", "group", "key", "value", "vector", "spark", "fast", "big",
+    "filter", "agg", "column", "zz", "ab", "abcde", "x", "qq",
+]
+
+
+def _py_qr_classify(p: str) -> str:
+    """Per-row pure-Python spec of the two-stage QR classifier
+    (qr_detector.py:309-351 analog): overlapping contains-counts, first-A
+    ordered pair, charclass range — independent of the vectorized kernels."""
+
+    def cnt(sub):  # overlapping occurrences fully inside the window
+        return sum(1 for i in range(len(p)) if p.startswith(sub, i))
+
+    def kw():
+        if cnt("spark") or cnt("fast") or cnt("big"):
+            return "advertisement"
+        if cnt("filter") or cnt("agg") or cnt("column"):
+            return "documentation"
+        return "general"
+
+    nc = sum(1 for ch in p if "a" <= ch <= "e")
+    if p.startswith(" query") or p.startswith(" table"):
+        return "website"
+    if p.startswith(" stream"):
+        return kw()
+    if cnt("customer"):
+        return "contact"
+    if p.startswith(" merge") or cnt("join"):
+        return "email"
+    if p.startswith(" line") or 7 <= nc <= 15:
+        return "phone"
+    if p.startswith(" slow") or p.startswith(" small"):
+        return "sms"
+    ia = p.find("key")
+    if p.startswith(" group") or (ia >= 0 and p.find("value", ia + 3) >= 0):
+        return "location"
+    if cnt("vector"):
+        return "calendar"
+    return kw()
+
+
+@given(st.lists(st.lists(st.sampled_from(_QR_WORDS), min_size=0, max_size=12),
+                min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_qr_classifier_matches_python_spec(word_rows):
+    """The vectorized TwoStageClassifier reproduces the per-row Python spec
+    on arbitrary word sequences, including spans near row end (window
+    clamp), multiple rule hits (chain priority), and rows with no span."""
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.registry import get_payload_rules
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.motif import MotifStage
+
+    texts = [" ".join(ws) for ws in word_rows]
+    t = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(len(texts))], pa.string()),
+            "tokens": pa.array(
+                [[ord(c) for c in x] for x in texts], pa.list_(pa.int32())
+            ),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+        }
+    )
+    st_ = MotifStage(
+        [("website", tuple(ord(c) for c in "spark"))],
+        DEFAULT_CONFIG,
+        payload_rules=get_payload_rules("qr"),
+    )
+    out = st_(t)
+    got = dict(zip(out["doc_id"].to_pylist(), out["payload_class"].to_pylist()))
+    exp = {}
+    for i, text in enumerate(texts):
+        j = text.find("spark")
+        if j >= 0:
+            exp[str(i)] = _py_qr_classify(text[j + 5 : j + 5 + 24])
+    assert got == exp
