@@ -79,6 +79,8 @@ def _median3_flat(values: np.ndarray, fb: FlatBatch) -> np.ndarray:
     """Row-clamped 1-D median-of-3 (edges: median of the clamped window =
     middle value of the two -> lower of the two, deterministic)."""
     n = values.size
+    if n == 0:  # all rows empty in this batch — nothing to smooth
+        return values.copy()
     left = np.empty(n, dtype=values.dtype)
     right = np.empty(n, dtype=values.dtype)
     left[1:] = values[:-1]
@@ -136,11 +138,13 @@ def batch_source_stats(batch: pa.Table, cfg: EngineConfig) -> dict[str, SourceSt
         lap[1:-1] = g64[:-2] - 2 * g64[1:-1] + g64[2:]
         lv = lap[interior]
         key = pos_src[interior]
+        ln = np.bincount(key, minlength=n_src)
+        ls = np.bincount(key, weights=lv, minlength=n_src)
+        lq = np.bincount(key, weights=lv * lv, minlength=n_src)
         for i in range(n_src):
-            m = key == i
-            stats[i].lap_n += int(m.sum())
-            stats[i].lap_sum += float(lv[m].sum())
-            stats[i].lap_sumsq += float((lv[m] * lv[m]).sum())
+            stats[i].lap_n += int(ln[i])
+            stats[i].lap_sum += float(ls[i])
+            stats[i].lap_sumsq += float(lq[i])
 
     # 4. median-3 residual
     med = _median3_flat(gray, fb)

@@ -53,16 +53,36 @@ def lookup_wm_rows(
 # (an actor pool spawns NEW processes per execution; ~2-3 s x pool size of
 # non-scaling ramp).  The actor-pool form below is kept for stages whose
 # state is genuinely expensive per process (models), cf. ray_guide.md.
+# Bounded: a warm worker serving many successive runs sees a fresh ref hex
+# (hence a fresh key) per run, so without eviction the fetched wm tables /
+# built stages of finished runs would accumulate forever.  LRU via dict
+# insertion order — entries from live runs are re-inserted on hit.
 _PROCESS_CACHE: dict = {}
+_PROCESS_CACHE_MAX = 32
+
+
+def _cache_put(key, value):
+    _PROCESS_CACHE[key] = value
+    while len(_PROCESS_CACHE) > _PROCESS_CACHE_MAX:
+        _PROCESS_CACHE.pop(next(iter(_PROCESS_CACHE)))
+
+
+def _cache_get(key):
+    v = _PROCESS_CACHE.pop(key, None)
+    if v is not None:
+        _PROCESS_CACHE[key] = v  # re-insert → most-recently-used
+    return v
 
 
 def _cached_get(ref):
     import ray as _ray
 
     key = ("obj", ref.hex())
-    if key not in _PROCESS_CACHE:
-        _PROCESS_CACHE[key] = _ray.get(ref)
-    return _PROCESS_CACHE[key]
+    v = _cache_get(key)
+    if v is None:
+        v = _ray.get(ref)
+        _cache_put(key, v)
+    return v
 
 
 def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=None,
@@ -73,8 +93,11 @@ def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=N
         return x.hex() if hasattr(x, "hex") else id(x)
 
     # the key must cover EVERY constructor input: two pipelines sharing a wm
-    # ref but differing in motif docs or forced spans must not share a stage
-    stage_key = ("stage", _ident(wm_ref), hash(cfg), emit_metadata,
+    # ref but differing in motif docs or forced spans must not share a stage.
+    # cfg itself (frozen dataclass) is the key component, not hash(cfg): dict
+    # lookup resolves hash collisions through __eq__, so two different
+    # configs can never alias the same cached stage.
+    stage_key = ("stage", _ident(wm_ref), cfg, emit_metadata,
                  _ident(motif_ref) if motif_ref is not None else None,
                  _ident(spans_ref) if spans_ref is not None else None,
                  _ident(session_ref) if session_ref is not None else None)
@@ -85,13 +108,13 @@ def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=N
         return _cached_get(x) if hasattr(x, "hex") else x
 
     def inpaint_fn(batch: pa.Table) -> pa.Table:
-        stage = _PROCESS_CACHE.get(stage_key)
+        stage = _cache_get(stage_key)
         if stage is None:
             stage = InpaintStage(
                 _fetch(wm_ref), cfg, _fetch(motif_ref), emit_metadata,
                 _fetch(spans_ref), _fetch(session_ref),
             )
-            _PROCESS_CACHE[stage_key] = stage
+            _cache_put(stage_key, stage)
         return stage(batch)
 
     return inpaint_fn

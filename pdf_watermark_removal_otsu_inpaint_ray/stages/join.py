@@ -5,11 +5,12 @@ Two physical strategies, chosen by the caller (ray_guide.md join patterns):
 * **broadcast** (default when the span side fits in memory): the span table
   is collapsed to ``doc_id → [(start, stop), ...]`` padded ranges, shipped
   once via ``ray.put`` and applied inside the inpaint actors — no shuffle.
-* **co-partitioned hash join** (general case): both sides get a
-  ``bucket = hash(doc_id) % B`` column; a ``groupby(bucket).map_groups``
-  builds the per-bucket hash table from the (smaller) span side and streams
-  the document side through it.  B is the explicit partitioning knob; salt
-  hot doc_ids into sub-buckets upstream if a single key dominates.
+* **co-partitioned hash join** (general case): Ray Data's native
+  hash-partitioned ``Dataset.join`` with an explicit partition count — the
+  count is the partitioning knob and is capped at the cluster CPU count
+  (each hash aggregator holds a CPU; more partitions than CPUs deadlocks
+  under the streaming executor).  Salt hot doc_ids upstream if one key
+  dominates.
 
 Reference semantics being reproduced (watermark_detector.py:680-694,
 744-751): the QR/motif mask is dilated (±pad) and OR-ed into the watermark
@@ -20,11 +21,7 @@ bypass the protect/refine chain.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-
-from ..config import EngineConfig
-from ..sinks.exactly_once import hash_partition_ids
 
 
 def spans_to_ranges_table(events: pa.Table, pad: int) -> dict[str, np.ndarray]:

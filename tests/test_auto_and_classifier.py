@@ -178,3 +178,30 @@ def test_auto_tuned_pipeline_matches_golden(ray_session, tmp_path):
     ).sort_by("doc_id")
     assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
     assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+
+
+def test_source_stats_all_empty_tokens_batch():
+    # a micro-batch where every row has an empty token list must not crash
+    # the profiling pass (regression: _median3_flat indexed values[0] on an
+    # empty flat array)
+    table = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "tokens": pa.array([[], []], pa.list_(pa.int64())),
+            "source": pa.array(["s0", "s0"], pa.string()),
+            "event_ts": pa.array([0, 1], pa.int64()),
+        }
+    )
+    stats = classifier.batch_source_stats(table, DEFAULT_CONFIG)
+    assert set(stats) == {"s0"}
+    st = stats["s0"]
+    assert st.res_n == 0 and st.lap_n == 0
+    # merging the empty partial into a real one must be a no-op numerically
+    real = classifier.batch_source_stats(
+        _mk_table(make_electronic_rows(5)), DEFAULT_CONFIG
+    )["elec"]
+    before = classifier.classify_stats(real).metrics
+    real.merge(st)
+    after = classifier.classify_stats(real).metrics
+    for k in before:
+        np.testing.assert_allclose(before[k], after[k], rtol=1e-12)

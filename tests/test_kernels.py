@@ -126,3 +126,36 @@ def test_batch_histograms_matches_bincount():
         if key_row[i] >= 0:
             exp[key_row[i]] += np.bincount(row % 256, minlength=256)
     assert (H == exp).all()
+
+
+def test_process_cache_distinct_configs_and_bound():
+    """Regression: the per-worker stage cache must key on cfg itself (dict
+    __eq__ resolves hash collisions), and must stay bounded under many
+    successive runs with fresh keys."""
+    from pdf_watermark_removal_otsu_inpaint_ray.stages import inpaint as inp
+
+    inp._PROCESS_CACHE.clear()
+    wm = {}
+    cfg_a = DEFAULT_CONFIG.with_(tolerance=10)
+    cfg_b = DEFAULT_CONFIG.with_(tolerance=20)
+    fn_a = inp.make_inpaint_fn(wm, cfg_a)
+    fn_b = inp.make_inpaint_fn(wm, cfg_b)
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "tokens": pa.array([[5, 6, 7]], pa.list_(pa.int64())),
+            "n_tok": pa.array([3], pa.int32()),
+            "source": pa.array(["s"], pa.string()),
+            "event_ts": pa.array([0], pa.int64()),
+        }
+    )
+    fn_a(batch)
+    fn_b(batch)
+    stages = [v for k, v in inp._PROCESS_CACHE.items() if k[0] == "stage"]
+    assert len(stages) == 2
+    assert {s.cfg.tolerance for s in stages} == {10, 20}
+    # LRU bound: flooding with distinct configs never exceeds the cap
+    for tol in range(3, 3 + inp._PROCESS_CACHE_MAX + 10):
+        inp.make_inpaint_fn(wm, DEFAULT_CONFIG.with_(tolerance=tol))(batch)
+    assert len(inp._PROCESS_CACHE) <= inp._PROCESS_CACHE_MAX
+    inp._PROCESS_CACHE.clear()
