@@ -65,9 +65,11 @@ def run_auto_tuned(
     """Distributed auto-tuned rewrite; returns the union of per-parameter-set
     flagship outputs (metadata columns omitted so group schemas align)."""
     cfgs = auto_tuned_configs(ds, cfg)
-    # mirror run_flagship's phase-1 gating: session windows need the
-    # broadcastable session mapping (crashes in workers without it), and
-    # auto/fixed detection never consults the wm table at all
+    # mirror run_flagship's phase-1 gating: auto/fixed detection never
+    # consults the wm table at all.  Session windows need the broadcastable
+    # per-source mapping; compute it ONCE here (tuned params never touch
+    # window geometry) and thread it through to every per-group flagship
+    # call instead of letting each recompute its own pass.
     session_map = None
     if cfg.window_kind == "session":
         from ..stages.detect import session_window_mapping
@@ -92,7 +94,8 @@ def run_auto_tuned(
 
         sub = ds.map_batches(keep, batch_format="pyarrow")
         outs.append(
-            run_flagship(sub, gcfg, wm=wm, emit_metadata=False, **flagship_kw)
+            run_flagship(sub, gcfg, wm=wm, emit_metadata=False,
+                         session_map=session_map, **flagship_kw)
         )
     out = outs[0]
     for o in outs[1:]:

@@ -39,15 +39,18 @@ def run_flagship(
     concurrency: Optional[int] = None,
     batch_size: int = 1024,
     emit_metadata: bool = True,
+    session_map: Optional[dict] = None,
 ) -> "ray.data.Dataset":
     """Run detection (unless ``wm`` given) and return the lazy rewritten stream.
 
     ``spans``: doc_id → padded ranges from the span-event join (J1,
     broadcast small side).  ``concurrency`` sizes the inpaint actor pool;
     default lets Ray autoscale between 2 actors and the CPU count.
+    ``session_map``: precomputed per-source session boundaries — pass it
+    when the caller already ran the phase-0 pass (auto_tune runs it once
+    for all parameter groups) to avoid recomputing per call.
     """
-    session_map = None
-    if cfg.window_kind == "session":
+    if cfg.window_kind == "session" and session_map is None:
         # phase 0: per-source session boundaries (one distributed pass over
         # (source, event_ts) pairs; broadcast like the wm table)
         from ..stages.detect import session_window_mapping

@@ -19,7 +19,7 @@ from typing import Callable
 _DETECTORS: dict[str, Callable] = {}
 _INPAINTERS: dict[str, Callable] = {}
 _PRESETS: dict[str, Callable] = {}
-_PAYLOAD_RULES: dict[str, list] = {}
+_PAYLOAD_RULES: dict = {}  # name -> list[PayloadRule] | classifier object
 _MOTIF_MATCHERS: dict[str, Callable] = {}
 
 
@@ -62,14 +62,22 @@ def get_motif_matcher(name: str) -> Callable:
     return _MOTIF_MATCHERS[name]
 
 
-def register_payload_rules(name: str, rules: list) -> list:
-    """Register a named payload-classifier rule table (motif analog of the
-    reference's QR content-type heuristic table, qr_detector.py:38-121)."""
+def register_payload_rules(name: str, rules):
+    """Register a named payload classifier (motif analog of the reference's
+    QR content-type heuristic table, qr_detector.py:38-121): either a
+    ``list[PayloadRule]`` chain, or any object with a
+    ``classify(fb, starts, lens, window)`` method (the built-in
+    ``TwoStageClassifier`` is one)."""
+    if not isinstance(rules, list) and not hasattr(rules, "classify"):
+        raise TypeError(
+            "payload rules must be a list[PayloadRule] or expose .classify(...)"
+        )
     _PAYLOAD_RULES[name] = rules
     return rules
 
 
-def get_payload_rules(name: str) -> list:
+def get_payload_rules(name: str):
+    """Return the registered rule chain (list) or classifier object."""
     return _PAYLOAD_RULES[name]
 
 

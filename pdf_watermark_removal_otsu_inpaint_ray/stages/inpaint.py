@@ -85,12 +85,26 @@ def _cached_get(ref):
     return v
 
 
+# identity pins for non-ObjectRef cache-key components: id(x) is only unique
+# while x is alive, so a recycled address could alias a NEW wm/spans object to
+# an OLD worker-side cache entry.  Pinning a strong driver-side reference
+# makes the id permanently unique.  Production callers pass ObjectRefs (hex
+# identity, never pinned); only embedded/test callers hit this path, so the
+# pin set stays tiny.
+_IDENT_PINS: dict = {}
+
+
+def _ident(x):
+    if hasattr(x, "hex"):
+        return x.hex()
+    _IDENT_PINS[id(x)] = x
+    return ("id", id(x))
+
+
 def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=None,
                     session_ref=None):
     """Build a plain map_batches function whose stage object is constructed
     once per worker process (module-level cache) from broadcast refs."""
-    def _ident(x):
-        return x.hex() if hasattr(x, "hex") else id(x)
 
     # the key must cover EVERY constructor input: two pipelines sharing a wm
     # ref but differing in motif docs or forced spans must not share a stage.

@@ -84,7 +84,7 @@ class MotifStage:
         self,
         motifs: list[tuple[str, tuple[int, ...]]],
         cfg: EngineConfig,
-        payload_rules: "list[PayloadRule] | None" = None,
+        payload_rules: "list[PayloadRule] | TwoStageClassifier | None" = None,
         payload_window: int = 24,
         matcher: str = "exact",
     ):
@@ -127,9 +127,12 @@ class MotifStage:
         }
         if self.payload_rules is not None:
             rules = self.payload_rules
+            # protocol dispatch, not isinstance: ANY registered object with a
+            # .classify(fb, starts, lens, window) method is a classifier
+            # (TwoStageClassifier is the built-in); plain lists are rule chains
             _classify = (
                 rules.classify
-                if isinstance(rules, TwoStageClassifier)
+                if hasattr(rules, "classify")
                 else lambda fb, fs, lens, w: classify_payloads(fb, fs, lens, rules, w)
             )
             cls = (
@@ -193,6 +196,12 @@ class PayloadRule:
             if cls is None or len(cls) != 2 or cls[0] > cls[1]:
                 raise ValueError("charclass_range needs cls=(lo_char, hi_char) with lo <= hi")
             self.cls_lo, self.cls_hi = ord(cls[0]), ord(cls[1])
+        elif cls is not None:
+            raise ValueError(f"{kind} rule does not consult cls")
+        if kind in ("prefix", "ordered_pair") and (min_count != 1 or max_count is not None):
+            # these kinds never read the counts — reject rather than let an
+            # author-written bound silently change the rule's semantics
+            raise ValueError(f"{kind} rule does not consult min_count/max_count")
         self.category = category
         self.kind = kind
         self.patterns = tuple(np.array([ord(c) for c in p], dtype=np.int32) for p in patterns)

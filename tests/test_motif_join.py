@@ -307,3 +307,49 @@ def test_motif_matcher_backends_agree():
     e = MotifStage(motifs, DEFAULT_CONFIG)(t)
     r = MotifStage(motifs, DEFAULT_CONFIG, matcher="rolling-hash")(t)
     assert e.equals(r)
+
+
+def test_payload_rule_rejects_unconsulted_params():
+    """Construction-time validation: params a kind never reads must raise
+    (silent-misclassification guard), and the registry rejects objects that
+    are neither rule lists nor classifiers."""
+    import pytest as _pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.registry import register_payload_rules
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.motif import PayloadRule
+
+    with _pytest.raises(ValueError):
+        PayloadRule("x", "prefix", (" tel",), min_count=2)
+    with _pytest.raises(ValueError):
+        PayloadRule("x", "ordered_pair", ("a", "b"), max_count=1)
+    with _pytest.raises(ValueError):
+        PayloadRule("x", "count_min", ("a",), cls=("0", "9"))
+    with _pytest.raises(TypeError):
+        register_payload_rules("bogus", object())
+
+
+def test_payload_classifier_protocol_dispatch():
+    """ANY object exposing .classify(...) dispatches as a classifier in
+    MotifStage — not just the built-in TwoStageClassifier."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.registry import register_payload_rules
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.motif import MotifStage
+
+    class Fixed:
+        def classify(self, fb, starts, lens, window):
+            return np.array(["custom"] * starts.size, dtype=object)
+
+    register_payload_rules("fixed", Fixed())
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d0"], pa.string()),
+            "tokens": pa.array([[ord(c) for c in "xx spark yy"]], pa.list_(pa.int32())),
+            "source": pa.array(["s"], pa.string()),
+        }
+    )
+    motifs = [("website", tuple(ord(c) for c in "spark"))]
+    st = MotifStage(motifs, DEFAULT_CONFIG, payload_rules=Fixed())
+    out = st(t)
+    assert out["payload_class"].to_pylist() == ["custom"]
