@@ -96,18 +96,34 @@ class StreamingResult:
     late_report: pa.Table | None = None
 
 
-def _sink_done_sets(out_dir: str | None) -> tuple[frozenset[int], frozenset[int]]:
-    """(main, late) committed-partition sets for resume (empty without sink)."""
+def _sink_done_sets(out_dir: str | None) -> tuple[frozenset[int], frozenset[int], int]:
+    """(main, late, epoch) for resume: committed-partition sets plus a fresh
+    staging epoch for this run (empty sets / epoch 0 without a sink).  The
+    epoch makes finalize single-attempt-consistent — a crashed earlier
+    attempt's staged rows are discarded, never mixed into this run's
+    commit (the streaming consumers' watermark timing is not replay-
+    deterministic, so attempt mixing could double-place a borderline row
+    across the main and late layouts)."""
     if out_dir is None:
-        return frozenset(), frozenset()
+        return frozenset(), frozenset(), 0
     import os
 
-    from ..sinks.exactly_once import committed_partitions, late_dir
+    from ..sinks.exactly_once import (
+        adopt_epoch,
+        begin_epoch,
+        committed_partitions,
+        late_dir,
+    )
 
     os.makedirs(out_dir, exist_ok=True)
+    epoch = begin_epoch(out_dir)
+    # the late layout stages with the SAME epoch number — keep its marker in
+    # lockstep so its finalize judges staleness identically
+    adopt_epoch(late_dir(out_dir), epoch)
     return (
         frozenset(committed_partitions(out_dir)),
         frozenset(committed_partitions(late_dir(out_dir))),
+        epoch,
     )
 
 
@@ -155,7 +171,7 @@ def run_streaming(
     driver; ``result.output`` is None (read with ``read_output(out_dir)``).
     Ray must already be initialised by the caller.
     """
-    sink_done, late_done = _sink_done_sets(out_dir)
+    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         KeyedStateActor.remote(
             cfg,
@@ -163,6 +179,7 @@ def run_streaming(
             sink_partitions=num_partitions,
             sink_done=sink_done,
             late_done=late_done,
+            sink_epoch=sink_epoch,
         )
         for _ in range(n_actors)
     ]
@@ -356,7 +373,7 @@ def run_streaming_partitioned(
     n_partitions = min(n_partitions, max(1, len(paths)))
     groups = [paths[i::n_partitions] for i in range(n_partitions)]
 
-    sink_done, late_done = _sink_done_sets(out_dir)
+    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         KeyedStateActor.remote(
             cfg,
@@ -364,6 +381,7 @@ def run_streaming_partitioned(
             sink_partitions=num_partitions,
             sink_done=sink_done,
             late_done=late_done,
+            sink_epoch=sink_epoch,
         )
         for _ in range(n_actors)
     ]
@@ -442,7 +460,7 @@ def run_streaming_salted(
         )
     if cfg.window_kind not in ("tumbling", "sliding"):
         raise ValueError("salted streaming supports tumbling/sliding/session windows")
-    sink_done, late_done = _sink_done_sets(out_dir)
+    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         KeyedStateActor.remote(
             cfg,
@@ -450,6 +468,7 @@ def run_streaming_salted(
             sink_partitions=num_partitions,
             sink_done=sink_done,
             late_done=late_done,
+            sink_epoch=sink_epoch,
         )
         for _ in range(n_actors)
     ]
@@ -459,10 +478,12 @@ def run_streaming_salted(
     sticky: dict[str, int] = {}
     emitted: list[pa.Table] = []
     n_late = 0
+    horizon = -(1 << 62)  # detection-epoch horizon, mirrors the actor-local one
 
     def finalize_due(watermark: int) -> None:
-        nonlocal n_late
+        nonlocal n_late, horizon
         due = sorted(k for k in hists if _window_end(k[1], cfg) <= watermark)
+        horizon = max(horizon, watermark)
         if not due:
             return
         items = []
@@ -498,13 +519,21 @@ def run_streaming_salted(
         for srcs, wins, Hm, _late_total in ray.get(acks):  # the per-batch barrier
             for i in range(len(srcs)):
                 key = (srcs[i], wins[i])
+                # a straggler's contribution to an already-finalized window
+                # must not recreate its (deleted) histogram: the window's
+                # detection epoch has passed, and a recreated partial could
+                # later pin a garbage sticky token
+                if _window_end(key[1], cfg) <= horizon:
+                    continue
                 if key in hists:
                     hists[key] += Hm[i]
                 else:
                     hists[key] = Hm[i].copy()
         tracker.update.remote(0, int(ts.max()))
 
-    finalize_due(ray.get(tracker.watermark.remote()))
+    # one final pass finalizes everything in ascending window order per
+    # source (an intermediate real-watermark pass would emit an identical
+    # prefix — pure dead work)
     finalize_due(1 << 62)
     # anything still buffered (no hist because its contributions were all in
     # late-dropped rows) — flush defensively
@@ -553,7 +582,7 @@ def _run_salted_sessions(
     (same rule as the unsalted session path)."""
     from ..golden import detect_wm_token
 
-    sink_done, late_done = _sink_done_sets(out_dir)
+    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         KeyedStateActor.remote(
             cfg,
@@ -561,6 +590,7 @@ def _run_salted_sessions(
             sink_partitions=num_partitions,
             sink_done=sink_done,
             late_done=late_done,
+            sink_epoch=sink_epoch,
         )
         for _ in range(n_actors)
     ]
@@ -571,20 +601,15 @@ def _run_salted_sessions(
     emitted: list[pa.Table] = []
 
     def merge_fragments(srcs, starts, lasts, Hm) -> None:
+        # same interval merge as the actor-local session state — ONE
+        # definition of the gap boundary rule (keyed_state.merge_session_intervals)
+        from ..state.keyed_state import merge_session_intervals
+
         for i in range(len(srcs)):
             s = srcs[i]
             frags = sessions.get(s, [])
             frags.append({"start": int(starts[i]), "last": int(lasts[i]), "hist": Hm[i].copy()})
-            frags.sort(key=lambda x: x["start"])
-            out = [frags[0]]
-            for ses in frags[1:]:
-                cur = out[-1]
-                if ses["start"] <= cur["last"] + cfg.session_gap:
-                    cur["last"] = max(cur["last"], ses["last"])
-                    cur["hist"] = cur["hist"] + ses["hist"]
-                else:
-                    out.append(ses)
-            sessions[s] = out
+            sessions[s] = merge_session_intervals(frags, cfg.session_gap)
 
     sticky: dict[str, int] = {}
 

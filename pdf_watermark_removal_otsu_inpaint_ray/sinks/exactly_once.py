@@ -106,17 +106,33 @@ def _check_layout(out_dir: str, num_partitions: int) -> None:
     mdir = os.path.join(out_dir, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     marker = os.path.join(mdir, "_layout.json")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            existing = int(json.load(f)["num_partitions"])
-        if existing != num_partitions:
-            raise RuntimeError(
-                f"sink {out_dir} was written with num_partitions={existing}; "
-                f"resuming with {num_partitions} would break exactly-once "
-                "(doc_ids re-hash across committed partitions)"
-            )
-    else:
-        _atomic_write_bytes(marker, json.dumps({"num_partitions": num_partitions}).encode())
+    if not os.path.exists(marker):
+        # atomic-exclusive publish via hard link: exactly ONE concurrent
+        # first writer records the count (os.link fails with FileExistsError
+        # for everyone else), and the marker only ever appears fully
+        # written.  A check-then-replace would let two first writers both
+        # pass with different counts — the exact corruption this marker
+        # exists to prevent; losers fall through and validate against the
+        # winner's value.
+        tmp = f"{marker}.claim-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(json.dumps({"num_partitions": num_partitions}).encode())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass
+        finally:
+            os.remove(tmp)
+    with open(marker) as f:
+        existing = int(json.load(f)["num_partitions"])
+    if existing != num_partitions:
+        raise RuntimeError(
+            f"sink {out_dir} was written with num_partitions={existing}; "
+            f"resuming with {num_partitions} would break exactly-once "
+            "(doc_ids re-hash across committed partitions)"
+        )
     _LAYOUT_CACHE[out_dir] = num_partitions
 
 
@@ -197,21 +213,85 @@ def _staged_dir(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, "_staged", f"part={part:05d}")
 
 
+def begin_epoch(out_dir: str) -> int:
+    """Allocate a monotonically increasing staging epoch for one producing
+    run.  Finalize keeps only the NEWEST epoch's staged rows per partition,
+    so a crashed attempt whose pipeline replays nondeterministically (e.g.
+    watermark-timing races in the streaming consumers deciding a borderline
+    row main-vs-late differently) can never mix attempt-1 rows into an
+    attempt-2 commit — the committed bytes are always those of a single
+    attempt.  Call once per run, from the driver, before any staging."""
+    mdir = os.path.join(out_dir, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, "_epoch.json")
+    cur = 0
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                cur = int(json.load(f)["epoch"])
+        except (ValueError, OSError, KeyError):
+            cur = 0
+    _atomic_write_bytes(path, json.dumps({"epoch": cur + 1}).encode())
+    return cur + 1
+
+
+def _stage_epoch_of(fname: str) -> int:
+    """Epoch encoded in a staged file name; legacy unepoched names → 0."""
+    if fname.startswith("stage-e"):
+        try:
+            return int(fname[7 : fname.index("-", 7)])
+        except ValueError:
+            return 0
+    return 0
+
+
+def adopt_epoch(out_dir: str, epoch: int) -> None:
+    """Record ``epoch`` as a layout's live staging epoch — used to keep a
+    side layout (e.g. the late-data dir) in lockstep with the main layout's
+    :func:`begin_epoch` allocation, so both judge staleness identically."""
+    mdir = os.path.join(out_dir, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    _atomic_write_bytes(
+        os.path.join(mdir, "_epoch.json"), json.dumps({"epoch": int(epoch)}).encode()
+    )
+
+
+def _current_epoch(out_dir: str) -> int:
+    """The layout's live staging epoch (0 when begin_epoch was never run —
+    then every staged file is epoch 0 and nothing is discarded)."""
+    path = os.path.join(out_dir, "_manifests", "_epoch.json")
+    if not os.path.exists(path):
+        return 0
+    try:
+        with open(path) as f:
+            return int(json.load(f)["epoch"])
+    except (ValueError, OSError, KeyError):
+        return 0
+
+
 def _finalize_partition(
     out_dir: str, part: int, fail_partitions: frozenset[int], overwrite: bool = False
 ) -> pa.Table:
     """Merge a partition's staged files → sort/dedup → atomic commit.
 
-    Reads every staged file for the partition — including leftovers from a
-    crashed earlier attempt: the pipeline is deterministic and the commit
-    dedups by doc_id, so stale stages are harmless (idempotent)."""
+    Only the layout's CURRENT staging epoch's files are merged (see
+    :func:`begin_epoch`): leftovers from a crashed earlier attempt are
+    deleted, not deduped in — a replayed pipeline need not be
+    deterministic for the commit to reflect exactly one attempt, and a
+    partition the current attempt never touched commits nothing rather
+    than resurrecting the stale attempt's rows."""
     sdir = _staged_dir(out_dir, part)
-    files = sorted(
-        os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".parquet")
+    names = sorted(
+        f for f in os.listdir(sdir) if f.endswith(".parquet")
     ) if os.path.isdir(sdir) else []
-    if not files:
+    cur = _current_epoch(out_dir)
+    files = [os.path.join(sdir, f) for f in names]
+    live = [os.path.join(sdir, f) for f in names if _stage_epoch_of(f) == cur]
+    if not live:
+        for f in files:  # stale-only partition: drop the dead attempt
+            os.remove(f)
         return _manifest_row(part, "empty", 0)
-    data = pa.concat_tables([pq.read_table(f) for f in files])
+    data = pa.concat_tables([pq.read_table(f) for f in live])
     report = _commit_partition(out_dir, part, data, fail_partitions, overwrite=overwrite)
     for f in files:
         os.remove(f)
@@ -227,11 +307,14 @@ def stage_table(
     table: pa.Table,
     num_partitions: int,
     done: frozenset[int] = frozenset(),
+    epoch: int = 0,
 ) -> int:
     """Append one table to the staged layout: split by hash(doc_id), one
     parquet file per touched partition, atomic rename.  Safe from any
     process (map task or state actor — the sink dir is shared storage).
-    Rows of already-committed partitions are dropped.  Returns rows staged."""
+    Rows of already-committed partitions are dropped.  ``epoch`` tags the
+    files with the producing run's staging epoch (:func:`begin_epoch`) so
+    finalize can discard stale attempts.  Returns rows staged."""
     _check_layout(out_dir, num_partitions)
     part = hash_partition_ids(table["doc_id"], num_partitions)
     if done:
@@ -244,7 +327,7 @@ def stage_table(
         os.makedirs(sdir, exist_ok=True)
         tmp = os.path.join(sdir, f".tmp-{uuid.uuid4().hex}")
         pq.write_table(sub, tmp)
-        os.replace(tmp, os.path.join(sdir, f"stage-{uuid.uuid4().hex}.parquet"))
+        os.replace(tmp, os.path.join(sdir, f"stage-e{epoch:08d}-{uuid.uuid4().hex}.parquet"))
     return table.num_rows
 
 
@@ -322,7 +405,9 @@ def write_exactly_once(
     Returns the per-partition commit report.  With ``resume=True``, rows of
     already-committed partitions are dropped at the source side (a restarted
     job redoes only missing partitions); stale staged files from a crashed
-    attempt are deduped away (the pipeline is deterministic).  With
+    attempt are DISCARDED at finalize (epoch-tagged — see
+    :func:`begin_epoch` — so the commit reflects exactly one attempt even
+    when the replayed pipeline is not bit-deterministic).  With
     ``resume=False`` every partition that receives rows is RE-committed
     over any prior manifest (for a fully fresh layout, delete ``out_dir``).
     The partition count is pinned in a layout marker — resuming with a
@@ -332,9 +417,10 @@ def write_exactly_once(
     """
     os.makedirs(out_dir, exist_ok=True)
     done = frozenset(committed_partitions(out_dir)) if resume else frozenset()
+    epoch = begin_epoch(out_dir)
 
     def stage(batch: pa.Table) -> pa.Table:
-        n = stage_table(out_dir, batch, num_partitions, done)
+        n = stage_table(out_dir, batch, num_partitions, done, epoch)
         return _manifest_row(-1, "staged", n)
 
     # large stage batches keep the staged-file count ~ (rows/batch) * P

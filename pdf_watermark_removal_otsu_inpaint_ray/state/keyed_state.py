@@ -36,6 +36,28 @@ from ..stages.kernels import (
 )
 
 
+def merge_session_intervals(frags: list[dict], gap: int) -> list[dict]:
+    """Sort-by-start interval merge under the transitive session-gap
+    relation ``next.start <= cur.last + gap`` — the ONE definition of
+    session equivalence.  Actor-local session state, the salted driver's
+    fragment merge, and the finalize closure test all route through this
+    boundary rule; keeping a single copy means it can never desynchronize.
+    Merges ``hist`` additively and extends ``tables`` when both sides
+    carry them.  Mutates and returns the merged list."""
+    frags.sort(key=lambda x: x["start"])
+    out = [frags[0]]
+    for ses in frags[1:]:
+        cur = out[-1]
+        if ses["start"] <= cur["last"] + gap:
+            cur["last"] = max(cur["last"], ses["last"])
+            cur["hist"] = cur["hist"] + ses["hist"]
+            if "tables" in cur and "tables" in ses:
+                cur["tables"].extend(ses["tables"])
+        else:
+            out.append(ses)
+    return out
+
+
 def _window_end(window_id: int, cfg: EngineConfig) -> int:
     if cfg.window_kind == "tumbling":
         return (window_id + 1) * cfg.window_size
@@ -56,6 +78,7 @@ class KeyedStateActor:
         sink_stage_rows: int = 32768,
         sink_done: frozenset[int] = frozenset(),
         late_done: frozenset[int] = frozenset(),
+        sink_epoch: int = 0,
     ):
         """``sink_dir``: when set, finalized windows flow DIRECTLY into the
         exactly-once sink's staged layout from this actor (buffered to
@@ -71,6 +94,9 @@ class KeyedStateActor:
         self.sink_stage_rows = sink_stage_rows
         self._sink_done = sink_done
         self._late_done = late_done
+        # staging epoch of the producing run (sinks/exactly_once.begin_epoch):
+        # lets finalize discard a crashed earlier attempt's staged rows
+        self.sink_epoch = sink_epoch
         self._sink_buf: list[pa.Table] = []
         self._sink_rows = 0
         self._late_buf: list[pa.Table] = []
@@ -79,6 +105,17 @@ class KeyedStateActor:
         self.hists: dict[tuple[str, int], np.ndarray] = {}
         self.buffers: dict[tuple[str, int], list[pa.Table]] = {}
         self.finalized: set[tuple[str, int]] = set()
+        # sticky detection state: source -> (token, first_detecting_window)
+        # in the windowed paths (forward-only: golden.apply_sticky fixes the
+        # token from the FIRST detecting window onward, never retroactively),
+        # source -> token in the session path (sessions close in ascending
+        # start order, so forward-only holds by construction there)
+        self._sticky: dict = {}
+        # detection-epoch horizon: histograms of windows with end <= horizon
+        # were already consulted (and evicted) — a straggler row must never
+        # recreate a partial hist for them (its detection epoch has passed;
+        # a recreated 1-row hist could pin a garbage sticky token)
+        self._hist_horizon = -(1 << 62)
         # session state: source -> sorted list of open sessions
         # {start, last, hist, tables}; closed_horizon = latest closed
         # session's (last + gap) per source (rows at/below it are late)
@@ -143,7 +180,8 @@ class KeyedStateActor:
 
         table = pa.concat_tables(self._sink_buf)
         self._sink_buf, self._sink_rows = [], 0
-        stage_table(self.sink_dir, table, self.sink_partitions, self._sink_done)
+        stage_table(self.sink_dir, table, self.sink_partitions, self._sink_done,
+                    self.sink_epoch)
 
     def sink_flush(self) -> int:
         """End-of-stream: push any buffered emissions to the staged layout."""
@@ -173,7 +211,8 @@ class KeyedStateActor:
 
         table = pa.concat_tables(self._late_buf)
         self._late_buf, self._late_buf_rows = [], 0
-        stage_table(late_dir(self.sink_dir), table, self.sink_partitions, self._late_done)
+        stage_table(late_dir(self.sink_dir), table, self.sink_partitions, self._late_done,
+                    self.sink_epoch)
 
     # -- ingest -----------------------------------------------------------
 
@@ -195,12 +234,7 @@ class KeyedStateActor:
         # coordinator can never re-open)
         win_end = self._window_ends_vec(govern)
         late = win_end <= watermark
-        if self.finalized:
-            fin = np.array(
-                [(str(s), int(w)) in self.finalized for s, w in zip(src, govern)],
-                dtype=bool,
-            )
-            late |= fin
+        late |= self._finalized_mask(src, govern)
         late_batch = batch.filter(pa.array(late)) if late.any() else None
         keep = ~late
         if not keep.all():
@@ -235,33 +269,66 @@ class KeyedStateActor:
             out.append((w, valid))
         return out
 
-    def _accumulate(self, batch, ts, src, govern) -> None:
-        cfg = self.cfg
-        fb = flatten_list_column(batch["tokens"])
-        for win, valid in self._contributing(ts):
-            v = np.nonzero(valid)[0]
-            if v.size == 0:
-                continue
-            s_u, s_inv = np.unique(src[v], return_inverse=True)
-            w_v = win[v]
-            w_min, w_span = int(w_v.min()), int(w_v.max() - w_v.min()) + 1
-            combo = s_inv.astype(np.int64) * w_span + (w_v - w_min)
-            c_u, c_inv = np.unique(combo, return_inverse=True)
-            key_row = np.full(ts.size, -1, dtype=np.int64)
-            key_row[v] = c_inv
-            H = batch_histograms(fb, key_row, c_u.size, cfg)
-            for ki, c in enumerate(c_u):
-                key = (str(s_u[c // w_span]), int(c % w_span + w_min))
-                if key in self.hists:
-                    self.hists[key] += H[ki]
-                else:
-                    self.hists[key] = H[ki].copy()
-        # buffer rows under their governing window
-        pairs = {}
+    def _finalized_mask(self, src: np.ndarray, govern: np.ndarray) -> np.ndarray:
+        """Per-row membership of (source, governing window) in
+        ``self.finalized`` — evaluated once per UNIQUE pair and broadcast
+        back (a batch has a handful of distinct pairs, not one per row)."""
+        if not self.finalized or src.size == 0:
+            return np.zeros(src.size, dtype=bool)
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        g_min = int(govern.min())
+        span = int(govern.max()) - g_min + 1
+        combo = s_inv.astype(np.int64) * span + (govern - g_min)
+        c_u, c_inv = np.unique(combo, return_inverse=True)
+        fin_u = np.array(
+            [(str(s_u[c // span]), int(c % span + g_min)) in self.finalized for c in c_u],
+            dtype=bool,
+        )
+        return fin_u[c_inv]
+
+    def _combo_histograms(self, fb, n_rows: int, src, win, valid):
+        """(source, window, hist) partials for one contributing shift —
+        vectorized unique-combo bucketing, shared by :meth:`_accumulate`
+        (which stores into actor state) and :meth:`ingest_partial` (which
+        returns the deltas to the coordinating driver)."""
+        v = np.nonzero(valid)[0]
+        if v.size == 0:
+            return []
+        s_u, s_inv = np.unique(src[v], return_inverse=True)
+        w_v = win[v]
+        w_min, w_span = int(w_v.min()), int(w_v.max() - w_v.min()) + 1
+        combo = s_inv.astype(np.int64) * w_span + (w_v - w_min)
+        c_u, c_inv = np.unique(combo, return_inverse=True)
+        key_row = np.full(n_rows, -1, dtype=np.int64)
+        key_row[v] = c_inv
+        H = batch_histograms(fb, key_row, c_u.size, self.cfg)
+        return [
+            (str(s_u[c // w_span]), int(c % w_span + w_min), H[ki])
+            for ki, c in enumerate(c_u)
+        ]
+
+    def _buffer_by_governing(self, batch, src, govern) -> None:
+        """Buffer each row under its governing (source, window) key."""
+        pairs: dict[tuple[str, int], list[int]] = {}
         for i, w in enumerate(govern):
             pairs.setdefault((str(src[i]), int(w)), []).append(i)
         for key, idxs in pairs.items():
             self.buffers.setdefault(key, []).append(batch.take(idxs))
+
+    def _accumulate(self, batch, ts, src, govern) -> None:
+        fb = flatten_list_column(batch["tokens"])
+        for win, valid in self._contributing(ts):
+            # never recreate an evicted histogram: a contributing window
+            # whose end passed the horizon already ran (and evicted) its
+            # detection — straggler contributions to it are dropped
+            valid = valid & (self._window_ends_vec(win) > self._hist_horizon)
+            for s, w, h in self._combo_histograms(fb, ts.size, src, win, valid):
+                key = (s, w)
+                if key in self.hists:
+                    self.hists[key] += h
+                else:
+                    self.hists[key] = h.copy()
+        self._buffer_by_governing(batch, src, govern)
 
     # -- finalize / evict -------------------------------------------------
 
@@ -273,15 +340,17 @@ class KeyedStateActor:
             # sliding windows that only ever CONTRIBUTED (no governing rows
             # buffered here): run the sticky detection over all due hists
             # first, so a contributing-only window's detection can fix the
-            # source's token before any buffered window emits
-            self._sticky = getattr(self, "_sticky", {})
+            # source's token.  The sticky entry records WHICH window first
+            # detected: golden fixes the token from that window ONWARD only
+            # — an earlier window finalized in the same call keeps its own
+            # (failed) detection, never the later window's token.
             for key in sorted(
                 k for k in self.hists if _window_end(k[1], cfg) <= watermark
             ):
                 if key[0] not in self._sticky:
                     wm_tok, _cov = detect_wm_token(self.hists[key], cfg)
                     if wm_tok >= 0:
-                        self._sticky[key[0]] = wm_tok
+                        self._sticky[key[0]] = (wm_tok, key[1])
         due = [k for k in self.buffers if _window_end(k[1], cfg) <= watermark]
         for key in sorted(due):
             out.append(self._emit_window(key))
@@ -293,6 +362,9 @@ class KeyedStateActor:
             # watermark can legally receive more on-time rows.)
             for hk in [k for k in self.hists if _window_end(k[1], cfg) <= watermark]:
                 self.hists.pop(hk)
+        # windows with end <= watermark have now had their detection epoch —
+        # advance the horizon so stragglers can't recreate their histograms
+        self._hist_horizon = max(self._hist_horizon, watermark)
         return out
 
     def _emit_window(self, key: tuple[str, int]) -> pa.Table:
@@ -300,19 +372,21 @@ class KeyedStateActor:
         rows = pa.concat_tables(self.buffers.pop(key))
         hist = self.hists.get(key)
         fixed = self._fixed_wm()
-        # sticky mode: first detection wins per source (the source's whole
-        # key range lives on this actor in unsalted routing, and windows
-        # finalize in ascending order, so actor-local sticky state matches
-        # golden.apply_sticky; watermark_detector.py:562-568,188)
-        self._sticky = getattr(self, "_sticky", {})
+        # sticky mode: first detection wins per source FROM ITS WINDOW
+        # ONWARD (the source's whole key range lives on this actor in
+        # unsalted routing, and windows finalize in ascending order, so
+        # actor-local sticky state matches golden.apply_sticky — which
+        # never rewrites a window EARLIER than the first detecting one;
+        # watermark_detector.py:562-568,188)
+        st = self._sticky.get(key[0]) if cfg.detection_mode == "sticky" else None
         if fixed is not None:
             wm_tok = fixed
-        elif cfg.detection_mode == "sticky" and key[0] in self._sticky:
-            wm_tok = self._sticky[key[0]]
+        elif st is not None and key[1] >= st[1]:
+            wm_tok = st[0]
         else:
             wm_tok, _cov = detect_wm_token(hist, cfg) if hist is not None else (-1, 0.0)
-            if cfg.detection_mode == "sticky" and wm_tok >= 0:
-                self._sticky[key[0]] = wm_tok
+            if cfg.detection_mode == "sticky" and wm_tok >= 0 and st is None:
+                self._sticky[key[0]] = (wm_tok, key[1])
         out = self._rewrite_rows(rows, np.full(rows.num_rows, wm_tok, dtype=np.int64))
         # evict this window's hist; further sliding-hist eviction is
         # watermark-gated in _finalize_upto (a hist with window end past the
@@ -334,7 +408,35 @@ class KeyedStateActor:
         exactly (the reference analog: per-document QR accumulation reset by
         clear_qr_codes(), watermark_detector.py:143-145)."""
         cfg = self.cfg
+        batch, frags, late_idx = self._session_fragments(
+            batch, lambda s: self.session_horizon.get(s, -(1 << 62))
+        )
+        for s, sub, tk, seg_starts, seg_ends, H in frags:
+            merged = self.sessions.get(s, []) + [
+                {
+                    "start": int(tk[a]),
+                    "last": int(tk[b - 1]),
+                    "hist": H[k],
+                    "tables": [sub.slice(a, b - a)],
+                }
+                for k, (a, b) in enumerate(zip(seg_starts, seg_ends))
+            ]
+            self.sessions[s] = merge_session_intervals(merged, cfg.session_gap)
+        emitted = self._finalize_sessions(watermark)
+        if late_idx:
+            self._note_late(batch.take(pa.array(late_idx)))
+        return emitted, self.n_late
+
+    def _session_fragments(self, batch: pa.Table, horizon_of):
+        """Shared session-fragmenting core (unsalted ingest + salted
+        partial): lexsort by (source, ts, doc), per-source lateness filter
+        against ``horizon_of(source)``, gap-split into micro-sessions
+        (np.diff), bulk histograms per segment.  Returns
+        ``(sorted_batch, [(source, sub, tk, seg_starts, seg_ends, H)],
+        late_row_indices_into_sorted_batch)``."""
+        cfg = self.cfg
         late_idx: list[int] = []
+        frags = []
         if batch.num_rows:
             ts0 = np.asarray(batch["event_ts"], dtype=np.int64)
             src0 = np.asarray(batch["source"])
@@ -346,9 +448,8 @@ class KeyedStateActor:
             ends = np.append(starts[1:], src.size)
             for st, en in zip(starts, ends):
                 s = str(src[st])
-                horizon = self.session_horizon.get(s, -(1 << 62))
                 tloc = ts[st:en]
-                late_loc = tloc <= horizon
+                late_loc = tloc <= horizon_of(s)
                 if late_loc.any():
                     late_idx.extend((st + np.nonzero(late_loc)[0]).tolist())
                 keep = np.nonzero(~late_loc)[0]
@@ -363,30 +464,8 @@ class KeyedStateActor:
                 H = batch_histograms(fb, seg_id, n_seg, cfg)
                 seg_starts = np.nonzero(seg_break)[0]
                 seg_ends = np.append(seg_starts[1:], tk.size)
-                merged = self.sessions.get(s, []) + [
-                    {
-                        "start": int(tk[a]),
-                        "last": int(tk[b - 1]),
-                        "hist": H[k],
-                        "tables": [sub.slice(a, b - a)],
-                    }
-                    for k, (a, b) in enumerate(zip(seg_starts, seg_ends))
-                ]
-                merged.sort(key=lambda x: x["start"])
-                out = [merged[0]]
-                for ses in merged[1:]:
-                    cur = out[-1]
-                    if ses["start"] <= cur["last"] + cfg.session_gap:
-                        cur["last"] = max(cur["last"], ses["last"])
-                        cur["hist"] = cur["hist"] + ses["hist"]
-                        cur["tables"].extend(ses["tables"])
-                    else:
-                        out.append(ses)
-                self.sessions[s] = out
-        emitted = self._finalize_sessions(watermark)
-        if late_idx:
-            self._note_late(batch.take(pa.array(late_idx)))
-        return emitted, self.n_late
+                frags.append((s, sub, tk, seg_starts, seg_ends, H))
+        return batch, frags, late_idx
 
     def _finalize_sessions(self, watermark: int) -> list[pa.Table]:
         """Emit every closed session in ONE fused rewrite: due sessions'
@@ -418,8 +497,9 @@ class KeyedStateActor:
                 # golden applies sticky across session windows too (window
                 # id = session start; sessions close in ascending start per
                 # source, so actor-local first-detection-wins state matches
-                # golden.apply_sticky)
-                self._sticky = getattr(self, "_sticky", {})
+                # golden.apply_sticky; value is a plain token here — the
+                # forward-only rule holds by close order, no from-window
+                # needed)
                 wm_arr = wm_arr.copy()
                 for i, (s, _ses) in enumerate(due):
                     if s in self._sticky:
@@ -477,11 +557,7 @@ class KeyedStateActor:
         govern = self._governing(ts)
         win_end = self._window_ends_vec(govern)
         late = win_end <= watermark
-        if self.finalized:
-            late |= np.array(
-                [(str(s), int(w)) in self.finalized for s, w in zip(src, govern)],
-                dtype=bool,
-            )
+        late |= self._finalized_mask(src, govern)
         if late.any():
             self._note_late(batch.filter(pa.array(late)))
             keep = ~late
@@ -493,26 +569,11 @@ class KeyedStateActor:
         if batch.num_rows:
             fb = flatten_list_column(batch["tokens"])
             for win, valid in self._contributing(ts):
-                v = np.nonzero(valid)[0]
-                if v.size == 0:
-                    continue
-                s_u, s_inv = np.unique(src[v], return_inverse=True)
-                w_v = win[v]
-                w_min, w_span = int(w_v.min()), int(w_v.max() - w_v.min()) + 1
-                combo = s_inv.astype(np.int64) * w_span + (w_v - w_min)
-                c_u, c_inv = np.unique(combo, return_inverse=True)
-                key_row = np.full(ts.size, -1, dtype=np.int64)
-                key_row[v] = c_inv
-                H = batch_histograms(fb, key_row, c_u.size, cfg)
-                for ki, c in enumerate(c_u):
-                    out_src.append(str(s_u[c // w_span]))
-                    out_win.append(int(c % w_span + w_min))
-                    hists.append(H[ki])
-            pairs: dict[tuple[str, int], list[int]] = {}
-            for i, w in enumerate(govern):
-                pairs.setdefault((str(src[i]), int(w)), []).append(i)
-            for key, idxs in pairs.items():
-                self.buffers.setdefault(key, []).append(batch.take(idxs))
+                for s, w, h in self._combo_histograms(fb, ts.size, src, win, valid):
+                    out_src.append(s)
+                    out_win.append(w)
+                    hists.append(h)
+            self._buffer_by_governing(batch, src, govern)
         Hm = np.stack(hists) if hists else np.zeros((0, cfg.gray_mod), dtype=np.int64)
         return out_src, out_win, Hm, self.n_late
 
@@ -534,47 +595,22 @@ class KeyedStateActor:
         Returns (sources, starts, lasts, hist_matrix, n_late)."""
         cfg = self.cfg
         self._salted_rows = getattr(self, "_salted_rows", {})
-        ts0 = np.asarray(batch["event_ts"], dtype=np.int64)
-        src0 = np.asarray(batch["source"])
         out_src: list[str] = []
         out_start: list[int] = []
         out_last: list[int] = []
         hists: list[np.ndarray] = []
-        if batch.num_rows:
-            doc0 = np.asarray(batch["doc_id"])
-            order = np.lexsort((doc0, ts0, src0))
-            batch = batch.take(pa.array(order))
-            ts, src = ts0[order], src0[order]
-            starts = np.nonzero(np.concatenate([[True], src[1:] != src[:-1]]))[0]
-            ends = np.append(starts[1:], src.size)
-            late_idx: list[int] = []
-            for st, en in zip(starts, ends):
-                s = str(src[st])
-                horizon = horizons.get(s, -(1 << 62))
-                tloc = ts[st:en]
-                late_loc = tloc <= horizon
-                if late_loc.any():
-                    late_idx.extend((st + np.nonzero(late_loc)[0]).tolist())
-                keep = np.nonzero(~late_loc)[0]
-                if keep.size == 0:
-                    continue
-                sub = batch.take(pa.array(st + keep))
-                tk = tloc[keep]
-                seg_break = np.concatenate([[True], np.diff(tk) > cfg.session_gap])
-                seg_id = (np.cumsum(seg_break) - 1).astype(np.int64)
-                n_seg = int(seg_id[-1]) + 1
-                fb = flatten_list_column(sub["tokens"])
-                H = batch_histograms(fb, seg_id, n_seg, cfg)
-                seg_starts = np.nonzero(seg_break)[0]
-                seg_ends = np.append(seg_starts[1:], tk.size)
-                for k, (a, b) in enumerate(zip(seg_starts, seg_ends)):
-                    out_src.append(s)
-                    out_start.append(int(tk[a]))
-                    out_last.append(int(tk[b - 1]))
-                    hists.append(H[k])
-                self._salted_rows.setdefault(s, []).append(sub)
-            if late_idx:
-                self._note_late(batch.take(pa.array(late_idx)))
+        batch, frags, late_idx = self._session_fragments(
+            batch, lambda s: horizons.get(s, -(1 << 62))
+        )
+        for s, sub, tk, seg_starts, seg_ends, H in frags:
+            for k, (a, b) in enumerate(zip(seg_starts, seg_ends)):
+                out_src.append(s)
+                out_start.append(int(tk[a]))
+                out_last.append(int(tk[b - 1]))
+                hists.append(H[k])
+            self._salted_rows.setdefault(s, []).append(sub)
+        if late_idx:
+            self._note_late(batch.take(pa.array(late_idx)))
         Hm = np.stack(hists) if hists else np.zeros((0, cfg.gray_mod), dtype=np.int64)
         return (
             out_src,

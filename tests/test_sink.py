@@ -206,3 +206,40 @@ def test_watermark_tracker_tombstones_and_empty(ray_session):
     assert _ray.get(tr.watermark.remote()) == 100
     _ray.get(tr.close_partition.remote(0))
     assert _ray.get(tr.watermark.remote()) == 1 << 62  # empty: nothing can arrive
+
+
+def test_stale_epoch_stages_discarded_at_finalize(ray_session, tmp_path):
+    """Regression (review finding): a crashed attempt's staged rows must be
+    DISCARDED at finalize, not merged — a nondeterministic replay (e.g.
+    watermark-timing races) could otherwise commit a mix of attempt-1 and
+    attempt-2 rows, or land one doc_id in both the main and late layouts."""
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        begin_epoch,
+        finalize_staged,
+        stage_table,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    def tbl(doc_ids, payload):
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "payload": pa.array([payload] * len(doc_ids), pa.int64()),
+            }
+        )
+
+    # attempt 1 stages X and Y, then "crashes" before finalize
+    e1 = begin_epoch(out)
+    stage_table(out, tbl(["X", "Y"], 1), 4, epoch=e1)
+    # attempt 2 (resume) stages X only, with a DIFFERENT rewrite of X
+    e2 = begin_epoch(out)
+    assert e2 > e1
+    stage_table(out, tbl(["X"], 2), 4, epoch=e2)
+
+    finalize_staged(out)
+    got = _collect(out)
+    # only attempt 2's rows commit: X with payload 2; attempt-1-only Y gone
+    assert got["doc_id"].to_pylist() == ["X"]
+    assert got["payload"].to_pylist() == [2]

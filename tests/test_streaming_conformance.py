@@ -198,3 +198,37 @@ def test_global_window_streaming_matches_golden(ray_session, tmp_path):
                                          micro_batch_rows=64)
     got2 = res2.output.sort_by("doc_id")
     assert got2["tokens"].to_pylist() == expected["tokens"].to_pylist()
+
+
+def test_sticky_first_detection_is_not_retroactive(ray_session, tmp_path):
+    """Regression (review finding, confirmed repro): when a source's window
+    0 FAILS detection and window 1 detects, and both finalize in the same
+    watermark advance (e.g. at flush), golden.apply_sticky fixes the token
+    from window 1 ONWARD only — window 0 must stay passthrough (-1), not be
+    retroactively rewritten with window 1's token."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming,
+        run_streaming_salted,
+    )
+
+    rows = []
+    for i, ts in enumerate(range(0, 8)):  # window 0: all-dark, no qualifying bin
+        rows.append((f"a{i:02d}", ts, [30] * 100))
+    for i, ts in enumerate(range(8, 16)):  # window 1: 10% @ gray 150 -> detects
+        rows.append((f"b{i:02d}", ts, [150] * 10 + [30] * 90))
+    t = _mk_rows(rows)
+    p = str(tmp_path / "s.parquet")
+    pq.write_table(t, p)
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="tumbling", window_size=8, allowed_lateness=64,
+        detection_mode="sticky",
+    )
+    expected = golden.golden_pipeline(t, cfg).sort_by("doc_id")
+    # golden: window 0 rows passthrough (-1), window 1 rows carry 150
+    exp_by_doc = dict(zip(expected["doc_id"].to_pylist(), expected["wm_token"].to_pylist()))
+    assert exp_by_doc["a00"] == -1 and exp_by_doc["b00"] == 150
+    for runner, label in ((run_streaming, "incremental"), (run_streaming_salted, "salted")):
+        res = runner(p, cfg, n_actors=2, micro_batch_rows=4)
+        got = res.output.sort_by("doc_id")
+        assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist(), label
+        assert got["tokens"].to_pylist() == expected["tokens"].to_pylist(), label
