@@ -92,7 +92,14 @@ def session_windows(ds: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000):
     (user_id, session_start_us, n_events)."""
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        us = g["ts"].astype("int64").to_numpy()
+        # explicit µs unit before the int view — a bare astype('int64') on a
+        # datetime column yields whatever unit the pandas conversion chose
+        # (ns under some pandas/pyarrow combinations), which would over-split
+        # sessions 1000x and emit ns starts against the epoch_us() oracle
+        ts = g["ts"]
+        if ts.dtype.kind == "M":  # datetime64[*] → µs
+            ts = ts.dt.as_unit("us") if hasattr(ts.dt, "as_unit") else ts.astype("datetime64[us]")
+        us = ts.astype("int64").to_numpy()
         order = np.argsort(us, kind="stable")
         us = us[order]
         new = np.concatenate([[True], np.diff(us) > gap_us])
@@ -127,6 +134,18 @@ def events_customer_join(events_ds: "ray.data.Dataset", customer_path: str):
     def join(batch: pa.Table) -> pa.Table:
         k, v = ray.get(ref)
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size == 0:  # empty build side: correct empty inner join
+            hit = np.zeros(uid.size, dtype=bool)
+            pos_c = np.zeros(uid.size, dtype=np.int64)
+            name = np.full(uid.size, None, dtype=object)
+            t = pa.table(
+                {
+                    "event_id": batch["event_id"],
+                    "user_id": batch["user_id"],
+                    "c_name": pa.array(name.tolist(), pa.string()),
+                }
+            )
+            return t.filter(pc.is_valid(t["c_name"]))
         pos = np.searchsorted(k, uid)
         pos_c = np.minimum(pos, k.size - 1)
         hit = k[pos_c] == uid

@@ -36,7 +36,7 @@ class FlagPreviewStage:
             flag = detect_mask_auto_flat(fb.values, fb, cfg)
             wm_row = np.full(fb.n_rows, -1, dtype=np.int64)
         else:
-            win = assign_windows_batch(src, ts, cfg)
+            win = assign_windows_batch(ts, cfg)
             wm_row = lookup_wm_rows(self.wm, src, win, default=cfg.fixed_wm_token)
             flag = detect_mask_flat(fb.values, per_position(wm_row, fb), fb, cfg)
 

@@ -24,7 +24,7 @@ from .kernels import batch_histograms, flatten_list_column
 WmKey = tuple[str, int]
 
 
-def assign_windows_batch(source: np.ndarray, ts: np.ndarray, cfg: EngineConfig) -> np.ndarray:
+def assign_windows_batch(ts: np.ndarray, cfg: EngineConfig) -> np.ndarray:
     """Governing window id per row (tumbling/sliding/global — batch-local).
 
     Session windows need per-source global ordering: build a
@@ -112,7 +112,7 @@ def lookup_session_windows(session_map: SessionMap, src: np.ndarray, ts: np.ndar
 class HistogramPartials:
     """Stateless map_batches body: batch → per-(source, window) partial hists.
 
-    Output rows: (source, window_id, hist:list<int64>[256], n_pos:int64).
+    Output rows: (source, window_id, hist:list<int64>[cfg.gray_mod]).
     For sliding windows each row contributes to every window covering its
     event_ts (golden.contributing_windows), implemented as a small loop over
     the ≤ size/slide window shifts — still one np.add.at per shift.
@@ -143,7 +143,7 @@ class HistogramPartials:
                 for j, w in enumerate(shift_windows)
             ]
         else:
-            shift_windows = [assign_windows_batch(src, ts, cfg)]
+            shift_windows = [assign_windows_batch(ts, cfg)]
             valid_masks = [np.ones(ts.size, dtype=bool)]
 
         for win, valid in zip(shift_windows, valid_masks):

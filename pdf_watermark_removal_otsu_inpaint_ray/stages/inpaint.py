@@ -172,7 +172,7 @@ class InpaintStage:
 
             win = lookup_session_windows(self.session_map, src, ts)
         else:
-            win = assign_windows_batch(src, ts, cfg)
+            win = assign_windows_batch(ts, cfg)
         wm_row = lookup_wm_rows(self.wm, src, win, default=cfg.fixed_wm_token)
 
         max_span_row = None

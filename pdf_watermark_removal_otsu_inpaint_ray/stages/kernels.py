@@ -354,9 +354,14 @@ def process_batch_flat(
             rad,
         )
         used = np.where(row_any, p + 1, used)
-        inpainted = inpaint_flat(values, flag, fb)
         if cfg.strength >= 0.5:
-            values = np.where(flag, inpainted, values).astype(np.int32)
+            # inpaint_flat returns a copy with exactly the flagged positions
+            # filled (unflagged preserved) — re-selecting via np.where would
+            # just burn an extra full-size allocation per pass; the int32
+            # view is kept for emitters (copy=False: free when already i32).
+            # Below the strength floor golden skips the rewrite entirely, so
+            # the fill is not even computed
+            values = inpaint_flat(values, flag, fb).astype(np.int32, copy=False)
     return BatchResult(values, wm_row.astype(np.int32), cov, rad, used)
 
 

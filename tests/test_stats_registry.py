@@ -51,3 +51,35 @@ def test_summary_and_manifests(ray_session, tmp_path):
     m = stats.manifest_metrics(out_dir)
     assert m["committed"] == 4 and m["total_rows"] == 300
     assert m["skew_ratio"] < 5
+
+
+def test_events_customer_join_empty_build_side(ray_session, tmp_path):
+    """Regression (review finding): an empty customer table must yield a
+    correct EMPTY inner join, not an IndexError inside every map task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.windows import (
+        events_customer_join,
+    )
+
+    cust = str(tmp_path / "customer.parquet")
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([], pa.int64()),
+                  "c_name": pa.array([], pa.string())}),
+        cust,
+    )
+    ev = _ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "user_id": pa.array([10, 20], pa.int64()),
+            }
+        )
+    )
+    out_ds = events_customer_join(ev, cust)
+    assert out_ds.count() == 0
+    # schema survives even though all blocks are empty
+    assert out_ds.schema().names == ["event_id", "user_id", "c_name"]
