@@ -414,9 +414,12 @@ def _candidate_pairs_tbl(band_ds) -> pa.Table:
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over unique-hash sets.  Two EMPTY sets score 0.0, not
+    1.0 — empty/too-short docs are not meaningful near-dups, and the n-gram
+    path (ngram_jaccard_pairs) drops union==0 pairs under the same rule."""
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
-    return inter / union if union else 1.0
+    return inter / union if union else 0.0
 
 
 def _empty_pairs(extra: str, typ) -> pa.Table:
@@ -505,8 +508,14 @@ def _verify_pairs_distributed(cand_tbl: pa.Table, payload_ds, pair_value, out_fi
         half = (pid >= 0) & has_payload[run_of]
         n_half_per_run = np.bincount(run_of[half], minlength=starts.size)
         src_pay = np.repeat(payload[starts], n_half_per_run)
+        # mark which side of the pair this half carries (its doc is either
+        # a or b; a < b so they can't coincide) — finish_part orders the two
+        # halves by it so pair_value(payload_a, payload_b) holds even for
+        # ASYMMETRIC pair metrics (e.g. containment), not just jaccard/hamming
+        is_b = (doc[half] == bb[half]).astype(np.int64)
         return pd.DataFrame(
-            {"pair_id": pid[half], "a": aa[half], "b": bb[half], "payload": src_pay}
+            {"pair_id": pid[half], "a": aa[half], "b": bb[half],
+             "is_b": is_b, "payload": src_pay}
         )
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -518,7 +527,8 @@ def _verify_pairs_distributed(cand_tbl: pa.Table, payload_ds, pair_value, out_fi
         # runs — no per-pair pandas group (the per-pair DataFrame overhead
         # dominated the simhash-scale case)
         pid = g["pair_id"].to_numpy().astype(np.int64)
-        order = np.argsort(pid, kind="stable")
+        isb = g["is_b"].to_numpy().astype(np.int64)
+        order = np.lexsort((isb, pid))  # a-half first within each pair
         pid = pid[order]
         aa = g["a"].to_numpy().astype(np.int64)[order]
         bb = g["b"].to_numpy().astype(np.int64)[order]
@@ -578,23 +588,34 @@ def minhash_lsh_dedup(ds, *, num_hashes: int = 64, bands: int = 16, threshold: f
     stage = MinHashStage(num_hashes)
 
     def sig_bands(b: pa.Table) -> pa.Table:
-        return _band_rows(stage(b).select(["doc_id", "sig"]), bands, rows)
+        t = stage(b)
+        # docs with ZERO shingles (empty/too-short text) all share the
+        # all-zero signature: banding them makes every such doc collide
+        # with every other in every band — E empty docs would explode into
+        # E(E-1)/2 candidate pairs.  They cannot be meaningful near-dups
+        # (jaccard of empty sets is 0 here), so drop them before banding.
+        n_sh = pc.list_value_length(t["shingles"])
+        t = t.filter(pc.greater(n_sh, 0))
+        return _band_rows(t.select(["doc_id", "sig"]), bands, rows)
 
     band_ds = ds.map_batches(sig_bands, batch_format="pyarrow")
     cand_tbl = _candidate_pairs_tbl(band_ds)
     if cand_tbl.num_rows == 0:
         return _empty_pairs("jacc", pa.float64())
-    need = frozenset(
+    # broadcast the candidate-id set as a SORTED int64 array: np.isin probes
+    # it vectorized per batch (a frozenset would mean one Python hash probe
+    # + int() boxing per corpus row — the hot-path cost at 10^8 docs)
+    need_arr = np.unique(
         np.concatenate(
             [np.asarray(cand_tbl["a"], np.int64), np.asarray(cand_tbl["b"], np.int64)]
-        ).tolist()
+        )
     )
-    need_ref = ray.put(need)
+    need_ref = ray.put(need_arr)
 
     def shingles_needed(b: pa.Table) -> pa.Table:
         needed = ray.get(need_ref)
         ids = np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
-        keep = np.array([int(x) in needed for x in ids], dtype=bool)
+        keep = np.isin(ids, needed, assume_unique=False)
         if not keep.any():
             # same schema as the non-empty branch (payload, not shingles) —
             # downstream tag_payload expects 'payload' even if Ray ever stops
@@ -603,7 +624,11 @@ def minhash_lsh_dedup(ds, *, num_hashes: int = 64, bands: int = 16, threshold: f
                 {"doc_id": pa.array([], pa.int64()), "payload": pa.array([], pa.list_(pa.int64()))}
             )
         sub = b.filter(pa.array(keep))
-        sh = [shingle_hashes(t, stage.ngram) for t in sub["text"].to_pylist()]
+        # batched recompute (one flat pass over the kept docs), not one
+        # shingle_hashes() kernel re-entry per doc
+        wh, doc_off = _word_hashes_flat(sub["text"].to_pylist())
+        grams, goff = _gram_hashes_flat(wh, doc_off, stage.ngram)
+        sh = [np.unique(grams[goff[i] : goff[i + 1]]) for i in range(len(sub))]
         return pa.table(
             {
                 "doc_id": sub["doc_id"].cast(pa.int64()),
@@ -664,6 +689,10 @@ class SimHashStage:
             {
                 "doc_id": pc.cast(batch["doc_id"], pa.int64()),
                 "simhash": pa.array(sigs.view(np.int64), pa.int64()),
+                # word count lets callers drop zero-word docs (their sig is
+                # 0, so banding them would pair every empty doc with every
+                # other) without a second word-hash pass
+                "n_words": pa.array(counts, pa.int64()),
             }
         )
 
@@ -681,6 +710,9 @@ def simhash_dedup(
 ):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by 16-bit
     band blocking (a pair within distance 3 shares at least one of 4 bands).
+    RECALL CONTRACT: complete only for max_hamming <= 3 (bands - 1); a
+    larger threshold returns best-effort pairs — a pair whose differing
+    bits touch all four bands never becomes a candidate.
 
     Distributed shape mirrors :func:`minhash_lsh_dedup` for candidate
     generation; the verify differs because signatures are 8-byte SCALARS:
@@ -702,6 +734,10 @@ def simhash_dedup(
 
     def explode(b: pa.Table) -> pa.Table:
         t = stage(b)
+        # drop zero-word docs before banding: they all carry signature 0
+        # and would otherwise collide pairwise in every band (E empty docs
+        # → E(E-1)/2 candidates), the same rule as the MinHash path
+        t = t.filter(pc.greater(t["n_words"], 0))
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sigs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         band = np.repeat(np.arange(4, dtype=np.int32), ids.size)
@@ -719,20 +755,21 @@ def simhash_dedup(
         return _empty_pairs("hamming", pa.int64())
 
     # candidate-doc filter (output-scale broadcast) cuts the join's shuffle
-    # volume to candidate signatures only
-    need = frozenset(
+    # volume to candidate signatures only; sorted int64 array + np.isin —
+    # not a per-row Python set probe
+    need_arr = np.unique(
         np.concatenate(
             [np.asarray(cand_tbl["a"], np.int64), np.asarray(cand_tbl["b"], np.int64)]
-        ).tolist()
+        )
     )
-    need_ref = ray.put(need)
+    need_ref = ray.put(need_arr)
 
     def sigs_needed(b: pa.Table) -> pa.Table:
         needed = ray.get(need_ref)
         t = stage(b)
         ids = np.asarray(t["doc_id"], np.int64)
-        keep = np.array([int(x) in needed for x in ids], dtype=bool)
-        return t.filter(pa.array(keep))
+        keep = np.isin(ids, needed)
+        return t.select(["doc_id", "simhash"]).filter(pa.array(keep))
 
     sig_ds = ds.map_batches(sigs_needed, batch_format="pyarrow")
 
@@ -932,7 +969,11 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = No
     # exactly-once sink dir): pass work_dir on shared storage, or set
     # PDFWM_RAY_SHARED_TMP; the local-tmp fallback is single-node only
     shared_root = os.environ.get("PDFWM_RAY_SHARED_TMP")
-    work = work_dir or tempfile.mkdtemp(prefix="graft_near_dup_", dir=shared_root)
+    # ALWAYS stage into a fresh unique directory (under work_dir when
+    # given): reusing a dir across runs would glob the previous run's
+    # uuid-named block files into the block-pair tasks — every vector
+    # would pair with its own stale copy at cosine 1.0
+    work = tempfile.mkdtemp(prefix="graft_near_dup_", dir=work_dir or shared_root)
     try:
         norm.write_parquet(work)
         files = sorted(
@@ -945,8 +986,9 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = No
         ]
         parts = [t for t in ray.get(tasks) if t.num_rows]
     finally:
-        if work_dir is None:
-            shutil.rmtree(work, ignore_errors=True)
+        # the unique staging subdir is transient either way; work_dir itself
+        # (the shared-storage root) is left alone
+        shutil.rmtree(work, ignore_errors=True)
     if not parts:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     # a pair can only appear once (block pairs are disjoint except self-pairs

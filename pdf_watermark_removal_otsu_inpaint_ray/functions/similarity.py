@@ -27,7 +27,10 @@ def matrix_of(col: pa.ChunkedArray | pa.ListArray) -> np.ndarray:
     dim = int(lens[0]) if lens.size else 0
     if (lens != dim).any():  # real check, not assert: -O must not skip it
         raise ValueError("ragged embedding column (row lengths differ / null rows)")
-    return vals[off[0] : off[-1]].reshape(-1, dim)
+    # explicit row count: reshape(-1, 0) raises an opaque ValueError for a
+    # zero-row / all-empty-list column where an empty (n, 0) matrix is the
+    # correct (and matmul-safe) answer
+    return vals[off[0] : off[-1]].reshape(lens.size, dim)
 
 
 def cosine_topk(ds, query: np.ndarray, k: int = 10) -> pa.Table:

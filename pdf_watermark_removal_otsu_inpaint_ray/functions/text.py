@@ -20,6 +20,11 @@ import pyarrow.compute as pc
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
 PUNCT_RE = r"[.,!?;:]"
 WORD_RE = r"\S+"
+# Python twin of RE2's ASCII \S ([^\t\n\f\r ]): Python's re is
+# Unicode-aware, so a bare \S+ would treat NBSP etc. as non-space and
+# disagree with the Arrow/DuckDB word counts on Unicode whitespace
+# (n_stop > n_words, lang_id diverging from its RE2 oracle twin)
+PY_WORD_RE = r"[^\t\n\f\r ]+"
 FP_MOD = 1_000_003
 FP_MULT = 2_654_435_761  # Knuth multiplicative constant
 
@@ -28,7 +33,7 @@ class TextStats:
     """doc → token/quality counters (all integers, oracle-checkable)."""
 
     def __init__(self):
-        self.word = re.compile(WORD_RE)
+        self.word = re.compile(PY_WORD_RE)
         self.stop = set(STOPWORDS_EN)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -64,7 +69,7 @@ class LangId:
     }
 
     def __init__(self):
-        self.word = re.compile(WORD_RE)
+        self.word = re.compile(PY_WORD_RE)
         self.sets = {k: set(v) for k, v in self.SETS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -152,7 +152,12 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
 
     stage = MinHashStage(64)
     sig = stage(_docs_table(sf_dir))
-    band = _band_rows(sig, 16, 4)
+    # same empty-doc rule as the engine: zero-shingle docs are not banded
+    # (they all share the zero signature and are never near-dups)
+    import pyarrow.compute as _pc
+
+    banded = sig.filter(_pc.greater(_pc.list_value_length(sig["shingles"]), 0))
+    band = _band_rows(banded, 16, 4)
     bands = np.asarray(band["band"], dtype=np.int64)
     hashes = np.asarray(band["band_hash"], dtype=np.int64)
     ids = np.asarray(band["doc_id"], dtype=np.int64)
@@ -241,12 +246,17 @@ def _py_word_hash(word: str) -> int:
     return _py_mix64(h ^ ((len(data) * 0x2545F4914F6CDD1D) & _M64))
 
 
+def _re_words(text: str) -> list[str]:
+    """Word split of the simhash/minhash spec (pure-Python twin)."""
+    import re as _re
+
+    return _re.findall(r"\S+", text.lower())
+
+
 def _py_simhash(text: str) -> int:
     """Pure-Python SimHash (bit-k majority of word-hash bit k, ties → 0);
     independent twin of dedup.SimHashStage.  Returns int64 two's-complement."""
-    import re as _re
-
-    words = _re.findall(r"\S+", text.lower())
+    words = _re_words(text)
     if not words:
         return 0
     votes = [0] * 64
@@ -274,8 +284,13 @@ def _golden_simhash(sf_dir: str) -> pa.Table:
     sigs = np.array(
         [_py_simhash(t) for t in docs["text"].to_pylist()], dtype=np.int64
     ).view(np.uint64)
+    n_words = np.array(
+        [len(_re_words(t)) for t in docs["text"].to_pylist()], dtype=np.int64
+    )
     buckets: dict[tuple[int, int], list[int]] = {}
     for i in range(ids.size):
+        if n_words[i] == 0:  # same empty-doc rule as the engine's explode
+            continue
         for j in range(4):
             key = (j, int((sigs[i] >> np.uint64(16 * j)) & np.uint64(0xFFFF)))
             buckets.setdefault(key, []).append(int(ids[i]))
@@ -289,7 +304,7 @@ def _golden_simhash(sf_dir: str) -> pa.Table:
     rows = []
     for a, b in sorted(cand):
         h = int(bin(sigmap[a] ^ sigmap[b]).count("1"))
-        if h <= 8:  # q_simhash uses max_hamming=8
+        if h <= 3:  # q_simhash uses max_hamming=3 — the 4-band recall bound
             rows.append((a, b, h))
     return pa.table(
         {
@@ -430,7 +445,7 @@ _COMPUTE = {
 
 # bump when any golden-relevant definition changes (hash kernels, detection
 # rules) so stale materialized goldens in a reused /tmp are invalidated
-_ORACLE_VERSION = "r3-vechash-1"
+_ORACLE_VERSION = "r3-emptydoc-ham3-1"
 
 
 def ensure_golden(sf_dir: str, names=None) -> None:

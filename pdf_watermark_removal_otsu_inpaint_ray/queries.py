@@ -67,17 +67,38 @@ def _events_ds(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+
+def _tok_sums(tokens_col) -> "pa.Array":
+    """Per-row token sums over a list column — ONE bincount on the flat
+    buffer (np.add.at is an unbuffered ufunc, 10-50x slower; empty rows get
+    0 for free).  Sums stay far below 2^53, so the float64 accumulation is
+    exact."""
+    fb = flatten_list_column(tokens_col)
+    sums = np.bincount(
+        fb.seg, weights=fb.values.astype(np.float64), minlength=fb.n_rows
+    ).astype(np.int64)
+    return pa.array(sums, pa.int64())
+
+
+def _rewrite_summary(b: pa.Table, with_wm: bool = True, with_passes: bool = False) -> pa.Table:
+    """Shared oracle-facing projection of a rewritten stream (the six
+    inpaint/streaming queries differ only in which metadata they keep)."""
+    cols = {"doc_id": b["doc_id"], "tok_sum_out": _tok_sums(b["tokens"])}
+    if with_wm:
+        cols["wm_token"] = b["wm_token"].cast(pa.int64())
+    if with_passes:
+        cols["n_passes"] = b["n_passes"].cast(pa.int64())
+    return pa.table(cols)
+
+
 def q_seq_ingest(sf_dir: str):
     def summarize(b: pa.Table) -> pa.Table:
-        fb = flatten_list_column(b["tokens"])
-        sums = np.zeros(fb.n_rows, dtype=np.int64)
-        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
         return pa.table(
             {
                 "doc_id": b["doc_id"],
                 "n_tok": b["n_tok"].cast(pa.int64()),
                 "source": b["source"],
-                "tok_sum": pa.array(sums, pa.int64()),
+                "tok_sum": _tok_sums(b["tokens"]),
             }
         )
 
@@ -209,17 +230,7 @@ def q_inpaint_global(sf_dir: str):
     out = run_flagship(_seq_ds(sf_dir), cfg, batch_size=256)
 
     def summarize(b: pa.Table) -> pa.Table:
-        fb = flatten_list_column(b["tokens"])
-        sums = np.zeros(fb.n_rows, dtype=np.int64)
-        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "tok_sum_out": pa.array(sums, pa.int64()),
-                "wm_token": b["wm_token"].cast(pa.int64()),
-                "n_passes": b["n_passes"].cast(pa.int64()),
-            }
-        )
+        return _rewrite_summary(b, with_passes=True)
 
     return out.map_batches(summarize, batch_format="pyarrow")
 
@@ -237,16 +248,7 @@ def q_streaming_inpaint(sf_dir: str):
         window_kind="tumbling", window_size=64, allowed_lateness=8
     )
     res = run_streaming(_seq_ds(sf_dir), cfg, n_actors=2, micro_batch_rows=256)
-    fb = flatten_list_column(res.output["tokens"])
-    sums = np.zeros(fb.n_rows, dtype=np.int64)
-    np.add.at(sums, fb.seg, fb.values.astype(np.int64))
-    return pa.table(
-        {
-            "doc_id": res.output["doc_id"],
-            "tok_sum_out": pa.array(sums, pa.int64()),
-            "wm_token": res.output["wm_token"].cast(pa.int64()),
-        }
-    )
+    return _rewrite_summary(res.output)
 
 
 def q_auto_tuned(sf_dir: str):
@@ -259,12 +261,7 @@ def q_auto_tuned(sf_dir: str):
     out = run_auto_tuned(_seq_ds(sf_dir), cfg, batch_size=256)
 
     def summarize(b: pa.Table) -> pa.Table:
-        fb = flatten_list_column(b["tokens"])
-        sums = np.zeros(fb.n_rows, dtype=np.int64)
-        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
-        return pa.table(
-            {"doc_id": b["doc_id"], "tok_sum_out": pa.array(sums, pa.int64())}
-        )
+        return _rewrite_summary(b, with_wm=False)
 
     return out.map_batches(summarize, batch_format="pyarrow")
 
@@ -277,16 +274,7 @@ def q_inpaint_tumbling(sf_dir: str):
     out = run_flagship(_seq_ds(sf_dir), cfg, batch_size=256)
 
     def summarize(b: pa.Table) -> pa.Table:
-        fb = flatten_list_column(b["tokens"])
-        sums = np.zeros(fb.n_rows, dtype=np.int64)
-        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "tok_sum_out": pa.array(sums, pa.int64()),
-                "wm_token": b["wm_token"].cast(pa.int64()),
-            }
-        )
+        return _rewrite_summary(b)
 
     return out.map_batches(summarize, batch_format="pyarrow")
 
@@ -337,16 +325,7 @@ def q_inpaint_session(sf_dir: str):
     out = run_flagship(_seq_ds(sf_dir), cfg, batch_size=256)
 
     def summarize(b: pa.Table) -> pa.Table:
-        fb = flatten_list_column(b["tokens"])
-        sums = np.zeros(fb.n_rows, dtype=np.int64)
-        np.add.at(sums, fb.seg, fb.values.astype(np.int64))
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "tok_sum_out": pa.array(sums, pa.int64()),
-                "wm_token": b["wm_token"].cast(pa.int64()),
-            }
-        )
+        return _rewrite_summary(b)
 
     return out.map_batches(summarize, batch_format="pyarrow")
 
@@ -639,7 +618,10 @@ def q_simhash(sf_dir: str):
     _with_golden("simhash", sf_dir)
     from .functions.dedup import simhash_dedup
 
-    return simhash_dedup(_docs_ds(sf_dir), max_hamming=8)
+    # max_hamming=3 is the COMPLETE-recall bound of 4x16-bit banding (a pair
+    # within distance b-1 always shares a band); a larger threshold would
+    # silently miss pairs whose differing bits touch all four bands
+    return simhash_dedup(_docs_ds(sf_dir), max_hamming=3)
 
 
 def q_embedding_knn(sf_dir: str):
@@ -688,20 +670,37 @@ def q_knn_ivf(sf_dir: str):
 
     import ray.data
 
-    idx, q, _ = _ivf_fit(sf_dir, n_list=8, n_probe=3)
-    # cache tag covers the source CONTENT (size + mtime), not just the path:
-    # a regenerated embeddings.parquet at the same path must invalidate the
-    # cached layout or search results diverge from the fresh golden oracle
+    n_list, n_probe = 8, 3
+    idx, q, _ = _ivf_fit(sf_dir, n_list=n_list, n_probe=n_probe)
+    # cache tag covers the source CONTENT (size + mtime) AND the index
+    # hyperparameters: a regenerated embeddings.parquet at the same path,
+    # or a changed n_list/n_probe, must invalidate the cached layout or
+    # search results diverge from the fresh golden oracle
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}"
+    key = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:nl{n_list}:np{n_probe}"
     tag = _h.blake2b(key.encode(), digest_size=6).hexdigest()
     layout = f"/tmp/graft_ivf/{tag}"
-    if not os.path.isdir(layout) or not os.listdir(layout):
+    done = os.path.join(layout, "_SUCCESS")
+    if not os.path.exists(done):
+        # build in a tmp dir and publish with one atomic rename: a crash
+        # mid-write must never leave a partial layout that later runs
+        # silently probe (the non-empty-dir check alone cannot tell a
+        # finished layout from a half-written one)
+        import shutil as _sh
+        import uuid as _uuid
+
+        _sh.rmtree(layout, ignore_errors=True)
+        tmp = f"{layout}.build-{_uuid.uuid4().hex}"
         ds = ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        idx.write_partitioned(ds, layout)
+        idx.write_partitioned(ds, tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, layout)
+        except OSError:  # concurrent builder won the publish — use theirs
+            _sh.rmtree(tmp, ignore_errors=True)
     return idx.search_partitioned(layout, q, k=10)
 
 

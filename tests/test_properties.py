@@ -370,3 +370,39 @@ def test_qr_classifier_matches_python_spec(word_rows):
         if j >= 0:
             exp[str(i)] = _py_qr_classify(text[j + 5 : j + 5 + 24])
     assert got == exp
+
+
+def test_empty_docs_never_near_dup(ray_session):
+    """Regression (review finding, reproduced): empty/whitespace-only docs
+    all share the zero MinHash/SimHash signature — without the empty-doc
+    filter E of them explode into E(E-1)/2 'duplicate' pairs (jacc 1.0).
+    They must produce NO pairs, and real dups must still be found."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        jaccard,
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    assert jaccard(np.zeros(0, np.int64), np.zeros(0, np.int64)) == 0.0
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [""] * 8 + ["   "] * 4 + [dup, dup] + ["completely different words here now ok"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * len(texts)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    mh = minhash_lsh_dedup(ds, threshold=0.5)
+    pairs = set(zip(mh["a"].to_pylist(), mh["b"].to_pylist()))
+    assert pairs == {(12, 13)}  # only the genuine duplicate pair
+    sh = simhash_dedup(ray.data.from_arrow(t).repartition(2), max_hamming=3)
+    spairs = set(zip(sh["a"].to_pylist(), sh["b"].to_pylist()))
+    assert spairs == {(12, 13)}
