@@ -28,6 +28,14 @@ def parse_rows(spec: str) -> list[int]:
     """
     if not spec or not spec.strip():
         raise ValueError("empty row spec")
+
+    def _num(s: str) -> int:
+        # strict decimal: int() alone would accept Python literal quirks
+        # like '1_0' or '+5' and silently select the wrong rows
+        if not (s.isascii() and s.isdigit()):
+            raise ValueError(f"bad row number {s!r}")
+        return int(s)
+
     out: set[int] = set()
     for part in spec.split(","):
         part = part.strip()
@@ -35,12 +43,12 @@ def parse_rows(spec: str) -> list[int]:
             raise ValueError(f"empty segment in row spec {spec!r}")
         if "-" in part:
             lo_s, _, hi_s = part.partition("-")
-            lo, hi = int(lo_s), int(hi_s)
+            lo, hi = _num(lo_s), _num(hi_s)
             if lo < 1 or hi < lo:
                 raise ValueError(f"bad range {part!r}")
             out.update(range(lo, hi + 1))
         else:
-            v = int(part)
+            v = _num(part)
             if v < 1:
                 raise ValueError(f"bad row number {part!r}")
             out.add(v)
@@ -98,6 +106,55 @@ def build_config(args) -> "EngineConfig":
     return cfg
 
 
+def select_rows_file(input_path: str, rows: list[int]) -> str:
+    """Materialize the 1-indexed selected rows to a temp parquet file.
+
+    Position = the input's STORAGE order (files in lexicographic order, rows
+    in file order — the same log order the streaming reader uses), exactly
+    like the reference's 1-indexed page numbers index the PDF's page order
+    (cli.py:112-171).  Stops reading at the highest selected position, so
+    the scan cost is bounded by max(rows), not the stream length."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    paths = (
+        sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(input_path)
+        else [input_path]
+    )
+    wanted = np.asarray(rows, dtype=np.int64)
+    mx = int(wanted.max())
+    taken: list[pa.Table] = []
+    pos = 0
+    for path in paths:
+        pf = pq_.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=8192):
+            t = pa.Table.from_batches([rb])
+            idx = np.nonzero(np.isin(pos + 1 + np.arange(t.num_rows), wanted))[0]
+            if idx.size:
+                taken.append(t.take(pa.array(idx)))
+            pos += t.num_rows
+            if pos >= mx:
+                break
+        if pos >= mx:
+            break
+    sel = pa.concat_tables(taken) if taken else None
+    if sel is None or sel.num_rows == 0:
+        raise ValueError(f"row spec selects nothing: input has {pos} rows")
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", prefix="graft_rows_")
+    os.close(fd)
+    pq_.write_table(sel, tmp)
+    return tmp
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pdf_watermark_removal_otsu_inpaint_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -118,10 +175,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--wm-token", default=None, help="fixed token T or R,G,B")
     r.add_argument("--preset", default=None,
                    help="electronic | scanned | mixed | electronic-color")
-    r.add_argument("--rows", default=None, help="1-indexed row spec 1,3,5-10")
+    r.add_argument("--rows", default=None,
+                   help="1-indexed row spec 1,3,5-10 (input storage order)")
     r.add_argument("--partitions", type=int, default=32)
     r.add_argument("--streaming", action="store_true",
                    help="incremental engine (single read, keyed state actors)")
+    r.add_argument("--overwrite", action="store_true",
+                   help="recommit over an existing output dir instead of "
+                        "resuming (skipping already-committed partitions)")
     args = p.parse_args(argv)
 
     import sys as _sys
@@ -145,11 +206,32 @@ def main(argv: list[str] | None = None) -> int:
     owns_ray = not ray.is_initialized()
     if owns_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    sel_tmp = None
     try:
+        import os as _os
+        import shutil as _shutil
+
+        if args.overwrite:
+            _shutil.rmtree(args.output, ignore_errors=True)
+        else:
+            from .sinks.exactly_once import committed_partitions
+
+            already = len(committed_partitions(args.output))
+            if already:
+                # resuming is the intended default, but never silently: a
+                # rerun with DIFFERENT input into the same dir would keep
+                # the stale committed partitions
+                summary(t("resume_notice", parts=already))
+        run_input = args.input
+        if args.rows:
+            # materialize the selected rows once (storage order, 1-indexed)
+            # so BOTH engines see the identical filtered stream
+            sel_tmp = select_rows_file(args.input, parse_rows(args.rows))
+            run_input = sel_tmp
         if args.streaming:
             from .pipelines.streaming import run_streaming
 
-            res = run_streaming(args.input, cfg, out_dir=args.output,
+            res = run_streaming(run_input, cfg, out_dir=args.output,
                                 num_partitions=args.partitions)
             # sink mode: rows staged by the actors; output lives under
             # --output (res.output is None by design)
@@ -168,18 +250,7 @@ def main(argv: list[str] | None = None) -> int:
             from .sinks.exactly_once import write_exactly_once
             from .sources import read_sequences
 
-            ds = read_sequences(args.input)
-            if args.rows:
-                import numpy as np
-                import pyarrow as pa
-
-                keep = set(parse_rows(args.rows))
-
-                def filt(b, _k=frozenset(keep)):
-                    ts = np.asarray(b["event_ts"])
-                    return b.filter(pa.array(np.isin(ts + 1, list(_k))))
-
-                ds = ds.map_batches(filt, batch_format="pyarrow")
+            ds = read_sequences(run_input)
             out = run_flagship(ds, cfg)
             report = write_exactly_once(out, args.output, num_partitions=args.partitions)
             from .stats import manifest_metrics
@@ -192,6 +263,13 @@ def main(argv: list[str] | None = None) -> int:
                     t("output_saved", path=args.output))
         return 0
     finally:
+        if sel_tmp is not None:
+            import os as _os2
+
+            try:
+                _os2.remove(sel_tmp)
+            except OSError:
+                pass
         if owns_ray:
             ray.shutdown()
 

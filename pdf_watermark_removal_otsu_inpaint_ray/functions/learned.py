@@ -98,11 +98,19 @@ class LearnedDetectorStage:
         return pa.table(cols)
 
 
-def learned_scores(ds, *, concurrency=(2, 4), batch_size: int = 512, emit_diag: bool = False):
-    """Run the learned detector over a sequence Dataset as an actor pool."""
+def learned_scores(ds, *, concurrency=(2, 4), batch_size: int = 512, emit_diag: bool = False,
+                   weights_cache: str | None = None):
+    """Run the learned detector over a sequence Dataset as an actor pool.
+
+    ``weights_cache``: shared path for the model-manager mmap path — ONE
+    64 MB weight build per node, shared read-only by every actor, instead
+    of each actor paying the full in-memory build in ``__init__``."""
+    kw = {"emit_diag": emit_diag}
+    if weights_cache is not None:
+        kw["weights_cache"] = weights_cache
     return ds.map_batches(
         LearnedDetectorStage,
-        fn_constructor_kwargs={"emit_diag": emit_diag},
+        fn_constructor_kwargs=kw,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -204,6 +204,10 @@ class FeatureStage:
     detector with heavy per-actor state lives in functions/learned.py)."""
 
     def __init__(self, dim: int = 8):
+        if not 1 <= dim <= 8:
+            # blake2b digests cap at 64 bytes = 8 u64 lanes; fail at
+            # construction, not in every worker's first batch
+            raise ValueError(f"FeatureStage dim must be in 1..8, got {dim}")
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -21,6 +21,7 @@ LOCALES: dict[str, dict[str, str]] = {
         "title": "令牌水印移除引擎",
         "completed": "水印移除完成!",
         "output_saved": "输出已保存: {path}",
+        "resume_notice": "续传模式: {parts} 个分区已提交, 将被跳过 (用 --overwrite 重算)",
         "rows_processed": "处理的行数: {rows}",
         "late_rows": "迟到行数: {late}",
         "partitions_committed": "已提交分区: {parts}",
@@ -32,6 +33,7 @@ LOCALES: dict[str, dict[str, str]] = {
         "title": "Token Watermark Removal Engine",
         "completed": "Watermark removal completed successfully!",
         "output_saved": "Output saved to: {path}",
+        "resume_notice": "resume: {parts} partition(s) already committed will be SKIPPED (pass --overwrite to recompute)",
         "rows_processed": "Rows processed: {rows}",
         "late_rows": "Late rows: {late}",
         "partitions_committed": "Partitions committed: {parts}",

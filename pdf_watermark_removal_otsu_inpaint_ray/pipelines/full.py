@@ -49,7 +49,7 @@ def run_full_pipeline(
     import pyarrow as pa
 
     events_ds = detect_motif_events(ds, motifs, cfg)
-    batches = [pa.table(b) for b in events_ds.iter_batches(batch_format="pyarrow")]
+    batches = list(events_ds.iter_batches(batch_format="pyarrow"))
     events = pa.concat_tables(batches) if batches else None
     if events is not None and events.num_rows:
         removable = category_filter(events, cfg.removal_categories)

@@ -15,8 +15,6 @@ import ray.data
 
 from ..synth import tokenize_documents_batch
 
-SEQ_COLUMNS = ["doc_id", "tokens", "n_tok", "source", "event_ts"]
-
 
 def _ensure_event_ts(batch: pa.Table) -> pa.Table:
     """Derive event_ts from doc_id ordering when the stream carries none.
@@ -53,10 +51,20 @@ def read_sequences(paths: str | list[str], *, columns: list[str] | None = None) 
 
     import pyarrow.parquet as pq_
 
+    def _first_parquet(root: str) -> str:
+        """First .parquet file under root in lexicographic walk order —
+        handles nested/hive-partitioned layouts (part=NNN/ subdirs) that
+        ray.data.read_parquet reads fine but a flat listdir would miss."""
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for f in sorted(filenames):
+                if f.endswith(".parquet"):
+                    return os.path.join(dirpath, f)
+        return root  # no parquet anywhere: let read_parquet raise its error
+
     first = paths if isinstance(paths, str) else paths[0]
     if os.path.isdir(first):
-        inner = sorted(f for f in os.listdir(first) if f.endswith(".parquet"))
-        first = os.path.join(first, inner[0]) if inner else first
+        first = _first_parquet(first)
     file_has_ts = "event_ts" in pq_.read_schema(first).names
     ds = ray.data.read_parquet(paths, columns=columns)
     if not file_has_ts and (columns is None or "doc_id" in columns):

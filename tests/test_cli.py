@@ -15,7 +15,7 @@ def test_parse_rows():
     assert parse_rows("1,3,5-10") == [1, 3, 5, 6, 7, 8, 9, 10]
     assert parse_rows("7") == [7]
     assert parse_rows("3,1,1,2-3") == [1, 2, 3]
-    for bad in ("", "0", "5-2", "a", "1,,2"):
+    for bad in ("", "0", "5-2", "a", "1,,2", "1_0", "+5", "-3", "２"):
         with pytest.raises(ValueError):
             parse_rows(bad)
 
@@ -58,3 +58,49 @@ def test_cli_run_end_to_end(ray_session, tmp_path, capsys):
     assert rc == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["rows"] == 200 and info["partitions"] == 4
+
+
+def test_cli_rows_positional_and_streaming(ray_session, tmp_path, capsys):
+    """--rows selects by 1-indexed STORAGE position (not event_ts) and is
+    honored in --streaming mode too (regression: it was validated but
+    silently ignored there)."""
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "s.parquet")
+    synth.write_stream(p, 60, n_sources=2, disorder=6)
+    src = pq.read_table(p)
+    for extra in ([], ["--streaming"]):
+        out_dir = str(tmp_path / f"out_rows{'_s' if extra else ''}")
+        rc = main(
+            ["run", "--input", p, "--output", out_dir, "--rows", "2,5-7",
+             "--partitions", "4", "--lateness", "64"] + extra
+        )
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["rows"] == 4, extra
+        from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import read_output
+
+        got = sorted(
+            d
+            for b in read_output(out_dir).iter_batches(batch_format="pyarrow")
+            for d in b["doc_id"].to_pylist()
+        )
+        expect = sorted(src["doc_id"].to_pylist()[i - 1] for i in (2, 5, 6, 7))
+        assert got == expect, extra
+
+
+def test_cli_resume_notice_and_overwrite(ray_session, tmp_path, capsys):
+    """Rerunning into a committed output dir warns about skipped partitions
+    (resume is never silent); --overwrite recomputes from scratch."""
+    p = str(tmp_path / "s.parquet")
+    synth.write_stream(p, 80, n_sources=2)
+    out_dir = str(tmp_path / "out")
+    assert main(["run", "--input", p, "--output", out_dir, "--partitions", "4"]) == 0
+    capsys.readouterr()
+    assert main(["run", "--input", p, "--output", out_dir, "--partitions", "4"]) == 0
+    err = capsys.readouterr().err
+    assert "SKIPPED" in err and "--overwrite" in err
+    assert main(["run", "--input", p, "--output", out_dir, "--partitions", "4",
+                 "--overwrite"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 80

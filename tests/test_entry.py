@@ -90,3 +90,23 @@ def test_entry_smoke(ray_session):
     df = to_pandas(ds)
     assert len(df) == 500
     assert {"doc_id", "tokens", "n_tok", "source"} <= set(df.columns)
+
+
+def test_read_sequences_nested_layout(ray_session, tmp_path):
+    """Regression (review finding): a directory with only SUBDIRS of parquet
+    (hive-style part=NNN/ layout) must not crash the event_ts schema sniff."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.sources import read_sequences
+
+    root = tmp_path / "nested"
+    sub = root / "part=00000"
+    os.makedirs(sub)
+    synth.write_stream(str(sub / "data.parquet"), 40, n_sources=2)
+    ds = read_sequences(str(root))
+    t = pq.read_table(str(sub / "data.parquet"))
+    assert ds.count() == t.num_rows
+    assert "event_ts" in ds.schema().names
