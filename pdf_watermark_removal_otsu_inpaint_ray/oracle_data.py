@@ -137,6 +137,12 @@ def _golden_auto_tuned(sf_dir: str) -> pa.Table:
     )
 
 
+# per-process memo: dedup_clusters reuses the minhash pair set computed
+# moments earlier in the same ensure_golden pass (the most expensive
+# single-process oracle) instead of recomputing it
+_MINHASH_MEMO: dict = {}
+
+
 def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     """Single-process MinHash-LSH twin: same deterministic signatures and
     banding as the engine, bucketing + exact-Jaccard verify in plain driver
@@ -148,6 +154,9 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     itself.  The signature kernel is independently cross-checked by (a) the
     pure-Python spec mirror in _py_word_hash (tests/test_properties.py) and
     (b) _golden_simhash below, which shares no engine code at all."""
+    cached = _MINHASH_MEMO.get(sf_dir)
+    if cached is not None:
+        return cached
     from .functions.dedup import MinHashStage, _band_rows, jaccard
 
     stage = MinHashStage(64)
@@ -176,13 +185,15 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     }
     rows = [(a, b, jaccard(sh[a], sh[b])) for a, b in sorted(cand)]
     rows = [(a, b, j) for a, b, j in rows if j >= 0.5]
-    return pa.table(
+    out = pa.table(
         {
             "a": pa.array([r[0] for r in rows], pa.int64()),
             "b": pa.array([r[1] for r in rows], pa.int64()),
             "jacc": pa.array([r[2] for r in rows], pa.float64()),
         }
     )
+    _MINHASH_MEMO[sf_dir] = out
+    return out
 
 
 def _golden_dedup_clusters(sf_dir: str) -> pa.Table:
@@ -448,17 +459,33 @@ _COMPUTE = {
 _ORACLE_VERSION = "r3-emptydoc-ham3-1"
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """size:mtime of the input tables a golden depends on — regenerated
+    testdata at the same path must invalidate the cached golden (the same
+    content-sensitive rule as the IVF layout cache in queries.py)."""
+    parts = []
+    for f in ("documents.parquet", "embeddings.parquet"):
+        p = os.path.join(sf_dir, f)
+        try:
+            st = os.stat(p)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{f}:absent")
+    return "|".join(parts)
+
+
 def ensure_golden(sf_dir: str, names=None) -> None:
     """Compute + write any missing/stale golden parquet for ``sf_dir``."""
     sf_dir = os.path.abspath(sf_dir)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    src_fp = _source_fingerprint(sf_dir)
     for name in names or GOLDEN_QUERIES:
         fn = _COMPUTE.get(name)
         if fn is None:
             continue
         path = golden_path(name)
         marker = path + ".src"
-        stamp = f"{sf_dir}|{_ORACLE_VERSION}"
+        stamp = f"{sf_dir}|{_ORACLE_VERSION}|{src_fp}"
         try:
             with open(marker) as f:
                 if f.read().strip() == stamp and os.path.exists(path):

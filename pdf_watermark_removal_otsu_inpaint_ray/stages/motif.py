@@ -397,17 +397,3 @@ def category_filter(events: pa.Table, categories: tuple[str, ...]) -> pa.Table:
     import pyarrow.compute as pc
 
     return events.filter(pc.is_in(events["category"], value_set=pa.array(categories)))
-
-
-def spans_to_flag_ranges(
-    events: pa.Table, pad: int
-) -> dict[str, list[tuple[int, int]]]:
-    """doc_id → padded [start, stop) ranges (qr_detector.py:373-400: ±pad,
-    clamped at apply time)."""
-    out: dict[str, list[tuple[int, int]]] = {}
-    for i in range(events.num_rows):
-        d = events["doc_id"][i].as_py()
-        s = events["span_start"][i].as_py() - pad
-        e = events["span_start"][i].as_py() + events["span_len"][i].as_py() + pad
-        out.setdefault(d, []).append((s, e))
-    return out

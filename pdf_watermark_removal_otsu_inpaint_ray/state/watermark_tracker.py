@@ -15,6 +15,7 @@ import ray
 @ray.remote(num_cpus=0)
 class WatermarkTracker:
     def __init__(self, num_partitions: int, allowed_lateness: int):
+        self.n_partitions = num_partitions
         self.max_ts = {p: None for p in range(num_partitions)}
         self.closed: set[int] = set()  # tombstones: closure is permanent
         self.lateness = allowed_lateness
@@ -26,6 +27,14 @@ class WatermarkTracker:
         # the watermark other consumers already observed
         if partition_id in self.closed:
             return self.watermark()
+        if not 0 <= partition_id < self.n_partitions:
+            # an unknown id would be inserted but never closed, pinning the
+            # watermark forever (silent hang); fail loud at the source
+            raise ValueError(
+                f"partition_id {partition_id} outside the tracker's range "
+                f"[0, {self.n_partitions}) — tracker and consumers disagree "
+                "on the partition count"
+            )
         cur = self.max_ts.get(partition_id)
         if cur is None or max_ts > cur:
             self.max_ts[partition_id] = max_ts
