@@ -718,13 +718,21 @@ def q_embedding_near_dup_ivf(sf_dir: str):
 
 
 def q_learned_detector(sf_dir: str):
-    """T3 actor-pool learned detector: 64 MB deterministic weights built
-    once per actor in __init__, fused to a score LUT, vectorized gather per
-    batch; checked against the materialized single-process golden."""
+    """T3 actor-pool learned detector: 64 MB deterministic weights acquired
+    through the ModelManager (S5 analog) — materialized + verified once per
+    NODE, memory-mapped read-only by every actor (vs one full in-memory
+    build per actor) — fused to a score LUT, vectorized gather per batch;
+    checked against the materialized single-process golden (scores are
+    bit-identical to the build-in-__init__ path: same bytes, same fuse —
+    asserted by tests/test_model_manager_i18n.py)."""
     _with_golden("learned_detector", sf_dir)
     from .functions.learned import learned_scores
+    from .functions.model_manager import DEFAULT_CACHE_DIR
 
-    return learned_scores(_seq_ds(sf_dir), concurrency=(2, 4), batch_size=256)
+    return learned_scores(
+        _seq_ds(sf_dir), concurrency=(2, 4), batch_size=256,
+        weights_cache=DEFAULT_CACHE_DIR,
+    )
 
 
 def q_media_decode(sf_dir: str):
