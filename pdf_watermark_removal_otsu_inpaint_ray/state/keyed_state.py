@@ -308,12 +308,22 @@ class KeyedStateActor:
         ]
 
     def _buffer_by_governing(self, batch, src, govern) -> None:
-        """Buffer each row under its governing (source, window) key."""
-        pairs: dict[tuple[str, int], list[int]] = {}
-        for i, w in enumerate(govern):
-            pairs.setdefault((str(src[i]), int(w)), []).append(i)
-        for key, idxs in pairs.items():
-            self.buffers.setdefault(key, []).append(batch.take(idxs))
+        """Buffer each row under its governing (source, window) key —
+        vectorized grouped take (one stable argsort over the combo key, one
+        ``batch.take`` per UNIQUE pair; stable order keeps each key's rows
+        in arrival order, byte-identical to the per-row form)."""
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        g_min = int(govern.min())
+        span = int(govern.max()) - g_min + 1
+        combo = s_inv.astype(np.int64) * span + (govern - g_min)
+        order = np.argsort(combo, kind="stable")
+        c_sorted = combo[order]
+        starts = np.nonzero(np.concatenate([[True], c_sorted[1:] != c_sorted[:-1]]))[0]
+        ends = np.append(starts[1:], combo.size)
+        for a, b in zip(starts, ends):
+            c = int(c_sorted[a])
+            key = (str(s_u[c // span]), int(c % span + g_min))
+            self.buffers.setdefault(key, []).append(batch.take(pa.array(order[a:b])))
 
     def _accumulate(self, batch, ts, src, govern) -> None:
         fb = flatten_list_column(batch["tokens"])
