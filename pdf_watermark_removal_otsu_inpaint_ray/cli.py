@@ -78,7 +78,13 @@ def parse_wm_token(spec: str, gray_mod: int = 256) -> int:
 
 def build_config(args) -> "EngineConfig":
     from .config import DEFAULT_CONFIG
+    from .registry import _DETECTORS
 
+    if args.method not in _DETECTORS:
+        raise SystemExit(
+            f"unknown --method {args.method!r}; registered detectors: "
+            f"{', '.join(sorted(_DETECTORS))}"
+        )
     cfg = DEFAULT_CONFIG.with_(
         window_kind=args.window,
         window_size=args.window_size,
@@ -167,7 +173,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--window-slide", type=int, default=32)
     r.add_argument("--session-gap", type=int, default=16)
     r.add_argument("--lateness", type=int, default=16)
-    r.add_argument("--method", default="color", choices=["color", "auto"])
+    # any registered detector name is accepted (registry dispatch, §2.10);
+    # "learned" is the built-in T3 LUT detector (the reference's yolo path,
+    # watermark_detector.py:72-126).  Validated at run time against the
+    # registry so user-registered detectors work without a CLI change.
+    r.add_argument("--method", default="color",
+                   help="detector name: color | auto | learned | any registered")
     r.add_argument("--tolerance", type=int, default=30)
     r.add_argument("--kernel-size", type=int, default=3)
     r.add_argument("--strength", type=float, default=1.0)

@@ -75,7 +75,9 @@ def run_auto_tuned(
         from ..stages.detect import session_window_mapping
 
         session_map = session_window_mapping(ds, cfg)
-    if cfg.detection_method == "auto" or cfg.fixed_wm_token >= 0:
+    from ..registry import detector_is_row_local
+
+    if detector_is_row_local(cfg.detection_method) or cfg.fixed_wm_token >= 0:
         wm = {}
     else:
         wm = compute_wm_table(ds, cfg, session_map=session_map)

@@ -57,9 +57,12 @@ def run_flagship(
 
         session_map = session_window_mapping(ds, cfg)
     if wm is None:
-        # automatic mode (M3/M4) and the fixed-token override (M15) are
-        # row-local: no histogram phase at all
-        if cfg.detection_method == "auto" or cfg.fixed_wm_token >= 0:
+        # row-local detectors (auto M3/M4, learned T3, any registered with
+        # row_local=True) and the fixed-token override (M15) never read the
+        # watermark table: no histogram phase at all
+        from ..registry import detector_is_row_local
+
+        if detector_is_row_local(cfg.detection_method) or cfg.fixed_wm_token >= 0:
             wm = {}
         else:
             wm = compute_wm_table(ds, cfg, session_map=session_map)

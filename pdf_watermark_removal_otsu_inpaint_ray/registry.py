@@ -23,9 +23,23 @@ _PAYLOAD_RULES: dict = {}  # name -> list[PayloadRule] | classifier object
 _MOTIF_MATCHERS: dict[str, Callable] = {}
 
 
-def register_detector(name: str, fn: Callable) -> Callable:
+_ROW_LOCAL_DETECTORS: set[str] = set()
+
+
+def register_detector(name: str, fn: Callable, *, row_local: bool = False) -> Callable:
+    """``row_local=True`` declares the detector independent of the phase-1
+    watermark table (it never reads ``wm_pos``) — pipelines then skip the
+    histogram phase entirely for it, like the builtin "auto" mode."""
     _DETECTORS[name] = fn
+    if row_local:
+        _ROW_LOCAL_DETECTORS.add(name)
+    else:
+        _ROW_LOCAL_DETECTORS.discard(name)
     return fn
+
+
+def detector_is_row_local(name: str) -> bool:
+    return name in _ROW_LOCAL_DETECTORS
 
 
 def register_inpainter(name: str, fn: Callable) -> Callable:
@@ -90,13 +104,15 @@ def _register_builtins() -> None:
         lambda values, wm_pos, fb, cfg, max_span_pos=None: kernels.detect_mask_auto_flat(
             values, fb, cfg, max_span_pos
         ),
+        row_local=True,
     )
     register_inpainter("nearest", kernels.inpaint_flat)
 
-    # learned detector (T3): per-process cached heavy LUT, yolo-path analog
+    # learned detector (T3): per-process cached heavy LUT, yolo-path analog;
+    # row-local (never reads wm_pos), so pipelines skip the histogram phase
     from .functions.learned import learned_flag_detector
 
-    register_detector("learned", learned_flag_detector)
+    register_detector("learned", learned_flag_detector, row_local=True)
 
     # presets mirroring get_optimal_parameters + the electronic-color preset
     # (document_classifier.py:180-229)

@@ -333,9 +333,21 @@ def process_batch_flat(
     used = np.zeros(nrows, dtype=np.int32)
     lens = np.maximum(fb.lens, 1)
     auto = cfg.detection_method == "auto"
+    custom = None
+    if not auto and cfg.detection_method != "color":
+        # registry dispatch (§2.10): any registered detector name is usable
+        # end-to-end — e.g. "learned" (the T3 LUT detector, the yolo-path
+        # analog of the reference's detection_method string dispatch,
+        # watermark_detector.py:72-126).  Builtins keep their inline fast
+        # paths; import is function-local to avoid a registry<->kernels cycle
+        from ..registry import get_detector
+
+        custom = get_detector(cfg.detection_method)
     for p in range(cfg.passes):
         if auto:
             flag = detect_mask_auto_flat(values, fb, cfg, max_span_pos)
+        elif custom is not None:
+            flag = custom(values, wm_pos, fb, cfg, max_span_pos)
         else:
             flag = detect_mask_flat(values, wm_pos, fb, cfg, max_span_pos)
         if forced_pos is not None:

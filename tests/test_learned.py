@@ -83,3 +83,46 @@ def test_learned_detector_registered():
     assert mask.dtype == bool and mask.shape == (100,)
     # deterministic across calls (cached LUT)
     assert np.array_equal(mask, det(vals, None, None, None))
+
+
+def test_flagship_learned_method_dispatches_end_to_end(ray_session):
+    """detection_method="learned" routes through the registry into the fused
+    stage: the distributed flagship rewrite equals a single-process
+    fused-kernel run over the whole table (batch-boundary independence), it
+    skips the histogram phase (row-local), and it actually flags positions
+    (differs from an untouched stream)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.flagship import run_flagship
+    from pdf_watermark_removal_otsu_inpaint_ray.registry import detector_is_row_local
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.kernels import (
+        flatten_list_column,
+        process_batch_flat,
+    )
+
+    assert detector_is_row_local("learned") and not detector_is_row_local("color")
+
+    t = synth.generate_stream(600, n_sources=3, n_tok_lo=48, n_tok_hi=160)
+    cfg = DEFAULT_CONFIG.with_(detection_method="learned", window_kind="global")
+    got = (
+        run_flagship(ray.data.from_arrow(t).repartition(5), cfg, batch_size=96)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    fb = flatten_list_column(t["tokens"])
+    res = process_batch_flat(fb, np.full(t.num_rows, -1, dtype=np.int64), cfg)
+    exp_tokens = [
+        res.values[fb.offsets[i] : fb.offsets[i + 1]].tolist() for i in range(t.num_rows)
+    ]
+    order = np.argsort(np.asarray(t["doc_id"]))
+    exp_sorted = [exp_tokens[i] for i in order]
+    assert got["tokens"].map(list).tolist() == exp_sorted
+    # the detector fired: at least one position rewritten vs the input
+    orig_sorted = [t["tokens"][int(i)].as_py() for i in order]
+    assert exp_sorted != orig_sorted
+    # row-local: wm_token metadata is the -1 no-table sentinel, like auto
+    assert (got["wm_token"] == -1).all()
