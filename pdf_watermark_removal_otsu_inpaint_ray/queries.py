@@ -483,6 +483,113 @@ def q_events_customer_join(sf_dir: str):
     return events_customer_join(_events_ds(sf_dir), f"{sf_dir}/customer.parquet")
 
 
+def q_events_asof_join(sf_dir: str):
+    """Backward as-of join: each event matched to the customer's most recent
+    order at or before the event time (stages/temporal_join.asof_join; the
+    SQL twin is DuckDB's native ASOF LEFT JOIN).  Order prices pre-scale to
+    int64 cents and (custkey, orderdate) ties collapse to column-wise max so
+    both engines resolve ties identically."""
+    import ray.data
+
+    from .stages.temporal_join import asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def scale(b: pa.Table) -> pa.Table:
+        price = np.asarray(b["o_totalprice"], np.float64)
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_price_c": pa.array(
+                    np.floor(price * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    ).map_batches(scale, batch_format="pyarrow")
+
+    joined = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        num_parts=16,
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["user_id", "ts_us", "event_id", "o_orderkey", "o_price_c"]
+        )
+
+    return joined.map_batches(rename, batch_format="pyarrow")
+
+
+def q_orders_lineitem_window(sf_dir: str):
+    """Pure range join + aggregate: per order, the count and quantity sum of
+    ALL lineitems (no key) shipped inside [o_orderdate, o_orderdate + 30d)
+    (stages/temporal_join.interval_point_aggregate — time-banded, the
+    point×interval pair set — 10.8M pairs at sf0.01 — never materializes).
+    Quantities pre-scale to int64 centi-units so the sum is
+    partitioning-order independent."""
+    import ray.data
+
+    from .stages.temporal_join import interval_point_aggregate
+
+    day_us = 86_400_000_000
+    window = 30 * day_us
+
+    def pts(b: pa.Table) -> pa.Table:
+        q = np.asarray(b["l_quantity"], np.float64)
+        return pa.table(
+            {
+                "ship_us": b["l_shipdate"].cast(pa.int64()),
+                "qty_c": pa.array(np.floor(q * 100 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def iv(b: pa.Table) -> pa.Table:
+        start = np.asarray(b["o_orderdate"].cast(pa.int64()))
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "start_us": pa.array(start, pa.int64()),
+                "end_us": pa.array(start + window, pa.int64()),
+            }
+        )
+
+    points = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"]
+    ).map_batches(pts, batch_format="pyarrow")
+    intervals = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(iv, batch_format="pyarrow")
+
+    res = interval_point_aggregate(
+        points,
+        intervals,
+        point_ts="ship_us",
+        point_value="qty_c",
+        interval_key="o_orderkey",
+        interval_start="start_us",
+        interval_end="end_us",
+        band_width=window,
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderkey", "n_items", "sum_qty_c"])
+
+    return res.map_batches(rename, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: text analysis, dedup, similarity, multimodal
 # ---------------------------------------------------------------------------
@@ -850,6 +957,8 @@ QUERIES = {
     "sliding_counts": q_sliding_counts,
     "session_windows": q_session_windows,
     "events_customer_join": q_events_customer_join,
+    "events_asof_join": q_events_asof_join,
+    "orders_lineitem_window": q_orders_lineitem_window,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1047,6 +1156,26 @@ ORACLE_SQL = {
     "events_customer_join": """
         SELECT e.event_id, e.user_id, c.c_name
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "events_asof_join": """
+        SELECT e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, e.event_id,
+               o.o_orderkey, o.o_price_c
+        FROM events e ASOF LEFT JOIN (
+            SELECT o_custkey, o_orderdate,
+                   max(o_orderkey) AS o_orderkey,
+                   max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS o_price_c
+            FROM orders GROUP BY 1, 2) o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "orders_lineitem_window": """
+        SELECT o.o_orderkey,
+               count(l.l_shipdate) AS n_items,
+               CAST(COALESCE(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS sum_qty_c
+        FROM orders o LEFT JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY o.o_orderkey
     """,
     "token_count": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
