@@ -1,0 +1,102 @@
+"""Per-group top-k selection — the curation primitive behind "keep the N
+best documents per domain/source" in a training-data pipeline.
+
+Ray Data has no native per-group top-k; a ``groupby().map_groups`` alone
+would shuffle EVERY row to its group's partition.  This operator instead
+pre-trims inside ``map_batches`` first — each batch keeps at most k rows
+per group it contains — so the shuffle carries ≤ k × blocks rows per
+group, then one final per-group trim finishes the job (the same
+partial-then-final shape as the histogram aggregation in stages/detect.py).
+
+Ordering is (score DESC, tie ASC) with an int64 tie-breaker column, so the
+result is deterministic and matches a SQL
+``row_number() OVER (PARTITION BY g ORDER BY score DESC, tie) <= k`` twin.
+The trim kernel is one lexsort + run-boundary rank mask — no per-group
+Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _trim_topk(
+    t: pa.Table, group: str, score: str, tie: str, k: int
+) -> pa.Table:
+    """Keep the top-k rows per group value of one in-memory table.
+
+    Vectorized: lexsort by (group, -score, tie), rank rows within each
+    group run by position, mask rank < k.  Works on any extra columns.
+    """
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0:
+        return t
+    if pa.types.is_integer(t.schema.field(group).type):
+        g = np.asarray(t[group].cast(pa.int64()))
+    else:  # encode group values to dense int codes (per-table, order-free)
+        col = t[group].combine_chunks()
+        g = np.asarray(pc.index_in(col, value_set=pc.unique(col)), np.int64)
+    s = np.asarray(t[score], np.int64)
+    tb = np.asarray(t[tie], np.int64)
+    order = np.lexsort((tb, -s, g))
+    gs = g[order]
+    starts = np.concatenate(([True], gs[1:] != gs[:-1]))
+    run_id = np.cumsum(starts) - 1
+    run_start = np.nonzero(starts)[0]
+    rank = np.arange(gs.size) - run_start[run_id]
+    keep = order[rank < k]
+    keep.sort()  # preserve input order within the batch
+    return t.take(keep)
+
+
+def topk_per_group(
+    ds,
+    *,
+    group: str,
+    score: str,
+    tie: str,
+    k: int,
+    num_parts: int = 64,
+):
+    """Distributed top-k per group over a Dataset.
+
+    ``score`` and ``tie`` must be int64-castable (pre-scale floats upstream
+    for a deterministic order — see queries.q_length_quantiles for the
+    floor(x*100+0.5) convention).  ``group`` may be int64 or string (string
+    groups hash to the partition key; the trim itself compares encoded
+    group codes, which is order-free and exact).
+
+    Two stages: per-batch partial trim (``map_batches``, ≤ k rows per group
+    per block survive) → coarse hash-partition groupby → per-partition
+    final trim.  No row set larger than k × blocks per group ever moves,
+    and the driver sees nothing.
+    """
+    import pyarrow.compute as pc
+
+    from ..sinks.exactly_once import hash_partition_ids
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _trim_topk(b, group, score, tie, k)
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        if pa.types.is_integer(b.schema.field(group).type):
+            keys = np.asarray(b[group], np.int64).astype(np.uint64)
+            pk = ((keys * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(
+                num_parts
+            )
+            pk = pk.astype(np.int64)
+        else:
+            pk = hash_partition_ids(b[group].combine_chunks(), num_parts)
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def final(b: pa.Table) -> pa.Table:
+        return _trim_topk(b, group, score, tie, k).drop_columns(["pk"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(final, batch_format="pyarrow")
+    )

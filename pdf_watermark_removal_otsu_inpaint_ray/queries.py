@@ -595,6 +595,28 @@ def q_orders_lineitem_window(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_top_docs_per_source(sf_dir: str):
+    """Per-source top-3 documents by char length (functions/selection.py —
+    per-batch partial trim, coarse-partition final trim; the curation
+    'keep the N best per domain' primitive).  Deterministic order
+    (length DESC, doc_id ASC); SQL twin uses QUALIFY row_number()."""
+    from .functions.selection import topk_per_group
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    docs = _docs_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return topk_per_group(
+        docs, group="source", score="n_chars", tie="doc_id", k=3, num_parts=16
+    )
+
+
 def q_token_count(sf_dir: str):
     def words(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -959,6 +981,7 @@ QUERIES = {
     "events_customer_join": q_events_customer_join,
     "events_asof_join": q_events_asof_join,
     "orders_lineitem_window": q_orders_lineitem_window,
+    "top_docs_per_source": q_top_docs_per_source,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1176,6 +1199,13 @@ ORACLE_SQL = {
           ON l.l_shipdate >= o.o_orderdate
          AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
         GROUP BY o.o_orderkey
+    """,
+    "top_docs_per_source": """
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY length(text) DESC, doc_id) <= 3
     """,
     "token_count": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,0 +1,76 @@
+"""Per-group top-k (functions/selection.py) vs per-row brute force."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pdf_watermark_removal_otsu_inpaint_ray.functions.selection import topk_per_group
+
+
+def _brute(groups, scores, ties, k):
+    rows = sorted(zip(groups, scores, ties), key=lambda r: (r[0], -r[1], r[2]))
+    out, seen = [], {}
+    for g, s, t in rows:
+        c = seen.get(g, 0)
+        if c < k:
+            out.append((g, s, t))
+            seen[g] = c + 1
+    return sorted(out)
+
+
+@pytest.mark.parametrize("k,seed", [(1, 0), (3, 1), (7, 2)])
+def test_topk_per_group_int_matches_brute_force(ray_session, k, seed):
+    rng = np.random.default_rng(seed)
+    n = 500
+    g = rng.integers(0, 20, n)
+    s = rng.integers(0, 15, n)  # small range → heavy score ties
+    t = rng.permutation(n).astype(np.int64)
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+            }
+        )
+    ).repartition(7)
+    got = topk_per_group(ds, group="g", score="s", tie="t", k=k, num_parts=8).to_pandas()
+    assert sorted(zip(got["g"], got["s"], got["t"])) == _brute(g, s, t, k)
+
+
+def test_topk_per_group_string_groups(ray_session):
+    rng = np.random.default_rng(9)
+    n = 300
+    names = np.array(["alpha", "beta", "gamma", "delta"])
+    g = names[rng.integers(0, 4, n)]
+    s = rng.integers(0, 1000, n)
+    t = np.arange(n, dtype=np.int64)
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(g.tolist(), pa.string()),
+                "s": pa.array(s, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+            }
+        )
+    ).repartition(5)
+    got = topk_per_group(ds, group="g", score="s", tie="t", k=2, num_parts=4).to_pandas()
+    assert sorted(zip(got["g"], got["s"], got["t"])) == _brute(g.tolist(), s, t, 2)
+    # extra payload columns survive untouched
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(g.tolist(), pa.string()),
+                "s": pa.array(s, pa.int64()),
+                "t": pa.array(t, pa.int64()),
+                "payload": pa.array([f"p{i}" for i in range(n)], pa.string()),
+            }
+        )
+    )
+    got2 = topk_per_group(ds2, group="g", score="s", tie="t", k=2).to_pandas()
+    assert set(got2.columns) == {"g", "s", "t", "payload"}
+    assert got2["payload"].tolist() == [f"p{i}" for i in got2["t"]]
