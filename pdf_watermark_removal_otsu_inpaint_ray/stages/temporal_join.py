@@ -46,8 +46,14 @@ def asof_join(
     right_ts: str,
     num_parts: int = 64,
     collapse_right_ties: bool = True,
+    direction: str = "backward",
 ):
-    """Distributed backward as-of join (left join semantics).
+    """Distributed as-of join (left join semantics).
+
+    ``direction``: "backward" (most recent right row with ts <= left ts —
+    the SQL ASOF shape), "forward" (earliest right row with ts >= left ts),
+    or "nearest" (closest in absolute distance; ties resolve backward, as
+    in ``pandas.merge_asof``).
 
     Every other column of each side is carried as payload; payload names
     must be disjoint across the two sides.  Key and timestamp columns must
@@ -68,6 +74,8 @@ def asof_join(
 
     import ray.data
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lschema, rschema = left_ds.schema(), right_ds.schema()
     ltype_map = dict(zip(lschema.names, lschema.types))  # ray.data.Schema
     rtype_map = dict(zip(rschema.names, rschema.types))
@@ -161,7 +169,7 @@ def asof_join(
                 r[[left_on, left_ts, *rpay]],
                 on=left_ts,
                 by=left_on,
-                direction="backward",
+                direction=direction,
                 allow_exact_matches=True,
             )
         for c in int_pay:  # nullable Int64 → arrow int64-with-nulls

@@ -18,23 +18,39 @@ from pdf_watermark_removal_otsu_inpaint_ray.stages.temporal_join import (
 )
 
 
-def _brute_asof(l_key, l_ts, r_key, r_ts, r_val):
-    """Backward as-of with collapse-ties-to-max semantics."""
+def _brute_asof(l_key, l_ts, r_key, r_ts, r_val, direction="backward"):
+    """Reference as-of with collapse-ties-to-max semantics.  "nearest"
+    resolves distance ties backward (pandas.merge_asof's rule)."""
     out = []
     for k, t in zip(l_key, l_ts):
-        best_ts, best = None, None
+        best_d, best_ts, best = None, None, None
         for rk, rt, rv in zip(r_key, r_ts, r_val):
-            if rk == k and rt <= t:
-                if best_ts is None or rt > best_ts:
-                    best_ts, best = rt, rv
-                elif rt == best_ts:
-                    best = max(best, rv)
+            if rk != k:
+                continue
+            if direction == "backward":
+                ok, d = rt <= t, t - rt
+            elif direction == "forward":
+                ok, d = rt >= t, rt - t
+            else:
+                ok, d = True, abs(rt - t)
+            if not ok:
+                continue
+            better = best_d is None or d < best_d or (
+                direction == "nearest" and d == best_d and rt < best_ts
+            )
+            if better:
+                best_d, best_ts, best = d, rt, rv
+            elif d == best_d and rt == best_ts:
+                best = max(best, rv)
         out.append(best)
     return out
 
 
-@pytest.mark.parametrize("seed", [0, 7])
-def test_asof_join_matches_brute_force(ray_session, seed):
+@pytest.mark.parametrize(
+    "seed,direction",
+    [(0, "backward"), (7, "backward"), (0, "forward"), (0, "nearest")],
+)
+def test_asof_join_matches_brute_force(ray_session, seed, direction):
     rng = np.random.default_rng(seed)
     nl, nr = 300, 120
     l_key = rng.integers(0, 12, nl)  # keys 10/11 likely missing on the right
@@ -65,7 +81,7 @@ def test_asof_join_matches_brute_force(ray_session, seed):
     got = (
         asof_join(
             left, right, left_on="k", right_on="rk", left_ts="t", right_ts="rt",
-            num_parts=8,
+            num_parts=8, direction=direction,
         )
         .to_pandas()
         .sort_values("lid", ignore_index=True)
@@ -73,7 +89,7 @@ def test_asof_join_matches_brute_force(ray_session, seed):
     assert len(got) == nl
     assert list(got.columns) == ["k", "t", "lid", "rv"]
 
-    exp = _brute_asof(l_key, l_ts, r_key, r_ts, r_val)
+    exp = _brute_asof(l_key, l_ts, r_key, r_ts, r_val, direction)
     got_v = [
         None if v is None else int(v)
         for v in got["rv"].to_numpy(dtype=object, na_value=None)
