@@ -120,3 +120,54 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint": pa.array(fp.astype(np.int64), pa.int64()),
         }
     )
+
+
+def chunk_documents_batch(
+    batch: pa.Table, *, window: int = 256, stride: int = 192
+) -> pa.Table:
+    """Split each document into fixed-width codepoint windows with overlap —
+    the context-window packing prep of a training pipeline (stride < window
+    ⇒ overlapping chunks).  Emits (doc_id, chunk_id, n_chars, chunk); docs
+    with empty text emit zero chunks.
+
+    Vectorized per chunk RANK, not per row: all docs long enough to own a
+    k-th chunk are sliced together with one scalar-offset
+    ``utf8_slice_codeunits`` call (Arrow has no per-row-offset slice
+    kernel); ranks are bounded by the longest doc in the batch, so the loop
+    is O(max_len/stride) kernel calls regardless of row count.  Exact
+    DuckDB twin: ``substr(text, k*stride + 1, window)`` over a
+    ``generate_series`` rank join (codepoint semantics on both sides).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    lens = np.asarray(pc.utf8_length(batch["text"]), np.int64)
+    ids = np.asarray(batch["doc_id"].cast(pa.int64()))
+    n_chunks = np.where(lens == 0, 0, (np.maximum(lens - 1, 0) // stride) + 1)
+    max_rank = int(n_chunks.max()) if n_chunks.size else 0
+    parts = []
+    text = batch["text"].combine_chunks()
+    for k in range(max_rank):
+        sel = np.nonzero(n_chunks > k)[0]
+        sliced = pc.utf8_slice_codeunits(
+            text.take(pa.array(sel, pa.int64())), k * stride, k * stride + window
+        )
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids[sel], pa.int64()),
+                    "chunk_id": pa.array(np.full(sel.size, k, np.int64), pa.int64()),
+                    "n_chars": pc.utf8_length(sliced).cast(pa.int64()),
+                    "chunk": sliced,
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)

@@ -617,6 +617,20 @@ def q_top_docs_per_source(sf_dir: str):
     )
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: 256-codepoint windows, stride 192 (64
+    overlap), zero chunks for empty docs (functions/text.py
+    chunk_documents_batch — per-RANK vectorized slicing)."""
+    from functools import partial
+
+    from .functions.text import chunk_documents_batch
+
+    return _docs_ds(sf_dir).map_batches(
+        partial(chunk_documents_batch, window=256, stride=192),
+        batch_format="pyarrow",
+    )
+
+
 def q_token_count(sf_dir: str):
     def words(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -982,6 +996,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "orders_lineitem_window": q_orders_lineitem_window,
     "top_docs_per_source": q_top_docs_per_source,
+    "chunk_documents": q_chunk_documents,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1206,6 +1221,16 @@ ORACLE_SQL = {
         FROM documents
         QUALIFY row_number() OVER (
             PARTITION BY source ORDER BY length(text) DESC, doc_id) <= 3
+    """,
+    "chunk_documents": """
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(t.k AS BIGINT) AS chunk_id,
+               CAST(length(substr(d.text, t.k * 192 + 1, 256)) AS BIGINT)
+                   AS n_chars,
+               substr(d.text, t.k * 192 + 1, 256) AS chunk
+        FROM documents d
+        JOIN generate_series(0, 10000) t(k)
+          ON t.k * 192 < length(d.text)
     """,
     "token_count": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

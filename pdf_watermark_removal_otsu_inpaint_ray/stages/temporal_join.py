@@ -179,6 +179,120 @@ def asof_join(
     return u.groupby("pk").map_groups(local, batch_format="pandas")
 
 
+def asof_join_broadcast(
+    left_ds,
+    right,
+    *,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    collapse_right_ties: bool = True,
+):
+    """Broadcast as-of join: NO shuffle — the scale shape when the right
+    side is dimension-table-sized (a slowly-changing-dimension lookup).
+
+    The right side (a ``pyarrow.Table`` or a small ``Dataset``) is sorted
+    once by (key, ts), tie-collapsed exactly like :func:`asof_join`
+    (column-wise max per (key, ts)), put in the object store once via
+    ``ray.put``, and read zero-copy by every map task; each batch then
+    resolves its rows with one vectorized ``searchsorted`` per distinct key
+    present in the batch.  Result is row-for-row identical to
+    :func:`asof_join` (same tie/direction semantics); the left side
+    streams — only the small side is materialized.
+    """
+    import pandas as pd
+
+    import ray
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if not isinstance(right, pa.Table):
+        schema = pa.schema(zip(right.schema().names, right.schema().types))
+        batches = [
+            pa.Table.from_batches([b])
+            for b in right.iter_batches(batch_format="pyarrow")
+        ]
+        right = pa.concat_tables(batches) if batches else schema.empty_table()
+    rpay = [c for c in right.schema.names if c not in (right_on, right_ts)]
+    rdf = pd.DataFrame(
+        {
+            "key": np.asarray(right[right_on].cast(pa.int64())),
+            "ts": np.asarray(right[right_ts].cast(pa.int64())),
+            **{c: right[c].to_pandas() for c in rpay},
+        }
+    )
+    if collapse_right_ties:
+        rdf = rdf.groupby(["key", "ts"], as_index=False, sort=True)[rpay].max()
+    else:
+        rdf = rdf.sort_values(["key", "ts"], kind="stable", ignore_index=True)
+    keys = rdf["key"].to_numpy().astype(np.int64)
+    uniq, slice_start = np.unique(keys, return_index=True)
+    slice_end = np.append(slice_start[1:], keys.size)
+    ref = ray.put(
+        {
+            "uniq": uniq,
+            "start": slice_start.astype(np.int64),
+            "end": slice_end.astype(np.int64),
+            "ts": rdf["ts"].to_numpy().astype(np.int64),
+            # payloads kept as Arrow arrays: the per-batch gather is a
+            # type-generic zero-copy `take` with a null-masked index
+            "pay": {
+                c: pa.Array.from_pandas(rdf[c], type=right.schema.field(c).type)
+                for c in rpay
+            },
+        }
+    )
+
+    class _Lookup:
+        def __init__(self):
+            self.r = ray.get(ref)  # zero-copy per worker process
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            r = self.r
+            bk = np.asarray(b[left_on].cast(pa.int64()))
+            bt = np.asarray(b[left_ts].cast(pa.int64()))
+            hit = np.full(bk.size, -1, dtype=np.int64)  # index into right rows
+            if r["uniq"].size == 0:
+                known = np.zeros(bk.size, dtype=bool)
+                ki = np.zeros(bk.size, dtype=np.int64)
+            else:
+                ki = np.searchsorted(r["uniq"], bk)
+                known = (ki < r["uniq"].size) & (
+                    r["uniq"][np.minimum(ki, r["uniq"].size - 1)] == bk
+                )
+            for u in np.unique(ki[known]):
+                m = known & (ki == u)
+                s, e = int(r["start"][u]), int(r["end"][u])
+                seg = r["ts"][s:e]
+                if direction in ("backward", "nearest"):
+                    back = s + np.searchsorted(seg, bt[m], "right") - 1
+                if direction in ("forward", "nearest"):
+                    fwd = s + np.searchsorted(seg, bt[m], "left")
+                if direction == "backward":
+                    idx = np.where(back >= s, back, -1)
+                elif direction == "forward":
+                    idx = np.where(fwd < e, fwd, -1)
+                else:  # nearest: valid candidates, distance tie → backward
+                    bv, fv = back >= s, fwd < e
+                    bd = np.where(bv, np.abs(bt[m] - r["ts"][np.maximum(back, s)]), np.iinfo(np.int64).max)
+                    fd = np.where(fv, np.abs(r["ts"][np.minimum(fwd, e - 1)] - bt[m]), np.iinfo(np.int64).max)
+                    idx = np.where(bd <= fd, np.where(bv, back, -1), np.where(fv, fwd, -1))
+                hit[m] = idx
+            ok = hit >= 0
+            cols = {left_on: pa.array(bk, pa.int64()), left_ts: pa.array(bt, pa.int64())}
+            for c in b.schema.names:
+                if c not in (left_on, left_ts):
+                    cols[c] = b[c]
+            idx = pa.array(np.maximum(hit, 0), pa.int64(), mask=~ok)
+            for c, arr in r["pay"].items():
+                cols[c] = arr.take(idx)  # null index → null output
+            return pa.table(cols)
+
+    return left_ds.map_batches(_Lookup, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def interval_point_aggregate(
     points_ds,
     intervals_ds,

@@ -100,6 +100,58 @@ def test_asof_join_matches_brute_force(ray_session, seed, direction):
     assert any(v is None for v in got_v)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_broadcast_equals_shuffle(ray_session, direction):
+    """The no-shuffle broadcast variant is row-for-row identical to the
+    hash-partitioned one, including nulls, ties, and a string payload."""
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.temporal_join import (
+        asof_join_broadcast,
+    )
+
+    rng = np.random.default_rng(11)
+    nl, nr = 250, 90
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 12, nl), pa.int64()),
+            "t": pa.array(rng.integers(0, 500, nl), pa.int64()),
+            "lid": pa.array(np.arange(nl), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(rng.integers(0, 10, nr), pa.int64()),
+            "rt": pa.array(rng.integers(0, 500, nr) // 25 * 25, pa.int64()),
+            "rv": pa.array(rng.integers(0, 10_000, nr), pa.int64()),
+            "tag": pa.array([f"s{i % 7}" for i in range(nr)], pa.string()),
+        }
+    )
+    kw = dict(left_on="k", right_on="rk", left_ts="t", right_ts="rt",
+              direction=direction)
+    a = (
+        asof_join(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(3),
+            num_parts=8, **kw,
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    b = (
+        asof_join_broadcast(
+            ray.data.from_arrow(left).repartition(4),
+            right,
+            **kw,
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    for c in ["k", "t", "lid", "rv", "tag"]:
+        av = a[c].to_numpy(dtype=object, na_value=None).tolist()
+        bv = b[c].to_numpy(dtype=object, na_value=None).tolist()
+        assert av == bv, c
+    assert any(v is None for v in b["rv"].to_numpy(dtype=object, na_value=None))
+
+
 def _brute_interval(p_ts, p_val, i_key, i_start, i_end):
     n = {k: 0 for k in i_key}
     s = {k: 0 for k in i_key}
