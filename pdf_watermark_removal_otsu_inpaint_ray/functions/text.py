@@ -122,6 +122,107 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_WS_SPLIT_RE = "[\\t\\n\\f\\r ]+"  # ASCII-space complement of WORD_RE
+
+
+def _words_with_rows(text_col):
+    """Lowercased ``\\S+`` tokens with their row ids, dictionary-encoded.
+
+    Fully vectorized: one ``utf8_lower`` + one ``split_pattern_regex`` +
+    one ``dictionary_encode`` per batch — no per-row Python.  Returns
+    ``(rows, codes, vocab)`` where ``vocab[codes[i]]`` is the i-th token
+    and ``rows[i]`` its batch-local row.  Empty tokens produced by
+    leading/trailing whitespace (and by empty docs) are dropped, so the
+    token multiset equals DuckDB's ``regexp_extract_all(lower(text),
+    '\\S+')``."""
+    low = pc.utf8_lower(text_col)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    lists = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE)
+    counts = np.asarray(pc.list_value_length(lists).fill_null(0), np.int64)
+    rows = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+    flat = lists.flatten()
+    d = flat.dictionary_encode()
+    codes = np.asarray(d.indices, np.int64)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    return rows[keep], codes[keep], d.dictionary
+
+
+def term_df_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency PARTIALS: (term, df) where df counts
+    the batch's docs containing the term.  Docs are row-atomic (one row =
+    one doc, never split across batches), so summing partials per term in
+    a downstream ``groupby("term").sum("df")`` is the exact corpus df —
+    the combiner-before-shuffle shape: the shuffle carries one row per
+    (batch, distinct term), never token-scale data."""
+    rows, codes, vocab = _words_with_rows(batch["text"])
+    if rows.size == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    nv = len(vocab)
+    upair = np.unique(rows * nv + codes)
+    df = np.bincount(upair % nv, minlength=nv)
+    present = np.nonzero(df)[0]
+    return pa.table(
+        {
+            "term": vocab.take(pa.array(present, pa.int64())).cast(pa.string()),
+            "df": pa.array(df[present], pa.int64()),
+        }
+    )
+
+
+class DocTopTerm:
+    """Per-doc top term by (tf DESC, corpus df ASC, term ASC) — the
+    integer-exact ranking twin of tf·idf (most frequent in the doc, rarest
+    in the corpus): no float idf, so the DuckDB twin hash-matches bit-for-
+    bit.  Actor-pool stage: the corpus (term → df) map is ``ray.put`` once
+    and fetched zero-copy per actor in ``__init__``; each batch resolves
+    tokens with one vectorized searchsorted + lexsort.
+
+    Scale note (100 TB): the broadcast vocab must be capped — pass the df
+    table through a ``df >= min_df`` / top-V filter before ``ray.put`` and
+    route the (rare) docs whose every term fell below the cap to a shuffle
+    join; at web scale the head vocabulary decides the top term for almost
+    every document."""
+
+    def __init__(self, vocab_ref):
+        import ray
+
+        v = ray.get(vocab_ref)  # zero-copy view per worker process
+        self.terms = v["terms"]  # object-dtype, sorted (codepoint order)
+        self.df = v["df"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows, codes, vocab = _words_with_rows(batch["text"])
+        ids = np.asarray(batch["doc_id"].cast(pa.int64()))
+        if rows.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        nv = len(vocab)
+        upair, tf = np.unique(rows * nv + codes, return_counts=True)
+        r, c = upair // nv, upair % nv
+        terms = np.asarray(vocab, dtype=object)[c]
+        df = self.df[np.searchsorted(self.terms, terms)]
+        order = np.lexsort((terms, df, -tf, r))
+        first = np.unique(r[order], return_index=True)[1]
+        sel = order[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[r[sel]], pa.int64()),
+                "term": pa.array(terms[sel].tolist(), pa.string()),
+                "tf": pa.array(tf[sel], pa.int64()),
+                "df": pa.array(df[sel], pa.int64()),
+            }
+        )
+
+
 def chunk_documents_batch(
     batch: pa.Table, *, window: int = 256, stride: int = 192
 ) -> pa.Table:

@@ -210,10 +210,7 @@ def asof_join_broadcast(
         raise ValueError(f"unknown direction {direction!r}")
     if not isinstance(right, pa.Table):
         schema = pa.schema(zip(right.schema().names, right.schema().types))
-        batches = [
-            pa.Table.from_batches([b])
-            for b in right.iter_batches(batch_format="pyarrow")
-        ]
+        batches = list(right.iter_batches(batch_format="pyarrow"))
         right = pa.concat_tables(batches) if batches else schema.empty_table()
     rpay = [c for c in right.schema.names if c not in (right_on, right_ts)]
     rdf = pd.DataFrame(
