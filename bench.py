@@ -276,7 +276,9 @@ def main() -> None:
         for name in (
             "gray_histogram", "dedup_exact", "minhash_lsh", "simhash",
             "embedding_knn", "learned_detector", "motif_doc_join", "tumbling_counts",
-            "events_asof_join", "orders_lineitem_window", "top_docs_per_source",
+            "events_asof_join", "events_asof_join_broadcast",
+            "orders_lineitem_window", "top_docs_per_source",
+            "chunk_documents", "doc_top_terms",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

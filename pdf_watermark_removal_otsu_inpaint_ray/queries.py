@@ -750,6 +750,15 @@ def q_doc_top_terms(sf_dir: str):
     )
 
 
+def q_clean_corpus(sf_dir: str):
+    """Composed C4-style cleaning pass (pipelines/clean.py): quality gate
+    (n_words≥5, n_chars≥20), EN-stopword language gate, exact keep-first
+    dedup — the text column never crosses the shuffle."""
+    from .pipelines.clean import clean_corpus
+
+    return clean_corpus(_docs_ds(sf_dir), min_words=5, min_chars=20)
+
+
 def q_token_count(sf_dir: str):
     def words(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1119,6 +1128,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "term_df_top": q_term_df_top,
     "doc_top_terms": q_doc_top_terms,
+    "clean_corpus": q_clean_corpus,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1353,6 +1363,22 @@ ORACLE_SQL = {
         FROM documents d
         JOIN generate_series(0, 10000) t(k)
           ON t.k * 192 < length(d.text)
+    """,
+    "clean_corpus": f"""
+        WITH q AS (
+            SELECT doc_id, source, text,
+                   len({_WORDS_SQL}) AS n_words,
+                   length(text) AS n_chars,
+                   len(list_filter({_WORDS_SQL},
+                        w -> w IN ('the','a','and','of','to','in','is'))) AS n_stop
+            FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM q
+        WHERE n_words >= 5 AND n_chars >= 20 AND n_stop > 0
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
     """,
     "term_df_top": f"""
         WITH words AS (
