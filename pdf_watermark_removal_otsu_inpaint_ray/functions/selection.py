@@ -100,3 +100,28 @@ def topk_per_group(
         .groupby("pk")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+LEHMER_MULT = 48_271  # MINSTD multiplier — products stay well inside int64
+LEHMER_MOD = 2_147_483_647
+
+
+def hash_sample(ds, *, key: str = "doc_id", rate_pct: int = 20, buckets: int = 100):
+    """Deterministic pseudo-random sample: keep rows where
+    ``((key * 48271) % 2147483647) % buckets < rate_pct*buckets/100``.
+
+    The Lehmer/MINSTD hash is plain int64 arithmetic, so the EXACT same
+    selection is expressible in ANSI SQL (the oracle twin) and is stable
+    across runs, partitionings, and cluster sizes — the reproducible-subset
+    property a training pipeline needs (epoch subsampling, eval holdouts).
+    Pure map_batches filter: no shuffle, streams at full read speed.  O4's
+    stride downsample is positional; this one is content-keyed (survives
+    repartitioning and compaction)."""
+    thresh = rate_pct * buckets // 100
+
+    def pick(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key], np.int64)
+        keep = ((k * LEHMER_MULT) % LEHMER_MOD) % buckets < thresh
+        return b.take(pa.array(np.nonzero(keep)[0], pa.int64()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

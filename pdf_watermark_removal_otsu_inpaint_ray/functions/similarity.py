@@ -245,3 +245,66 @@ def ivf_near_dup(
         .map_groups(dedup, batch_format="pandas")
     )
     return _collect_arrow(out, pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+
+
+def centroid_partials(batch: pa.Table, *, group: str = "label", scale: int = 10_000) -> pa.Table:
+    """Per-batch PARTIALS for an integer-exact per-group vector centroid:
+    (group, dim, sum_c, n_vecs) where sum_c sums ``floor(x*scale + 0.5)``
+    int64 components — float-order-independent, so the distributed sum is
+    bit-equal to any serial oracle.  Combiner-first: the shuffle carries
+    ``groups-in-batch × dim`` int64 rows, never embedding-scale data.
+    The mean is ``sum_c / (n_vecs * scale)`` — left to the caller so the
+    engine output stays integer-exact for value-hash comparison."""
+    m = matrix_of(batch["embedding"])
+    q = np.floor(m * scale + 0.5).astype(np.int64)
+    keys = np.asarray(batch[group], np.int64)
+    if keys.size == 0:
+        return pa.table(
+            {
+                group: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "sum_c": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+    uniq, codes = np.unique(keys, return_inverse=True)
+    order = np.argsort(codes, kind="stable")
+    starts = np.searchsorted(codes[order], np.arange(uniq.size))
+    sums = np.add.reduceat(q[order], starts, axis=0)  # (n_groups, dim)
+    counts = np.bincount(codes, minlength=uniq.size).astype(np.int64)
+    dim = q.shape[1]
+    return pa.table(
+        {
+            group: pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), uniq.size), pa.int64()),
+            "sum_c": pa.array(sums.reshape(-1), pa.int64()),
+            "n_vecs": pa.array(np.repeat(counts, dim), pa.int64()),
+        }
+    )
+
+
+def group_centroids(ds, *, group: str = "label", scale: int = 10_000):
+    """Distributed per-group centroid sums: partials → multi-key groupby
+    sum.  Returns (group, dim, sum_c, n_vecs), all int64."""
+    from functools import partial as _partial
+
+    agg = (
+        ds.map_batches(
+            _partial(centroid_partials, group=group, scale=scale),
+            batch_format="pyarrow",
+        )
+        .groupby([group, "dim"])
+        .sum(["sum_c", "n_vecs"])
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group: b[group].cast(pa.int64()),
+                "dim": b["dim"].cast(pa.int64()),
+                "sum_c": b["sum(sum_c)"].cast(pa.int64()),
+                "n_vecs": b["sum(n_vecs)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

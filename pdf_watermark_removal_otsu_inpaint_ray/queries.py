@@ -750,6 +750,42 @@ def q_doc_top_terms(sf_dir: str):
     )
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic 20% Lehmer-hash sample of documents — content-keyed
+    (stable under repartitioning), shuffle-free
+    (functions/selection.py::hash_sample)."""
+    from .functions.selection import hash_sample
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"],
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    return hash_sample(
+        _docs_ds(sf_dir).map_batches(project, batch_format="pyarrow"),
+        key="doc_id",
+        rate_pct=20,
+    )
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sums, integer-exact (scale 10^4):
+    combiner-first partials → multi-key groupby sum
+    (functions/similarity.py::group_centroids)."""
+    import ray.data
+
+    from .functions.similarity import group_centroids
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    return group_centroids(emb, group="label", scale=10_000)
+
+
 def q_clean_corpus(sf_dir: str):
     """Composed C4-style cleaning pass (pipelines/clean.py): quality gate
     (n_words≥5, n_chars≥20), EN-stopword language gate, exact keep-first
@@ -1129,6 +1165,8 @@ QUERIES = {
     "term_df_top": q_term_df_top,
     "doc_top_terms": q_doc_top_terms,
     "clean_corpus": q_clean_corpus,
+    "hash_sample": q_hash_sample,
+    "label_centroids": q_label_centroids,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1363,6 +1401,24 @@ ORACLE_SQL = {
         FROM documents d
         JOIN generate_series(0, 10000) t(k)
           ON t.k * 192 < length(d.text)
+    """,
+    "hash_sample": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE ((doc_id * 48271) % 2147483647) % 100 < 20
+    """,
+    "label_centroids": """
+        WITH ex AS (
+            SELECT label AS lab, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        )
+        SELECT CAST(lab AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+               CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_c,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM ex GROUP BY 1, 2
     """,
     "clean_corpus": f"""
         WITH q AS (
