@@ -1,0 +1,114 @@
+"""Distributed ordered prefix scan → sequence packing.
+
+The context-window packing step of a training pipeline: documents are laid
+end-to-end in (group, order) sequence and cut into fixed-capacity bins;
+each doc's bin is ``floor(tokens_before / capacity)``.  A running total is
+inherently sequential, so the Dataset API can't express it directly — this
+is the classic two-pass distributed scan:
+
+1. **Partials**: per-batch (group, bucket) sums (bucket = ``order >>
+   bucket_bits``) → multi-key groupby sum.  The shuffle carries one int64
+   row per (block, group, bucket-in-block).
+2. **Exclusive scan** over the tiny (groups × buckets) table driver-side,
+   broadcast once via ``ray.put``.
+3. **Local scan**: rows co-located per (group, bucket) sort by order and
+   cumsum, offset by the broadcast base — every row gets its exact global
+   prefix without any global sort.
+
+Partitioning assumption (documented per the custom-operator contract): a
+(group, bucket) pair's rows land in one task via the groupby; bucket width
+(default 4096 orders) bounds group size.  SQL twin: ``sum(v) OVER
+(PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING) - v``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_sequences(
+    ds,
+    *,
+    group: str = "source",
+    order: str = "doc_id",
+    value: str = "n_chars",
+    capacity: int = 4096,
+    bucket_bits: int = 12,
+):
+    """→ (order, group, value, tok_before, bin): each row's exclusive
+    per-group running total in (group, order) sequence and its capacity-
+    ``capacity`` bin.  All int64 — bit-equal to the serial window twin."""
+    import pandas as pd
+
+    import ray
+
+    def partials(b: pa.Table) -> pa.Table:
+        o = np.asarray(b[order], np.int64)
+        v = np.asarray(b[value], np.int64)
+        g = b[group]
+        bucket = o >> bucket_bits
+        df = pd.DataFrame({"g": np.asarray(g), "bucket": bucket, "s": v})
+        agg = df.groupby(["g", "bucket"], sort=False, as_index=False)["s"].sum()
+        return pa.table(
+            {
+                group: pa.array(agg["g"]),
+                "bucket": pa.array(agg["bucket"].to_numpy(), pa.int64()),
+                "s": pa.array(agg["s"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    sums = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group, "bucket"])
+        .sum("s")
+        .to_pandas()  # groups × buckets rows — scan-input scale, tiny
+        .sort_values([group, "bucket"], ignore_index=True)
+    )
+    total = sums["sum(s)"].to_numpy().astype(np.int64)
+    csum = np.cumsum(total) - total  # exclusive scan over the whole table…
+    gkeys = sums[group].to_numpy()
+    starts = np.unique(gkeys, return_index=True)[1]  # sorted: sums is sorted
+    # …re-zeroed per group: subtract each group's first csum value
+    group_first = np.repeat(csum[starts], np.diff(np.append(starts, len(sums))))
+    offsets = {
+        (g, int(bkt)): int(off)
+        for g, bkt, off in zip(gkeys, sums["bucket"].to_numpy(), csum - group_first)
+    }
+    ref = ray.put(offsets)
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        o = np.asarray(b[order], np.int64)
+        return pa.table(
+            {
+                order: pa.array(o, pa.int64()),
+                group: b[group],
+                value: b[value].cast(pa.int64()),
+                "bucket": pa.array(o >> bucket_bits, pa.int64()),
+            }
+        )
+
+    def local_scan(g: "pd.DataFrame") -> "pd.DataFrame":
+        # ray.get of a plasma object is a cached local read after the first
+        # fetch per worker — the offsets table ships once per node, not per
+        # group
+        offs = ray.get(ref)
+        g = g.sort_values(order, kind="stable", ignore_index=True)
+        v = g[value].to_numpy().astype(np.int64)
+        base = offs[(g[group].iloc[0], int(g["bucket"].iloc[0]))]
+        before = base + np.cumsum(v) - v
+        return pd.DataFrame(
+            {
+                order: g[order].to_numpy().astype(np.int64),
+                group: g[group].to_numpy(),
+                value: v,
+                "tok_before": before,
+                "bin": before // capacity,
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby([group, "bucket"])
+        .map_groups(local_scan, batch_format="pandas")
+    )

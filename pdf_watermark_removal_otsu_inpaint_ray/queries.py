@@ -786,6 +786,30 @@ def q_label_centroids(sf_dir: str):
     return group_centroids(emb, group="label", scale=10_000)
 
 
+def q_pack_bins(sf_dir: str):
+    """Distributed ordered prefix scan (functions/packing.py): per-source
+    running char totals in doc_id order → capacity-4096 bin assignment.
+    Exact window-function SQL twin."""
+    from .functions.packing import pack_sequences
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"],
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    return pack_sequences(
+        _docs_ds(sf_dir).map_batches(prep, batch_format="pyarrow"),
+        group="source",
+        order="doc_id",
+        value="n_chars",
+        capacity=4096,
+    )
+
+
 def q_clean_corpus(sf_dir: str):
     """Composed C4-style cleaning pass (pipelines/clean.py): quality gate
     (n_words≥5, n_chars≥20), EN-stopword language gate, exact keep-first
@@ -1166,6 +1190,7 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "clean_corpus": q_clean_corpus,
     "hash_sample": q_hash_sample,
+    "pack_bins": q_pack_bins,
     "label_centroids": q_label_centroids,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1401,6 +1426,17 @@ ORACLE_SQL = {
         FROM documents d
         JOIN generate_series(0, 10000) t(k)
           ON t.k * 192 < length(d.text)
+    """,
+    "pack_bins": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(sum(length(text)) OVER w - length(text) AS BIGINT)
+                   AS tok_before,
+               CAST((sum(length(text)) OVER w - length(text)) // 4096
+                   AS BIGINT) AS bin
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
     """,
     "hash_sample": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
