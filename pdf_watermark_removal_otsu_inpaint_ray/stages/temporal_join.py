@@ -197,10 +197,12 @@ def asof_join_broadcast(
     once by (key, ts), tie-collapsed exactly like :func:`asof_join`
     (column-wise max per (key, ts)), put in the object store once via
     ``ray.put``, and read zero-copy by every map task; each batch then
-    resolves its rows with one vectorized ``searchsorted`` per distinct key
-    present in the batch.  Result is row-for-row identical to
-    :func:`asof_join` (same tie/direction semantics); the left side
-    streams — only the small side is materialized.
+    resolves ALL its rows with one C-speed ``pandas.merge_asof`` against a
+    slim (ts, key, right-row-index) frame — no per-key Python loop — and
+    gathers payload columns with a type-generic null-masked Arrow ``take``.
+    Result is row-for-row identical to :func:`asof_join` (same
+    tie/direction semantics — both paths resolve through ``merge_asof``);
+    the left side streams — only the small side is materialized.
     """
     import pandas as pd
 
@@ -224,15 +226,18 @@ def asof_join_broadcast(
         rdf = rdf.groupby(["key", "ts"], as_index=False, sort=True)[rpay].max()
     else:
         rdf = rdf.sort_values(["key", "ts"], kind="stable", ignore_index=True)
-    keys = rdf["key"].to_numpy().astype(np.int64)
-    uniq, slice_start = np.unique(keys, return_index=True)
-    slice_end = np.append(slice_start[1:], keys.size)
+    # slim lookup frame sorted by ts (merge_asof's required order); ridx
+    # points back into the (key, ts)-sorted payload arrays
+    slim = pd.DataFrame(
+        {
+            "ts": rdf["ts"].to_numpy().astype(np.int64),
+            "key": rdf["key"].to_numpy().astype(np.int64),
+            "ridx": np.arange(len(rdf), dtype=np.int64),
+        }
+    ).sort_values("ts", kind="stable", ignore_index=True)
     ref = ray.put(
         {
-            "uniq": uniq,
-            "start": slice_start.astype(np.int64),
-            "end": slice_end.astype(np.int64),
-            "ts": rdf["ts"].to_numpy().astype(np.int64),
+            "slim": slim,
             # payloads kept as Arrow arrays: the per-batch gather is a
             # type-generic zero-copy `take` with a null-masked index
             "pay": {
@@ -251,32 +256,18 @@ def asof_join_broadcast(
             bk = np.asarray(b[left_on].cast(pa.int64()))
             bt = np.asarray(b[left_ts].cast(pa.int64()))
             hit = np.full(bk.size, -1, dtype=np.int64)  # index into right rows
-            if r["uniq"].size == 0:
-                known = np.zeros(bk.size, dtype=bool)
-                ki = np.zeros(bk.size, dtype=np.int64)
-            else:
-                ki = np.searchsorted(r["uniq"], bk)
-                known = (ki < r["uniq"].size) & (
-                    r["uniq"][np.minimum(ki, r["uniq"].size - 1)] == bk
+            if len(r["slim"]) and bk.size:
+                order = np.argsort(bt, kind="stable")
+                merged = pd.merge_asof(
+                    pd.DataFrame({"ts": bt[order], "key": bk[order]}),
+                    r["slim"],
+                    on="ts",
+                    by="key",
+                    direction=direction,
                 )
-            for u in np.unique(ki[known]):
-                m = known & (ki == u)
-                s, e = int(r["start"][u]), int(r["end"][u])
-                seg = r["ts"][s:e]
-                if direction in ("backward", "nearest"):
-                    back = s + np.searchsorted(seg, bt[m], "right") - 1
-                if direction in ("forward", "nearest"):
-                    fwd = s + np.searchsorted(seg, bt[m], "left")
-                if direction == "backward":
-                    idx = np.where(back >= s, back, -1)
-                elif direction == "forward":
-                    idx = np.where(fwd < e, fwd, -1)
-                else:  # nearest: valid candidates, distance tie → backward
-                    bv, fv = back >= s, fwd < e
-                    bd = np.where(bv, np.abs(bt[m] - r["ts"][np.maximum(back, s)]), np.iinfo(np.int64).max)
-                    fd = np.where(fv, np.abs(r["ts"][np.minimum(fwd, e - 1)] - bt[m]), np.iinfo(np.int64).max)
-                    idx = np.where(bd <= fd, np.where(bv, back, -1), np.where(fv, fwd, -1))
-                hit[m] = idx
+                ridx = merged["ridx"].to_numpy()
+                found = ~np.isnan(ridx)
+                hit[order[found]] = ridx[found].astype(np.int64)
             ok = hit >= 0
             cols = {left_on: pa.array(bk, pa.int64()), left_ts: pa.array(bt, pa.int64())}
             for c in b.schema.names:
