@@ -152,8 +152,10 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     engine, so this oracle cross-checks the DISTRIBUTION layer (salted
     bucket groupbys, repartition-join verify), not the signature kernel
     itself.  The signature kernel is independently cross-checked by (a) the
-    pure-Python spec mirror in _py_word_hash (tests/test_properties.py) and
-    (b) _golden_simhash below, which shares no engine code at all."""
+    pure-Python spec mirrors _py_word_hash AND _py_gram_hashes — the full
+    word→gram→shingle chain — property-tested against the vectorized kernel
+    on arbitrary unicode (tests/test_properties.py), and (b)
+    _golden_simhash below, which shares no engine code at all."""
     cached = _MINHASH_MEMO.get(sf_dir)
     if cached is not None:
         return cached
@@ -262,6 +264,26 @@ def _re_words(text: str) -> list[str]:
     import re as _re
 
     return _re.findall(r"\S+", text.lower())
+
+
+def _py_gram_hashes(text: str, n: int = 3) -> list[int]:
+    """Pure-Python word n-gram hashes (mirror of dedup._gram_hashes_flat,
+    written from the spec): gram = mix64(sum_i wh[j+i] * C^(n-1-i) mod
+    2^64) >> 1 with C = 0x100000001B3; a doc with 0 < m < n words yields
+    ONE gram over all m words (coefficients C^(m-1-i)); empty docs none."""
+    wh = [_py_word_hash(w) for w in _re_words(text)]
+    m = len(wh)
+    C = 0x100000001B3
+    if m == 0:
+        return []
+    width = n if m >= n else m
+    out = []
+    for j in range(max(m - n + 1, 1) if m >= n else 1):
+        acc = 0
+        for i in range(width):
+            acc = (acc + wh[j + i] * pow(C, width - 1 - i, 1 << 64)) & _M64
+        out.append(_py_mix64(acc) >> 1)
+    return out
 
 
 def _py_simhash(text: str) -> int:

@@ -124,11 +124,16 @@ def test_vectorized_hashing_matches_python_spec(texts):
     )
     assert SimHashStage()(b)["simhash"].to_pylist() == [_py_simhash(t) for t in texts]
 
-    # flat minhash signatures == scalar per-doc path over unique shingles
+    # flat minhash signatures == scalar per-doc path over unique shingles,
+    # and the gram-hash chain itself == the pure-Python spec mirror (so the
+    # WHOLE minhash signature path is spec-checked, not just word hashes)
+    from pdf_watermark_removal_otsu_inpaint_ray.oracle_data import _py_gram_hashes
+
     stage = MinHashStage(32)
     out = stage(b)
     for i, t in enumerate(texts):
         sh = shingle_hashes(t, stage.ngram)
+        assert sh.tolist() == sorted(set(_py_gram_hashes(t, stage.ngram)))
         assert out["shingles"][i].as_py() == sh.tolist()
         assert out["sig"][i].as_py() == stage.signature(sh).tolist()
 
