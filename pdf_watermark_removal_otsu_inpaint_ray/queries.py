@@ -810,6 +810,30 @@ def q_pack_bins(sf_dir: str):
     )
 
 
+def q_events_lag_delta(sf_dir: str):
+    """Per-user time-since-previous-event (functions/packing.py::
+    grouped_lag): one coarse hash partition on the user key, vectorized
+    lexsort+shift lag — the window-function `lag()` analog."""
+    from .functions.packing import grouped_lag
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+            }
+        )
+
+    return grouped_lag(
+        _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow"),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        out="delta_us",
+    )
+
+
 def q_clean_corpus(sf_dir: str):
     """Composed C4-style cleaning pass (pipelines/clean.py): quality gate
     (n_words≥5, n_chars≥20), EN-stopword language gate, exact keep-first
@@ -1191,6 +1215,7 @@ QUERIES = {
     "clean_corpus": q_clean_corpus,
     "hash_sample": q_hash_sample,
     "pack_bins": q_pack_bins,
+    "events_lag_delta": q_events_lag_delta,
     "label_centroids": q_label_centroids,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1426,6 +1451,15 @@ ORACLE_SQL = {
         FROM documents d
         JOIN generate_series(0, 10000) t(k)
           ON t.k * 192 < length(d.text)
+    """,
+    "events_lag_delta": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS BIGINT) AS delta_us
+        FROM events
     """,
     "pack_bins": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id, source,

@@ -50,3 +50,41 @@ def test_pack_sequences_matches_serial_scan(ray_session):
         for _, r in out.iterrows():
             tb, b = expect[r["doc_id"]]
             assert (r["tok_before"], r["bin"]) == (tb, b), r["doc_id"]
+
+
+def test_grouped_lag_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import grouped_lag
+
+    rng = np.random.default_rng(9)
+    n = 300
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 50, n) * 10, pa.int64()),  # many ties
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+        }
+    )
+    out = (
+        grouped_lag(
+            ray.data.from_arrow(tbl).repartition(4),
+            group="user_id", order="ts_us", tiebreak="event_id", out="delta_us",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+    )
+    u = np.asarray(tbl["user_id"]); t = np.asarray(tbl["ts_us"]); e = np.asarray(tbl["event_id"])
+    rows = sorted(zip(u.tolist(), t.tolist(), e.tolist()))
+    expect = {}
+    prev = {}
+    for uu, tt, ee in rows:
+        expect[(uu, tt, ee)] = (tt - prev[uu]) if uu in prev else None
+        prev[uu] = tt
+    import pandas as pd
+
+    got = {
+        (r["user_id"], r["ts_us"], r["event_id"]):
+            (None if pd.isna(r["delta_us"]) else int(r["delta_us"]))
+        for _, r in out.iterrows()
+    }
+    assert len(got) == n
+    assert got == expect
