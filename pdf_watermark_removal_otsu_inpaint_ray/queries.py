@@ -834,6 +834,112 @@ def q_events_lag_delta(sf_dir: str):
     )
 
 
+def q_orders_pivot(sf_dir: str):
+    """Distributed pivot: per order-YEAR one row with one count column per
+    status — per-batch conditional-count partials (one np.unique pass over
+    (year, status) codes), then a groupby sum per pivoted column.  The
+    status domain is fixed ('F','O','P'), so the pivot is schema-stable and
+    fully distributed (no driver reshaping)."""
+    import ray.data
+
+    STATUSES = ("F", "O", "P")
+
+    def partials(b: pa.Table) -> pa.Table:
+        year = np.asarray(pc.year(b["o_orderdate"]), np.int64)
+        st = b["o_orderstatus"].to_pylist()
+        scode = np.fromiter((STATUSES.index(s) for s in st), np.int64, len(st))
+        key = year * 4 + scode
+        uk, cnt = np.unique(key, return_counts=True)
+        uy, us = uk // 4, uk % 4
+        years = np.unique(uy)
+        out = {"o_year": pa.array(years, pa.int64())}
+        for i, name in enumerate(STATUSES):
+            col = np.zeros(years.size, np.int64)
+            sel = us == i
+            col[np.searchsorted(years, uy[sel])] = cnt[sel]
+            out[f"n_{name}"] = pa.array(col, pa.int64())
+        return pa.table(out)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("o_year")
+        .sum([f"n_{s}" for s in STATUSES])
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_year": b["o_year"].cast(pa.int64()),
+                **{
+                    f"n_{s}": b[f"sum(n_{s})"].cast(pa.int64()) for s in STATUSES
+                },
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Broadcast ANTI-join: customers having no HIGH-VALUE order
+    (o_totalprice > 300000).  The qualifying predicate is pushed INTO the
+    parquet read (row-group pruning); the distinct custkey set is reduced
+    DISTRIBUTED (per-batch unique → coarse groupby) and broadcast once via
+    ray.put; customers stream through a vectorized membership filter — the
+    NOT EXISTS shape with no shuffle of the probe side."""
+    import pyarrow.dataset as pads
+
+    import ray
+    import ray.data
+
+    def keys(b: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(b["o_custkey"], np.int64))
+        return pa.table({"k": pa.array(u, pa.int64()), "pk": pa.array(u % 64, pa.int64())})
+
+    def collapse(g) -> "pa.Table":
+        import pandas as pd
+
+        return pd.DataFrame({"k": np.unique(g["k"].to_numpy())})
+
+    have = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey"],
+            filter=pads.field("o_totalprice") > 300_000.0,
+        )
+        .map_batches(keys, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(collapse, batch_format="pandas")
+        .to_pandas()["k"]
+        .to_numpy()
+    )  # distinct-custkey scale — dimension-sized
+    ref = ray.put(np.sort(have.astype(np.int64)))
+
+    class AntiFilter:
+        def __init__(self):
+            self.have = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = np.asarray(b["c_custkey"], np.int64)
+            pos = np.searchsorted(self.have, k)
+            hit = (pos < self.have.size) & (
+                self.have[np.minimum(pos, max(self.have.size - 1, 0))] == k
+            )
+            idx = pa.array(np.nonzero(~hit)[0], pa.int64())
+            return pa.table(
+                {
+                    "c_custkey": b["c_custkey"].cast(pa.int64()).take(idx),
+                    "c_name": b["c_name"].take(idx),
+                }
+            )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def q_clean_corpus(sf_dir: str):
     """Composed C4-style cleaning pass (pipelines/clean.py): quality gate
     (n_words≥5, n_chars≥20), EN-stopword language gate, exact keep-first
@@ -1216,6 +1322,8 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "pack_bins": q_pack_bins,
     "events_lag_delta": q_events_lag_delta,
+    "orders_pivot": q_orders_pivot,
+    "customers_without_orders": q_customers_without_orders,
     "label_centroids": q_label_centroids,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1451,6 +1559,23 @@ ORACLE_SQL = {
         FROM documents d
         JOIN generate_series(0, 10000) t(k)
           ON t.k * 192 < length(d.text)
+    """,
+    "orders_pivot": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_F,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_O,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_P
+        FROM orders GROUP BY 1
+    """,
+    "customers_without_orders": """
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
     "events_lag_delta": """
         SELECT CAST(user_id AS BIGINT) AS user_id,
