@@ -53,8 +53,12 @@ def assert_frames_match(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            if isinstance(x, float) or isinstance(y, float):
-                ok = (math.isnan(x) and math.isnan(y)) or x == y or abs(x - y) <= 1e-9 * max(1, abs(x))
+            # null markers vary by dtype: None (object), NaN (float),
+            # pd.NA (nullable Int64) — all count as the same null
+            if (x is None or pd.isna(x)) or (y is None or pd.isna(y)):
+                ok = (x is None or pd.isna(x)) and (y is None or pd.isna(y))
+            elif isinstance(x, float) or isinstance(y, float):
+                ok = x == y or abs(x - y) <= 1e-9 * max(1, abs(x))
             else:
                 ok = x == y
             assert ok, f"{name}.{col}[{i}]: {x!r} != {y!r}"
