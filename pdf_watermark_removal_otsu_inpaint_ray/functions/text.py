@@ -272,3 +272,132 @@ def chunk_documents_batch(
             }
         )
     return pa.concat_tables(parts)
+
+
+def _grams_with_rows(text_col, n: int):
+    """Word *n*-gram strings with their batch-local row ids, vectorized.
+
+    Tokens are the same lowercased ``\\S+`` runs as ``_words_with_rows``
+    (exact DuckDB twin: ``regexp_extract_all(lower(text), '\\S+')``); the
+    i-th n-gram of a row is its words i..i+n-1 joined by a single space —
+    the twin of ``ws[i] || ' ' || ws[i+1] || ...`` over a 1-based
+    ``range(1, len(ws) - n + 2)`` rank join.  One split + n slices + one
+    ``binary_join_element_wise`` per batch; no per-row Python.
+
+    Returns ``(rows, grams)``: int64 row ids and a string Array, one entry
+    per n-gram position (duplicates kept — callers that need set semantics
+    dedupe downstream).
+    """
+    low = pc.utf8_lower(text_col)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    lists = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE)
+    counts = np.asarray(pc.list_value_length(lists).fill_null(0), np.int64)
+    rows_all = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+    flat = lists.flatten()
+    keep = np.asarray(pc.not_equal(flat, ""))
+    flat = flat.filter(pa.array(keep))  # order-preserving
+    rows = rows_all[keep]
+    total = len(flat)
+    if total < n:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    m = total - n + 1
+    # position i starts an n-gram iff its n-th word is still the same row
+    ok = rows[:m] == rows[n - 1 : n - 1 + m]
+    parts = [flat.slice(j, m) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return rows[:m][ok], grams.filter(pa.array(ok))
+
+
+class DecontaminateStage:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with a held-out eval set (the GPT-3/PaLM 13-gram rule at a test-scale
+    n).  The eval gram set is the SMALL side: distinct grams are broadcast
+    ONCE via ``ray.put`` and resolved per actor in ``__init__`` — corpus
+    docs stream through ``pc.is_in`` (exact string membership, one C++
+    hash-set probe per gram position); no shuffle, no join.  Reference
+    analog: the protect-list semantics of text_protector.py (a small
+    blocklist applied to a big stream), re-expressed corpus-scale."""
+
+    def __init__(self, gram_ref, n: int = 3):
+        import ray
+
+        self.grams = ray.get(gram_ref)  # pa.StringArray of distinct grams
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        rows, grams = _grams_with_rows(batch["text"], self.n)
+        n_grams = (
+            np.bincount(rows, minlength=nr) if rows.size else np.zeros(nr, np.int64)
+        )
+        if rows.size and len(self.grams):
+            hit = np.asarray(pc.is_in(grams, value_set=self.grams))
+            n_hits = np.bincount(rows[hit], minlength=nr)
+        else:
+            n_hits = np.zeros(nr, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
+                "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
+                "is_contam": pa.array((n_hits > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def eval_gram_array(eval_ds, n: int = 3) -> pa.Array:
+    """Distinct word n-grams of the (small) eval side, computed distributed
+    (per-batch distinct partials) and deduped once on the driver — eval
+    sets are benchmark-scale, so the collected array is broadcast-sized by
+    construction."""
+
+    def distinct_batch(b: pa.Table) -> pa.Table:
+        _, grams = _grams_with_rows(b["text"], n)
+        return pa.table({"g": grams.unique()})
+
+    parts = eval_ds.map_batches(distinct_batch, batch_format="pyarrow").to_pandas()
+    return pa.array(sorted(set(parts["g"].tolist())), pa.string())
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style per-doc repetition counters (MassiveText quality rules,
+    integer-exact so the DuckDB twin hash-matches): words, bigram count,
+    count of the most frequent bigram, duplicate-trigram count, and the
+    repetition flag ``5 * top_bigram_cnt >= n_bigrams`` (top bigram owns
+    >= 20% of all bigram positions).  One dictionary-encode + bincount per
+    gram order; no per-row Python."""
+    nr = batch.num_rows
+    n_words = pc.count_substring_regex(batch["text"], WORD_RE).cast(pa.int64())
+
+    r2, g2 = _grams_with_rows(batch["text"], 2)
+    n_bigrams = np.bincount(r2, minlength=nr) if r2.size else np.zeros(nr, np.int64)
+    top = np.zeros(nr, np.int64)
+    if r2.size:
+        d2 = g2.dictionary_encode()
+        codes = np.asarray(d2.indices, np.int64)
+        pair = r2 * len(d2.dictionary) + codes
+        upair, cnt = np.unique(pair, return_counts=True)
+        np.maximum.at(top, upair // len(d2.dictionary), cnt)
+
+    r3, g3 = _grams_with_rows(batch["text"], 3)
+    dup_tri = np.zeros(nr, np.int64)
+    if r3.size:
+        d3 = g3.dictionary_encode()
+        c3 = np.asarray(d3.indices, np.int64)
+        p3 = r3 * len(d3.dictionary) + c3
+        n_tri = np.bincount(r3, minlength=nr)
+        n_tri_distinct = np.bincount(np.unique(p3) // len(d3.dictionary), minlength=nr)
+        dup_tri = (n_tri - n_tri_distinct).astype(np.int64)
+
+    is_rep = ((n_bigrams > 0) & (top * 5 >= n_bigrams)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_words": n_words,
+            "n_bigrams": pa.array(n_bigrams.astype(np.int64), pa.int64()),
+            "top_bigram_cnt": pa.array(top, pa.int64()),
+            "dup_trigram_cnt": pa.array(dup_tri, pa.int64()),
+            "is_repetitive": pa.array(is_rep, pa.int64()),
+        }
+    )

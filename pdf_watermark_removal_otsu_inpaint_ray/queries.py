@@ -772,6 +772,55 @@ def q_hash_sample(sf_dir: str):
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    held-out eval slice (doc_id % 50 == 7) are flagged.  Eval distinct
+    grams are the SMALL side — broadcast once via ``ray.put``, probed per
+    batch with ``pc.is_in`` (functions/text.py::DecontaminateStage); the
+    corpus streams, no shuffle.  At a real 13-gram/100-TB scale the gram
+    set stays benchmark-sized, so the same broadcast shape holds."""
+    import ray
+
+    from .functions.text import DecontaminateStage, eval_gram_array
+
+    def eval_part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].cast(pa.int64()))
+        return b.filter(pa.array(ids % 50 == 7))
+
+    def corpus_part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].cast(pa.int64()))
+        return b.filter(pa.array(ids % 50 != 7))
+
+    gref = ray.put(
+        eval_gram_array(
+            _docs_ds(sf_dir).map_batches(eval_part, batch_format="pyarrow"), n=3
+        )
+    )
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(corpus_part, batch_format="pyarrow")
+        .map_batches(
+            DecontaminateStage,
+            fn_constructor_args=(gref,),
+            fn_constructor_kwargs={"n": 3},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    )
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher/MassiveText repetition counters per doc (top-bigram share,
+    duplicate trigrams) — stateless vectorized map_batches
+    (functions/text.py::repetition_stats_batch), integer-exact DuckDB
+    twin."""
+    from .functions.text import repetition_stats_batch
+
+    return _docs_ds(sf_dir).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroid sums, integer-exact (scale 10^4):
     combiner-first partials → multi-key groupby sum
@@ -1320,6 +1369,8 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "clean_corpus": q_clean_corpus,
     "hash_sample": q_hash_sample,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "pack_bins": q_pack_bins,
     "events_lag_delta": q_events_lag_delta,
     "orders_pivot": q_orders_pivot,
@@ -1602,6 +1653,64 @@ ORACLE_SQL = {
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
         WHERE ((doc_id * 48271) % 2147483647) % 100 < 20
+    """,
+    "decontaminate": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+            FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        ),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 7),
+        hits AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN g IN (SELECT g FROM ev) THEN 1 ELSE 0 END)
+                       AS n_hits
+            FROM grams WHERE doc_id % 50 <> 7 GROUP BY doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_contam
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 7
+    """,
+    "repetition_stats": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+            FROM documents
+        ),
+        g2 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+            FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        ),
+        g3 AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+            FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        ),
+        b AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   max(c) AS top_bigram_cnt
+            FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ),
+        t3 AS (
+            SELECT doc_id, count(*) - count(DISTINCT g) AS dup_trigram_cnt
+            FROM g3 GROUP BY doc_id
+        )
+        SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+               CAST(len(k.ws) AS BIGINT) AS n_words,
+               CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(b.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+               CAST(coalesce(t3.dup_trigram_cnt, 0) AS BIGINT)
+                   AS dup_trigram_cnt,
+               CAST(CASE WHEN coalesce(b.n_bigrams, 0) > 0
+                          AND 5 * coalesce(b.top_bigram_cnt, 0) >= b.n_bigrams
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        FROM toks k LEFT JOIN b USING (doc_id) LEFT JOIN t3 USING (doc_id)
     """,
     "label_centroids": """
         WITH ex AS (
