@@ -279,6 +279,7 @@ def main() -> None:
             "events_asof_join", "events_asof_join_broadcast",
             "orders_lineitem_window", "top_docs_per_source",
             "chunk_documents", "doc_top_terms",
+            "decontaminate", "repetition_stats",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)
