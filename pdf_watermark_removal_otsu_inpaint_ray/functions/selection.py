@@ -125,3 +125,75 @@ def hash_sample(ds, *, key: str = "doc_id", rate_pct: int = 20, buckets: int = 1
         return b.take(pa.array(np.nonzero(keep)[0], pa.int64()))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_split(
+    ds,
+    *,
+    group: str = "source",
+    key: str = "doc_id",
+    fracs: tuple = (80, 10),
+    labels: tuple = ("train", "valid", "test"),
+    num_parts: int = 64,
+):
+    """Exact per-group train/valid/test split: within each group, rows are
+    ranked by (Lehmer(key), key) and cut at EXACT integer proportions —
+    0-based rank ``r`` of the group's ``n`` rows gets ``labels[0]`` while
+    ``r*100 < fracs[0]*n``, ``labels[1]`` while ``r*100 <
+    (fracs[0]+fracs[1])*n``, else ``labels[2]``.  Unlike ``hash_sample``
+    (independent per-row coin flips — proportions hold only in
+    expectation) the cut is exact per group: the stratification guarantee
+    an eval holdout needs on skewed domain mixes, still fully
+    deterministic and repartition-stable (rank depends only on key
+    hashes, never on block layout).
+
+    Shape: ONE coarse hash partition on the group key (``num_parts`` ≫
+    groups per worker → balanced), then one vectorized lexsort + group
+    boundary sweep per PARTITION — never a per-group callback (the
+    ``grouped_lag`` / ``_distinct_pairs`` lesson).  Exact SQL twin:
+    ``row_number() OVER (PARTITION BY g ORDER BY hash, key)`` vs
+    ``count(*) OVER (PARTITION BY g)`` integer arithmetic."""
+    import pandas as pd
+
+    from ..sinks.exactly_once import hash_partition_ids
+
+    if len(fracs) != 2 or len(labels) != 3:
+        raise ValueError("fracs is the first two cut percentages; 3 labels")
+    c1, c2 = int(fracs[0]), int(fracs[0]) + int(fracs[1])
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        if pa.types.is_integer(b.schema.field(group).type):
+            k = np.asarray(b[group], np.int64).astype(np.uint64)
+            pk = (
+                ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+                % np.uint64(num_parts)
+            ).astype(np.int64)
+        else:
+            pk = hash_partition_ids(b[group].combine_chunks(), num_parts)
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def split_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key: [], group: [], "split": []})
+        gk = g[group].to_numpy()
+        k = g[key].to_numpy().astype(np.int64)
+        h = (k * LEHMER_MULT) % LEHMER_MOD
+        idx = np.lexsort((k, h, gk))
+        gk, k, h = gk[idx], k[idx], h[idx]
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        starts = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        n = np.diff(np.append(starts, len(g)))[gid]
+        r = np.arange(len(g), dtype=np.int64) - starts[gid]
+        lab = np.where(
+            r * 100 < c1 * n, labels[0], np.where(r * 100 < c2 * n, labels[1], labels[2])
+        )
+        return pd.DataFrame({key: k, group: gk, "split": lab})
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(split_part, batch_format="pandas")
+    )

@@ -160,3 +160,80 @@ def events_customer_join(events_ds: "ray.data.Dataset", customer_path: str):
         return t.filter(pc.is_valid(t["c_name"]))  # inner-join semantics
 
     return events_ds.map_batches(join, batch_format="pyarrow")
+
+
+def tumbling_distinct_users(
+    ds: "ray.data.Dataset", size_us: int = HOUR_US, num_parts: int = 64
+):
+    """Exact ``count(DISTINCT user_id)`` per (event_type, tumbling window).
+
+    Distinct-aggregate shape for scale: each batch pre-dedupes its own
+    (type, window, user) triples with one lexsort + neighbor mask (the
+    COMBINER — the shuffle carries at most one row per distinct triple per
+    batch, never raw event volume), then ONE coarse hash partition on
+    window_id co-locates every copy of a window and a single vectorized
+    dedup + boundary count per PARTITION finishes — no per-group callback,
+    no count-distinct on the driver.  Skew note: a window's triples land in
+    one task; at adversarial per-window user cardinality, salt on
+    user-hash and add a second (window)-keyed count round."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = _epoch_us(batch)
+        w = (us // size_us).astype(np.int64)
+        et = batch["event_type"].combine_chunks().dictionary_encode()
+        t = np.asarray(et.indices, np.int64)
+        u = np.asarray(batch["user_id"], np.int64)
+        idx = np.lexsort((u, w, t))
+        t, w, u = t[idx], w[idx], u[idx]
+        keep = np.empty(t.size, bool)
+        if t.size:
+            keep[0] = True
+            keep[1:] = (t[1:] != t[:-1]) | (w[1:] != w[:-1]) | (u[1:] != u[:-1])
+        t, w, u = t[keep], w[keep], u[keep]
+        pk = (
+            ((w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(num_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": et.dictionary.take(pa.array(t, pa.int64())).cast(
+                    pa.string()
+                ),
+                "window_id": pa.array(w, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    def finalize(g):
+        import pandas as pd
+
+        if len(g) == 0:
+            return pd.DataFrame({"event_type": [], "window_id": [], "n_users": []})
+        t = g["event_type"].to_numpy()
+        w = g["window_id"].to_numpy().astype(np.int64)
+        u = g["user_id"].to_numpy().astype(np.int64)
+        idx = np.lexsort((u, w, t))
+        t, w, u = t[idx], w[idx], u[idx]
+        keep = np.empty(t.size, bool)
+        keep[0] = True
+        keep[1:] = (t[1:] != t[:-1]) | (w[1:] != w[:-1]) | (u[1:] != u[:-1])
+        t, w = t[keep], w[keep]
+        first = np.empty(t.size, bool)
+        first[0] = True
+        first[1:] = (t[1:] != t[:-1]) | (w[1:] != w[:-1])
+        starts = np.nonzero(first)[0]
+        n = np.diff(np.append(starts, t.size))
+        return pd.DataFrame(
+            {
+                "event_type": t[starts],
+                "window_id": w[starts],
+                "n_users": n.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(finalize, batch_format="pandas")
+    )

@@ -772,6 +772,37 @@ def q_hash_sample(sf_dir: str):
     )
 
 
+def q_stratified_split(sf_dir: str):
+    """Exact per-source 80/10/10 train/valid/test split — grouped rank by
+    (Lehmer hash, doc_id) with integer-proportion cuts
+    (functions/selection.py::stratified_split); one coarse group-key
+    partition, vectorized per partition."""
+    from .functions.selection import stratified_split
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"],
+            }
+        )
+
+    return stratified_split(
+        _docs_ds(sf_dir).map_batches(project, batch_format="pyarrow"),
+        group="source",
+        key="doc_id",
+    )
+
+
+def q_tumbling_distinct_users(sf_dir: str):
+    """count(DISTINCT user_id) per (event_type, hour) — batch-deduped
+    partials through one coarse window-hash shuffle
+    (pipelines/windows.py::tumbling_distinct_users)."""
+    from .pipelines.windows import tumbling_distinct_users
+
+    return tumbling_distinct_users(_events_ds(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs sharing any word 3-gram with the
     held-out eval slice (doc_id % 50 == 7) are flagged.  Eval distinct
@@ -1371,6 +1402,8 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "stratified_split": q_stratified_split,
+    "tumbling_distinct_users": q_tumbling_distinct_users,
     "pack_bins": q_pack_bins,
     "events_lag_delta": q_events_lag_delta,
     "orders_pivot": q_orders_pivot,
@@ -1653,6 +1686,32 @@ ORACLE_SQL = {
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
         WHERE ((doc_id * 48271) % 2147483647) % 100 < 20
+    """,
+    "stratified_split": """
+        WITH h AS (
+            SELECT doc_id, source,
+                   (doc_id * 48271) % 2147483647 AS hv
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY hv, doc_id) - 1 AS r,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM h
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CASE WHEN r * 100 < 80 * n THEN 'train'
+                    WHEN r * 100 < 90 * n THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM r
+    """,
+    "tumbling_distinct_users": """
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type, epoch_us(ts) // 3600000000
     """,
     "decontaminate": r"""
         WITH toks AS (
