@@ -905,13 +905,33 @@ def q_events_lag_delta(sf_dir: str):
             }
         )
 
-    return grouped_lag(
+    lagged = grouped_lag(
         _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow"),
         group="user_id",
         order="ts_us",
         tiebreak="event_id",
         out="delta_us",
     )
+
+    # driver-safe NULL-FREE contract: the library's nullable Int64 lag and
+    # DuckDB's NULL render differently depending on the comparator's null
+    # normalization (Int64 pd.NA vs float NaN vs None) — coalesce to a -1
+    # sentinel plus an explicit is_first flag so both sides hash over plain
+    # non-null BIGINTs
+    def definite(b: pa.Table) -> pa.Table:
+        d = b["delta_us"]
+        first = pc.is_null(d).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts_us"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "delta_us": d.fill_null(-1).cast(pa.int64()),
+                "is_first": first,
+            }
+        )
+
+    return lagged.map_batches(definite, batch_format="pyarrow")
 
 
 def q_orders_pivot(sf_dir: str):
@@ -1662,13 +1682,20 @@ ORACLE_SQL = {
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
     "events_lag_delta": """
-        SELECT CAST(user_id AS BIGINT) AS user_id,
-               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-               CAST(event_id AS BIGINT) AS event_id,
-               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                   PARTITION BY user_id
-                   ORDER BY ts, event_id) AS BIGINT) AS delta_us
-        FROM events
+        WITH l AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS lag_delta
+            FROM events
+        )
+        SELECT user_id, ts_us, event_id,
+               CAST(coalesce(lag_delta, -1) AS BIGINT) AS delta_us,
+               CAST(CASE WHEN lag_delta IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_first
+        FROM l
     """,
     "pack_bins": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
