@@ -44,44 +44,43 @@ def oracle_sql() -> dict[str, str]:
     # those parquet files exist for the driver's correctness sf before the
     # SQL that reads them runs, regardless of query/oracle execution order.
     sql = dict(ORACLE_SQL)
-    try:
+
+    def _drop_missing_goldens() -> None:
+        # REAL rows-only fallback: a golden that failed to materialize must
+        # drop its SQL entry (driver degrades to a rows-only check) instead
+        # of shipping SQL that reads a missing parquet and fails opaquely
+        import os
+        import sys
+
         from pdf_watermark_removal_otsu_inpaint_ray.oracle_data import (
             GOLDEN_QUERIES,
+            golden_path,
+        )
+
+        for name in GOLDEN_QUERIES:
+            if name in sql and not os.path.exists(golden_path(name)):
+                print(f"[oracle] golden for {name!r} missing - rows-only check",
+                      file=sys.stderr)
+                sql.pop(name)
+
+    try:
+        from pdf_watermark_removal_otsu_inpaint_ray.oracle_data import (
             ORACLE_SF_DEFAULT,
             ensure_golden,
-            golden_path,
         )
 
         import os
 
         if os.path.isdir(ORACLE_SF_DEFAULT):
             ensure_golden(ORACLE_SF_DEFAULT)
-        # REAL rows-only fallback: a golden that failed to materialize must
-        # drop its SQL entry (driver degrades to a rows-only check) instead
-        # of shipping SQL that reads a missing parquet and fails opaquely
-        for name in GOLDEN_QUERIES:
-            if name in sql and not os.path.exists(golden_path(name)):
-                import sys
-
-                print(f"[oracle] golden for {name!r} missing - rows-only check",
-                      file=sys.stderr)
-                sql.pop(name)
+        _drop_missing_goldens()
     except Exception as err:
         import sys
 
         print(f"[oracle] golden materialization failed: {err!r} - "
               "golden-backed queries fall back to rows-only", file=sys.stderr)
         try:
-            from pdf_watermark_removal_otsu_inpaint_ray.oracle_data import (
-                GOLDEN_QUERIES as _GQ,
-                golden_path as _gp,
-            )
-
-            import os as _os
-
-            for name in _GQ:
-                if name in sql and not _os.path.exists(_gp(name)):
-                    sql.pop(name)
+            _drop_missing_goldens()
         except Exception:
             pass
     return sql

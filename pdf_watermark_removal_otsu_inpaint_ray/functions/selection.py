@@ -121,10 +121,23 @@ def hash_sample(ds, *, key: str = "doc_id", rate_pct: int = 20, buckets: int = 1
 
     def pick(b: pa.Table) -> pa.Table:
         k = np.asarray(b[key], np.int64)
+        _require_nonneg(k, key)
         keep = ((k * LEHMER_MULT) % LEHMER_MOD) % buckets < thresh
         return b.take(pa.array(np.nonzero(keep)[0], pa.int64()))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def _require_nonneg(k: np.ndarray, name: str) -> None:
+    """The Lehmer-hash SQL-twin contract holds only for keys >= 0: numpy's
+    ``%`` returns the sign of the divisor while SQL ``%`` returns the sign
+    of the dividend, so a negative key would be kept/cut differently by the
+    engine and its oracle.  Fail loudly instead of silently diverging."""
+    if k.size and int(k.min()) < 0:
+        raise ValueError(
+            f"{name} must be non-negative for the Lehmer-hash SQL twin "
+            f"(got min={int(k.min())}); remap keys or pre-shift them"
+        )
 
 
 def stratified_split(
@@ -177,6 +190,7 @@ def stratified_split(
             return pd.DataFrame({key: [], group: [], "split": []})
         gk = g[group].to_numpy()
         k = g[key].to_numpy().astype(np.int64)
+        _require_nonneg(k, key)
         h = (k * LEHMER_MULT) % LEHMER_MOD
         idx = np.lexsort((k, h, gk))
         gk, k, h = gk[idx], k[idx], h[idx]

@@ -156,7 +156,11 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     word→gram→shingle chain — property-tested against the vectorized kernel
     on arbitrary unicode (tests/test_properties.py), and (b)
     _golden_simhash below, which shares no engine code at all."""
-    cached = _MINHASH_MEMO.get(sf_dir)
+    # memo key includes the SOURCE fingerprint — a path-only key would hand
+    # back the previous corpus' pairs after testdata is regenerated
+    # in-process and write them out as the "fresh" golden
+    memo_key = (sf_dir, _source_fingerprint(sf_dir))
+    cached = _MINHASH_MEMO.get(memo_key)
     if cached is not None:
         return cached
     from .functions.dedup import MinHashStage, _band_rows, jaccard
@@ -194,7 +198,7 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
             "jacc": pa.array([r[2] for r in rows], pa.float64()),
         }
     )
-    _MINHASH_MEMO[sf_dir] = out
+    _MINHASH_MEMO[memo_key] = out
     return out
 
 

@@ -946,8 +946,17 @@ def q_orders_pivot(sf_dir: str):
 
     def partials(b: pa.Table) -> pa.Table:
         year = np.asarray(pc.year(b["o_orderdate"]), np.int64)
-        st = b["o_orderstatus"].to_pylist()
-        scode = np.fromiter((STATUSES.index(s) for s in st), np.int64, len(st))
+        # one C kernel for the status→code map (no per-row Python); a
+        # status outside the fixed domain surfaces as an explicit error,
+        # not an unhandled ValueError deep in an iterator
+        idx = pc.index_in(
+            b["o_orderstatus"].combine_chunks(),
+            value_set=pa.array(STATUSES, pa.string()),
+        )
+        if idx.null_count:
+            bad = b["o_orderstatus"].filter(pc.is_null(idx)).unique().to_pylist()
+            raise ValueError(f"o_orderstatus outside fixed pivot domain: {bad}")
+        scode = np.asarray(idx, np.int64)
         key = year * 4 + scode
         uk, cnt = np.unique(key, return_counts=True)
         uy, us = uk // 4, uk % 4
@@ -1003,7 +1012,7 @@ def q_customers_without_orders(sf_dir: str):
 
         return pd.DataFrame({"k": np.unique(g["k"].to_numpy())})
 
-    have = (
+    have_df = (
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey"],
@@ -1012,9 +1021,14 @@ def q_customers_without_orders(sf_dir: str):
         .map_batches(keys, batch_format="pyarrow")
         .groupby("pk")
         .map_groups(collapse, batch_format="pandas")
-        .to_pandas()["k"]
-        .to_numpy()
+        .to_pandas()
     )  # distinct-custkey scale — dimension-sized
+    # the grouped dataset can be COLUMNLESS when no order passes the
+    # predicate (empty "k" would otherwise KeyError; an empty build side
+    # must pass every customer through, not crash)
+    have = (
+        have_df["k"].to_numpy() if "k" in have_df.columns else np.empty(0, np.int64)
+    )
     ref = ray.put(np.sort(have.astype(np.int64)))
 
     class AntiFilter:
@@ -1023,10 +1037,13 @@ def q_customers_without_orders(sf_dir: str):
 
         def __call__(self, b: pa.Table) -> pa.Table:
             k = np.asarray(b["c_custkey"], np.int64)
-            pos = np.searchsorted(self.have, k)
-            hit = (pos < self.have.size) & (
-                self.have[np.minimum(pos, max(self.have.size - 1, 0))] == k
-            )
+            if self.have.size:
+                pos = np.searchsorted(self.have, k)
+                hit = (pos < self.have.size) & (
+                    self.have[np.minimum(pos, self.have.size - 1)] == k
+                )
+            else:
+                hit = np.zeros(k.size, bool)
             idx = pa.array(np.nonzero(~hit)[0], pa.int64())
             return pa.table(
                 {

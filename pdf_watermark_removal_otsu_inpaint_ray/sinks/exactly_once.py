@@ -231,8 +231,26 @@ def begin_epoch(out_dir: str) -> int:
                 cur = int(json.load(f)["epoch"])
         except (ValueError, OSError, KeyError):
             cur = 0
-    _atomic_write_bytes(path, json.dumps({"epoch": cur + 1}).encode())
-    return cur + 1
+    # the read-modify-write above is NOT atomic: two near-simultaneous
+    # producers would both allocate cur+1 and finalize would merge the two
+    # attempts' staged rows — the exact mixing epochs exist to prevent.
+    # An O_EXCL claim file is the atomic arbiter: exactly one producer can
+    # create _epoch-<n>.claim, the loser probes n+1.  (Concurrent STEADY
+    # production into one layout is still one-live-producer-at-a-time by
+    # contract; the claim makes crashed-attempt restarts race-free.)
+    n = cur + 1
+    while True:
+        try:
+            fd = os.open(
+                os.path.join(mdir, f"_epoch-{n}.claim"),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+            os.close(fd)
+            break
+        except FileExistsError:
+            n += 1
+    _atomic_write_bytes(path, json.dumps({"epoch": n}).encode())
+    return n
 
 
 def _stage_epoch_of(fname: str) -> int:

@@ -384,6 +384,9 @@ def interval_point_aggregate(
         )
         lo = np.searchsorted(ts, iv["start"].to_numpy().astype(np.int64), "left")
         hi = np.searchsorted(ts, iv["end"].to_numpy().astype(np.int64), "left")
+        # end < start (inverted span) gives hi < lo — clamp so the interval
+        # reports n=0 instead of a negative count / negated prefix slice
+        hi = np.maximum(hi, lo)
         return pd.DataFrame(
             {
                 interval_key: iv["ikey"].to_numpy().astype(np.int64),

@@ -4,6 +4,7 @@ batch splits, float32→int64 quantization, and repartition-stable sampling."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray
 
 from pdf_watermark_removal_otsu_inpaint_ray.functions.selection import (
@@ -173,3 +174,27 @@ def test_tumbling_distinct_users_matches_brute(ray_session):
         (r.event_type, r.window_id): r.n_users for r in got.itertuples()
     }
     assert got_map == want
+
+
+def test_lehmer_ops_reject_negative_keys(ray_session):
+    """Review finding: numpy % and SQL % disagree on negative dividends, so
+    the Lehmer twins must fail loudly on negative keys instead of silently
+    diverging from their oracles."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.selection import (
+        hash_sample,
+        stratified_split,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([3, -1, 7], pa.int64()),
+            "source": pa.array(["a", "a", "b"]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="non-negative"):
+        hash_sample(ds, key="doc_id").to_pandas()
+    with pytest.raises(Exception, match="non-negative"):
+        stratified_split(ds, group="source", key="doc_id").to_pandas()

@@ -114,3 +114,61 @@ def test_read_sequences_nested_layout(ray_session, tmp_path):
     t = pq.read_table(str(sub / "data.parquet"))
     assert ds.count() == t.num_rows
     assert "event_ts" in ds.schema().names
+
+
+def test_anti_join_empty_build_side(ray_session, tmp_path):
+    """Review finding: when NO order passes the qualifying predicate the
+    broadcast key set is empty — every customer must pass through (NOT
+    EXISTS over an empty set), not crash on an empty-array index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import (
+        q_customers_without_orders,
+    )
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+            }
+        ),
+        f"{sf}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["a", "b", "c"]),
+            }
+        ),
+        f"{sf}/customer.parquet",
+    )
+    got = q_customers_without_orders(sf).to_pandas().sort_values(
+        "c_custkey", ignore_index=True
+    )
+    assert got["c_custkey"].tolist() == [1, 2, 3]
+
+
+def test_orders_pivot_rejects_unknown_status(ray_session, tmp_path):
+    """Review finding: a status outside the fixed pivot domain must raise a
+    clear error, not an opaque iterator ValueError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import q_orders_pivot
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": pa.array([18000, 18001], pa.date32()),
+                "o_orderstatus": pa.array(["F", "X"]),
+            }
+        ),
+        f"{sf}/orders.parquet",
+    )
+    with pytest.raises(Exception, match="pivot domain"):
+        q_orders_pivot(sf).to_pandas()

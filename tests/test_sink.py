@@ -243,3 +243,22 @@ def test_stale_epoch_stages_discarded_at_finalize(ray_session, tmp_path):
     # only attempt 2's rows commit: X with payload 2; attempt-1-only Y gone
     assert got["doc_id"].to_pylist() == ["X"]
     assert got["payload"].to_pylist() == [2]
+
+
+def test_begin_epoch_exclusive_claim(tmp_path):
+    """Epoch allocation is arbitrated by an O_EXCL claim file: an epoch
+    number already claimed by a concurrent producer (simulated by
+    pre-creating its claim) is skipped, never double-allocated (review
+    finding: read-modify-write race on _epoch.json)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import begin_epoch
+
+    out = str(tmp_path / "sink")
+    e1 = begin_epoch(out)
+    assert e1 == 1
+    # a concurrent producer claimed epoch 2 but hasn't written _epoch.json
+    claim = os.path.join(out, "_manifests", "_epoch-2.claim")
+    with open(claim, "w"):
+        pass
+    e2 = begin_epoch(out)
+    assert e2 == 3  # skips the claimed-but-unpublished epoch
+    assert begin_epoch(out) == 4

@@ -207,3 +207,41 @@ def test_interval_aggregate_matches_brute_force(ray_session, band_width):
     assert got["n_points"].tolist() == [exp_n[k] for k in i_key]
     assert got["sum_value"].tolist() == [exp_s[k] for k in i_key]
     assert (got.loc[got["n_points"] == 0, "sum_value"] == 0).all()
+
+
+def test_interval_aggregate_inverted_span_reports_zero(ray_session):
+    """end < start must surface as n=0 / sum=0, never a negative count
+    (review finding: hi < lo searchsorted slice)."""
+    points = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([50, 60, 70, 99], pa.int64()),
+                "v": pa.array([5, 6, 7, 9], pa.int64()),
+            }
+        )
+    )
+    intervals = ray.data.from_arrow(
+        pa.table(
+            {
+                "ik": pa.array([1, 2], pa.int64()),
+                "a": pa.array([100, 40], pa.int64()),  # ik=1 inverted
+                "b": pa.array([50, 80], pa.int64()),
+            }
+        )
+    )
+    got = (
+        interval_point_aggregate(
+            points,
+            intervals,
+            point_ts="ts",
+            point_value="v",
+            interval_key="ik",
+            interval_start="a",
+            interval_end="b",
+            band_width=64,
+        )
+        .to_pandas()
+        .sort_values("ik", ignore_index=True)
+    )
+    assert got["n_points"].tolist() == [0, 3]
+    assert got["sum_value"].tolist() == [0, 18]
