@@ -211,3 +211,72 @@ def stratified_split(
         .groupby("pk")
         .map_groups(split_part, batch_format="pandas")
     )
+
+
+def mix_sources(
+    ds,
+    weights: dict[str, int],
+    *,
+    key: str = "doc_id",
+    group: str = "source",
+    buckets: int = 1000,
+):
+    """Source-mixture resampling — keep ``weights[source]`` per-mille of
+    each source's rows, deterministically (the data-mixing primitive: hit
+    target domain proportions without a shuffle or a random state).
+
+    The per-source thresholds are a DIMENSION-scale lookup (one entry per
+    domain) resolved per batch with one ``pc.index_in`` C kernel — the
+    broadcast-small-side shape; the row decision is the same Lehmer hash
+    as :func:`hash_sample`, so the exact selection is SQL-expressible and
+    stable across runs, partitionings and cluster sizes.  Pure
+    ``map_batches`` filter: no shuffle, streams at read speed.  A row
+    whose ``group`` value has no entry in ``weights`` is an error (silent
+    drop would skew the mix).
+    """
+    import pyarrow.compute as pc
+
+    srcs = sorted(weights)
+    src_arr = pa.array(srcs, pa.string())
+    thr = np.array([int(weights[s]) for s in srcs], np.int64)
+
+    def pick(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key].combine_chunks().cast(pa.int64()))
+        _require_nonneg(k, key)
+        idx = pc.index_in(b[group].combine_chunks(), value_set=src_arr)
+        if idx.null_count:
+            bad = b[group].filter(pc.is_null(idx)).unique().to_pylist()
+            raise ValueError(f"{group} values without a mix weight: {bad}")
+        t = thr[np.asarray(idx, np.int64)]
+        keep = ((k * LEHMER_MULT) % LEHMER_MOD) % buckets < t
+        return b.take(pa.array(np.nonzero(keep)[0], pa.int64()))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def sample_per_group(ds, *, group: str = "source", key: str = "doc_id", k: int = 5,
+                     num_parts: int = 16):
+    """Deterministic k-row sample per group — the distributed analog of a
+    per-domain reservoir sample: keep each group's k smallest rows by
+    ``(lehmer_hash(key), key)``.  Unlike a true reservoir it is
+    REPRODUCIBLE (content-keyed order, independent of block layout or
+    visit order), which is what an auditable training pipeline needs.
+
+    Shape: :func:`topk_per_group` — per-batch partial trim, coarse
+    hash-partition final trim; ≤ k × blocks rows per group ever move.
+    SQL twin: ``row_number() OVER (PARTITION BY group ORDER BY
+    (key*48271)%2147483647, key) <= k``.
+    """
+
+    def add_score(b: pa.Table) -> pa.Table:
+        kk = np.asarray(b[key].combine_chunks().cast(pa.int64()))
+        _require_nonneg(kk, key)
+        hv = (kk * LEHMER_MULT) % LEHMER_MOD
+        # topk_per_group keeps score DESC; negate for hash-ASC order
+        return b.append_column("neg_hv", pa.array(-hv, pa.int64()))
+
+    trimmed = topk_per_group(
+        ds.map_batches(add_score, batch_format="pyarrow"),
+        group=group, score="neg_hv", tie=key, k=k, num_parts=num_parts,
+    )
+    return trimmed.drop_columns(["neg_hv"])

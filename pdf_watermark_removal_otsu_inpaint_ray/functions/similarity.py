@@ -308,3 +308,126 @@ def group_centroids(ds, *, group: str = "label", scale: int = 10_000):
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _kmeans_quantize(m: np.ndarray, x_scale: int) -> np.ndarray:
+    """floor(x*scale + 0.5) int64 — the repo-wide quantization convention
+    (same as centroid_partials), making every k-means sum order-free exact."""
+    return np.floor(m.astype(np.float64) * x_scale + 0.5).astype(np.int64)
+
+
+def _kmeans_assign(Xq: np.ndarray, Cq: np.ndarray) -> np.ndarray:
+    """Exact integer Euclidean assignment: argmin_j ||100*x - c_j||² via
+    ||c||² - 2(100x)·c (the ||x||² term is constant per row).  All int64 —
+    bit-identical on any machine, any batch boundary.  Ties break to the
+    LOWEST cluster id (np.argmin first-match)."""
+    S = (100 * Xq) @ Cq.T
+    d2 = np.einsum("ij,ij->i", Cq, Cq)  # int64 exact
+    return np.argmin(d2[None, :] - 2 * S, axis=1)
+
+
+def kmeans_embeddings(ds, *, k: int = 8, iters: int = 4, x_scale: int = 10_000):
+    """Distributed Lloyd k-means over an embedding column — the clustering
+    primitive behind SemDeDup-style curation and IVF index builds, run over
+    the FULL corpus (not a driver sample, unlike IvfIndex.fit).
+
+    Integer-exact and deterministic: embeddings quantize once per pass to
+    int64 (``floor(x*1e4 + 0.5)``), centroids live at scale 1e6 as int64,
+    assignment is exact integer Euclidean argmin, and per-cluster sums are
+    order-free int64 — so the distributed result is bit-identical to the
+    single-process golden twin regardless of batch boundaries or cluster
+    size (the same trick as ``centroid_partials`` / the learned detector).
+
+    Shape per Lloyd round (the 100-TB path):
+    * centroids broadcast ONCE via ``ray.put`` (k×d int64 — tiny);
+    * one streaming ``map_batches`` pass emits k partial rows per batch
+      (cluster, count, component sums) — combiner-first, the shuffle-free
+      analog of a groupby;
+    * the driver folds k × n_blocks partial rows (bounded by k, never by
+      corpus size) into the next centroid table.
+
+    Init: the k vectors with the SMALLEST vec_ids (deterministic, no RNG);
+    an empty cluster keeps its previous centroid.  Returns a Dataset of
+    ``(vec_id, cluster)`` int64 rows from a final assignment pass.
+    """
+    import ray
+
+    # --- deterministic init: k smallest vec_ids (per-batch partial trim,
+    # driver merges k×blocks candidate rows — k-scale, never corpus-scale)
+    def init_part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["vec_id"].combine_chunks().cast(pa.int64()))
+        sel = np.argsort(ids, kind="stable")[:k]
+        Xq = _kmeans_quantize(matrix_of(b["embedding"]), x_scale)[sel]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[sel], pa.int64()),
+                "xq": pa.array([r.tolist() for r in Xq], pa.list_(pa.int64())),
+            }
+        )
+
+    cand = ds.map_batches(init_part, batch_format="pyarrow").to_pandas()
+    if len(cand) < k:
+        raise ValueError(f"k-means needs >= k={k} vectors, got {len(cand)}")
+    cand = cand.sort_values("vec_id", kind="stable").head(k)
+    Cq = np.array([np.asarray(x, np.int64) for x in cand["xq"]], np.int64) * 100
+    d = Cq.shape[1]
+
+    def partials_fn(cref):
+        def partials(b: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            Xq = _kmeans_quantize(matrix_of(b["embedding"]), x_scale)
+            a = _kmeans_assign(Xq, C)
+            order = np.argsort(a, kind="stable")
+            a_s = a[order]
+            acc = np.zeros((k, d), np.int64)
+            if order.size:
+                starts = np.nonzero(
+                    np.concatenate(([True], a_s[1:] != a_s[:-1]))
+                )[0]
+                acc[a_s[starts]] = np.add.reduceat(Xq[order], starts, axis=0)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                    "cnt": pa.array(cnt, pa.int64()),
+                    "sums": pa.array([r.tolist() for r in acc], pa.list_(pa.int64())),
+                }
+            )
+
+        return partials
+
+    for _ in range(iters):
+        cref = ray.put(Cq)
+        sums = np.zeros((k, d), np.int64)
+        cnt = np.zeros(k, np.int64)
+        part_ds = ds.map_batches(partials_fn(cref), batch_format="pyarrow")
+        for pb in part_ds.iter_batches(batch_format="pyarrow"):
+            # one iter batch may CONCATENATE several partial tables, so a
+            # cluster id repeats — np.add.at accumulates duplicates where
+            # `cnt[cl] +=` would keep only the last occurrence
+            cl = np.asarray(pb["cluster"], np.int64)
+            np.add.at(cnt, cl, np.asarray(pb["cnt"], np.int64))
+            col = pb["sums"].combine_chunks()
+            mat = np.asarray(col.flatten(), np.int64).reshape(-1, d)
+            np.add.at(sums, cl, mat)
+        nz = cnt > 0
+        # centroid at scale 1e6: floor(sum*100/cnt + 0.5); empty keeps old
+        Cq = Cq.copy()
+        Cq[nz] = np.floor(
+            sums[nz].astype(np.float64) * 100.0 / cnt[nz, None] + 0.5
+        ).astype(np.int64)
+
+    cref = ray.put(Cq)
+
+    def assign_final(b: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        Xq = _kmeans_quantize(matrix_of(b["embedding"]), x_scale)
+        a = _kmeans_assign(Xq, C)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign_final, batch_format="pyarrow")

@@ -42,6 +42,8 @@ GOLDEN_QUERIES = (
     "inpaint_session",
     "run_summary",
     "dedup_clusters",
+    "kmeans_embeddings",
+    "approx_distinct_words",
 )
 
 
@@ -352,6 +354,83 @@ def _golden_simhash(sf_dir: str) -> pa.Table:
     )
 
 
+def _golden_approx_distinct(sf_dir: str) -> pa.Table:
+    """Single-process HyperLogLog twin — per-hash Python loop with
+    ``int.bit_length`` (independent of the engine's vectorized 6-step
+    bit-twiddling) and the same fixed estimate formula.  SHARED-CODE
+    BOUNDARY: the word-hash kernel (_word_hashes_flat) is shared, same as
+    the minhash oracle — the hash spec itself is property-tested against a
+    pure-Python mirror in tests/test_properties.py; everything downstream
+    (bucketing, rho, registers, estimate) is computed independently."""
+    from .functions.dedup import _word_hashes_flat
+    from .functions.sketch import HLL_M, HLL_P, hll_estimate
+
+    t = _docs_table(sf_dir)
+    texts = t["text"].to_pylist()
+    srcs = t["source"].to_pylist()
+    wh, doc_off = _word_hashes_flat(texts)
+    regs: dict[str, list[int]] = {}
+    for i, s in enumerate(srcs):
+        r = regs.setdefault(s, [0] * HLL_M)
+        for h in wh[doc_off[i] : doc_off[i + 1]]:
+            h = int(h)
+            bucket = h >> (64 - HLL_P)
+            w = h & ((1 << (64 - HLL_P)) - 1)
+            rho = (64 - HLL_P) - w.bit_length() + 1
+            if rho > r[bucket]:
+                r[bucket] = rho
+    rows = sorted(regs)
+    return pa.table(
+        {
+            "source": pa.array(rows, pa.string()),
+            "approx_distinct": pa.array(
+                [hll_estimate(np.array(regs[s], np.uint8)) for s in rows],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _golden_kmeans(sf_dir: str) -> pa.Table:
+    """Single-process k-means twin — pure numpy, NO engine imports (the
+    strong oracle form): floor(x*1e4+0.5) int64 quantization, init = the 8
+    smallest vec_ids, 4 Lloyd rounds of exact integer Euclidean argmin
+    (||c||² - 2(100x)·c, ties to lowest cluster), centroid update
+    floor(sum*100/cnt + 0.5) at scale 1e6, empty clusters keep their
+    centroid.  The distributed engine must reproduce the assignment
+    bit-exactly (functions/similarity.py::kmeans_embeddings)."""
+    k, iters = 8, 4
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    col = t["embedding"].combine_chunks()
+    X = np.asarray(col.values, np.float64).reshape(len(col), -1)
+    Xq = np.floor(X * 10_000 + 0.5).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_s, Xq_s = ids[order], Xq[order]
+    C = Xq_s[:k] * 100
+
+    def assign(Cq: np.ndarray) -> np.ndarray:
+        d2 = np.einsum("ij,ij->i", Cq, Cq)
+        return np.argmin(d2[None, :] - 2 * ((100 * Xq_s) @ Cq.T), axis=1)
+
+    for _ in range(iters):
+        a = assign(C)
+        C = C.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = np.floor(
+                    Xq_s[m].sum(axis=0).astype(np.float64) * 100.0 / m.sum() + 0.5
+                ).astype(np.int64)
+    a = assign(C)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids_s, pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def _golden_knn_ivf(sf_dir: str) -> pa.Table:
     """Pure-numpy replica of q_knn_ivf: same deterministic centroids
     (first 256 rows in file order), same probe rule, brute cosine on the
@@ -477,12 +556,14 @@ _COMPUTE = {
     "inpaint_session": _golden_inpaint_session,
     "run_summary": _golden_run_summary,
     "dedup_clusters": _golden_dedup_clusters,
+    "kmeans_embeddings": _golden_kmeans,
+    "approx_distinct_words": _golden_approx_distinct,
 }
 
 
 # bump when any golden-relevant definition changes (hash kernels, detection
 # rules) so stale materialized goldens in a reused /tmp are invalidated
-_ORACLE_VERSION = "r3-emptydoc-ham3-1"
+_ORACLE_VERSION = "r3-kmeans-1"
 
 
 def _source_fingerprint(sf_dir: str) -> str:

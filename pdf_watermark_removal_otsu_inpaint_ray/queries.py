@@ -772,6 +772,61 @@ def q_hash_sample(sf_dir: str):
     )
 
 
+def q_mix_sources(sf_dir: str):
+    """Source-mixture resampling: keep ``50*(1 + src_idx % 10)`` per-mille
+    of each source (a deliberately skewed target mix) via the Lehmer row
+    hash — deterministic, shuffle-free, dimension-scale threshold lookup
+    (functions/selection.py::mix_sources).  The weight table is built from
+    ONE distinct-source scan (pruned to the group column), the broadcast
+    small side of a real mixing job."""
+    from .functions.selection import mix_sources
+
+    src_parts = (
+        _docs_ds(sf_dir)
+        .select_columns(["source"])
+        .map_batches(
+            lambda b: pa.table({"source": b["source"].combine_chunks().unique()}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )  # dimension-scale: distinct domain names only
+    weights = {s: 50 * (1 + int(s[3:]) % 10) for s in set(src_parts["source"])}
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"],
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    return mix_sources(
+        _docs_ds(sf_dir).map_batches(project, batch_format="pyarrow"), weights
+    )
+
+
+def q_sample_per_source(sf_dir: str):
+    """Deterministic 5-doc sample per source — reproducible reservoir
+    analog, ordered by (Lehmer hash, doc_id)
+    (functions/selection.py::sample_per_group)."""
+    from .functions.selection import sample_per_group
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    return sample_per_group(
+        _docs_ds(sf_dir).map_batches(project, batch_format="pyarrow"),
+        group="source", key="doc_id", k=5, num_parts=16,
+    )
+
+
 def q_stratified_split(sf_dir: str):
     """Exact per-source 80/10/10 train/valid/test split — grouped rank by
     (Lehmer hash, doc_id) with integer-proportion cuts
@@ -838,6 +893,16 @@ def q_decontaminate(sf_dir: str):
             concurrency=(1, 8),
         )
     )
+
+
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicated word-3-gram statistics per doc (the Lee
+    et al. exact-substring-dedup signal): two coarse int64-only shuffles —
+    gram-partition totals, then per-doc sums
+    (functions/dupspans.py::cross_doc_dup_stats)."""
+    from .functions.dupspans import cross_doc_dup_stats
+
+    return cross_doc_dup_stats(_docs_ds(sf_dir), n=3, num_parts=64)
 
 
 def q_repetition_stats(sf_dir: str):
@@ -932,6 +997,81 @@ def q_events_lag_delta(sf_dir: str):
         )
 
     return lagged.map_batches(definite, batch_format="pyarrow")
+
+
+def q_orders_rollup(sf_dir: str):
+    """OLAP rollup (GROUP BY ROLLUP(year, status)): combiner-first partials
+    (per-batch np.unique over the combined key — the shuffle carries
+    years×statuses rows per block, never orders-scale data), one small
+    groupby-sum, then the three rollup levels derived from the
+    dimension-scale base aggregate on the driver (years × 3 statuses —
+    bounded by the calendar, documented like dominant_tokens).  Money sums
+    are integer cents (floor(p*100+0.5)) so the distributed sum is
+    order-free exact."""
+    import ray.data
+
+    def partials(b: pa.Table) -> pa.Table:
+        year = np.asarray(pc.year(b["o_orderdate"]), np.int64)
+        status = b["o_orderstatus"].combine_chunks()
+        uniq = pc.unique(status)
+        scode = np.asarray(pc.index_in(status, value_set=uniq), np.int64)
+        cents = np.floor(
+            np.asarray(b["o_totalprice"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        key = year * len(uniq) + scode
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        cs = np.zeros(uk.size, np.int64)
+        np.add.at(cs, inv, cents)
+        return pa.table(
+            {
+                "o_year": pa.array(uk // len(uniq), pa.int64()),
+                "o_orderstatus": uniq.take(pa.array(uk % len(uniq), pa.int64())),
+                "n_orders": pa.array(cnt, pa.int64()),
+                "sum_cents": pa.array(cs, pa.int64()),
+            }
+        )
+
+    base = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_orderstatus", "o_totalprice"],
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderstatus"])
+        .sum(["n_orders", "sum_cents"])
+        .to_pandas()
+    )  # dimension-scale: years × statuses
+    import pandas as pd
+
+    base = base.rename(
+        columns={"sum(n_orders)": "n_orders", "sum(sum_cents)": "sum_cents"}
+    )
+    detail = pd.DataFrame(
+        {
+            "o_year": base["o_year"].astype(str),
+            "o_orderstatus": base["o_orderstatus"],
+            "n_orders": base["n_orders"],
+            "sum_cents": base["sum_cents"],
+        }
+    )
+    per_year = (
+        base.groupby("o_year", as_index=False)[["n_orders", "sum_cents"]]
+        .sum()
+        .assign(o_orderstatus="ALL")
+    )
+    per_year["o_year"] = per_year["o_year"].astype(str)
+    total = pd.DataFrame(
+        {
+            "o_year": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "n_orders": [base["n_orders"].sum()],
+            "sum_cents": [base["sum_cents"].sum()],
+        }
+    )
+    cols = ["o_year", "o_orderstatus", "n_orders", "sum_cents"]
+    out = pd.concat([detail[cols], per_year[cols], total[cols]], ignore_index=True)
+    return out.astype({"n_orders": np.int64, "sum_cents": np.int64})
 
 
 def q_orders_pivot(sf_dir: str):
@@ -1295,6 +1435,34 @@ def q_embedding_near_dup_ivf(sf_dir: str):
     return ivf_near_dup(ds, sample, threshold=0.5, n_list=8, n_probe=2)
 
 
+def q_approx_distinct_words(sf_dir: str):
+    """Per-source HyperLogLog distinct-word estimate (p=12) — fixed-size
+    mergeable registers stream through one groupby; corpus text never
+    shuffles (functions/sketch.py::approx_distinct_words).  Checked
+    bit-exact against a register-independent single-process twin."""
+    _with_golden("approx_distinct_words", sf_dir)
+    from .functions.sketch import approx_distinct_words
+
+    return approx_distinct_words(_docs_ds(sf_dir), group="source")
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed full-corpus Lloyd k-means (8 clusters, 4 rounds) over
+    the embeddings table — integer-exact centroids broadcast per round,
+    combiner-first partials, k-scale driver traffic
+    (functions/similarity.py::kmeans_embeddings); checked bit-exact against
+    the pure-numpy no-engine-code golden (oracle_data._golden_kmeans)."""
+    _with_golden("kmeans_embeddings", sf_dir)
+    import ray.data
+
+    from .functions.similarity import kmeans_embeddings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_embeddings(ds, k=8, iters=4)
+
+
 def q_learned_detector(sf_dir: str):
     """T3 actor-pool learned detector: 64 MB deterministic weights acquired
     through the ModelManager (S5 analog) — materialized + verified once per
@@ -1437,13 +1605,17 @@ QUERIES = {
     "doc_top_terms": q_doc_top_terms,
     "clean_corpus": q_clean_corpus,
     "hash_sample": q_hash_sample,
+    "mix_sources": q_mix_sources,
+    "sample_per_source": q_sample_per_source,
     "decontaminate": q_decontaminate,
+    "dup_ngrams": q_dup_ngrams,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,
     "tumbling_distinct_users": q_tumbling_distinct_users,
     "pack_bins": q_pack_bins,
     "events_lag_delta": q_events_lag_delta,
     "orders_pivot": q_orders_pivot,
+    "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
     "label_centroids": q_label_centroids,
     "token_count": q_token_count,
@@ -1461,6 +1633,8 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf": q_knn_ivf,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+    "approx_distinct_words": q_approx_distinct_words,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "learned_detector": q_learned_detector,
     "media_decode": q_media_decode,
     "orders_by_status": q_orders_by_status,
@@ -1691,6 +1865,15 @@ ORACLE_SQL = {
                    AS BIGINT) AS n_P
         FROM orders GROUP BY 1
     """,
+    "orders_rollup": """
+        SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_cents
+        FROM orders
+        GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+    """,
     "customers_without_orders": """
         SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
         FROM customer c
@@ -1730,6 +1913,21 @@ ORACLE_SQL = {
                CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
         WHERE ((doc_id * 48271) % 2147483647) % 100 < 20
+    """,
+    "mix_sources": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE ((doc_id * 48271) % 2147483647) % 1000
+              < 50 * (1 + CAST(substr(source, 4) AS BIGINT) % 10)
+    """,
+    "sample_per_source": """
+        SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY (doc_id * 48271) % 2147483647, doc_id) <= 5
     """,
     "stratified_split": """
         WITH h AS (
@@ -1780,6 +1978,23 @@ ORACLE_SQL = {
                     AS BIGINT) AS is_contam
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 50 <> 7
+    """,
+    "dup_ngrams": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+            FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        ),
+        tot AS (SELECT g, count(*) AS c FROM grams GROUP BY g)
+        SELECT CAST(grams.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN tot.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+        FROM grams JOIN tot USING (g)
+        GROUP BY grams.doc_id
     """,
     "repetition_stats": r"""
         WITH toks AS (

@@ -1,0 +1,185 @@
+"""Round-3 corpus operators: cross-doc dup n-grams, distributed k-means,
+HLL distinct sketch, mixture resampling, per-group sampling — edge cases
+and batch-layout invariance (the mini-driver in test_entry.py covers the
+oracle equality at sf0.001)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from pdf_watermark_removal_otsu_inpaint_ray.functions.dupspans import (
+    cross_doc_dup_stats,
+)
+from pdf_watermark_removal_otsu_inpaint_ray.functions.selection import (
+    mix_sources,
+    sample_per_group,
+)
+from pdf_watermark_removal_otsu_inpaint_ray.functions.similarity import (
+    kmeans_embeddings,
+)
+from pdf_watermark_removal_otsu_inpaint_ray.functions.sketch import (
+    approx_distinct_words,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _docs(texts, ids=None, sources=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids or list(range(n)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(sources or ["s"] * n, pa.string()),
+        }
+    )
+
+
+def _brute_dup_stats(texts, ids, n=3):
+    from collections import Counter
+
+    grams_per_doc = {}
+    tot = Counter()
+    for i, t in zip(ids, texts):
+        ws = t.lower().split()
+        gs = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+        grams_per_doc[i] = gs
+        tot.update(gs)
+    out = {}
+    for i, gs in grams_per_doc.items():
+        if gs:
+            out[i] = (len(gs), sum(1 for g in gs if tot[g] > 1))
+    return out
+
+
+def test_dup_ngrams_matches_brute_force(ray_session):
+    texts = [
+        "a b c d e",          # shares "a b c" with doc 1
+        "a b c x y",
+        "p q r p q r p q",    # internal repeat: "p q r" twice
+        "one two",            # < 3 words: no row
+        "u v w",              # unique single gram
+    ]
+    ids = [10, 11, 12, 13, 14]
+    ds = ray.data.from_arrow(_docs(texts, ids)).repartition(3)
+    got = cross_doc_dup_stats(ds, n=3).to_pandas().set_index("doc_id")
+    want = _brute_dup_stats(texts, ids)
+    assert set(got.index) == set(want)
+    for i, (ng, nd) in want.items():
+        assert got.loc[i, "n_grams"] == ng, i
+        assert got.loc[i, "n_dup"] == nd, i
+    assert 13 not in got.index  # short doc emits no row
+
+
+def test_dup_ngrams_block_layout_invariant(ray_session):
+    texts = [f"w{i} w{i+1} w{i+2} w{i+3} common gram here" for i in range(12)]
+    tbl = _docs(texts, list(range(12)))
+    a = (
+        cross_doc_dup_stats(ray.data.from_arrow(tbl), n=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        cross_doc_dup_stats(ray.data.from_arrow(tbl).repartition(7), n=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a.equals(b)
+
+
+def _emb_table(n=64, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32) * 0.3
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_kmeans_block_layout_invariant(ray_session):
+    tbl = _emb_table()
+    a = (
+        kmeans_embeddings(ray.data.from_arrow(tbl), k=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    b = (
+        kmeans_embeddings(ray.data.from_arrow(tbl).repartition(9), k=4, iters=3)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert a.equals(b)
+    assert set(a["cluster"]) <= set(range(4))
+
+
+def test_kmeans_empty_cluster_and_small_n(ray_session):
+    # identical vectors: ties break to cluster 0; cluster 1 stays empty and
+    # must keep its centroid without NaN/crash
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([[0.1, 0.2]] * 3, pa.list_(pa.float32())),
+        }
+    )
+    out = kmeans_embeddings(ray.data.from_arrow(tbl), k=2, iters=2).to_pandas()
+    assert out["cluster"].tolist() == [0, 0, 0]
+    with pytest.raises(ValueError, match=">= k"):
+        kmeans_embeddings(ray.data.from_arrow(tbl), k=5, iters=1).to_pandas()
+
+
+def test_hll_registers_merge_and_layout_invariance(ray_session):
+    # register monoid: max-merge of two halves == registers of the union
+    rng = np.random.default_rng(11)
+    # full 64-bit range — the bucket index is the TOP p bits, so a 63-bit
+    # generator would leave half the registers structurally empty
+    h = rng.integers(0, 2**64, 1000, dtype=np.uint64)
+    g = np.zeros(1000, np.int64)
+    full = hll_registers(h, g, 1)
+    ha, hb = h[:400], h[400:]
+    merged = np.maximum(
+        hll_registers(ha, np.zeros(400, np.int64), 1),
+        hll_registers(hb, np.zeros(600, np.int64), 1),
+    )
+    assert np.array_equal(full, merged)
+    # estimate is sane at this cardinality (~1000 distinct, p=12)
+    est = hll_estimate(full[0])
+    assert abs(est - 1000) / 1000 < 0.1
+
+    texts = [f"word{i} word{i+1} shared token stream" for i in range(30)]
+    tbl = _docs(texts, list(range(30)), ["a"] * 15 + ["b"] * 15)
+    one = (
+        approx_distinct_words(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    many = (
+        approx_distinct_words(ray.data.from_arrow(tbl).repartition(8))
+        .to_pandas()
+        .sort_values("source", ignore_index=True)
+    )
+    assert one.equals(many)
+
+
+def test_mix_sources_rates_and_unknown_source(ray_session):
+    tbl = _docs(
+        [f"t{i}" for i in range(400)],
+        list(range(400)),
+        ["a"] * 200 + ["b"] * 200,
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = mix_sources(ds, {"a": 1000, "b": 0}).to_pandas()
+    assert set(out["source"]) == {"a"} and len(out) == 200  # keep-all vs drop-all
+    with pytest.raises(Exception, match="without a mix weight"):
+        mix_sources(ds, {"a": 500}).to_pandas()
+
+
+def test_sample_per_group_small_groups_kept_whole(ray_session):
+    tbl = _docs(["x"] * 7, list(range(7)), ["a", "a", "a", "a", "a", "b", "b"])
+    out = sample_per_group(
+        ray.data.from_arrow(tbl), group="source", key="doc_id", k=3
+    ).to_pandas()
+    by = out.groupby("source")["doc_id"].count()
+    assert by["a"] == 3 and by["b"] == 2  # group smaller than k kept whole
