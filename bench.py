@@ -280,6 +280,7 @@ def main() -> None:
             "orders_lineitem_window", "top_docs_per_source",
             "chunk_documents", "doc_top_terms",
             "decontaminate", "repetition_stats",
+            "dup_ngrams", "kmeans_embeddings", "approx_distinct_words",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)
