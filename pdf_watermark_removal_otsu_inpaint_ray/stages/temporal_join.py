@@ -247,38 +247,38 @@ def asof_join_broadcast(
         }
     )
 
-    class _Lookup:
-        def __init__(self):
-            self.r = ray.get(ref)  # zero-copy per worker process
+    def _lookup(b: pa.Table) -> pa.Table:
+        # stateless task (not an actor pool): ray.get of an object the
+        # local store already holds is zero-copy and ~free per batch,
+        # and warm stateless workers skip the pool spin-up that
+        # dominated this stage's wall time at bench scale
+        r = ray.get(ref)
+        bk = np.asarray(b[left_on].cast(pa.int64()))
+        bt = np.asarray(b[left_ts].cast(pa.int64()))
+        hit = np.full(bk.size, -1, dtype=np.int64)  # index into right rows
+        if len(r["slim"]) and bk.size:
+            order = np.argsort(bt, kind="stable")
+            merged = pd.merge_asof(
+                pd.DataFrame({"ts": bt[order], "key": bk[order]}),
+                r["slim"],
+                on="ts",
+                by="key",
+                direction=direction,
+            )
+            ridx = merged["ridx"].to_numpy()
+            found = ~np.isnan(ridx)
+            hit[order[found]] = ridx[found].astype(np.int64)
+        ok = hit >= 0
+        cols = {left_on: pa.array(bk, pa.int64()), left_ts: pa.array(bt, pa.int64())}
+        for c in b.schema.names:
+            if c not in (left_on, left_ts):
+                cols[c] = b[c]
+        idx = pa.array(np.maximum(hit, 0), pa.int64(), mask=~ok)
+        for c, arr in r["pay"].items():
+            cols[c] = arr.take(idx)  # null index → null output
+        return pa.table(cols)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            r = self.r
-            bk = np.asarray(b[left_on].cast(pa.int64()))
-            bt = np.asarray(b[left_ts].cast(pa.int64()))
-            hit = np.full(bk.size, -1, dtype=np.int64)  # index into right rows
-            if len(r["slim"]) and bk.size:
-                order = np.argsort(bt, kind="stable")
-                merged = pd.merge_asof(
-                    pd.DataFrame({"ts": bt[order], "key": bk[order]}),
-                    r["slim"],
-                    on="ts",
-                    by="key",
-                    direction=direction,
-                )
-                ridx = merged["ridx"].to_numpy()
-                found = ~np.isnan(ridx)
-                hit[order[found]] = ridx[found].astype(np.int64)
-            ok = hit >= 0
-            cols = {left_on: pa.array(bk, pa.int64()), left_ts: pa.array(bt, pa.int64())}
-            for c in b.schema.names:
-                if c not in (left_on, left_ts):
-                    cols[c] = b[c]
-            idx = pa.array(np.maximum(hit, 0), pa.int64(), mask=~ok)
-            for c, arr in r["pay"].items():
-                cols[c] = arr.take(idx)  # null index → null output
-            return pa.table(cols)
-
-    return left_ds.map_batches(_Lookup, batch_format="pyarrow", concurrency=(1, 8))
+    return left_ds.map_batches(_lookup, batch_format="pyarrow")
 
 
 def interval_point_aggregate(
