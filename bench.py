@@ -281,6 +281,7 @@ def main() -> None:
             "chunk_documents", "doc_top_terms",
             "decontaminate", "repetition_stats",
             "dup_ngrams", "kmeans_embeddings", "approx_distinct_words",
+            "events_bloom_semi", "redact_grams",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

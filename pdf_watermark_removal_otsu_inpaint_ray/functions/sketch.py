@@ -124,3 +124,124 @@ def approx_distinct_words(ds, *, group: str = "source"):
         .groupby(group)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix/Knuth constant
+_BLOOM_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit mixes per key for double hashing (Kirsch–
+    Mitzenmacher: idx_i = h1 + i*h2 gives k index functions from two)."""
+    k = keys.astype(np.uint64)
+    h1 = k * _BLOOM_MIX
+    h1 ^= h1 >> np.uint64(31)
+    h2 = (k ^ (k >> np.uint64(17))) * _BLOOM_MIX2
+    h2 |= np.uint64(1)  # odd stride — full cycle over a power-of-2 table
+    return h1, h2
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over int64 keys — an OR-monoid: per-batch
+    partial filters merge with bitwise OR in any order/grouping, the same
+    mergeability contract as the HLL registers.  ``log2_m`` bits, ``k``
+    probes via double hashing; all operations vectorized."""
+
+    def __init__(self, log2_m: int = 20, k: int = 7, bits: np.ndarray | None = None):
+        self.log2_m, self.k = log2_m, k
+        self.mask = np.uint64((1 << log2_m) - 1)
+        self.bits = (
+            bits if bits is not None else np.zeros(1 << (log2_m - 3), np.uint8)
+        )
+
+    def add(self, keys: np.ndarray) -> "BloomFilter":
+        h1, h2 = _bloom_hashes(keys)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) & self.mask
+            np.bitwise_or.at(
+                self.bits, (idx >> np.uint64(3)).astype(np.int64),
+                (np.uint8(1) << (idx & np.uint64(7))).astype(np.uint8),
+            )
+        return self
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        h1, h2 = _bloom_hashes(keys)
+        out = np.ones(keys.size, bool)
+        for i in range(self.k):
+            idx = (h1 + np.uint64(i) * h2) & self.mask
+            bit = (
+                self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1)
+            out &= bit.astype(bool)
+        return out
+
+
+def bloom_semi_join(probe_ds, build_ds, *, probe_on: str, build_on: str,
+                    log2_m: int = 20, k: int = 7, exact: bool = True):
+    """Semi-join: keep probe rows whose key exists in the build side, with
+    a Bloom filter doing the heavy pruning.
+
+    Build: per-batch partial Bloom blobs (fixed ``2^log2_m`` bits each) OR-
+    merge on the driver — blocks × blob-size traffic, never key-scale rows
+    on the probe path.  Probe: the merged filter broadcasts once via
+    ``ray.put``; each batch tests membership with k vectorized probes.
+
+    ``exact=True`` additionally broadcasts the SORTED distinct build keys
+    and re-verifies Bloom positives with one ``searchsorted`` — exact
+    semantics (the SQL ``EXISTS`` twin) at the cost of a key-array
+    broadcast.  At build sides too large to broadcast exactly, run
+    ``exact=False`` (bounded false-positive rate ~0.8% at n=m/16, k=7) or
+    repartition-join the survivors; the Bloom stage has already cut the
+    probe volume either way.
+    """
+    import ray
+
+    def build_part(b: pa.Table) -> pa.Table:
+        keys = np.unique(np.asarray(b[build_on].combine_chunks().cast(pa.int64())))
+        bf = BloomFilter(log2_m, k).add(keys)
+        return pa.table(
+            {
+                "blob": pa.array([bf.bits.tobytes()], pa.binary()),
+                "keys": pa.array([keys.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    merged = BloomFilter(log2_m, k)
+    exact_keys: list[np.ndarray] = []
+    for pb in build_ds.map_batches(build_part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in pb["blob"].to_pylist():
+            np.bitwise_or(
+                merged.bits, np.frombuffer(blob, np.uint8), out=merged.bits
+            )
+        if exact:
+            kc = pb["keys"].combine_chunks()
+            exact_keys.append(np.asarray(kc.flatten(), np.int64))
+    bits_ref = ray.put(merged.bits)
+    keys_ref = (
+        ray.put(np.unique(np.concatenate(exact_keys)))
+        if exact and exact_keys
+        else ray.put(np.empty(0, np.int64))
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(log2_m, k, bits=ray.get(bits_ref))
+        keys = np.asarray(b[probe_on].combine_chunks().cast(pa.int64()))
+        hit = bf.contains(keys)
+        if exact and hit.any():
+            sorted_keys = ray.get(keys_ref)
+            cand = keys[hit]
+            pos = np.searchsorted(sorted_keys, cand)
+            ok = (pos < sorted_keys.size) & (
+                sorted_keys[np.minimum(pos, max(sorted_keys.size - 1, 0))] == cand
+            )
+            hit[np.nonzero(hit)[0][~ok]] = False
+        return b.take(pa.array(np.nonzero(hit)[0], pa.int64()))
+
+    return probe_ds.map_batches(probe, batch_format="pyarrow")

@@ -401,3 +401,69 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
             "is_repetitive": pa.array(is_rep, pa.int64()),
         }
     )
+
+
+class RedactGramsStage:
+    """Contamination REDACTION — the rewrite twin of :class:`Decontaminate
+    Stage`: instead of flagging documents that share a word n-gram with the
+    held-out eval set, rewrite them, masking every word that participates
+    in any matching gram occurrence (the scrubbing shape of a PII /
+    benchmark-leak removal pass; reference analog: the inpaint rewrite
+    itself — detect spans, replace their tokens — applied to words).
+
+    Output text is whitespace-normalized lowercase (single spaces), the
+    same canonical form the gram definitions use, so the DuckDB
+    ``array_to_string(list(CASE ...))`` twin is exact.  Fully vectorized:
+    one split, n-1 shifted joins, one ``pc.is_in``, three shifted OR
+    masks, one ``pc.if_else`` + list rebuild — no per-row Python.
+    """
+
+    def __init__(self, gram_ref, n: int = 3, mask_token: str = "<wm>"):
+        import ray
+
+        self.grams = ray.get(gram_ref)
+        self.n = n
+        self.mask_token = mask_token
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        low = pc.utf8_lower(batch["text"])
+        if isinstance(low, pa.ChunkedArray):
+            low = low.combine_chunks()
+        lists = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE)
+        counts_all = np.asarray(pc.list_value_length(lists).fill_null(0), np.int64)
+        rows_all = np.repeat(np.arange(len(lists), dtype=np.int64), counts_all)
+        flat = lists.flatten()
+        keep = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(keep))
+        rows = rows_all[keep]
+        total = len(flat)
+        bad = np.zeros(total, bool)
+        if total >= n and len(self.grams):
+            m = total - n + 1
+            ok = rows[:m] == rows[n - 1 : n - 1 + m]
+            parts = [flat.slice(j, m) for j in range(n)]
+            grams = pc.binary_join_element_wise(*parts, " ").filter(pa.array(ok))
+            hit = np.asarray(pc.is_in(grams, value_set=self.grams))
+            pos = np.arange(m, dtype=np.int64)[ok][hit]
+            for d in range(n):
+                bad[pos + d] = True
+        masked = pc.if_else(
+            pa.array(bad), pa.scalar(self.mask_token, pa.string()), flat
+        )
+        word_counts = np.bincount(rows, minlength=len(lists)).astype(np.int64)
+        off = np.concatenate(([0], np.cumsum(word_counts))).astype(np.int32)
+        relist = pa.ListArray.from_arrays(pa.array(off, pa.int32()), masked)
+        text_out = pc.binary_join(relist, pa.scalar(" ", pa.string()))
+        n_red = (
+            np.bincount(rows[bad], minlength=len(lists)).astype(np.int64)
+            if bad.any()
+            else np.zeros(len(lists), np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "redacted": text_out,
+                "n_redacted": pa.array(n_red, pa.int64()),
+            }
+        )

@@ -483,6 +483,42 @@ def q_events_customer_join(sf_dir: str):
     return events_customer_join(_events_ds(sf_dir), f"{sf_dir}/customer.parquet")
 
 
+def q_events_bloom_semi(sf_dir: str):
+    """Bloom-filter semi-join: events whose user placed a qualifying order
+    (o_totalprice > 450000).  The build side streams into per-batch Bloom
+    partials OR-merged driver-side (fixed blob traffic); the probe side
+    tests membership vectorized and re-verifies positives exactly — the
+    at-scale EXISTS shape (functions/sketch.py::bloom_semi_join).  The
+    qualifying predicate is pushed into the parquet read."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    from .functions.sketch import bloom_semi_join
+
+    build = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 450_000.0,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    probe = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    ).map_batches(project, batch_format="pyarrow")
+    return bloom_semi_join(
+        probe, build, probe_on="user_id", build_on="o_custkey", log2_m=18
+    )
+
+
 def q_events_asof_join(sf_dir: str):
     """Backward as-of join: each event matched to the customer's most recent
     order at or before the event time (stages/temporal_join.asof_join; the
@@ -889,6 +925,41 @@ def q_decontaminate(sf_dir: str):
             DecontaminateStage,
             fn_constructor_args=(gref,),
             fn_constructor_kwargs={"n": 3},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    )
+
+
+def q_redact_grams(sf_dir: str):
+    """Contamination redaction: corpus docs rewritten with every word of an
+    eval-overlapping 3-gram masked as '<wm>' — the scrubbing twin of
+    decontaminate (functions/text.py::RedactGramsStage).  Same broadcast
+    shape: eval grams ray.put once, corpus streams, no shuffle; the rewrite
+    itself is one if_else + list rebuild per batch."""
+    import ray
+
+    from .functions.text import RedactGramsStage, eval_gram_array
+
+    def eval_part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].cast(pa.int64()))
+        return b.filter(pa.array(ids % 50 == 7))
+
+    def corpus_part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].cast(pa.int64()))
+        return b.filter(pa.array(ids % 50 != 7))
+
+    gref = ray.put(
+        eval_gram_array(
+            _docs_ds(sf_dir).map_batches(eval_part, batch_format="pyarrow"), n=3
+        )
+    )
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(corpus_part, batch_format="pyarrow")
+        .map_batches(
+            RedactGramsStage,
+            fn_constructor_kwargs={"gram_ref": gref, "n": 3},
             batch_format="pyarrow",
             concurrency=(1, 8),
         )
@@ -1596,6 +1667,7 @@ QUERIES = {
     "sliding_counts": q_sliding_counts,
     "session_windows": q_session_windows,
     "events_customer_join": q_events_customer_join,
+    "events_bloom_semi": q_events_bloom_semi,
     "events_asof_join": q_events_asof_join,
     "events_asof_join_broadcast": q_events_asof_join_broadcast,
     "orders_lineitem_window": q_orders_lineitem_window,
@@ -1608,6 +1680,7 @@ QUERIES = {
     "mix_sources": q_mix_sources,
     "sample_per_source": q_sample_per_source,
     "decontaminate": q_decontaminate,
+    "redact_grams": q_redact_grams,
     "dup_ngrams": q_dup_ngrams,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,
@@ -1818,6 +1891,15 @@ ORACLE_SQL = {
         SELECT e.event_id, e.user_id, c.c_name
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
     """,
+    "events_bloom_semi": """
+        SELECT CAST(e.event_id AS BIGINT) AS event_id,
+               CAST(e.user_id AS BIGINT) AS user_id,
+               e.event_type
+        FROM events e
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_totalprice > 450000)
+    """,
     "events_asof_join": """
         SELECT e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us, e.event_id,
                o.o_orderkey, o.o_price_c
@@ -1977,6 +2059,42 @@ ORACLE_SQL = {
                CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
                     AS BIGINT) AS is_contam
         FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 <> 7
+    """,
+    "redact_grams": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+            FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        ),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 7),
+        badpos AS (
+            SELECT DISTINCT doc_id, i + d AS p
+            FROM grams, UNNEST([0, 1, 2]) AS u(d)
+            WHERE doc_id % 50 <> 7 AND g IN (SELECT g FROM ev)
+        ),
+        words AS (
+            SELECT doc_id, k, ws[k] AS w
+            FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(k)
+            WHERE doc_id % 50 <> 7
+        ),
+        reb AS (
+            SELECT w.doc_id,
+                   array_to_string(
+                       list(CASE WHEN b.p IS NOT NULL THEN '<wm>' ELSE w.w END
+                            ORDER BY w.k), ' ') AS redacted,
+                   CAST(count(b.p) AS BIGINT) AS n_redacted
+            FROM words w
+            LEFT JOIN badpos b ON b.doc_id = w.doc_id AND b.p = w.k
+            GROUP BY w.doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               coalesce(r.redacted, '') AS redacted,
+               CAST(coalesce(r.n_redacted, 0) AS BIGINT) AS n_redacted
+        FROM documents d LEFT JOIN reb r USING (doc_id)
         WHERE d.doc_id % 50 <> 7
     """,
     "dup_ngrams": r"""

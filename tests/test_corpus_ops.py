@@ -183,3 +183,92 @@ def test_sample_per_group_small_groups_kept_whole(ray_session):
     ).to_pandas()
     by = out.groupby("source")["doc_id"].count()
     assert by["a"] == 3 and by["b"] == 2  # group smaller than k kept whole
+
+
+def test_bloom_filter_properties_and_semi_join(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.sketch import (
+        BloomFilter,
+        bloom_semi_join,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = np.unique(rng.integers(0, 10**9, 500))
+    bf = BloomFilter(log2_m=14).add(keys)
+    assert bf.contains(keys).all()  # no false negatives, ever
+
+    build = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 4, 6, 8], pa.int64())})
+    )
+    probe_tbl = pa.table(
+        {
+            "user_id": pa.array(list(range(10)), pa.int64()),
+            "payload": pa.array([f"p{i}" for i in range(10)]),
+        }
+    )
+    probe = ray.data.from_arrow(probe_tbl).repartition(3)
+    out = bloom_semi_join(
+        probe, build, probe_on="user_id", build_on="k", log2_m=8
+    ).to_pandas()
+    assert sorted(out["user_id"]) == [2, 4, 6, 8]
+    assert sorted(out["payload"]) == ["p2", "p4", "p6", "p8"]  # payload carried
+
+    # a DELIBERATELY undersized filter (2^6 bits, 600 keys) saturates with
+    # false positives; exact verify must still return the true set
+    big_build = ray.data.from_arrow(
+        pa.table({"k": pa.array(list(range(0, 1200, 2)), pa.int64())})
+    )
+    out2 = bloom_semi_join(
+        probe, big_build, probe_on="user_id", build_on="k", log2_m=6, exact=True
+    ).to_pandas()
+    assert sorted(out2["user_id"]) == [0, 2, 4, 6, 8]
+    # exact=False on the saturated filter is a superset (bounded FP rate is
+    # the documented contract; here it degenerates to keep-everything)
+    out3 = bloom_semi_join(
+        probe, big_build, probe_on="user_id", build_on="k", log2_m=6, exact=False
+    ).to_pandas()
+    assert set(out2["user_id"]) <= set(out3["user_id"])
+
+    # empty build side: nothing passes
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    out4 = bloom_semi_join(
+        probe, empty, probe_on="user_id", build_on="k", log2_m=8
+    ).to_pandas()
+    assert len(out4) == 0
+
+
+def test_redact_grams_masks_matching_spans(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.text import (
+        RedactGramsStage,
+        eval_gram_array,
+    )
+
+    eval_ds = ray.data.from_arrow(_docs(["secret eval phrase here"]))
+    gref = ray.put(eval_gram_array(eval_ds, n=3))
+    corpus = _docs(
+        [
+            "intro Secret EVAL phrase outro",   # case-insensitive match
+            "eval phrase here and more",         # second eval gram
+            "no overlap at all",
+            "two words",                         # < 3 words: untouched
+            "  spaced\tout   text  here ",       # whitespace-normalized
+        ],
+        ids=[1, 2, 3, 4, 5],
+    )
+    out = (
+        ray.data.from_arrow(corpus)
+        .map_batches(
+            RedactGramsStage,
+            fn_constructor_kwargs={"gram_ref": gref, "n": 3},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "redacted"] == "intro <wm> <wm> <wm> outro"
+    assert out.loc[1, "n_redacted"] == 3
+    assert out.loc[2, "redacted"] == "<wm> <wm> <wm> and more"
+    assert out.loc[3, "redacted"] == "no overlap at all"
+    assert out.loc[3, "n_redacted"] == 0
+    assert out.loc[4, "redacted"] == "two words"
+    assert out.loc[5, "redacted"] == "spaced out text here"
