@@ -1577,6 +1577,54 @@ def q_media_decode(sf_dir: str):
     return decoded.map_batches(sql_comparable, batch_format="pyarrow")
 
 
+def q_media_resize(sf_dir: str):
+    """Image-resize actor pool over REAL PPM payloads (decode → nearest-
+    neighbor ≤16px → re-encode; functions/multimodal.py::ResizeStage);
+    emitted dimensions must reproduce the resize arithmetic the SQL oracle
+    computes from the generation formulas — a mismatch means the codec or
+    the resampler mis-handled the bytes."""
+    from .functions.multimodal import ResizeStage, documents_to_media_batch
+
+    media = _docs_ds(sf_dir).map_batches(
+        documents_to_media_batch, batch_format="pyarrow"
+    )
+    resized = media.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"max_side": 16},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+    def images_only(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["media_type"], "image")
+        t = b.filter(keep)
+        return pa.table(
+            {"item_id": t["item_id"], "width": t["width"], "height": t["height"]}
+        )
+
+    return resized.map_batches(images_only, batch_format="pyarrow")
+
+
+def q_media_frame_sample(sf_dir: str):
+    """Video frame sampling: header-scan seek table over the PPM stream (no
+    pixel decode), every-2nd-frame stride, one output row per sampled frame
+    (functions/multimodal.py::FrameSampleStage).  Byte offsets must match
+    the closed-form frame geometry the SQL oracle derives."""
+    from .functions.multimodal import FrameSampleStage, documents_to_media_batch
+
+    media = _docs_ds(sf_dir).map_batches(
+        documents_to_media_batch, batch_format="pyarrow"
+    )
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_n": 2},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational breadth over the TPC-H-ish tables (predicate pushdown at the
 # read, broadcast join, grouped aggregates — O3/J1 analogs on scalar tables)
@@ -1710,6 +1758,8 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "learned_detector": q_learned_detector,
     "media_decode": q_media_decode,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
     "orders_by_status": q_orders_by_status,
     "lineitem_filtered_counts": q_lineitem_filtered_counts,
     "top_customers": q_top_customers,
@@ -2275,6 +2325,28 @@ ORACLE_SQL = {
                CAST(CASE doc_id % 3 WHEN 2 THEN 2 + doc_id % 6
                     ELSE 1 END AS BIGINT) AS n_frames
         FROM documents
+    """,
+    "media_resize": """
+        WITH img AS (
+            SELECT CAST(doc_id AS BIGINT) AS item_id,
+                   8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 16 AS h
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT item_id,
+               CAST(greatest(1, floor(w * least(1.0, 16.0 / greatest(w, h))))
+                   AS BIGINT) AS width,
+               CAST(greatest(1, floor(h * least(1.0, 16.0 / greatest(w, h))))
+                   AS BIGINT) AS height
+        FROM img
+    """,
+    "media_frame_sample": """
+        WITH vid AS (
+            SELECT CAST(doc_id AS BIGINT) AS item_id, 2 + doc_id % 6 AS nf
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT item_id, CAST(t.f AS BIGINT) AS frame_idx,
+               CAST(t.f * 396 AS BIGINT) AS byte_offset
+        FROM vid, UNNEST(range(0, nf, 2)) AS t(f)
     """,
     "orders_by_status": """
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
