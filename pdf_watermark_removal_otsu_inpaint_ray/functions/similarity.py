@@ -357,7 +357,9 @@ def kmeans_embeddings(ds, *, k: int = 8, iters: int = 4, x_scale: int = 10_000):
     def init_part(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["vec_id"].combine_chunks().cast(pa.int64()))
         sel = np.argsort(ids, kind="stable")[:k]
-        Xq = _kmeans_quantize(matrix_of(b["embedding"]), x_scale)[sel]
+        # select the k candidate rows BEFORE quantizing: the init pass only
+        # needs k rows' float work per batch, not the whole batch's
+        Xq = _kmeans_quantize(matrix_of(b["embedding"])[sel], x_scale)
         return pa.table(
             {
                 "vec_id": pa.array(ids[sel], pa.int64()),

@@ -68,15 +68,19 @@ def hll_registers(hashes: np.ndarray, group_codes: np.ndarray, n_groups: int) ->
 
 def hll_estimate(regs: np.ndarray) -> int:
     """Standard HLL estimate with linear-counting small-range correction.
-    Fixed float64 expression — deterministic, mirrored verbatim by the
-    golden twin."""
+    The harmonic sum uses ``math.fsum`` (exactly-rounded, order-
+    independent), so the INDEPENDENT golden twin reproduces it bit-for-bit
+    without sharing this function — a plain np.sum/py-sum pair could
+    disagree in the last ulp and flip the final floor at a boundary."""
+    import math
+
     m = float(HLL_M)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    e = alpha * m * m / float(np.sum(2.0 ** (-regs.astype(np.float64))))
+    e = alpha * m * m / math.fsum(2.0 ** (-regs.astype(np.float64)))
     zeros = int(np.count_nonzero(regs == 0))
     if e <= 2.5 * m and zeros > 0:
-        e = m * np.log(m / zeros)
-    return int(np.floor(e + 0.5))
+        e = m * math.log(m / zeros)
+    return math.floor(e + 0.5)
 
 
 def approx_distinct_words(ds, *, group: str = "source"):
@@ -159,13 +163,21 @@ class BloomFilter:
         )
 
     def add(self, keys: np.ndarray) -> "BloomFilter":
+        if keys.size == 0:
+            return self
         h1, h2 = _bloom_hashes(keys)
-        for i in range(self.k):
-            idx = (h1 + np.uint64(i) * h2) & self.mask
-            np.bitwise_or.at(
-                self.bits, (idx >> np.uint64(3)).astype(np.int64),
-                (np.uint8(1) << (idx & np.uint64(7))).astype(np.uint8),
-            )
+        # all k x n bit positions at once, then ONE sort + bitwise_or.reduceat
+        # per byte (the hll_registers shape) — ufunc.at would scatter
+        # element-by-element, ~100x slower at build-side batch sizes
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        idx = ((h1[None, :] + i * h2[None, :]) & self.mask).reshape(-1)
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)).astype(np.uint8)
+        order = np.argsort(byte_idx, kind="stable")
+        b_s, v_s = byte_idx[order], bit[order]
+        starts = np.nonzero(np.concatenate(([True], b_s[1:] != b_s[:-1])))[0]
+        merged = np.bitwise_or.reduceat(v_s, starts)
+        self.bits[b_s[starts]] |= merged
         return self
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
@@ -204,12 +216,13 @@ def bloom_semi_join(probe_ds, build_ds, *, probe_on: str, build_on: str,
     def build_part(b: pa.Table) -> pa.Table:
         keys = np.unique(np.asarray(b[build_on].combine_chunks().cast(pa.int64())))
         bf = BloomFilter(log2_m, k).add(keys)
-        return pa.table(
-            {
-                "blob": pa.array([bf.bits.tobytes()], pa.binary()),
-                "keys": pa.array([keys.tolist()], pa.list_(pa.int64())),
-            }
-        )
+        cols = {"blob": pa.array([bf.bits.tobytes()], pa.binary())}
+        if exact:
+            # key payload only travels when the exact verify needs it — in
+            # exact=False mode (build sides too large to broadcast) the
+            # partials are blob-sized, honoring the fixed-traffic contract
+            cols["keys"] = pa.array([keys.tolist()], pa.list_(pa.int64()))
+        return pa.table(cols)
 
     merged = BloomFilter(log2_m, k)
     exact_keys: list[np.ndarray] = []

@@ -274,6 +274,38 @@ def chunk_documents_batch(
     return pa.concat_tables(parts)
 
 
+def _gram_scan(text_col, n: int):
+    """ONE tokenize + gram pass shared by every gram consumer (the gram
+    definition must live in exactly one place — decontaminate, dup-span
+    stats and redaction silently diverge otherwise).
+
+    Returns ``(word_rows, flat_words, gram_rows, grams, gram_pos)``: the
+    batch-local row id of every (non-empty, lowered ``\\S+``) word, the
+    flat word StringArray, and per full-n-gram occurrence its row id,
+    joined string, and the flat-word index of its FIRST word.
+    """
+    low = pc.utf8_lower(text_col)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    lists = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE)
+    counts = np.asarray(pc.list_value_length(lists).fill_null(0), np.int64)
+    rows_all = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+    flat = lists.flatten()
+    keep = np.asarray(pc.not_equal(flat, ""))
+    flat = flat.filter(pa.array(keep))  # order-preserving
+    rows = rows_all[keep]
+    total = len(flat)
+    if total < n:
+        return rows, flat, np.empty(0, np.int64), pa.array([], pa.string()), np.empty(0, np.int64)
+    m = total - n + 1
+    # position i starts an n-gram iff its n-th word is still the same row
+    ok = rows[:m] == rows[n - 1 : n - 1 + m]
+    parts = [flat.slice(j, m) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    pos = np.arange(m, dtype=np.int64)[ok]
+    return rows, flat, rows[:m][ok], grams.filter(pa.array(ok)), pos
+
+
 def _grams_with_rows(text_col, n: int):
     """Word *n*-gram strings with their batch-local row ids, vectorized.
 
@@ -288,25 +320,8 @@ def _grams_with_rows(text_col, n: int):
     per n-gram position (duplicates kept — callers that need set semantics
     dedupe downstream).
     """
-    low = pc.utf8_lower(text_col)
-    if isinstance(low, pa.ChunkedArray):
-        low = low.combine_chunks()
-    lists = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE)
-    counts = np.asarray(pc.list_value_length(lists).fill_null(0), np.int64)
-    rows_all = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
-    flat = lists.flatten()
-    keep = np.asarray(pc.not_equal(flat, ""))
-    flat = flat.filter(pa.array(keep))  # order-preserving
-    rows = rows_all[keep]
-    total = len(flat)
-    if total < n:
-        return np.empty(0, np.int64), pa.array([], pa.string())
-    m = total - n + 1
-    # position i starts an n-gram iff its n-th word is still the same row
-    ok = rows[:m] == rows[n - 1 : n - 1 + m]
-    parts = [flat.slice(j, m) for j in range(n)]
-    grams = pc.binary_join_element_wise(*parts, " ")
-    return rows[:m][ok], grams.filter(pa.array(ok))
+    _, _, gram_rows, grams, _ = _gram_scan(text_col, n)
+    return gram_rows, grams
 
 
 class DecontaminateStage:
@@ -427,38 +442,25 @@ class RedactGramsStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = self.n
-        low = pc.utf8_lower(batch["text"])
-        if isinstance(low, pa.ChunkedArray):
-            low = low.combine_chunks()
-        lists = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE)
-        counts_all = np.asarray(pc.list_value_length(lists).fill_null(0), np.int64)
-        rows_all = np.repeat(np.arange(len(lists), dtype=np.int64), counts_all)
-        flat = lists.flatten()
-        keep = np.asarray(pc.not_equal(flat, ""))
-        flat = flat.filter(pa.array(keep))
-        rows = rows_all[keep]
-        total = len(flat)
-        bad = np.zeros(total, bool)
-        if total >= n and len(self.grams):
-            m = total - n + 1
-            ok = rows[:m] == rows[n - 1 : n - 1 + m]
-            parts = [flat.slice(j, m) for j in range(n)]
-            grams = pc.binary_join_element_wise(*parts, " ").filter(pa.array(ok))
+        n_rows = batch.num_rows
+        rows, flat, _, grams, gram_pos = _gram_scan(batch["text"], n)
+        bad = np.zeros(len(flat), bool)
+        if len(grams) and len(self.grams):
             hit = np.asarray(pc.is_in(grams, value_set=self.grams))
-            pos = np.arange(m, dtype=np.int64)[ok][hit]
+            pos = gram_pos[hit]
             for d in range(n):
                 bad[pos + d] = True
         masked = pc.if_else(
             pa.array(bad), pa.scalar(self.mask_token, pa.string()), flat
         )
-        word_counts = np.bincount(rows, minlength=len(lists)).astype(np.int64)
+        word_counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
         off = np.concatenate(([0], np.cumsum(word_counts))).astype(np.int32)
         relist = pa.ListArray.from_arrays(pa.array(off, pa.int32()), masked)
         text_out = pc.binary_join(relist, pa.scalar(" ", pa.string()))
         n_red = (
-            np.bincount(rows[bad], minlength=len(lists)).astype(np.int64)
+            np.bincount(rows[bad], minlength=n_rows).astype(np.int64)
             if bad.any()
-            else np.zeros(len(lists), np.int64)
+            else np.zeros(n_rows, np.int64)
         )
         return pa.table(
             {

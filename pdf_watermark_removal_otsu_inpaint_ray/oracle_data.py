@@ -357,13 +357,27 @@ def _golden_simhash(sf_dir: str) -> pa.Table:
 def _golden_approx_distinct(sf_dir: str) -> pa.Table:
     """Single-process HyperLogLog twin — per-hash Python loop with
     ``int.bit_length`` (independent of the engine's vectorized 6-step
-    bit-twiddling) and the same fixed estimate formula.  SHARED-CODE
-    BOUNDARY: the word-hash kernel (_word_hashes_flat) is shared, same as
-    the minhash oracle — the hash spec itself is property-tested against a
-    pure-Python mirror in tests/test_properties.py; everything downstream
-    (bucketing, rho, registers, estimate) is computed independently."""
+    bit-twiddling) and an INLINE estimate formula (math.log/sum — not the
+    engine's hll_estimate, so a wrong alpha or inverted linear-counting
+    threshold there would surface as a parity mismatch).  SHARED-CODE
+    BOUNDARY: only the word-hash kernel (_word_hashes_flat) is shared,
+    same as the minhash oracle — the hash spec itself is property-tested
+    against a pure-Python mirror in tests/test_properties.py; everything
+    downstream (bucketing, rho, registers, estimate) is computed
+    independently."""
+    import math
+
     from .functions.dedup import _word_hashes_flat
-    from .functions.sketch import HLL_M, HLL_P, hll_estimate
+    from .functions.sketch import HLL_M, HLL_P
+
+    def py_estimate(reg: list[int]) -> int:
+        m = float(HLL_M)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / math.fsum(2.0 ** (-r) for r in reg)
+        zeros = sum(1 for r in reg if r == 0)
+        if e <= 2.5 * m and zeros > 0:
+            e = m * math.log(m / zeros)
+        return math.floor(e + 0.5)
 
     t = _docs_table(sf_dir)
     texts = t["text"].to_pylist()
@@ -384,8 +398,7 @@ def _golden_approx_distinct(sf_dir: str) -> pa.Table:
         {
             "source": pa.array(rows, pa.string()),
             "approx_distinct": pa.array(
-                [hll_estimate(np.array(regs[s], np.uint8)) for s in rows],
-                pa.int64(),
+                [py_estimate(regs[s]) for s in rows], pa.int64()
             ),
         }
     )
@@ -563,7 +576,7 @@ _COMPUTE = {
 
 # bump when any golden-relevant definition changes (hash kernels, detection
 # rules) so stale materialized goldens in a reused /tmp are invalidated
-_ORACLE_VERSION = "r3-kmeans-1"
+_ORACLE_VERSION = "r3-hll-fsum-1"
 
 
 def _source_fingerprint(sf_dir: str) -> str:

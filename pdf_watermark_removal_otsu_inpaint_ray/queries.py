@@ -1585,8 +1585,17 @@ def q_media_resize(sf_dir: str):
     the resampler mis-handled the bytes."""
     from .functions.multimodal import ResizeStage, documents_to_media_batch
 
-    media = _docs_ds(sf_dir).map_batches(
-        documents_to_media_batch, batch_format="pyarrow"
+    def image_docs(b: pa.Table) -> pa.Table:
+        # only doc_id % 3 == 0 becomes an image — filtering BEFORE synthesis
+        # skips building/shipping the (heavier) WAV and video payloads that
+        # the image-only output would discard anyway
+        ids = np.asarray(b["doc_id"].cast(pa.int64()))
+        return b.filter(pa.array(ids % 3 == 0))
+
+    media = (
+        _docs_ds(sf_dir)
+        .map_batches(image_docs, batch_format="pyarrow")
+        .map_batches(documents_to_media_batch, batch_format="pyarrow")
     )
     resized = media.map_batches(
         ResizeStage,
@@ -1613,8 +1622,15 @@ def q_media_frame_sample(sf_dir: str):
     the closed-form frame geometry the SQL oracle derives."""
     from .functions.multimodal import FrameSampleStage, documents_to_media_batch
 
-    media = _docs_ds(sf_dir).map_batches(
-        documents_to_media_batch, batch_format="pyarrow"
+    def video_docs(b: pa.Table) -> pa.Table:
+        # only doc_id % 3 == 2 becomes a video (see image_docs note above)
+        ids = np.asarray(b["doc_id"].cast(pa.int64()))
+        return b.filter(pa.array(ids % 3 == 2))
+
+    media = (
+        _docs_ds(sf_dir)
+        .map_batches(video_docs, batch_format="pyarrow")
+        .map_batches(documents_to_media_batch, batch_format="pyarrow")
     )
     return media.map_batches(
         FrameSampleStage,
