@@ -1026,6 +1026,39 @@ def q_pack_bins(sf_dir: str):
     )
 
 
+def q_events_rolling_sum(sf_dir: str):
+    """Per-user rolling 3-row value sum (ROWS BETWEEN 2 PRECEDING analog)
+    — one coarse group-key partition, one lexsort + prefix-sum-difference
+    per partition (functions/packing.py::grouped_rolling_sum); values
+    quantized to integer cents so the window sums hash-match the SQL
+    twin."""
+    import ray.data
+
+    from .functions.packing import grouped_rolling_sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["value"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "value_c": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_rolling_sum(
+        ev, group="user_id", order="ts_us", tiebreak="event_id",
+        value="value_c", window=3,
+    )
+
+
 def q_events_lag_delta(sf_dir: str):
     """Per-user time-since-previous-event (functions/packing.py::
     grouped_lag): one coarse hash partition on the user key, vectorized
@@ -1070,6 +1103,113 @@ def q_events_lag_delta(sf_dir: str):
     return lagged.map_batches(definite, batch_format="pyarrow")
 
 
+def q_priority_revenue(sf_dir: str):
+    """Fact-⋈-fact equi-join + aggregate (TPC-H-Q4 shape): discounted
+    lineitem revenue per o_orderpriority.  Combiner-first repartition join
+    — the 100-TB shape where NEITHER side broadcasts:
+
+    * lineitem pre-aggregates per (pk, orderkey) inside each batch (one
+      np.unique pass), so the shuffle carries per-orderkey int64 partials,
+      never line items;
+    * orders ships only (pk, orderkey, priority);
+    * both sides meet in one coarse ``groupby(pk)`` where a vectorized
+      searchsorted lookup maps orderkey→priority and priority partials
+      come out (priorities × partitions rows);
+    * the final groupby is priority-sized.
+
+    Revenue is integer-exact: cents × (100 − discount%), both quantized
+    with the floor(x*100+0.5) convention, so the distributed sum matches
+    the SQL twin bit-for-bit."""
+    import pandas as pd
+
+    import ray.data
+
+    num_parts = 64
+
+    def li_partials(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"], np.int64)
+        cents = np.floor(
+            np.asarray(b["l_extendedprice"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            np.asarray(b["l_discount"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        uk, inv = np.unique(ok, return_inverse=True)
+        # bincount with int weights is exact here (per-batch sums << 2^53)
+        # and avoids the slow scattered ufunc.at path
+        rs = np.bincount(inv, weights=rev, minlength=uk.size).astype(np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(uk, pa.int64()),
+                "rev": pa.array(rs, pa.int64()),
+                "priority": pa.nulls(uk.size, pa.string()),
+                "pk": pa.array(uk % num_parts, pa.int64()),
+            }
+        )
+
+    def o_side(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["o_orderkey"], np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(ok, pa.int64()),
+                "rev": pa.nulls(len(ok), pa.int64()),
+                "priority": b["o_orderpriority"],
+                "pk": pa.array(ok % num_parts, pa.int64()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(o_side, batch_format="pyarrow")
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_order = g["priority"].notna().to_numpy()
+        o_key = g["orderkey"].to_numpy()[is_order]
+        o_pri = g["priority"].to_numpy()[is_order]
+        order = np.argsort(o_key, kind="stable")
+        o_key, o_pri = o_key[order], o_pri[order]
+        l_key = g["orderkey"].to_numpy()[~is_order]
+        l_rev = g["rev"].to_numpy()[~is_order].astype(np.int64)
+        if o_key.size == 0 or l_key.size == 0:
+            # a partition may hold only one side; inner join emits nothing
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series(dtype=object),
+                    "rev": pd.Series(dtype=np.int64),
+                }
+            )
+        pos = np.searchsorted(o_key, l_key)
+        # inner-join semantics: revenue rows without a matching order drop
+        hit = (pos < o_key.size) & (o_key[np.minimum(pos, o_key.size - 1)] == l_key)
+        pri = o_pri[np.minimum(pos, o_key.size - 1)][hit]
+        df = pd.DataFrame({"o_orderpriority": pri, "rev": l_rev[hit]})
+        out = df.groupby("o_orderpriority", sort=False, as_index=False)["rev"].sum()
+        return out
+
+    agg = (
+        li.union(orders)
+        .groupby("pk")
+        .map_groups(join_part, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .sum("rev")
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "revenue_c": b["sum(rev)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def q_orders_rollup(sf_dir: str):
     """OLAP rollup (GROUP BY ROLLUP(year, status)): combiner-first partials
     (per-batch np.unique over the combined key — the shuffle carries
@@ -1092,8 +1232,8 @@ def q_orders_rollup(sf_dir: str):
         key = year * len(uniq) + scode
         uk, inv = np.unique(key, return_inverse=True)
         cnt = np.bincount(inv).astype(np.int64)
-        cs = np.zeros(uk.size, np.int64)
-        np.add.at(cs, inv, cents)
+        # exact: per-batch cent sums stay far below 2^53
+        cs = np.bincount(inv, weights=cents, minlength=uk.size).astype(np.int64)
         return pa.table(
             {
                 "o_year": pa.array(uk // len(uniq), pa.int64()),
@@ -1750,8 +1890,10 @@ QUERIES = {
     "stratified_split": q_stratified_split,
     "tumbling_distinct_users": q_tumbling_distinct_users,
     "pack_bins": q_pack_bins,
+    "events_rolling_sum": q_events_rolling_sum,
     "events_lag_delta": q_events_lag_delta,
     "orders_pivot": q_orders_pivot,
+    "priority_revenue": q_priority_revenue,
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
     "label_centroids": q_label_centroids,
@@ -2013,6 +2155,14 @@ ORACLE_SQL = {
                    AS BIGINT) AS n_P
         FROM orders GROUP BY 1
     """,
+    "priority_revenue": """
+        SELECT o.o_orderpriority,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                      AS BIGINT))) AS BIGINT) AS revenue_c
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
     "orders_rollup": """
         SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
                COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
@@ -2028,6 +2178,17 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "events_rolling_sum": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS roll_sum
+        FROM events
     """,
     "events_lag_delta": """
         WITH l AS (

@@ -272,3 +272,73 @@ def test_redact_grams_masks_matching_spans(ray_session):
     assert out.loc[3, "n_redacted"] == 0
     assert out.loc[4, "redacted"] == "two words"
     assert out.loc[5, "redacted"] == "spaced out text here"
+
+
+def test_grouped_rolling_sum_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_rolling_sum,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 300
+    tbl = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 7, n), pa.int64()),
+            "o": pa.array(rng.integers(0, 40, n), pa.int64()),  # heavy ties
+            "t": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+        }
+    )
+    got = (
+        grouped_rolling_sum(
+            ray.data.from_arrow(tbl).repartition(5),
+            group="g", order="o", tiebreak="t", value="v", window=3,
+        )
+        .to_pandas()
+        .sort_values(["g", "o", "t"], ignore_index=True)
+    )
+    import pandas as pd
+
+    df = tbl.to_pandas().sort_values(["g", "o", "t"], ignore_index=True)
+    want = (
+        df.groupby("g")["v"]
+        .rolling(3, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+        .astype(np.int64)
+    )
+    assert got["roll_sum"].tolist() == want.tolist()
+
+
+def test_priority_revenue_partition_with_single_side(ray_session, tmp_path):
+    """A pk partition holding only lineitems (no matching order) must emit
+    nothing for them — inner-join semantics, no crash on the empty side."""
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import q_priority_revenue
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 999], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 99.0], pa.float64()),
+                "l_discount": pa.array([0.10, 0.0, 0.5], pa.float64()),
+            }
+        ),
+        f"{sf}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+            }
+        ),
+        f"{sf}/orders.parquet",
+    )
+    got = q_priority_revenue(sf).to_pandas()
+    # order 1: 1000c*90 + 2000c*100 = 290000; orderkey 999 unmatched drops;
+    # order 2 has no lineitems -> absent (inner join)
+    assert got["o_orderpriority"].tolist() == ["1-URGENT"]
+    assert got["revenue_c"].tolist() == [290000]
