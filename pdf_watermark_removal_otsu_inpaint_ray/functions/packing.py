@@ -114,6 +114,24 @@ def pack_sequences(
     )
 
 
+def _add_group_pk(b: pa.Table, group: str, num_parts: int = 64) -> pa.Table:
+    """ONE definition of the group-key partition id (splitmix64 for int
+    keys, hash_partition_ids for strings) shared by every grouped operator
+    in this module — two copies would let grouped_lag and
+    grouped_rolling_sum silently partition the same keys differently."""
+    from ..sinks.exactly_once import hash_partition_ids
+
+    if pa.types.is_integer(b.schema.field(group).type):
+        k = np.asarray(b[group], np.int64).astype(np.uint64)
+        pk = (
+            ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(num_parts)
+        ).astype(np.int64)
+    else:
+        pk = hash_partition_ids(b[group].combine_chunks(), num_parts)
+    return b.append_column("pk", pa.array(pk, pa.int64()))
+
+
 def grouped_lag(
     ds,
     *,
@@ -134,15 +152,8 @@ def grouped_lag(
     one group exceeds a worker's heap."""
     import pandas as pd
 
-    from ..sinks.exactly_once import hash_partition_ids
-
-    def add_pk(b: pa.Table, num_parts: int = 64) -> pa.Table:
-        if pa.types.is_integer(b.schema.field(group).type):
-            k = np.asarray(b[group], np.int64).astype(np.uint64)
-            pk = (((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int64)
-        else:
-            pk = hash_partition_ids(b[group].combine_chunks(), num_parts)
-        return b.append_column("pk", pa.array(pk, pa.int64()))
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
 
     def lag_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -197,23 +208,21 @@ def grouped_rolling_sum(
     """
     import pandas as pd
 
-    from ..sinks.exactly_once import hash_partition_ids
-
-    def add_pk(b: pa.Table, num_parts: int = 64) -> pa.Table:
-        if pa.types.is_integer(b.schema.field(group).type):
-            k = np.asarray(b[group], np.int64).astype(np.uint64)
-            pk = (
-                ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
-                % np.uint64(num_parts)
-            ).astype(np.int64)
-        else:
-            pk = hash_partition_ids(b[group].combine_chunks(), num_parts)
-        return b.append_column("pk", pa.array(pk, pa.int64()))
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
 
     def roll_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
+            # explicit int64 dtypes: an all-object empty block would arrow-
+            # convert to null-typed columns and fight schema unification
             return pd.DataFrame(
-                {group: [], order: [], tiebreak: [], value: [], out: []}
+                {
+                    group: pd.Series(dtype=np.int64),
+                    order: pd.Series(dtype=np.int64),
+                    tiebreak: pd.Series(dtype=np.int64),
+                    value: pd.Series(dtype=np.int64),
+                    out: pd.Series(dtype=np.int64),
+                }
             )
         gk = g[group].to_numpy()
         o = g[order].to_numpy().astype(np.int64)

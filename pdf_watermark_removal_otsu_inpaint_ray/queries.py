@@ -1150,6 +1150,11 @@ def q_priority_revenue(sf_dir: str):
 
     def o_side(b: pa.Table) -> pa.Table:
         ok = np.asarray(b["o_orderkey"], np.int64)
+        # priority NULL-ness is the side discriminator in join_part — a
+        # null priority would silently reclassify the order row as a
+        # lineitem partial (NaN revenue → int64 garbage); fail loudly
+        if b["o_orderpriority"].null_count:
+            raise ValueError("o_orderpriority must be non-null")
         return pa.table(
             {
                 "orderkey": pa.array(ok, pa.int64()),
