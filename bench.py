@@ -282,7 +282,7 @@ def main() -> None:
             "decontaminate", "repetition_stats",
             "dup_ngrams", "kmeans_embeddings", "approx_distinct_words",
             "events_bloom_semi", "redact_grams",
-            "priority_revenue", "events_rolling_sum",
+            "priority_revenue", "events_rolling_sum", "unigram_logprob",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -1,0 +1,139 @@
+"""Unigram language-model quality scoring — the CCNet/Wikipedia-LM filter
+shape (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data", LREC 2020): train a simple LM on the corpus, score
+every document by its mean token log-probability, and filter/bucket on the
+score.  Here the LM is the corpus' own unigram distribution (the standard
+first-stage proxy for a perplexity filter).
+
+Two streaming passes, both 100-TB shaped:
+
+1. **Train** — per-batch token-count partials (one ``np.unique`` over the
+   batch's word hashes) → one coarse ``groupby(hash % parts)`` →
+   per-partition vectorized sum → the driver folds VOCABULARY-scale
+   (hash, count) rows.  At web scale, cap the broadcast table at top-V by
+   count and route the tail to an OOV floor probability — the head
+   distribution decides the score for almost every token (same cap note
+   as DocTopTerm).
+2. **Score** — the quantized log-prob table broadcasts once via
+   ``ray.put`` (sorted hash array + int64 milli-log-probs); each batch
+   scores all its tokens with one ``searchsorted`` gather + one
+   ``bincount`` row reduction.
+
+Determinism contract: probabilities quantize to int64 milli-nats with
+``floor(ln(cnt/total)*1000 + 0.5)`` BEFORE the per-doc sum, so the
+distributed result is bit-identical to the single-process golden twin for
+any batch layout (the learned-detector trick).  Token identity is the
+63-bit word hash (collision odds negligible; same caveat as exact_dedup).
+
+Reference analog: the auto-threshold classifier (A5/A6,
+``functions/classifier.py``) — score-then-gate, with the scoring table
+learned from the data itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+LOGP_SCALE = 1000  # milli-nats
+
+
+def _count_partials(b: pa.Table) -> pa.Table:
+    from .dedup import _word_hashes_flat
+
+    wh, _ = _word_hashes_flat(b["text"].to_pylist())
+    u, c = np.unique((wh >> np.uint64(1)).astype(np.int64), return_counts=True)
+    return pa.table(
+        {
+            "wh": pa.array(u, pa.int64()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            "pk": pa.array(u % 64, pa.int64()),
+        }
+    )
+
+
+def _sum_partition(g):
+    import pandas as pd
+
+    wh = g["wh"].to_numpy()
+    cnt = g["cnt"].to_numpy()
+    order = np.argsort(wh, kind="stable")
+    wh_s, cnt_s = wh[order], cnt[order]
+    starts = np.nonzero(np.concatenate(([True], wh_s[1:] != wh_s[:-1])))[0]
+    return pd.DataFrame(
+        {
+            "wh": wh_s[starts],
+            "cnt": np.add.reduceat(cnt_s, starts).astype(np.int64),
+        }
+    )
+
+
+def train_unigram(ds) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed unigram counts → (sorted token hashes, quantized
+    milli-nat log-probs, total occurrences).  Driver traffic is
+    vocabulary-scale (already combined per partition)."""
+    parts = (
+        ds.map_batches(_count_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_sum_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    wh = parts["wh"].to_numpy().astype(np.int64)
+    cnt = parts["cnt"].to_numpy().astype(np.int64)
+    order = np.argsort(wh, kind="stable")
+    wh, cnt = wh[order], cnt[order]
+    total = int(cnt.sum())
+    logp = np.floor(
+        np.log(cnt.astype(np.float64) / total) * LOGP_SCALE + 0.5
+    ).astype(np.int64)
+    return wh, logp, total
+
+
+def score_docs(ds, vocab_ref):
+    """Per-doc unigram log-prob sum: one searchsorted gather + one bincount
+    per batch against the broadcast (hashes, logp) table.  Returns
+    ``(doc_id, n_tok, logp_milli)`` — mean log-prob is
+    ``logp_milli / (1000 * n_tok)``, left integer so the SQL-side compare
+    is exact.  Docs with zero tokens emit logp_milli = 0."""
+    import ray
+
+    def score(b: pa.Table) -> pa.Table:
+        from .dedup import _word_hashes_flat
+
+        wh_tbl, logp = ray.get(vocab_ref)
+        texts = b["text"].to_pylist()
+        wh, doc_off = _word_hashes_flat(texts)
+        h = (wh >> np.uint64(1)).astype(np.int64)
+        n = len(texts)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(doc_off))
+        pos = np.searchsorted(wh_tbl, h)
+        ok = (pos < wh_tbl.size) & (
+            wh_tbl[np.minimum(pos, max(wh_tbl.size - 1, 0))] == h
+        )
+        if not ok.all():
+            # the table was trained on this corpus, so every token must
+            # resolve; a miss means the train/score passes disagree
+            raise ValueError("token hash missing from unigram table")
+        lp = logp[pos]
+        sums = np.bincount(rows, weights=lp, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_tok": pa.array(
+                    np.bincount(rows, minlength=n).astype(np.int64), pa.int64()
+                ),
+                "logp_milli": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob(ds):
+    """Train-then-score composition over one corpus Dataset (two streaming
+    passes; the LM table broadcasts once)."""
+    import ray
+
+    wh, logp, _ = train_unigram(ds)
+    ref = ray.put((wh, logp))
+    return score_docs(ds, ref)

@@ -966,6 +966,17 @@ def q_redact_grams(sf_dir: str):
     )
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style unigram LM quality score: distributed token-count train
+    pass (combiner partials → coarse groupby), broadcast quantized
+    milli-nat log-prob table, one searchsorted gather + bincount per batch
+    (functions/lm.py).  Integer milli-nat sums, so the ln() twin
+    hash-matches exactly (verified: DuckDB and numpy share libm here)."""
+    from .functions.lm import unigram_logprob
+
+    return unigram_logprob(_docs_ds(sf_dir))
+
+
 def q_dup_ngrams(sf_dir: str):
     """Cross-document duplicated word-3-gram statistics per doc (the Lee
     et al. exact-substring-dedup signal): two coarse int64-only shuffles —
@@ -1890,6 +1901,7 @@ QUERIES = {
     "sample_per_source": q_sample_per_source,
     "decontaminate": q_decontaminate,
     "redact_grams": q_redact_grams,
+    "unigram_logprob": q_unigram_logprob,
     "dup_ngrams": q_dup_ngrams,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,
@@ -2328,6 +2340,28 @@ ORACLE_SQL = {
                CAST(coalesce(r.n_redacted, 0) AS BIGINT) AS n_redacted
         FROM documents d LEFT JOIN reb r USING (doc_id)
         WHERE d.doc_id % 50 <> 7
+    """,
+    "unigram_logprob": r"""
+        WITH w AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS wd
+            FROM documents
+        ),
+        cnt AS (SELECT wd, count(*) AS c FROM w GROUP BY wd),
+        tot AS (SELECT count(*) AS t FROM w),
+        lp AS (
+            SELECT wd, CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000 + 0.5)
+                            AS BIGINT) AS lpm
+            FROM cnt, tot
+        ),
+        hits AS (
+            SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(lp.lpm) AS BIGINT) AS logp_milli
+            FROM w JOIN lp USING (wd) GROUP BY w.doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(h.n_tok, 0) AS BIGINT) AS n_tok,
+               CAST(coalesce(h.logp_milli, 0) AS BIGINT) AS logp_milli
+        FROM documents d LEFT JOIN hits h USING (doc_id)
     """,
     "dup_ngrams": r"""
         WITH toks AS (
