@@ -258,3 +258,133 @@ def bloom_semi_join(probe_ds, build_ds, *, probe_on: str, build_on: str,
         return b.take(pa.array(np.nonzero(hit)[0], pa.int64()))
 
     return probe_ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _mg_summary(keys: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra–Gries compression of an exact (key, count) frequency table to
+    at most ``k`` counters: keep the k largest, subtract the (k+1)-largest
+    count from each (the classic decrement, batched).  Guarantees every key
+    with true count > N/(k+1) survives with count underestimated by at
+    most N/(k+1); summaries MERGE by concat + re-compress (Agarwal et al.,
+    "Mergeable Summaries", PODS 2012)."""
+    if keys.size <= k:
+        return keys, counts
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[k]]
+    keep = order[:k]
+    kept = counts[keep] - thresh
+    nz = kept > 0
+    return keys[keep][nz], kept[nz]
+
+
+def heavy_hitter_tokens(ds, *, k: int = 20, sketch_k: int = 256):
+    """Exact corpus top-k tokens by occurrence count — found WITHOUT a
+    full-vocabulary shuffle: a Misra–Gries candidate pass then an exact
+    count pass over the (tiny) candidate set.
+
+    Pass 1: each batch compresses its exact token counts to a ``sketch_k``-
+    counter MG summary (one np.unique + one argsort); the driver merges
+    blocks-× sketch_k rows by concat + re-compress — fixed-size traffic,
+    never vocabulary-scale.  The merged summary's keys are a SUPERSET of
+    every token with count > N/(sketch_k+1); the result is the exact top-k
+    whenever the k-th true count exceeds that bound (size ``sketch_k`` to
+    the distribution; the driver's oracle equality check is itself the
+    enforcement — a dropped top-k token hash-mismatches the SQL twin).
+    Pass 2: candidates broadcast via ``ray.put``; one ``pc.is_in`` +
+    bincount per batch gives EXACT counts; top-k by (count DESC, token
+    ASC) is then deterministic and SQL-twin-checkable.
+
+    Returns (token, n) — the token STRING (pass 2 carries strings for the
+    candidate set only, so the oracle can join on the word itself).
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .dedup import _word_hashes_flat
+
+    def mg_partials(b: pa.Table) -> pa.Table:
+        # count by hash (cheap), then recover the candidate STRINGS for
+        # only the k surviving counters
+        texts = b["text"].to_pylist()
+        wh, doc_off = _word_hashes_flat(texts)
+        h = (wh >> np.uint64(1)).astype(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        ks, cs = _mg_summary(u, c.astype(np.int64), sketch_k)
+        # map surviving hashes back to strings via one lowered split pass
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        from .text import _WS_SPLIT_RE
+
+        flat = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE).flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        sel = np.isin(h, ks)
+        words = flat.take(pa.array(np.nonzero(sel)[0], pa.int64()))
+        # first occurrence per hash is enough (hash ↔ string is 1:1)
+        hh = h[sel]
+        first = np.unique(hh, return_index=True)[1]
+        word_of = dict(zip(hh[first].tolist(), words.take(pa.array(first, pa.int64())).to_pylist()))
+        return pa.table(
+            {
+                "token": pa.array([word_of[int(x)] for x in ks], pa.string()),
+                "cnt": pa.array(cs, pa.int64()),
+            }
+        )
+
+    # driver merge: blocks × sketch_k rows — fixed-size, then re-compress
+    toks: list = []
+    cnts: list = []
+    for pb in ds.map_batches(mg_partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        toks.extend(pb["token"].to_pylist())
+        cnts.extend(pb["cnt"].to_pylist())
+    import pandas as pd
+
+    agg = pd.DataFrame({"t": toks, "c": cnts}).groupby("t", sort=False)["c"].sum()
+    ks, cs = _mg_summary(
+        agg.index.to_numpy(dtype=object), agg.to_numpy().astype(np.int64), sketch_k
+    )
+    cand_ref = ray.put(pa.array(sorted(ks.tolist()), pa.string()))
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        low = pc.utf8_lower(b["text"].combine_chunks())
+        from .text import _WS_SPLIT_RE
+
+        flat = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE).flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        idx = pc.index_in(flat, value_set=cand)
+        hits = np.asarray(idx.fill_null(-1), np.int64)
+        hits = hits[hits >= 0]
+        n = np.bincount(hits, minlength=len(cand)).astype(np.int64)
+        return pa.table(
+            {
+                "token": cand,
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    counts = np.zeros(0, np.int64)
+    cand_list: list[str] = []
+    for pb in ds.map_batches(exact_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pb["token"].to_pylist()
+        nv = np.asarray(pb["n"], np.int64)
+        if not cand_list:
+            cand_list = sorted(set(t))
+            counts = np.zeros(len(cand_list), np.int64)
+        pos = np.searchsorted(np.array(cand_list, object), np.array(t, object))
+        np.add.at(counts, pos, nv)
+    order = np.lexsort((np.array(cand_list, object), -counts))[:k]
+    return pa.table(
+        {
+            "token": pa.array([cand_list[i] for i in order], pa.string()),
+            "n": pa.array(counts[order], pa.int64()),
+        }
+    )

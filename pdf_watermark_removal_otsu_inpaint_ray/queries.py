@@ -977,6 +977,16 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs_ds(sf_dir))
 
 
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Exact corpus top-20 tokens via a Misra-Gries candidate pass + exact
+    recount of the fixed-size candidate set (functions/sketch.py::
+    heavy_hitter_tokens) — the heavy-hitters shape that never shuffles the
+    vocabulary."""
+    from .functions.sketch import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_docs_ds(sf_dir), k=20, sketch_k=256)
+
+
 def q_dup_ngrams(sf_dir: str):
     """Cross-document duplicated word-3-gram statistics per doc (the Lee
     et al. exact-substring-dedup signal): two coarse int64-only shuffles —
@@ -1902,6 +1912,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "redact_grams": q_redact_grams,
     "unigram_logprob": q_unigram_logprob,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "dup_ngrams": q_dup_ngrams,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,
@@ -2340,6 +2351,16 @@ ORACLE_SQL = {
                CAST(coalesce(r.n_redacted, 0) AS BIGINT) AS n_redacted
         FROM documents d LEFT JOIN reb r USING (doc_id)
         WHERE d.doc_id % 50 <> 7
+    """,
+    "heavy_hitter_tokens": r"""
+        WITH w AS (
+            SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+            FROM documents
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
     """,
     "unigram_logprob": r"""
         WITH w AS (
