@@ -342,3 +342,28 @@ def test_priority_revenue_partition_with_single_side(ray_session, tmp_path):
     # order 2 has no lineitems -> absent (inner join)
     assert got["o_orderpriority"].tolist() == ["1-URGENT"]
     assert got["revenue_c"].tolist() == [290000]
+
+
+def test_misra_gries_summary_and_heavy_hitters(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.sketch import (
+        _mg_summary,
+        heavy_hitter_tokens,
+    )
+
+    # MG bound: every key with count > N/(k+1) survives compression
+    keys = np.arange(100, dtype=np.int64)
+    counts = np.ones(100, np.int64)
+    counts[:3] = [50, 40, 30]  # N = 217, k=9 -> bound 21.7
+    ks, cs = _mg_summary(keys, counts, 9)
+    assert {0, 1, 2} <= set(ks.tolist())
+    assert len(ks) <= 9
+    # undercount is bounded by the subtracted threshold
+    got = dict(zip(ks.tolist(), cs.tolist()))
+    assert 50 >= got[0] > 50 - 22
+
+    # end-to-end exactness under a deliberately tight sketch on skew
+    texts = (["hot word alpha beta"] * 30) + [f"tail{i} filler{i}" for i in range(40)]
+    ds = ray.data.from_arrow(_docs(texts, list(range(len(texts))))).repartition(6)
+    got_tbl = heavy_hitter_tokens(ds, k=4, sketch_k=16).to_pandas()
+    assert got_tbl["token"].tolist() == ["alpha", "beta", "hot", "word"]
+    assert got_tbl["n"].tolist() == [30, 30, 30, 30]
