@@ -372,7 +372,11 @@ def eval_gram_array(eval_ds, n: int = 3) -> pa.Array:
         return pa.table({"g": grams.unique()})
 
     parts = eval_ds.map_batches(distinct_batch, batch_format="pyarrow").to_pandas()
-    return pa.array(sorted(set(parts["g"].tolist())), pa.string())
+    # an eval set with NO full gram (all docs shorter than n words) yields
+    # only empty blocks, whose to_pandas has no columns — that's an empty
+    # blocklist, not an error
+    vals = parts["g"].tolist() if "g" in parts.columns else []
+    return pa.array(sorted(set(vals)), pa.string())
 
 
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:

@@ -367,3 +367,100 @@ def test_misra_gries_summary_and_heavy_hitters(ray_session):
     got_tbl = heavy_hitter_tokens(ds, k=4, sketch_k=16).to_pandas()
     assert got_tbl["token"].tolist() == ["alpha", "beta", "hot", "word"]
     assert got_tbl["n"].tolist() == [30, 30, 30, 30]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests: gram operators vs pure-Python specs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# words of non-whitespace chars (ASCII + a few unicode letters), docs of
+# words joined by runs of ASCII whitespace — the regime where the Arrow
+# ASCII-space split, Python \S+ and str.split() all agree (the documented
+# tokenization contract of the gram kernels)
+_word = st.text(
+    alphabet=st.sampled_from(list("abcxyzAB09_#é漢")), min_size=1, max_size=5
+)
+_ws = st.sampled_from([" ", "  ", "\t", " \t ", "\n"])
+_doc = st.lists(st.tuples(_word, _ws), min_size=0, max_size=12).map(
+    lambda ps: "".join(w + s for w, s in ps)
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_dup_ngrams_property_vs_python_spec(texts):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    ids = list(range(100, 100 + len(texts)))
+    got_df = cross_doc_dup_stats(
+        ray.data.from_arrow(_docs(texts, ids)).repartition(3), n=2
+    ).to_pandas()
+    want = _brute_dup_stats(texts, ids, n=2)
+    if not want:
+        assert len(got_df) == 0  # no full gram anywhere -> empty (columnless) result
+        return
+    got = got_df.set_index("doc_id")
+    assert set(got.index) == set(want)
+    for i, (ng, nd) in want.items():
+        assert got.loc[i, "n_grams"] == ng
+        assert got.loc[i, "n_dup"] == nd
+
+
+def _py_redact(texts, eval_texts, n=2, mask="<wm>"):
+    ev = set()
+    for t in eval_texts:
+        ws = t.lower().split()
+        ev.update(tuple(ws[j : j + n]) for j in range(len(ws) - n + 1))
+    out = []
+    for t in texts:
+        ws = t.lower().split()
+        bad = [False] * len(ws)
+        for j in range(len(ws) - n + 1):
+            if tuple(ws[j : j + n]) in ev:
+                for d in range(n):
+                    bad[j + d] = True
+        out.append(
+            (
+                " ".join(mask if b else w for w, b in zip(ws, bad)),
+                sum(bad),
+            )
+        )
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=6), st.lists(_doc, min_size=0, max_size=3))
+def test_redact_grams_property_vs_python_spec(texts, eval_texts):
+    import ray
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.text import (
+        RedactGramsStage,
+        eval_gram_array,
+    )
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    gref = ray.put(
+        eval_gram_array(ray.data.from_arrow(_docs(eval_texts or [""])), n=2)
+    )
+    got = (
+        ray.data.from_arrow(_docs(texts, list(range(len(texts)))))
+        .map_batches(
+            RedactGramsStage,
+            fn_constructor_kwargs={"gram_ref": gref, "n": 2},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = _py_redact(texts, eval_texts, n=2)
+    assert got["redacted"].tolist() == [w[0] for w in want]
+    assert got["n_redacted"].tolist() == [w[1] for w in want]
