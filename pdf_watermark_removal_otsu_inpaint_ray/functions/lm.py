@@ -78,6 +78,11 @@ def train_unigram(ds) -> tuple[np.ndarray, np.ndarray, int]:
         .map_groups(_sum_partition, batch_format="pandas")
         .to_pandas()
     )
+    if "wh" not in parts.columns:
+        # all-empty corpus: every partial block was 0-row, so to_pandas
+        # yields a columnless frame — an empty LM table, not an error
+        # (same degenerate case as text.eval_gram_array)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), 0
     wh = parts["wh"].to_numpy().astype(np.int64)
     cnt = parts["cnt"].to_numpy().astype(np.int64)
     order = np.argsort(wh, kind="stable")

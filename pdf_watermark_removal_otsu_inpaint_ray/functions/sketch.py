@@ -287,50 +287,38 @@ def heavy_hitter_tokens(ds, *, k: int = 20, sketch_k: int = 256):
     full-vocabulary shuffle: a Misra–Gries candidate pass then an exact
     count pass over the (tiny) candidate set.
 
-    Pass 1: each batch compresses its exact token counts to a ``sketch_k``-
-    counter MG summary (one np.unique + one argsort); the driver merges
-    blocks-× sketch_k rows by concat + re-compress — fixed-size traffic,
-    never vocabulary-scale.  The merged summary's keys are a SUPERSET of
-    every token with count > N/(sketch_k+1); the result is the exact top-k
-    whenever the k-th true count exceeds that bound (size ``sketch_k`` to
-    the distribution; the driver's oracle equality check is itself the
-    enforcement — a dropped top-k token hash-mismatches the SQL twin).
-    Pass 2: candidates broadcast via ``ray.put``; one ``pc.is_in`` +
-    bincount per batch gives EXACT counts; top-k by (count DESC, token
-    ASC) is then deterministic and SQL-twin-checkable.
+    Pass 1: each batch dictionary-encodes its tokens ONCE through the
+    shared ``_words_with_rows`` kernel (one tokenizer — counting by a
+    second kernel would silently misalign on exotic whitespace), counts
+    by code with one bincount, and compresses to a ``sketch_k``-counter MG
+    summary; the driver merges blocks-× sketch_k (token, cnt) rows by
+    concat + re-compress — fixed-size traffic, never vocabulary-scale.
+    The merged summary's keys are a SUPERSET of every token with count >
+    N/(sketch_k+1); the result is the exact top-k whenever the k-th true
+    count exceeds that bound (size ``sketch_k`` to the distribution; the
+    driver's oracle equality check is itself the enforcement — a dropped
+    top-k token hash-mismatches the SQL twin).
+    Pass 2: candidates broadcast via ``ray.put``; one ``pc.index_in`` over
+    each batch's (distinct-word) dictionary + a code bincount gives EXACT
+    counts; top-k by (count DESC, token ASC) is then deterministic and
+    SQL-twin-checkable.
 
-    Returns (token, n) — the token STRING (pass 2 carries strings for the
-    candidate set only, so the oracle can join on the word itself).
+    Returns (token, n).
     """
     import pyarrow.compute as pc
 
     import ray
 
-    from .dedup import _word_hashes_flat
+    from .text import _words_with_rows
 
     def mg_partials(b: pa.Table) -> pa.Table:
-        # count by hash (cheap), then recover the candidate STRINGS for
-        # only the k surviving counters
-        texts = b["text"].to_pylist()
-        wh, doc_off = _word_hashes_flat(texts)
-        h = (wh >> np.uint64(1)).astype(np.int64)
-        u, c = np.unique(h, return_counts=True)
-        ks, cs = _mg_summary(u, c.astype(np.int64), sketch_k)
-        # map surviving hashes back to strings via one lowered split pass
-        low = pc.utf8_lower(b["text"].combine_chunks())
-        from .text import _WS_SPLIT_RE
-
-        flat = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE).flatten()
-        flat = flat.filter(pc.not_equal(flat, ""))
-        sel = np.isin(h, ks)
-        words = flat.take(pa.array(np.nonzero(sel)[0], pa.int64()))
-        # first occurrence per hash is enough (hash ↔ string is 1:1)
-        hh = h[sel]
-        first = np.unique(hh, return_index=True)[1]
-        word_of = dict(zip(hh[first].tolist(), words.take(pa.array(first, pa.int64())).to_pylist()))
+        _, codes, vocab = _words_with_rows(b["text"])
+        c = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        nz = np.nonzero(c)[0]  # the dictionary may hold the dropped "" slot
+        ks, cs = _mg_summary(nz, c[nz], sketch_k)
         return pa.table(
             {
-                "token": pa.array([word_of[int(x)] for x in ks], pa.string()),
+                "token": vocab.take(pa.array(ks, pa.int64())),
                 "cnt": pa.array(cs, pa.int64()),
             }
         )
@@ -345,43 +333,40 @@ def heavy_hitter_tokens(ds, *, k: int = 20, sketch_k: int = 256):
         cnts.extend(pb["cnt"].to_pylist())
     import pandas as pd
 
+    if not toks:
+        return pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     agg = pd.DataFrame({"t": toks, "c": cnts}).groupby("t", sort=False)["c"].sum()
-    ks, cs = _mg_summary(
+    ks, _ = _mg_summary(
         agg.index.to_numpy(dtype=object), agg.to_numpy().astype(np.int64), sketch_k
     )
-    cand_ref = ray.put(pa.array(sorted(ks.tolist()), pa.string()))
+    cand_list = sorted(ks.tolist())
+    cand_arr = pa.array(cand_list, pa.string())
+    cand_ref = ray.put(cand_arr)
 
     def exact_counts(b: pa.Table) -> pa.Table:
         cand = ray.get(cand_ref)
-        low = pc.utf8_lower(b["text"].combine_chunks())
-        from .text import _WS_SPLIT_RE
+        _, codes, vocab = _words_with_rows(b["text"])
+        c = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        m = np.asarray(pc.index_in(vocab, value_set=cand).fill_null(-1), np.int64)
+        n = np.zeros(len(cand), np.int64)
+        ok = m >= 0
+        if ok.any():
+            np.add.at(n, m[ok], c[ok])  # distinct-word scale per batch
+        return pa.table({"token": cand, "n": pa.array(n, pa.int64())})
 
-        flat = pc.split_pattern_regex(low, pattern=_WS_SPLIT_RE).flatten()
-        flat = flat.filter(pc.not_equal(flat, ""))
-        idx = pc.index_in(flat, value_set=cand)
-        hits = np.asarray(idx.fill_null(-1), np.int64)
-        hits = hits[hits >= 0]
-        n = np.bincount(hits, minlength=len(cand)).astype(np.int64)
-        return pa.table(
-            {
-                "token": cand,
-                "n": pa.array(n, pa.int64()),
-            }
-        )
-
-    counts = np.zeros(0, np.int64)
-    cand_list: list[str] = []
+    # candidate order is FIXED (the broadcast array), so the driver fold
+    # sums aligned vectors; np.add.at because iter_batches may concatenate
+    # several partial tables into one batch (duplicate token rows)
+    counts = np.zeros(len(cand_list), np.int64)
+    cand_np = np.array(cand_list, object)
     for pb in ds.map_batches(exact_counts, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        t = pb["token"].to_pylist()
+        t = np.array(pb["token"].to_pylist(), object)
         nv = np.asarray(pb["n"], np.int64)
-        if not cand_list:
-            cand_list = sorted(set(t))
-            counts = np.zeros(len(cand_list), np.int64)
-        pos = np.searchsorted(np.array(cand_list, object), np.array(t, object))
+        pos = np.searchsorted(cand_np, t)
         np.add.at(counts, pos, nv)
-    order = np.lexsort((np.array(cand_list, object), -counts))[:k]
+    order = np.lexsort((cand_np, -counts))[:k]
     return pa.table(
         {
             "token": pa.array([cand_list[i] for i in order], pa.string()),

@@ -464,3 +464,37 @@ def test_redact_grams_property_vs_python_spec(texts, eval_texts):
     want = _py_redact(texts, eval_texts, n=2)
     assert got["redacted"].tolist() == [w[0] for w in want]
     assert got["n_redacted"].tolist() == [w[1] for w in want]
+
+
+def test_heavy_hitters_unicode_whitespace_and_wide_candidates(ray_session):
+    """Review findings: (a) NBSP-bearing text must not misalign token
+    strings (one shared tokenizer now); (b) candidate sets wider than the
+    iter_batches block size must recount correctly (sketch_k > 256)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.sketch import (
+        heavy_hitter_tokens,
+    )
+
+    # (a) NBSP: Arrow's ASCII split keeps "x y" as ONE token; the
+    # whole pipeline must agree with itself and count it as one
+    texts = ["x y plain plain", "plain x y word"]
+    out = heavy_hitter_tokens(
+        ray.data.from_arrow(_docs(texts)), k=3, sketch_k=8
+    ).to_pandas()
+    assert out["token"].tolist()[0] == "plain" and out["n"].tolist()[0] == 3
+    assert "x y" in out["token"].tolist()
+    assert out.set_index("token").loc["x y", "n"] == 2
+
+    # (b) ~400 distinct tokens, multiple blocks, sketch_k=512 (> the 256
+    # iter_batches default): exact top-5 must still come out
+    texts2 = ["hot tok " * 5] * 20 + [f"w{i} v{i}" for i in range(400)]
+    ds = ray.data.from_arrow(_docs(texts2, list(range(len(texts2))))).repartition(7)
+    out2 = heavy_hitter_tokens(ds, k=2, sketch_k=512).to_pandas()
+    assert out2["token"].tolist() == ["hot", "tok"]
+    assert out2["n"].tolist() == [100, 100]
+
+
+def test_train_unigram_empty_corpus(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.lm import train_unigram
+
+    wh, logp, total = train_unigram(ray.data.from_arrow(_docs(["", "  "])))
+    assert wh.size == 0 and logp.size == 0 and total == 0
