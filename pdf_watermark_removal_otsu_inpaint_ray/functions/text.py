@@ -473,3 +473,44 @@ class RedactGramsStage:
                 "n_redacted": pa.array(n_red, pa.int64()),
             }
         )
+
+
+def collapse_repeat_words_batch(batch: pa.Table) -> pa.Table:
+    """Intra-document repetition scrub: drop every word equal to its
+    immediate predecessor ("a a a b" → "a b") — the consecutive-duplicate
+    cleaner complementing the Gopher repetition COUNTERS
+    (repetition_stats_batch measures; this one rewrites).
+
+    Output text is whitespace-normalized lowercase, same canonical form as
+    RedactGramsStage.  Fully vectorized: the shared ``_gram_scan``
+    tokenizer, one shifted Arrow ``equal`` per batch, one list rebuild.
+    Returns (doc_id, collapsed, n_dropped).
+    """
+    rows, flat, _, _, _ = _gram_scan(batch["text"], 1)
+    n = batch.num_rows
+    total = len(flat)
+    dup = np.zeros(total, bool)
+    if total > 1:
+        same = np.asarray(
+            pc.equal(flat.slice(0, total - 1), flat.slice(1, total - 1))
+        )
+        dup[1:] = same & (rows[1:] == rows[:-1])
+    keep_idx = np.nonzero(~dup)[0]
+    kept = flat.take(pa.array(keep_idx, pa.int64()))
+    kept_rows = rows[keep_idx]
+    word_counts = np.bincount(kept_rows, minlength=n).astype(np.int64)
+    off = np.concatenate(([0], np.cumsum(word_counts))).astype(np.int32)
+    relist = pa.ListArray.from_arrays(pa.array(off, pa.int32()), kept)
+    text_out = pc.binary_join(relist, pa.scalar(" ", pa.string()))
+    dropped = (
+        np.bincount(rows[dup], minlength=n).astype(np.int64)
+        if dup.any()
+        else np.zeros(n, np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "collapsed": text_out,
+            "n_dropped": pa.array(dropped, pa.int64()),
+        }
+    )

@@ -966,6 +966,17 @@ def q_redact_grams(sf_dir: str):
     )
 
 
+def q_collapse_repeats(sf_dir: str):
+    """Intra-doc repetition scrub: consecutive duplicate words collapse to
+    one (functions/text.py::collapse_repeat_words_batch) — stateless
+    vectorized rewrite, no shuffle; lag-window SQL twin."""
+    from .functions.text import collapse_repeat_words_batch
+
+    return _docs_ds(sf_dir).map_batches(
+        collapse_repeat_words_batch, batch_format="pyarrow"
+    )
+
+
 def q_unigram_logprob(sf_dir: str):
     """CCNet-style unigram LM quality score: distributed token-count train
     pass (combiner partials → coarse groupby), broadcast quantized
@@ -1911,6 +1922,7 @@ QUERIES = {
     "sample_per_source": q_sample_per_source,
     "decontaminate": q_decontaminate,
     "redact_grams": q_redact_grams,
+    "collapse_repeats": q_collapse_repeats,
     "unigram_logprob": q_unigram_logprob,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "dup_ngrams": q_dup_ngrams,
@@ -2361,6 +2373,36 @@ ORACLE_SQL = {
         FROM w GROUP BY token
         ORDER BY n DESC, token
         LIMIT 20
+    """,
+    "collapse_repeats": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, t.k, ws[t.k] AS wd
+            FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(k)
+        ),
+        m AS (
+            SELECT doc_id, k, wd,
+                   lag(wd) OVER (PARTITION BY doc_id ORDER BY k) AS pw
+            FROM w
+        ),
+        keep AS (SELECT doc_id, k, wd FROM m WHERE pw IS NULL OR wd <> pw),
+        reb AS (
+            SELECT doc_id,
+                   array_to_string(list(wd ORDER BY k), ' ') AS collapsed,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM keep GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_all FROM w GROUP BY doc_id)
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               coalesce(r.collapsed, '') AS collapsed,
+               CAST(coalesce(t.n_all, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+                   AS n_dropped
+        FROM documents d
+        LEFT JOIN reb r USING (doc_id)
+        LEFT JOIN tot t USING (doc_id)
     """,
     "unigram_logprob": r"""
         WITH w AS (

@@ -498,3 +498,29 @@ def test_train_unigram_empty_corpus(ray_session):
 
     wh, logp, total = train_unigram(ray.data.from_arrow(_docs(["", "  "])))
     assert wh.size == 0 and logp.size == 0 and total == 0
+
+
+def test_collapse_repeats_edge_cases(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.text import (
+        collapse_repeat_words_batch,
+    )
+
+    tbl = _docs(
+        [
+            "a a a b b a",        # runs collapse, non-adjacent repeats stay
+            "x",                  # single word untouched
+            "",                   # empty doc -> empty string, 0 dropped
+            "Y y  Y",             # case-folded + whitespace-normalized
+        ],
+        ids=[1, 2, 3, 4],
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(collapse_repeat_words_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "collapsed"] == "a b a" and out.loc[1, "n_dropped"] == 3
+    assert out.loc[2, "collapsed"] == "x" and out.loc[2, "n_dropped"] == 0
+    assert out.loc[3, "collapsed"] == "" and out.loc[3, "n_dropped"] == 0
+    assert out.loc[4, "collapsed"] == "y" and out.loc[4, "n_dropped"] == 2
