@@ -283,7 +283,7 @@ def main() -> None:
             "dup_ngrams", "kmeans_embeddings", "approx_distinct_words",
             "events_bloom_semi", "redact_grams",
             "priority_revenue", "events_rolling_sum", "unigram_logprob",
-            "heavy_hitter_tokens", "collapse_repeats",
+            "heavy_hitter_tokens", "collapse_repeats", "semdedup",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -326,30 +326,11 @@ def _kmeans_assign(Xq: np.ndarray, Cq: np.ndarray) -> np.ndarray:
     return np.argmin(d2[None, :] - 2 * S, axis=1)
 
 
-def kmeans_embeddings(ds, *, k: int = 8, iters: int = 4, x_scale: int = 10_000):
-    """Distributed Lloyd k-means over an embedding column — the clustering
-    primitive behind SemDeDup-style curation and IVF index builds, run over
-    the FULL corpus (not a driver sample, unlike IvfIndex.fit).
-
-    Integer-exact and deterministic: embeddings quantize once per pass to
-    int64 (``floor(x*1e4 + 0.5)``), centroids live at scale 1e6 as int64,
-    assignment is exact integer Euclidean argmin, and per-cluster sums are
-    order-free int64 — so the distributed result is bit-identical to the
-    single-process golden twin regardless of batch boundaries or cluster
-    size (the same trick as ``centroid_partials`` / the learned detector).
-
-    Shape per Lloyd round (the 100-TB path):
-    * centroids broadcast ONCE via ``ray.put`` (k×d int64 — tiny);
-    * one streaming ``map_batches`` pass emits k partial rows per batch
-      (cluster, count, component sums) — combiner-first, the shuffle-free
-      analog of a groupby;
-    * the driver folds k × n_blocks partial rows (bounded by k, never by
-      corpus size) into the next centroid table.
-
-    Init: the k vectors with the SMALLEST vec_ids (deterministic, no RNG);
-    an empty cluster keeps its previous centroid.  Returns a Dataset of
-    ``(vec_id, cluster)`` int64 rows from a final assignment pass.
-    """
+def kmeans_centroids(ds, *, k: int = 8, iters: int = 4, x_scale: int = 10_000) -> np.ndarray:
+    """Lloyd iterations only — returns the final (k, d) int64 centroid
+    table at scale 1e6 (see :func:`kmeans_embeddings` for the full
+    contract).  Exposed so compositions (SemDeDup) can reuse the trained
+    centroids without a second training run."""
     import ray
 
     # --- deterministic init: k smallest vec_ids (per-batch partial trim,
@@ -419,6 +400,36 @@ def kmeans_embeddings(ds, *, k: int = 8, iters: int = 4, x_scale: int = 10_000):
             sums[nz].astype(np.float64) * 100.0 / cnt[nz, None] + 0.5
         ).astype(np.int64)
 
+    return Cq
+
+
+def kmeans_embeddings(ds, *, k: int = 8, iters: int = 4, x_scale: int = 10_000):
+    """Distributed Lloyd k-means over an embedding column — the clustering
+    primitive behind SemDeDup-style curation and IVF index builds, run over
+    the FULL corpus (not a driver sample, unlike IvfIndex.fit).
+
+    Integer-exact and deterministic: embeddings quantize once per pass to
+    int64 (``floor(x*1e4 + 0.5)``), centroids live at scale 1e6 as int64,
+    assignment is exact integer Euclidean argmin, and per-cluster sums are
+    order-free int64 — so the distributed result is bit-identical to the
+    single-process golden twin regardless of batch boundaries or cluster
+    size (the same trick as ``centroid_partials`` / the learned detector).
+
+    Shape per Lloyd round (the 100-TB path):
+    * centroids broadcast ONCE via ``ray.put`` (k×d int64 — tiny);
+    * one streaming ``map_batches`` pass emits k partial rows per batch
+      (cluster, count, component sums) — combiner-first, the shuffle-free
+      analog of a groupby;
+    * the driver folds k × n_blocks partial rows (bounded by k, never by
+      corpus size) into the next centroid table.
+
+    Init: the k vectors with the SMALLEST vec_ids (deterministic, no RNG);
+    an empty cluster keeps its previous centroid.  Returns a Dataset of
+    ``(vec_id, cluster)`` int64 rows from a final assignment pass.
+    """
+    import ray
+
+    Cq = kmeans_centroids(ds, k=k, iters=iters, x_scale=x_scale)
     cref = ray.put(Cq)
 
     def assign_final(b: pa.Table) -> pa.Table:
@@ -433,3 +444,65 @@ def kmeans_embeddings(ds, *, k: int = 8, iters: int = 4, x_scale: int = 10_000):
         )
 
     return ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+def semdedup(ds, *, k: int = 8, iters: int = 4, threshold: float = 0.95,
+             x_scale: int = 10_000):
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the corpus
+    embeddings with full-corpus k-means, then mark within-cluster semantic
+    near-duplicates by cosine similarity — only intra-cluster pairs are
+    ever compared, so the quadratic work is bounded per cluster and fully
+    distributed through one ``groupby(cluster)``.
+
+    Deviation from the paper (documented): the kept representative is the
+    LOWEST vec_id of each near-dup neighborhood (deterministic,
+    hash-checkable) rather than the farthest-from-centroid member; a row
+    is a duplicate iff some SMALLER-id vector in its cluster has cosine
+    >= threshold.  Returns ``(vec_id, cluster, is_dup)``.
+
+    Hot-cluster caveat: one cluster holds its members' full matmul in one
+    task — raise ``k`` (or recurse on oversized clusters) when the
+    embedding distribution collapses into few clusters at scale.
+    """
+    import pandas as pd
+
+    import ray
+
+    cref = ray.put(kmeans_centroids(ds, k=k, iters=iters, x_scale=x_scale))
+
+    def assign_with_payload(b: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        Xq = _kmeans_quantize(matrix_of(b["embedding"]), x_scale)
+        a = _kmeans_assign(Xq, C)
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "vec_id": b["vec_id"].cast(pa.int64()),
+                "embedding": b["embedding"],
+            }
+        )
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")  # ascending id — dup rule
+        ids = ids[order]
+        M = np.array(
+            [np.asarray(e, np.float64) for e in g["embedding"].to_numpy()[order]]
+        )
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        S = M @ M.T
+        dup = np.tril(S >= threshold, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(ids.size, int(g["cluster"].iloc[0]), np.int64),
+                "is_dup": dup.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_with_payload, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(within, batch_format="pandas")
+    )

@@ -44,6 +44,7 @@ GOLDEN_QUERIES = (
     "dedup_clusters",
     "kmeans_embeddings",
     "approx_distinct_words",
+    "semdedup",
 )
 
 
@@ -444,6 +445,55 @@ def _golden_kmeans(sf_dir: str) -> pa.Table:
     )
 
 
+def _golden_semdedup(sf_dir: str) -> pa.Table:
+    """Single-process SemDeDup twin — pure numpy, NO engine code: the
+    _golden_kmeans assignment spec (k=8, 4 rounds) then, per cluster in
+    ascending vec_id order, a row is a duplicate iff some smaller-id
+    member has cosine >= 0.35 (the synthetic embeddings are near-orthogonal, so a production-style 0.9 would never exercise the dup branch).  Cosines are plain float64 normalize+dot —
+    identical values to the engine's per-cluster matmul regardless of row
+    order, so the comparison is machine-deterministic."""
+    k, iters, threshold = 8, 4, 0.35
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    col = t["embedding"].combine_chunks()
+    X = np.asarray(col.values, np.float64).reshape(len(col), -1)
+    Xq = np.floor(X * 10_000 + 0.5).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_s, Xq_s, X_s = ids[order], Xq[order], X[order]
+    C = Xq_s[:k] * 100
+
+    def assign(Cq: np.ndarray) -> np.ndarray:
+        d2 = np.einsum("ij,ij->i", Cq, Cq)
+        return np.argmin(d2[None, :] - 2 * ((100 * Xq_s) @ Cq.T), axis=1)
+
+    for _ in range(iters):
+        a = assign(C)
+        C = C.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = np.floor(
+                    Xq_s[m].sum(axis=0).astype(np.float64) * 100.0 / m.sum() + 0.5
+                ).astype(np.int64)
+    a = assign(C)
+    dup = np.zeros(ids_s.size, np.int64)
+    for j in range(k):
+        m = np.nonzero(a == j)[0]  # ascending vec_id (ids_s sorted)
+        if m.size < 2:
+            continue
+        M = X_s[m]
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        S = M @ M.T
+        dup[m] = np.tril(S >= threshold, -1).any(axis=1).astype(np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids_s, pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "is_dup": pa.array(dup, pa.int64()),
+        }
+    )
+
+
 def _golden_knn_ivf(sf_dir: str) -> pa.Table:
     """Pure-numpy replica of q_knn_ivf: same deterministic centroids
     (first 256 rows in file order), same probe rule, brute cosine on the
@@ -571,6 +621,7 @@ _COMPUTE = {
     "dedup_clusters": _golden_dedup_clusters,
     "kmeans_embeddings": _golden_kmeans,
     "approx_distinct_words": _golden_approx_distinct,
+    "semdedup": _golden_semdedup,
 }
 
 

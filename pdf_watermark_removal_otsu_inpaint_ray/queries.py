@@ -1694,6 +1694,22 @@ def q_approx_distinct_words(sf_dir: str):
     return approx_distinct_words(_docs_ds(sf_dir), group="source")
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): full-corpus k-means clusters, then
+    within-cluster cosine near-dup marking (keep-lowest-id rule) — the
+    semantic-dedup curation pass (functions/similarity.py::semdedup);
+    checked against a pure-numpy no-engine-code golden."""
+    _with_golden("semdedup", sf_dir)
+    import ray.data
+
+    from .functions.similarity import semdedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(ds, k=8, iters=4, threshold=0.35)
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed full-corpus Lloyd k-means (8 clusters, 4 rounds) over
     the embeddings table — integer-exact centroids broadcast per round,
@@ -1954,6 +1970,7 @@ QUERIES = {
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "approx_distinct_words": q_approx_distinct_words,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup": q_semdedup,
     "learned_detector": q_learned_detector,
     "media_decode": q_media_decode,
     "media_resize": q_media_resize,

@@ -524,3 +524,35 @@ def test_collapse_repeats_edge_cases(ray_session):
     assert out.loc[2, "collapsed"] == "x" and out.loc[2, "n_dropped"] == 0
     assert out.loc[3, "collapsed"] == "" and out.loc[3, "n_dropped"] == 0
     assert out.loc[4, "collapsed"] == "y" and out.loc[4, "n_dropped"] == 2
+
+
+def test_semdedup_planted_duplicates_and_layout_invariance(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.similarity import semdedup
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((30, 8)).astype(np.float32) * 0.3
+    # plant near-dups: rows 30..34 are tiny perturbations of rows 0..4
+    pert = base[:5] + rng.standard_normal((5, 8)).astype(np.float32) * 0.001
+    m = np.vstack([base, pert])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(35, dtype=np.int64), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        semdedup(ray.data.from_arrow(tbl), k=3, iters=3, threshold=0.99)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    # each planted copy has a smaller-id near-identical partner -> dup;
+    # the originals (smaller ids) stay kept
+    assert out.loc[out["vec_id"] >= 30, "is_dup"].tolist() == [1] * 5
+    assert out.loc[out["vec_id"] < 5, "is_dup"].tolist() == [0] * 5
+
+    out2 = (
+        semdedup(ray.data.from_arrow(tbl).repartition(6), k=3, iters=3, threshold=0.99)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert out.equals(out2)
