@@ -1573,6 +1573,80 @@ def q_length_quantiles(sf_dir: str):
     )
 
 
+def q_quality_cut(sf_dir: str):
+    """Percentile-gated curation: drop each source's bottom length
+    quartile.  Composition of the exact distributed quantile machinery
+    (pre-aggregated count rows through ONE small groupby — never
+    documents) with a broadcast per-source threshold filter (the
+    mix_sources lookup shape).  The cut is integer centi-units, so the
+    survivor set is bit-deterministic and the percentile_cont SQL twin
+    matches exactly."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"])
+        ln = (
+            pc.utf8_length(b["text"].combine_chunks())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        span = int(ln.max()) + 1 if ln.size else 1
+        key = s_inv.astype(np.int64) * span + ln
+        k_u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(s_u[k_u // span], pa.string()),
+                "length": pa.array(k_u % span, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        _docs_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "length"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["source", "length"], ignore_index=True)
+    )  # (source × distinct length) count rows — dimension-scale
+    srcs, cuts = [], []
+    for src, g in rows.groupby("source", sort=True):
+        lens = g["length"].to_numpy().astype(np.int64)
+        cum = np.cumsum(g["cnt"].to_numpy().astype(np.int64))
+        n = int(cum[-1])
+        pos = 0.25 * (n - 1)
+        lo_i = int(np.floor(pos))
+        hi_i = min(lo_i + 1, n - 1)
+        frac = pos - lo_i
+        lo_v = lens[np.searchsorted(cum, lo_i + 1)]
+        hi_v = lens[np.searchsorted(cum, hi_i + 1)]
+        val = lo_v + (hi_v - lo_v) * frac  # percentile_cont interpolation
+        srcs.append(src)
+        cuts.append(int(np.floor(val * 100.0 + 0.5)))
+    src_arr = pa.array(srcs, pa.string())
+    cut_arr = np.array(cuts, np.int64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["source"].combine_chunks(), value_set=src_arr)
+        if idx.null_count:
+            bad = b["source"].filter(pc.is_null(idx)).unique().to_pylist()
+            raise ValueError(f"source missing from the quantile pass: {bad}")
+        thr = cut_arr[np.asarray(idx, np.int64)]
+        ln = np.asarray(pc.utf8_length(b["text"].combine_chunks()), np.int64)
+        sel = ln * 100 >= thr
+        t = b.filter(pa.array(sel))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "source": t["source"],
+                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
 def q_minhash_lsh(sf_dir: str):
     _with_golden("minhash_lsh", sf_dir)
     from .functions.dedup import minhash_lsh_dedup
@@ -1962,6 +2036,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "length_quantiles": q_length_quantiles,
+    "quality_cut": q_quality_cut,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "embedding_knn": q_embedding_knn,
@@ -2588,6 +2663,19 @@ ORACLE_SQL = {
         FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    """,
+    "quality_cut": """
+        WITH cut AS (
+            SELECT source,
+                   CAST(floor(percentile_cont(0.25)
+                        WITHIN GROUP (ORDER BY length(text)) * 100 + 0.5)
+                        AS BIGINT) AS c
+            FROM documents GROUP BY source
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+               CAST(length(d.text) AS BIGINT) AS n_chars
+        FROM documents d JOIN cut USING (source)
+        WHERE length(d.text) * 100 >= cut.c
     """,
     "length_quantiles": """
         SELECT source,
