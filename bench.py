@@ -329,6 +329,23 @@ def main() -> None:
         timings["dedup_exact_10x"] = round(time.perf_counter() - t0, 3)
         assert n10 > 0
 
+        # dup-ngram stats on the same 10x corpus: the gram-partition and
+        # per-doc shuffles carry int64 triples only, so 10x the documents
+        # should cost well under 10x the 1x entry (amortizing fixed cost)
+        from pdf_watermark_removal_otsu_inpaint_ray.functions.dupspans import (
+            cross_doc_dup_stats,
+        )
+
+        t0 = time.perf_counter()
+        nd10 = sum(
+            len(b)
+            for b in cross_doc_dup_stats(_rd.read_parquet(dpath)).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        timings["dup_ngrams_10x"] = round(time.perf_counter() - t0, 3)
+        assert nd10 > 0
+
     print(
         json.dumps(
             {
