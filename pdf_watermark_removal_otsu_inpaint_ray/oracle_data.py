@@ -405,54 +405,13 @@ def _golden_approx_distinct(sf_dir: str) -> pa.Table:
     )
 
 
-def _golden_kmeans(sf_dir: str) -> pa.Table:
-    """Single-process k-means twin — pure numpy, NO engine imports (the
-    strong oracle form): floor(x*1e4+0.5) int64 quantization, init = the 8
-    smallest vec_ids, 4 Lloyd rounds of exact integer Euclidean argmin
-    (||c||² - 2(100x)·c, ties to lowest cluster), centroid update
-    floor(sum*100/cnt + 0.5) at scale 1e6, empty clusters keep their
-    centroid.  The distributed engine must reproduce the assignment
-    bit-exactly (functions/similarity.py::kmeans_embeddings)."""
-    k, iters = 8, 4
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"], dtype=np.int64)
-    col = t["embedding"].combine_chunks()
-    X = np.asarray(col.values, np.float64).reshape(len(col), -1)
-    Xq = np.floor(X * 10_000 + 0.5).astype(np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids_s, Xq_s = ids[order], Xq[order]
-    C = Xq_s[:k] * 100
-
-    def assign(Cq: np.ndarray) -> np.ndarray:
-        d2 = np.einsum("ij,ij->i", Cq, Cq)
-        return np.argmin(d2[None, :] - 2 * ((100 * Xq_s) @ Cq.T), axis=1)
-
-    for _ in range(iters):
-        a = assign(C)
-        C = C.copy()
-        for j in range(k):
-            m = a == j
-            if m.any():
-                C[j] = np.floor(
-                    Xq_s[m].sum(axis=0).astype(np.float64) * 100.0 / m.sum() + 0.5
-                ).astype(np.int64)
-    a = assign(C)
-    return pa.table(
-        {
-            "vec_id": pa.array(ids_s, pa.int64()),
-            "cluster": pa.array(a.astype(np.int64), pa.int64()),
-        }
-    )
-
-
-def _golden_semdedup(sf_dir: str) -> pa.Table:
-    """Single-process SemDeDup twin — pure numpy, NO engine code: the
-    _golden_kmeans assignment spec (k=8, 4 rounds) then, per cluster in
-    ascending vec_id order, a row is a duplicate iff some smaller-id
-    member has cosine >= 0.35 (the synthetic embeddings are near-orthogonal, so a production-style 0.9 would never exercise the dup branch).  Cosines are plain float64 normalize+dot —
-    identical values to the engine's per-cluster matmul regardless of row
-    order, so the comparison is machine-deterministic."""
-    k, iters, threshold = 8, 4, 0.35
+def _golden_kmeans_fit(sf_dir: str, k: int, iters: int):
+    """Shared pure-numpy Lloyd fit for the kmeans/semdedup goldens — ONE
+    definition of the golden k-means spec (quantize floor(x*1e4+0.5), init
+    = k smallest vec_ids, exact integer Euclidean argmin with ties to the
+    lowest cluster, centroid floor(sum*100/cnt+0.5), empty keeps old).
+    Returns (ids_sorted, X_sorted_float64, final_assignment).  NO engine
+    imports — the independence property of both goldens."""
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.asarray(t["vec_id"], dtype=np.int64)
     col = t["embedding"].combine_chunks()
@@ -475,7 +434,20 @@ def _golden_semdedup(sf_dir: str) -> pa.Table:
                 C[j] = np.floor(
                     Xq_s[m].sum(axis=0).astype(np.float64) * 100.0 / m.sum() + 0.5
                 ).astype(np.int64)
-    a = assign(C)
+    return ids_s, X_s, assign(C)
+
+
+def _golden_semdedup(sf_dir: str) -> pa.Table:
+    """Single-process SemDeDup twin — pure numpy, NO engine code: the
+    shared _golden_kmeans_fit assignment (k=8, 4 rounds) then, per cluster
+    in ascending vec_id order, a row is a duplicate iff some smaller-id
+    member has cosine >= 0.35 (the synthetic embeddings are
+    near-orthogonal, so a production-style 0.9 would never exercise the
+    dup branch).  Cosines are plain float64 normalize+dot — identical
+    values to the engine's per-cluster matmul regardless of row order, so
+    the comparison is machine-deterministic."""
+    k, iters, threshold = 8, 4, 0.35
+    ids_s, X_s, a = _golden_kmeans_fit(sf_dir, k, iters)
     dup = np.zeros(ids_s.size, np.int64)
     for j in range(k):
         m = np.nonzero(a == j)[0]  # ascending vec_id (ids_s sorted)
@@ -490,6 +462,20 @@ def _golden_semdedup(sf_dir: str) -> pa.Table:
             "vec_id": pa.array(ids_s, pa.int64()),
             "cluster": pa.array(a.astype(np.int64), pa.int64()),
             "is_dup": pa.array(dup, pa.int64()),
+        }
+    )
+
+
+def _golden_kmeans(sf_dir: str) -> pa.Table:
+    """Single-process k-means twin — the shared pure-numpy
+    _golden_kmeans_fit spec (k=8, 4 Lloyd rounds).  The distributed engine
+    must reproduce the assignment bit-exactly
+    (functions/similarity.py::kmeans_embeddings)."""
+    ids_s, _, a = _golden_kmeans_fit(sf_dir, 8, 4)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids_s, pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
         }
     )
 

@@ -1640,7 +1640,9 @@ def q_quality_cut(sf_dir: str):
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
                 "source": t["source"],
-                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+                # reuse the already-computed lengths — a second utf8_length
+                # would rescan the text column per batch
+                "n_chars": pa.array(ln[sel], pa.int64()),
             }
         )
 
