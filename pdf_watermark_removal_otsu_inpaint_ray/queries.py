@@ -1247,6 +1247,88 @@ def q_priority_revenue(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def q_orders_integrity(sf_dir: str):
+    """Distributed data-quality gate (the expectations/constraint-check
+    primitive a production pipeline runs before training on a drop): one
+    streaming pass emits per-batch violation partials (nulls, range
+    violations) plus per-batch (orderkey, cnt) combiners; the uniqueness
+    constraint resolves in one coarse groupby (keys with corpus count > 1)
+    and everything folds to a single summary row — corpus-scale data never
+    reaches the driver."""
+    import pandas as pd
+
+    import ray.data
+
+    num_parts = 32
+
+    def partials(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["o_orderkey"], np.int64)
+        price = b["o_totalprice"]
+        n_null_price = price.null_count
+        pv = np.asarray(price.fill_null(1.0), np.float64)
+        n_price_nonpos = int((pv <= 0).sum())
+        uk, cnt = np.unique(ok, return_counts=True)
+        t = pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "n_rows": pa.array(
+                    np.r_[len(ok), np.zeros(uk.size - 1, np.int64)]
+                    if uk.size
+                    else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+                "n_null_price": pa.array(
+                    np.r_[n_null_price, np.zeros(uk.size - 1, np.int64)]
+                    if uk.size
+                    else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+                "n_price_nonpos": pa.array(
+                    np.r_[n_price_nonpos, np.zeros(uk.size - 1, np.int64)]
+                    if uk.size
+                    else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+                "pk": pa.array(uk % num_parts, pa.int64()),
+            }
+        )
+        return t
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        k_s, c_s = key[order], cnt[order]
+        starts = np.nonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))[0]
+        tot = np.add.reduceat(c_s, starts)
+        n_dup_keys = int((tot > 1).sum())
+        n_dup_rows = int(tot[tot > 1].sum())
+        return pd.DataFrame(
+            {
+                "n_rows": [int(g["n_rows"].sum())],
+                "n_null_price": [int(g["n_null_price"].sum())],
+                "n_price_nonpos": [int(g["n_price_nonpos"].sum())],
+                "n_dup_keys": [n_dup_keys],
+                "n_dup_rows": [n_dup_rows],
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )  # num_parts summary rows
+    return pd.DataFrame(
+        {c: [int(parts[c].sum())] for c in
+         ("n_rows", "n_null_price", "n_price_nonpos", "n_dup_keys", "n_dup_rows")}
+    ).astype(np.int64)
+
+
 def q_orders_rollup(sf_dir: str):
     """OLAP rollup (GROUP BY ROLLUP(year, status)): combiner-first partials
     (per-batch np.unique over the combined key — the shuffle carries
@@ -2026,6 +2108,7 @@ QUERIES = {
     "events_lag_delta": q_events_lag_delta,
     "orders_pivot": q_orders_pivot,
     "priority_revenue": q_priority_revenue,
+    "orders_integrity": q_orders_integrity,
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
     "label_centroids": q_label_centroids,
@@ -2296,6 +2379,20 @@ ORACLE_SQL = {
                                       AS BIGINT))) AS BIGINT) AS revenue_c
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
+    """,
+    "orders_integrity": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_null_price,
+               CAST(sum(CASE WHEN coalesce(o_totalprice, 1.0) <= 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_price_nonpos,
+               (SELECT CAST(count(*) AS BIGINT) FROM (
+                    SELECT o_orderkey FROM orders
+                    GROUP BY 1 HAVING count(*) > 1)) AS n_dup_keys,
+               (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+                    SELECT count(*) AS c FROM orders
+                    GROUP BY o_orderkey HAVING count(*) > 1)) AS n_dup_rows
+        FROM orders
     """,
     "orders_rollup": """
         SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,

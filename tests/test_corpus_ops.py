@@ -556,3 +556,31 @@ def test_semdedup_planted_duplicates_and_layout_invariance(ray_session):
         .sort_values("vec_id", ignore_index=True)
     )
     assert out.equals(out2)
+
+
+def test_orders_integrity_flags_violations(ray_session, tmp_path):
+    """The uniqueness constraint resolves distributed: duplicate keys split
+    ACROSS blocks must still count once (per-key totals meet in one
+    partition), and null/nonpositive prices are tallied."""
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import q_orders_integrity
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 2, 3, 3, 3, 4], pa.int64()),
+                "o_totalprice": pa.array(
+                    [10.0, None, -5.0, 1.0, 2.0, 3.0, 0.0], pa.float64()
+                ),
+            }
+        ),
+        f"{sf}/orders.parquet",
+    )
+    got = q_orders_integrity(sf)
+    assert got["n_rows"].iloc[0] == 7
+    assert got["n_null_price"].iloc[0] == 1
+    assert got["n_price_nonpos"].iloc[0] == 2  # -5.0 and 0.0 (null coalesces ok)
+    assert got["n_dup_keys"].iloc[0] == 2      # keys 2 and 3
+    assert got["n_dup_rows"].iloc[0] == 5      # 2 + 3 rows
