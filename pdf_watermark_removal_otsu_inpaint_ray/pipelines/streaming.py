@@ -31,6 +31,22 @@ from ..state.keyed_state import KeyedStateActor
 from ..state.watermark_tracker import WatermarkTracker
 
 
+def _resolve_parquet_paths(source: str) -> list[str]:
+    """A stream source path → its file list in guaranteed arrival order
+    (lexicographic — stream chunks are named in time order).  ONE definition
+    shared by the single-consumer and partitioned engines so their notion of
+    arrival order can never desynchronize."""
+    import os
+
+    if os.path.isdir(source):
+        return sorted(
+            os.path.join(source, f)
+            for f in os.listdir(source)
+            if f.endswith(".parquet")
+        )
+    return [source]
+
+
 def _arrival_batches(source, micro_batch_rows: int):
     """Yield Arrow micro-batches in guaranteed arrival order.
 
@@ -47,15 +63,7 @@ def _arrival_batches(source, micro_batch_rows: int):
     from ..sources.parquet import _ensure_event_ts
 
     if isinstance(source, str):
-        source = (
-            sorted(
-                os.path.join(source, f)
-                for f in os.listdir(source)
-                if f.endswith(".parquet")
-            )
-            if os.path.isdir(source)
-            else [source]
-        )
+        source = _resolve_parquet_paths(source)
     if isinstance(source, (list, tuple)):
         for path in source:
             pf = pq_.ParquetFile(path)
@@ -131,17 +139,14 @@ def _finalize_sink(actors, stats, late, out_dir: str) -> StreamingResult:
     """Sink-mode epilogue shared by every streaming variant: drain actor
     stage buffers, commit main + late layouts (driver moves manifests
     only), return a sink-shaped StreamingResult."""
-    import os
-
     from ..sinks.exactly_once import finalize_staged, late_dir
 
     ray.get([a.sink_flush.remote() for a in actors])
     report = finalize_staged(out_dir)
-    lrep = None
-    if os.path.isdir(os.path.join(late_dir(out_dir), "_staged")) or os.path.isdir(
-        os.path.join(late_dir(out_dir), "_manifests")
-    ):
-        lrep = finalize_staged(late_dir(out_dir))
+    # the late layout always exists in sink mode (_sink_done_sets adopts the
+    # epoch into it at run start), so finalize it unconditionally — with zero
+    # late rows this commits nothing and returns an empty report
+    lrep = finalize_staged(late_dir(out_dir))
     return StreamingResult(
         output=None,
         late=late,
@@ -241,7 +246,7 @@ def run_streaming(
     )
 
 
-@ray.remote
+@ray.remote(max_retries=0)
 def _consume_partition(
     partition_id: int,
     paths: list[str],
@@ -253,7 +258,16 @@ def _consume_partition(
     """One consumer task per input partition: read its file list in order,
     route rows to the keyed actors, advance this partition's watermark.
     Returns per-partition throughput metrics (the north star's
-    per-partition record)."""
+    per-partition record).
+
+    ``max_retries=0`` (review finding): ingestion is NOT replay-idempotent —
+    a silent Ray re-execution of a half-finished consumer would re-send every
+    batch of this partition, duplicating rows in driver-collected mode and
+    double-placing already-finalized rows into the late layout in sink mode.
+    Mid-stream consumer loss must fail the run loudly; the recovery path is
+    the documented one — rerun with the same ``out_dir``, where the sink's
+    epoch + committed-partition resume (``_sink_done_sets``) drops the prior
+    attempt's staged rows and skips committed partitions."""
     import time
 
     import pyarrow.parquet as pq_
@@ -364,12 +378,7 @@ def run_streaming_partitioned(
     """
     import os
 
-    if isinstance(source, str):
-        paths = sorted(
-            os.path.join(source, f) for f in os.listdir(source) if f.endswith(".parquet")
-        ) if os.path.isdir(source) else [source]
-    else:
-        paths = list(source)
+    paths = _resolve_parquet_paths(source) if isinstance(source, str) else list(source)
     n_partitions = min(n_partitions, max(1, len(paths)))
     groups = [paths[i::n_partitions] for i in range(n_partitions)]
 
@@ -475,27 +484,31 @@ def run_streaming_salted(
     tracker = WatermarkTracker.remote(1, cfg.allowed_lateness)
 
     hists: dict[tuple[str, int], np.ndarray] = {}
-    sticky: dict[str, int] = {}
+    # sticky state mirrors the actor-local form: source -> (token, FIRST
+    # detecting window).  The window id matters — sticky never rewrites a
+    # window EARLIER than the first detecting one (same guard as
+    # keyed_state._emit_window / golden.apply_sticky).
+    sticky: dict[str, tuple[int, int]] = {}
     emitted: list[pa.Table] = []
-    n_late = 0
     horizon = -(1 << 62)  # detection-epoch horizon, mirrors the actor-local one
 
     def finalize_due(watermark: int) -> None:
-        nonlocal n_late, horizon
+        nonlocal horizon
         due = sorted(k for k in hists if _window_end(k[1], cfg) <= watermark)
         horizon = max(horizon, watermark)
         if not due:
             return
         items = []
         for s, w in due:
+            st = sticky.get(s) if cfg.detection_mode == "sticky" else None
             if cfg.fixed_wm_token >= 0:  # user override skips detection (M15)
                 wm_tok = cfg.fixed_wm_token
-            elif cfg.detection_mode == "sticky" and s in sticky:
-                wm_tok = sticky[s]
+            elif st is not None and w >= st[1]:
+                wm_tok = st[0]
             else:
                 wm_tok, _ = detect_wm_token(hists[(s, w)], cfg)
-                if cfg.detection_mode == "sticky" and wm_tok >= 0 and s not in sticky:
-                    sticky[s] = wm_tok
+                if cfg.detection_mode == "sticky" and wm_tok >= 0 and st is None:
+                    sticky[s] = (int(wm_tok), w)
             items.append((s, w, int(wm_tok)))
             del hists[(s, w)]
         for tables in ray.get([a.finalize_windows.remote(items) for a in actors]):
@@ -541,7 +554,19 @@ def run_streaming_salted(
     left = sorted({k for ks in leftovers for k in map(tuple, ks)})
     if left:
         fixed = cfg.fixed_wm_token if cfg.fixed_wm_token >= 0 else None
-        items = [(s, w, fixed if fixed is not None else sticky.get(s, -1)) for s, w in left]
+
+        def leftover_tok(s: str, w: int) -> int:
+            # sticky applies only FROM the first detecting window onward
+            # (review finding: a gap window preceding the first detection
+            # must emit its own failed detection, matching the unsalted
+            # path's `key[1] >= st[1]` guard) — these keys have no hist,
+            # so their own detection is -1
+            if fixed is not None:
+                return fixed
+            st = sticky.get(s)
+            return st[0] if st is not None and w >= st[1] else -1
+
+        items = [(s, w, leftover_tok(s, w)) for s, w in left]
         for tables in ray.get([a.finalize_windows.remote(items) for a in actors]):
             emitted.extend(tables)
 

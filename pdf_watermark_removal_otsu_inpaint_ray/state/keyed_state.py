@@ -123,6 +123,11 @@ class KeyedStateActor:
         self.session_horizon: dict[str, int] = {}
         self.n_late = 0
         self.n_emitted = 0
+        # salted-session row buffer (source -> tables) and the multi-consumer
+        # outbox — plain actor state like everything above (review finding:
+        # these were lazily getattr-created at each call site)
+        self._salted_rows: dict[str, list[pa.Table]] = {}
+        self._outbox: list[pa.Table] = []
         # Actor-local watermark is MONOTONIC: parallel consumers can deliver
         # ingest(wm=12) then ingest(wm=4); judging lateness against a stale
         # caller watermark would re-open an already-finalized window and
@@ -604,7 +609,6 @@ class KeyedStateActor:
         the same lateness rule as the unsalted session path.
         Returns (sources, starts, lasts, hist_matrix, n_late)."""
         cfg = self.cfg
-        self._salted_rows = getattr(self, "_salted_rows", {})
         out_src: list[str] = []
         out_start: list[int] = []
         out_last: list[int] = []
@@ -635,7 +639,6 @@ class KeyedStateActor:
     ) -> list[pa.Table]:
         """Rewrite + emit + evict this actor's buffered rows of each closed
         session ``(source, lo, hi, wm_token)`` (rows with lo <= ts <= hi)."""
-        self._salted_rows = getattr(self, "_salted_rows", {})
         out = []
         for s, lo, hi, wm_tok in items:
             tables = self._salted_rows.get(s)
@@ -656,8 +659,7 @@ class KeyedStateActor:
         return self._divert(out)
 
     def salted_session_buffered(self) -> int:
-        rows = getattr(self, "_salted_rows", {})
-        return sum(t.num_rows for lst in rows.values() for t in lst)
+        return sum(t.num_rows for lst in self._salted_rows.values() for t in lst)
 
     def finalize_windows(self, wm_items: list[tuple[str, int, int]]) -> list[pa.Table]:
         """Rewrite + emit + evict the given (source, window, wm_token) keys
@@ -687,12 +689,11 @@ class KeyedStateActor:
         partitions feed one actor; the driver drains the outbox).  Returns
         the number of rows emitted so far."""
         emitted, _ = self.ingest(batch, watermark)
-        self._outbox = getattr(self, "_outbox", [])
         self._outbox.extend(emitted)
         return self.n_emitted
 
     def take_outbox(self) -> list[pa.Table]:
-        out = getattr(self, "_outbox", [])
+        out = self._outbox
         self._outbox = []
         return out
 

@@ -381,3 +381,61 @@ def test_partitioned_metrics_include_wm_lag(ray_session, tmp_path):
     assert observed, metrics  # at least one partition observed a live watermark
     for m in observed:
         assert m["wm_lag_max"] >= 0  # frontier never behind the global min-watermark
+
+
+def test_salted_sticky_gap_window_not_retroactive(ray_session, tmp_path):
+    """Review finding: with sliding windows whose slide EXCEEDS their size,
+    a row in the inter-window gap buffers under its governing window but
+    contributes to no histogram; if that window precedes the source's first
+    DETECTING window, the salted leftover flush must emit it with its own
+    failed detection (-1) — never the later sticky token retroactively
+    (matching the unsalted `key[1] >= st[1]` guard and golden.apply_sticky)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming,
+        run_streaming_salted,
+    )
+
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="sliding", window_size=16, window_slide=32,
+        allowed_lateness=4, detection_mode="sticky",
+    )
+    wm_tok = 170  # candidate band, outside the skip-text-protect range
+    bg = 252      # > background_threshold -> protected background
+
+    def row(i, ts, with_wm):
+        g = np.full(128, bg, dtype=np.int32)
+        g[8:20] = 40  # a content run (text-protected)
+        if with_wm:
+            g[40:56] = wm_tok  # 16/128 = 12.5% coverage, inside [1, 20]%
+        return (f"s0-doc{i:04d}", g.tolist(), 128, "s0", ts)
+
+    rows = [row(0, 20, True)]  # gap row: governing window 0 covers [0,16)
+    rows += [row(1 + k, 32 + 2 * k, True) for k in range(8)]  # window 1 detects
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([r[2] for r in rows], pa.int32()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "event_ts": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    p = str(tmp_path / "gap.parquet")
+    pq.write_table(table, p)
+
+    expected = golden.golden_pipeline(table, cfg).sort_by("doc_id")
+    exp_by_id = dict(zip(expected["doc_id"].to_pylist(), expected["wm_token"].to_pylist()))
+    # the construction really exercises the scenario: window 1 detects, the
+    # gap row's window 0 does not
+    assert exp_by_id["s0-doc0001"] == wm_tok
+    assert exp_by_id["s0-doc0000"] == -1
+
+    for runner in (
+        lambda: run_streaming(p, cfg, n_actors=3, micro_batch_rows=4),
+        lambda: run_streaming_salted(p, cfg, n_actors=3, salt_buckets=2, micro_batch_rows=4),
+    ):
+        res = runner()
+        got = res.output.sort_by("doc_id")
+        assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
+        assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
+        assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
