@@ -63,15 +63,19 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _pow_table_64(base: np.uint64, n: int, key: str) -> np.ndarray:
-    """base^k mod 2^64 for k < n (cached, grown on demand)."""
+    """base^k mod 2^64 for k < n (cached, grown GEOMETRICALLY on demand).
+
+    Vectorized build (np.multiply.accumulate wraps mod 2^64) and doubling
+    growth — a per-element Python loop with exact-fit sizing made every
+    +1-byte creep of a batch's max text length a full O(n) Python rebuild
+    (review finding: seconds per 5 MB doc in the content-hash hot path)."""
     cached = _POW64.get(key)
     if cached is None or cached.size < n:
-        size = max(n, 1024)
-        p = np.empty(size, dtype=np.uint64)
-        p[0] = np.uint64(1)
+        size = max(n, 1024, 2 * (cached.size if cached is not None else 0))
+        terms = np.full(size, base, dtype=np.uint64)
+        terms[0] = np.uint64(1)
         with np.errstate(over="ignore"):
-            for i in range(1, size):
-                p[i] = p[i - 1] * base
+            p = np.multiply.accumulate(terms)
         _POW64[key] = p
         cached = p
     return cached
@@ -173,12 +177,16 @@ def exact_dedup(ds, group_on: str = "content_hash", num_parts: int = 64):
     """Exact dedup: keep the lowest doc_id per identical text.
 
     Returns (text, keep_id, n_dup).  The DEFAULT groups on the 8-byte
-    content hash — the shuffle moves 64-bit keys, never the text (the
-    at-scale shape); the output still carries the group's text, so the SQL
-    oracle (GROUP BY text) is unchanged.  ``group_on="text"`` keeps the
-    raw-text-shuffle variant as the oracle twin by construction.  (A 63-bit
-    BLAKE2b collision would merge two distinct texts; at 10^12 docs the
-    collision odds are ~1e-14 — standard for hash-keyed dedup.)
+    content hash — the partition KEY is 8 bytes (no string hashing or
+    comparison in the shuffle); the rows themselves still carry the text
+    column through the exchange, since the output reports the group's text
+    and the SQL oracle (GROUP BY text) is unchanged.  ``group_on="text"``
+    keeps the raw-text-KEYED variant as the oracle twin by construction.
+    (The content hash is the 63-bit splitmix64-finished multiply-shift
+    polynomial above — NOT cryptographic: random-input collision odds at
+    10^12 docs are ~1e-14, but adversarially constructed colliding texts
+    are feasible; a hostile-input corpus should dedup with
+    ``group_on="text"``.)
 
     Distribution shape: the groupby runs on COARSE ``num_parts`` partitions
     (hash of the dedup key), and each partition collapses its keys with one
@@ -263,6 +271,27 @@ class MinHashStage:
         H = (grams.astype(np.uint64)[:, None] * self.a[None, :] + self.b[None, :]) >> np.uint64(3)
         sig[nz] = np.minimum.reduceat(H, goff[nz]).astype(np.int64)
         return sig
+
+    def sig_table(self, batch: pa.Table) -> pa.Table:
+        """(doc_id, sig, n_grams) WITHOUT the shingle payload — the banding
+        pass only needs signatures plus an empty-doc indicator, and the
+        per-doc ``np.unique`` + list building of the payload is pure waste
+        there (review finding).  ``n_grams > 0`` iff the emitted shingle
+        list would be non-empty (unique of a non-empty slice is non-empty)."""
+        texts = batch["text"].to_pylist()
+        wh, doc_off = _word_hashes_flat(texts)
+        grams, goff = _gram_hashes_flat(wh, doc_off, self.ngram)
+        sig = self.signatures_flat(grams, goff)
+        k_off = pa.array(
+            np.arange(0, (len(texts) + 1) * self.k, self.k, dtype=np.int32), pa.int32()
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "sig": pa.ListArray.from_arrays(k_off, pa.array(sig.reshape(-1), pa.int64())),
+                "n_grams": pa.array(np.diff(goff), pa.int64()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -584,18 +613,23 @@ def minhash_lsh_dedup(ds, *, num_hashes: int = 64, bands: int = 16, threshold: f
 
     Returns pa.Table (a, b, jacc) with a < b, jacc >= threshold.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            f"the signature reshapes to (docs, bands, rows)"
+        )
     rows = num_hashes // bands
     stage = MinHashStage(num_hashes)
 
     def sig_bands(b: pa.Table) -> pa.Table:
-        t = stage(b)
-        # docs with ZERO shingles (empty/too-short text) all share the
+        # signature-only kernel: the shingle payload is never read here
+        t = stage.sig_table(b)
+        # docs with ZERO grams (empty/too-short text) all share the
         # all-zero signature: banding them makes every such doc collide
         # with every other in every band — E empty docs would explode into
         # E(E-1)/2 candidate pairs.  They cannot be meaningful near-dups
         # (jaccard of empty sets is 0 here), so drop them before banding.
-        n_sh = pc.list_value_length(t["shingles"])
-        t = t.filter(pc.greater(n_sh, 0))
+        t = t.filter(pc.greater(t["n_grams"], 0))
         return _band_rows(t.select(["doc_id", "sig"]), bands, rows)
 
     band_ds = ds.map_batches(sig_bands, batch_format="pyarrow")
@@ -671,14 +705,31 @@ class SimHashStage:
         kbits = np.arange(64, dtype=np.uint64)
         i = 0
         while i < nz.size:
-            # greedy doc run with <= CHUNK_WORDS words (an oversized doc
-            # still gets its own run — per-doc memory is irreducible)
+            # greedy doc run with <= CHUNK_WORDS words
             j = i + 1
             words = int(counts[nz[i]])
             while j < nz.size and words + counts[nz[j]] <= self.CHUNK_WORDS:
                 words += int(counts[nz[j]])
                 j += 1
             sel = nz[i:j]
+            if sel.size == 1 and counts[sel[0]] > self.CHUNK_WORDS:
+                # an OVERSIZED single doc slabs over its own words — bit
+                # votes are additive across word slabs, so accumulating the
+                # per-slab ones keeps peak memory bounded with identical
+                # output (review finding: a 10M-word doc would otherwise
+                # allocate a 2.5 GB bit matrix in one task)
+                d = int(sel[0])
+                w0, w1 = int(doc_off[d]), int(doc_off[d + 1])
+                ones1 = np.zeros(64, dtype=np.int64)
+                for s in range(w0, w1, self.CHUNK_WORDS):
+                    chunk = wh[s : min(s + self.CHUNK_WORDS, w1)]
+                    ones1 += (
+                        (chunk[:, None] >> kbits[None, :]) & np.uint64(1)
+                    ).sum(axis=0).astype(np.int64)
+                votes1 = 2 * ones1 - int(counts[d])
+                sigs[d] = ((votes1 > 0).astype(np.uint64) << kbits).sum()
+                i = j
+                continue
             w0, w1 = int(doc_off[sel[0]]), int(doc_off[sel[-1] + 1])
             bits = ((wh[w0:w1, None] >> kbits[None, :]) & np.uint64(1)).astype(np.int32)
             ones = np.add.reduceat(bits, (doc_off[sel] - w0).astype(np.int64), axis=0)
@@ -765,11 +816,19 @@ def simhash_dedup(
     need_ref = ray.put(need_arr)
 
     def sigs_needed(b: pa.Table) -> pa.Table:
+        # filter to candidate ids BEFORE recomputing signatures (review
+        # finding: running the stage on every row paid a second corpus-scale
+        # word-hash + bit-vote pass only to discard ~all of it; the minhash
+        # path's shingles_needed already filtered first)
         needed = ray.get(need_ref)
-        t = stage(b)
-        ids = np.asarray(t["doc_id"], np.int64)
+        ids = np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
         keep = np.isin(ids, needed)
-        return t.select(["doc_id", "simhash"]).filter(pa.array(keep))
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "simhash": pa.array([], pa.int64())}
+            )
+        t = stage(b.filter(pa.array(keep)))
+        return t.select(["doc_id", "simhash"])
 
     sig_ds = ds.map_batches(sigs_needed, batch_format="pyarrow")
 
@@ -951,6 +1010,16 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = No
     def normalize(b: pa.Table) -> pa.Table:
         from .similarity import matrix_of
 
+        if b.num_rows == 0:
+            # zero-row batch: matrix_of gives (0, 0) and the offset arange
+            # below would use step 0 — emit the typed empty schema instead
+            # of relying on Ray dropping zero-row blocks
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         M = matrix_of(b["embedding"])
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
         flat = pa.array(M.reshape(-1), pa.float64())

@@ -41,6 +41,13 @@ def cosine_topk(ds, query: np.ndarray, k: int = 10) -> pa.Table:
     qref = ray.put(q)
 
     def batch_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # matrix_of gives (0, 0) here and (0,0) @ q raises — don't rely
+            # on Ray dropping zero-row blocks (IvfIndex.search's prune
+            # filter routinely produces them)
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
         qv = ray.get(qref)
         M = matrix_of(b["embedding"])
         sims = (M @ qv) / np.maximum(np.linalg.norm(M, axis=1), 1e-30)
@@ -83,17 +90,26 @@ class IvfIndex:
     """
 
     def __init__(self, n_list: int = 16, n_probe: int = 4, iters: int = 3):
+        if n_probe > n_list:
+            raise ValueError(f"n_probe ({n_probe}) must be <= n_list ({n_list})")
         self.n_list, self.n_probe, self.iters = n_list, n_probe, iters
         self.centroids: np.ndarray | None = None
 
     def fit(self, sample: np.ndarray) -> "IvfIndex":
-        C = sample[: self.n_list].copy()
+        """Train coarse centroids on a sample.  The sample is ROW-NORMALIZED
+        here (review finding: every consumer assigns by cosine on normalized
+        vectors, so Lloyd must rank by the same metric — a raw dot product
+        would let high-norm vectors skew cluster assignment and centroid
+        means).  Idempotent for callers that already normalize."""
+        S = np.asarray(sample, dtype=np.float64)
+        S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+        C = S[: self.n_list].copy()
         for _ in range(self.iters):
-            assign = np.argmax(sample @ C.T, axis=1)
+            assign = np.argmax(S @ C.T, axis=1)
             for j in range(C.shape[0]):
                 m = assign == j
                 if m.any():
-                    v = sample[m].mean(axis=0)
+                    v = S[m].mean(axis=0)
                     C[j] = v / max(np.linalg.norm(v), 1e-30)
         self.centroids = C
         return self

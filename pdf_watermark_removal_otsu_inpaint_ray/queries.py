@@ -1802,7 +1802,9 @@ def q_knn_ivf(sf_dir: str):
     # search results diverge from the fresh golden oracle
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:nl{n_list}:np{n_probe}"
+    # fitv2: IvfIndex.fit now row-normalizes its sample — centroids (and so
+    # the partition layout) are bit-different from fitv1 layouts
+    key = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:nl{n_list}:np{n_probe}:fitv2"
     tag = _h.blake2b(key.encode(), digest_size=6).hexdigest()
     layout = f"/tmp/graft_ivf/{tag}"
     done = os.path.join(layout, "_SUCCESS")

@@ -584,3 +584,68 @@ def test_orders_integrity_flags_violations(ray_session, tmp_path):
     assert got["n_price_nonpos"].iloc[0] == 2  # -5.0 and 0.0 (null coalesces ok)
     assert got["n_dup_keys"].iloc[0] == 2      # keys 2 and 3
     assert got["n_dup_rows"].iloc[0] == 5      # 2 + 3 rows
+
+
+def test_review_fixes_dedup_similarity(ray_session):
+    """Fifth-review-pass findings on dedup.py/similarity.py: pow-table
+    vectorized parity, oversized-doc SimHash slabbing, bands divisor
+    validation, zero-row batch guards, IVF fit normalization invariance,
+    and n_probe validation."""
+    import pyarrow as pa
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions import dedup as dd
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.similarity import IvfIndex
+
+    # pow table: geometric growth keeps parity with the definition
+    dd._POW64.pop("t", None)
+    p1 = dd._pow_table_64(dd._POLY_P, 10, "t").copy()
+    p2 = dd._pow_table_64(dd._POLY_P, 3000, "t")
+    assert np.array_equal(p1[:10], p2[:10])
+    with np.errstate(over="ignore"):
+        assert p2[2999] == p2[2998] * dd._POLY_P
+
+    # oversized-doc SimHash slab: identical signature either side of the bound
+    stage = dd.SimHashStage()
+    big = " ".join(f"w{i % 997}" for i in range(stage.CHUNK_WORDS + 50))
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array([big])})
+    sig_slabbed = stage(t)["simhash"].to_pylist()
+    old_chunk = dd.SimHashStage.CHUNK_WORDS
+    try:
+        dd.SimHashStage.CHUNK_WORDS = 1 << 30  # force the one-shot path
+        sig_oneshot = dd.SimHashStage()(t)["simhash"].to_pylist()
+    finally:
+        dd.SimHashStage.CHUNK_WORDS = old_chunk
+    assert sig_slabbed == sig_oneshot
+
+    # sig_table agrees with the payload-emitting __call__
+    ms = dd.MinHashStage(num_hashes=16)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e", "", "a b"]),
+        }
+    )
+    full = ms(docs)
+    lite = ms.sig_table(docs)
+    assert full["sig"].to_pylist() == lite["sig"].to_pylist()
+    n_sh = [len(s) for s in full["shingles"].to_pylist()]
+    assert [(n > 0) for n in n_sh] == [(g > 0) for g in lite["n_grams"].to_pylist()]
+
+    # bands must divide num_hashes — fail fast with the real cause
+    import ray.data
+
+    ds = ray.data.from_arrow(docs)
+    with pytest.raises(ValueError, match="bands"):
+        dd.minhash_lsh_dedup(ds, num_hashes=64, bands=6)
+
+    # IVF: n_probe validation + fit normalizes (norm-scaled sample gives
+    # identical centroids)
+    with pytest.raises(ValueError, match="n_probe"):
+        IvfIndex(n_list=2, n_probe=4)
+    rng = np.random.default_rng(7)
+    sample = rng.normal(size=(64, 8))
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    c_raw = IvfIndex(n_list=4, n_probe=2).fit(sample * 100.0).centroids
+    c_norm = IvfIndex(n_list=4, n_probe=2).fit(sn).centroids
+    assert np.allclose(c_raw, c_norm)
