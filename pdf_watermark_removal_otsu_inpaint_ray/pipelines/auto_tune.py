@@ -70,17 +70,17 @@ def run_auto_tuned(
     # per-source mapping; compute it ONCE here (tuned params never touch
     # window geometry) and thread it through to every per-group flagship
     # call instead of letting each recompute its own pass.
+    from ..registry import detector_is_row_local
+
+    row_local = detector_is_row_local(cfg.detection_method) or cfg.fixed_wm_token >= 0
     session_map = None
-    if cfg.window_kind == "session":
+    if cfg.window_kind == "session" and not row_local:
+        # row-local/fixed-token groups never consult the wm table, so the
+        # phase-0 pass cannot affect their output — skip it (review finding)
         from ..stages.detect import session_window_mapping
 
         session_map = session_window_mapping(ds, cfg)
-    from ..registry import detector_is_row_local
-
-    if detector_is_row_local(cfg.detection_method) or cfg.fixed_wm_token >= 0:
-        wm = {}
-    else:
-        wm = compute_wm_table(ds, cfg, session_map=session_map)
+    wm = {} if row_local else compute_wm_table(ds, cfg, session_map=session_map)
 
     groups: dict[EngineConfig, list[str]] = {}
     for s, c in cfgs.items():

@@ -44,18 +44,14 @@ def run_flagship(
     """Run detection (unless ``wm`` given) and return the lazy rewritten stream.
 
     ``spans``: doc_id → padded ranges from the span-event join (J1,
-    broadcast small side).  ``concurrency`` sizes the inpaint actor pool;
-    default lets Ray autoscale between 2 actors and the CPU count.
+    broadcast small side).  ``concurrency``: None (default) runs phase 2 as
+    STATELESS map tasks on warm workers with a per-worker-process stage
+    cache (see make_inpaint_fn) — an int builds an explicit actor pool of
+    that size instead (for genuinely expensive per-process state).
     ``session_map``: precomputed per-source session boundaries — pass it
     when the caller already ran the phase-0 pass (auto_tune runs it once
     for all parameter groups) to avoid recomputing per call.
     """
-    if cfg.window_kind == "session" and session_map is None:
-        # phase 0: per-source session boundaries (one distributed pass over
-        # (source, event_ts) pairs; broadcast like the wm table)
-        from ..stages.detect import session_window_mapping
-
-        session_map = session_window_mapping(ds, cfg)
     if wm is None:
         # row-local detectors (auto M3/M4, learned T3, any registered with
         # row_local=True) and the fixed-token override (M15) never read the
@@ -64,8 +60,17 @@ def run_flagship(
 
         if detector_is_row_local(cfg.detection_method) or cfg.fixed_wm_token >= 0:
             wm = {}
-        else:
-            wm = compute_wm_table(ds, cfg, session_map=session_map)
+    if cfg.window_kind == "session" and session_map is None and wm != {}:
+        # phase 0: per-source session boundaries (one distributed pass over
+        # (source, event_ts) pairs; broadcast like the wm table).  Skipped
+        # when wm == {} — row-local/fixed-token pipelines never consult the
+        # wm table, so session window ids cannot affect the output (review
+        # finding: the pass was pure waste there)
+        from ..stages.detect import session_window_mapping
+
+        session_map = session_window_mapping(ds, cfg)
+    if wm is None:
+        wm = compute_wm_table(ds, cfg, session_map=session_map)
     wm_ref = ray.put(wm)
     motif_ref = ray.put(motif_docs) if motif_docs else None
     spans_ref = ray.put(spans) if spans else None

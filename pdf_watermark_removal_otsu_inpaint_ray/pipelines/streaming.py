@@ -135,18 +135,21 @@ def _sink_done_sets(out_dir: str | None) -> tuple[frozenset[int], frozenset[int]
     )
 
 
-def _finalize_sink(actors, stats, late, out_dir: str) -> StreamingResult:
+def _finalize_sink(actors, stats, late, out_dir: str, epoch: int) -> StreamingResult:
     """Sink-mode epilogue shared by every streaming variant: drain actor
     stage buffers, commit main + late layouts (driver moves manifests
-    only), return a sink-shaped StreamingResult."""
+    only), return a sink-shaped StreamingResult.  ``epoch`` is THIS run's
+    allocated staging epoch — finalize must judge staleness against it,
+    not against a re-read of ``_epoch.json`` (restart-race review
+    finding)."""
     from ..sinks.exactly_once import finalize_staged, late_dir
 
     ray.get([a.sink_flush.remote() for a in actors])
-    report = finalize_staged(out_dir)
+    report = finalize_staged(out_dir, epoch=epoch)
     # the late layout always exists in sink mode (_sink_done_sets adopts the
     # epoch into it at run start), so finalize it unconditionally — with zero
     # late rows this commits nothing and returns an empty report
-    lrep = finalize_staged(late_dir(out_dir))
+    lrep = finalize_staged(late_dir(out_dir), epoch=epoch)
     return StreamingResult(
         output=None,
         late=late,
@@ -231,7 +234,7 @@ def run_streaming(
     if out_dir is not None:
         # sink mode: emitted_refs stayed empty — drain actor stage buffers,
         # then commit per-partition manifests (driver moves manifests only)
-        return _finalize_sink(actors, stats, late, out_dir)
+        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
 
     out = (
         pa.concat_tables(emitted_refs).sort_by("doc_id")
@@ -419,7 +422,7 @@ def run_streaming_partitioned(
     late = pa.concat_tables(late_tables) if late_tables else None
     if out_dir is not None:
         # sink mode: flush/outbox stayed empty (emissions were diverted)
-        return _finalize_sink(actors, stats, late, out_dir), metrics
+        return _finalize_sink(actors, stats, late, out_dir, sink_epoch), metrics
     out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
     return (
         StreamingResult(
@@ -574,7 +577,7 @@ def run_streaming_salted(
     stats = ray.get([a.state_stats.remote() for a in actors])
     late = pa.concat_tables(late_tables) if late_tables else None
     if out_dir is not None:
-        return _finalize_sink(actors, stats, late, out_dir)
+        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
     out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
     return StreamingResult(
         output=out if out is not None else _empty_out(),
@@ -690,7 +693,7 @@ def _run_salted_sessions(
     stats = ray.get([a.state_stats.remote() for a in actors])
     late = pa.concat_tables(late_tables) if late_tables else None
     if out_dir is not None:
-        return _finalize_sink(actors, stats, late, out_dir)
+        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
     out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
     return StreamingResult(
         output=out if out is not None else _empty_out(),

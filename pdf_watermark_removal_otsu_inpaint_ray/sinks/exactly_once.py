@@ -250,6 +250,17 @@ def begin_epoch(out_dir: str) -> int:
         except FileExistsError:
             n += 1
     _atomic_write_bytes(path, json.dumps({"epoch": n}).encode())
+    # claims STRICTLY below the published epoch are spent (the publish
+    # supersedes them; our own claim n stays as the probe guard so a stale
+    # unordered _epoch.json write from a dead producer can never cause n to
+    # be re-allocated) — without cleanup every run leaves one file forever
+    for f in os.listdir(mdir):
+        if f.startswith("_epoch-") and f.endswith(".claim"):
+            try:
+                if int(f[7:-6]) < n:
+                    os.remove(os.path.join(mdir, f))
+            except (ValueError, OSError):
+                continue
     return n
 
 
@@ -288,21 +299,32 @@ def _current_epoch(out_dir: str) -> int:
 
 
 def _finalize_partition(
-    out_dir: str, part: int, fail_partitions: frozenset[int], overwrite: bool = False
+    out_dir: str,
+    part: int,
+    fail_partitions: frozenset[int],
+    overwrite: bool = False,
+    epoch: int | None = None,
 ) -> pa.Table:
     """Merge a partition's staged files → sort/dedup → atomic commit.
 
-    Only the layout's CURRENT staging epoch's files are merged (see
+    Only the run's staging epoch's files are merged (see
     :func:`begin_epoch`): leftovers from a crashed earlier attempt are
     deleted, not deduped in — a replayed pipeline need not be
     deterministic for the commit to reflect exactly one attempt, and a
     partition the current attempt never touched commits nothing rather
-    than resurrecting the stale attempt's rows."""
+    than resurrecting the stale attempt's rows.
+
+    ``epoch``: the epoch THIS run allocated via :func:`begin_epoch` —
+    callers that have it must pass it (review finding: re-reading
+    ``_epoch.json`` here is racy — two restarting producers' unordered
+    publishes could make a finalize classify its own run's staged files
+    as stale and commit the other attempt's leftovers).  ``None`` falls
+    back to the published epoch for layouts staged by older code."""
     sdir = _staged_dir(out_dir, part)
     names = sorted(
         f for f in os.listdir(sdir) if f.endswith(".parquet")
     ) if os.path.isdir(sdir) else []
-    cur = _current_epoch(out_dir)
+    cur = epoch if epoch is not None else _current_epoch(out_dir)
     files = [os.path.join(sdir, f) for f in names]
     live = [os.path.join(sdir, f) for f in names if _stage_epoch_of(f) == cur]
     if not live:
@@ -332,7 +354,15 @@ def stage_table(
     process (map task or state actor — the sink dir is shared storage).
     Rows of already-committed partitions are dropped.  ``epoch`` tags the
     files with the producing run's staging epoch (:func:`begin_epoch`) so
-    finalize can discard stale attempts.  Returns rows staged."""
+    finalize can discard stale attempts.  Returns rows staged.
+
+    Within-RUN task retries: a Ray task replayed mid-run stages its rows
+    again under the SAME epoch; finalize's doc_id dedup then commits one
+    copy, which is byte-correct iff the producing transform is
+    deterministic per row (true of every batch pipeline in this engine —
+    quantized, order-free kernels).  A NON-deterministic producer must not
+    rely on task retries: disable them (the streaming consumers run with
+    ``max_retries=0``) so recovery always goes through a fresh epoch."""
     _check_layout(out_dir, num_partitions)
     part = hash_partition_ids(table["doc_id"], num_partitions)
     if done:
@@ -354,9 +384,13 @@ def finalize_staged(
     *,
     resume: bool = True,
     fail_partitions: frozenset[int] = frozenset(),
+    epoch: int | None = None,
 ) -> pa.Table:
     """Commit every staged partition (one Ray task each) and return the
-    per-partition report.  The driver only moves manifests — never rows."""
+    per-partition report.  The driver only moves manifests — never rows.
+    ``epoch``: the producing run's allocated staging epoch (pass it
+    whenever the caller ran :func:`begin_epoch`; see
+    :func:`_finalize_partition`)."""
     import ray
 
     done = committed_partitions(out_dir) if resume else set()
@@ -377,7 +411,7 @@ def finalize_staged(
     reports: list[pa.Table] = []
     errors: list[Exception] = []
     for p, ref in [
-        (p, fin.remote(out_dir, p, fail_partitions, not resume)) for p in parts
+        (p, fin.remote(out_dir, p, fail_partitions, not resume, epoch)) for p in parts
     ]:
         try:
             reports.append(ray.get(ref))
@@ -447,7 +481,9 @@ def write_exactly_once(
     ).iter_batches():
         pass
 
-    return finalize_staged(out_dir, resume=resume, fail_partitions=fail_partitions)
+    return finalize_staged(
+        out_dir, resume=resume, fail_partitions=fail_partitions, epoch=epoch
+    )
 
 
 def late_dir(out_dir: str) -> str:

@@ -23,6 +23,11 @@ from .kernels import batch_histograms, flatten_list_column
 
 WmKey = tuple[str, int]
 
+# sentinel window id for "no governing window" (session-map drift misses):
+# int64 min, NOT -1 — session window ids are session-START timestamps, so a
+# stream with negative event_ts can own window -1 legitimately
+NO_WINDOW = int(np.iinfo(np.int64).min)
+
 
 def assign_windows_batch(ts: np.ndarray, cfg: EngineConfig) -> np.ndarray:
     """Governing window id per row (tumbling/sliding/global — batch-local).
@@ -100,13 +105,49 @@ def session_window_mapping(ds, cfg: EngineConfig) -> SessionMap:
 
 
 def lookup_session_windows(session_map: SessionMap, src: np.ndarray, ts: np.ndarray) -> np.ndarray:
-    """Vectorized per-row window id from the broadcast session mapping."""
-    out = np.empty(ts.size, dtype=np.int64)
+    """Vectorized per-row window id from the broadcast session mapping.
+
+    Exact (source, ts) matches resolve to their session (the normal case —
+    phase 0 maps the same dataset phase 2 rewrites).  Drift between the
+    mapped and looked-up datasets degrades gracefully instead of crashing
+    or mis-assigning (review finding): an in-range ts absent from the map
+    takes the last mapped ts at or below it (inside a session's interval
+    that IS its session); a ts beyond the source's mapped range, or a
+    source the map has never seen, gets :data:`NO_WINDOW` — the wm table
+    has no such key, so those rows fall back to no-detection rather than
+    being rewritten under a wrong session's watermark."""
+    out = np.full(ts.size, NO_WINDOW, dtype=np.int64)
     for s in np.unique(src):
         m = src == s
-        t_sorted, win = session_map[str(s)]
-        out[m] = win[np.searchsorted(t_sorted, ts[m])]
+        entry = session_map.get(str(s))
+        if entry is None:
+            continue
+        t_sorted, win = entry
+        tm = ts[m]
+        idx = np.searchsorted(t_sorted, tm, side="right") - 1
+        ok = (idx >= 0) & (tm <= t_sorted[-1])
+        out[m] = np.where(ok, win[np.clip(idx, 0, win.size - 1)], NO_WINDOW)
     return out
+
+
+def factorize_key_pairs(
+    src: np.ndarray, wins: np.ndarray
+) -> tuple[np.ndarray, int, int, np.ndarray, np.ndarray]:
+    """Dense factorization of (source, window) key pairs, shared by the
+    partial builder, the partial merger, and the phase-2 wm lookup (review
+    finding: three near-identical copies).  Returns
+    ``(s_u, w_min, w_span, c_u, c_inv)`` where ``combo = source_index *
+    w_span + (window - w_min)``; decode a combo id ``c`` with
+    ``s_u[c // w_span]`` and ``c % w_span + w_min``.  ``w_span`` is the
+    OBSERVED window range of this call, so ``s_count * w_span`` stays far
+    inside int64 for any real key space."""
+    s_u, s_inv = np.unique(src, return_inverse=True)
+    wins = np.asarray(wins, dtype=np.int64)
+    w_min = int(wins.min())
+    w_span = int(wins.max()) - w_min + 1
+    combo = s_inv.astype(np.int64) * w_span + (wins - w_min)
+    c_u, c_inv = np.unique(combo, return_inverse=True)
+    return s_u, w_min, w_span, c_u, c_inv
 
 
 class HistogramPartials:
@@ -133,8 +174,12 @@ class HistogramPartials:
         hists: list[np.ndarray] = []
 
         if cfg.window_kind == "session":
-            shift_windows = [lookup_session_windows(self.session_map, src, ts)]
-            valid_masks = [np.ones(ts.size, dtype=bool)]
+            w = lookup_session_windows(self.session_map, src, ts)
+            shift_windows = [w]
+            # drift rows with no governing session contribute to no hist
+            # (and NO_WINDOW = int64 min would overflow the w_span
+            # factorization below)
+            valid_masks = [w != NO_WINDOW]
         elif cfg.window_kind == "sliding":
             n_shifts = -(-cfg.window_size // cfg.window_slide)  # ceil
             shift_windows = [ts // cfg.window_slide - j for j in range(n_shifts)]
@@ -151,11 +196,7 @@ class HistogramPartials:
             v = np.nonzero(valid)[0]
             if v.size == 0:
                 continue
-            s_u, s_inv = np.unique(src[v], return_inverse=True)
-            w_v = win[v]
-            w_min, w_span = int(w_v.min()), int(w_v.max() - w_v.min()) + 1
-            combo = s_inv.astype(np.int64) * w_span + (w_v - w_min)
-            c_u, c_inv = np.unique(combo, return_inverse=True)
+            s_u, w_min, w_span, c_u, c_inv = factorize_key_pairs(src[v], win[v])
             key_row = np.full(ts.size, -1, dtype=np.int64)
             key_row[v] = c_inv
             H = batch_histograms(fb, key_row, c_u.size, cfg)
@@ -208,11 +249,9 @@ def _merge_hist_rows(
     """Vectorized associative merge of (source, window, hist) partial rows:
     factorize the key pairs, one ``np.add.at``.  Returns (src_u_per_row,
     win_per_row, merged_hists) with one row per distinct key."""
-    s_u, s_inv = np.unique(np.asarray(srcs, dtype=object), return_inverse=True)
-    w_min = int(wins.min())
-    w_span = int(wins.max()) - w_min + 1
-    combo = s_inv.astype(np.int64) * w_span + (wins - w_min)
-    c_u, c_inv = np.unique(combo, return_inverse=True)
+    s_u, w_min, w_span, c_u, c_inv = factorize_key_pairs(
+        np.asarray(srcs, dtype=object), wins
+    )
     merged = np.zeros((c_u.size, gray_mod), dtype=np.int64)
     np.add.at(merged, c_inv, hists)
     return s_u[c_u // w_span], c_u % w_span + w_min, merged
@@ -271,6 +310,10 @@ def compute_wm_table(
     (``_merge_hist_rows``) into the running per-key dict, so driver memory
     is O(distinct keys), never O(partial rows).
 
+    For session windows a ``session_map`` is built here when the caller
+    did not supply one (review finding: the bare public phase-1 call
+    crashed — only run_flagship pre-built the map).
+
     ``tree_merge``: at adversarial (source × window) cardinality, set True
     to insert a distributed partial-merging round (:func:`_tree_merge_partials`
     — histograms are associative) so the driver receives exactly ONE row
@@ -283,6 +326,8 @@ def compute_wm_table(
     pass ``tree_merge=True`` explicitly; the default stays off for the
     bounded key spaces of the flagship pipelines.
     """
+    if cfg.window_kind == "session" and session_map is None:
+        session_map = session_window_mapping(ds, cfg)
     partials = ds.map_batches(
         HistogramPartials(cfg, session_map), batch_format="pyarrow", batch_size=batch_size
     )

@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray
 
 from ..config import EngineConfig
-from .detect import WmKey, assign_windows_batch
+from .detect import NO_WINDOW, WmKey, assign_windows_batch, factorize_key_pairs
 from .kernels import flatten_list_column, process_batch_flat
 
 
@@ -29,14 +29,16 @@ def lookup_wm_rows(
     """Per-row wm token from the broadcast table (vectorized over unique keys).
 
     ``default``: value for missing keys — the user's fixed token override
-    (cli --wm-token, M15) when set, else -1 (no watermark)."""
-    if win.size == 0:
-        return np.zeros(0, dtype=np.int64)
-    s_u, s_inv = np.unique(src, return_inverse=True)
-    w_min = int(win.min())
-    w_span = int(win.max()) - w_min + 1
-    combo = s_inv.astype(np.int64) * w_span + (win - w_min)
-    c_u, c_inv = np.unique(combo, return_inverse=True)
+    (cli --wm-token, M15) when set, else -1 (no watermark).  Rows whose
+    window is :data:`detect.NO_WINDOW` (session-map drift misses) take the
+    default directly — the sentinel is int64 min and must not enter the
+    w_span factorization."""
+    out = np.full(win.size, default, dtype=np.int64)
+    valid = win != NO_WINDOW
+    v = np.nonzero(valid)[0]
+    if v.size == 0:
+        return out
+    s_u, w_min, w_span, c_u, c_inv = factorize_key_pairs(src[v], win[v])
     c_wm = np.array(
         [
             wm.get((str(s_u[c // w_span]), int(c % w_span + w_min)), (default, 0.0))[0]
@@ -44,7 +46,8 @@ def lookup_wm_rows(
         ],
         dtype=np.int64,
     )
-    return c_wm[c_inv]
+    out[v] = c_wm[c_inv]
+    return out
 
 
 # per-worker-process cache of broadcast objects and built stages: stateless
@@ -85,20 +88,30 @@ def _cached_get(ref):
     return v
 
 
-# identity pins for non-ObjectRef cache-key components: id(x) is only unique
-# while x is alive, so a recycled address could alias a NEW wm/spans object to
-# an OLD worker-side cache entry.  Pinning a strong driver-side reference
-# makes the id permanently unique.  Production callers pass ObjectRefs (hex
-# identity, never pinned); only embedded/test callers hit this path, so the
-# pin set stays tiny.
+# identity tokens for non-ObjectRef cache-key components: id(x) is only
+# unique while x is alive, so a recycled address could alias a NEW wm/spans
+# object to an OLD worker-side cache entry.  Each distinct object gets a
+# NEVER-REUSED sequence number; the pin map (id -> (seq, strong ref)) is
+# LRU-BOUNDED (review finding: an unbounded pin set leaked every wm table a
+# long-lived embedded process ever passed).  Evicting a live object merely
+# costs a fresh seq (one worker-side stage rebuild) — it can never alias,
+# because seqs are monotonic.  Production callers pass ObjectRefs (hex
+# identity, never pinned).
 _IDENT_PINS: dict = {}
+_IDENT_SEQ = iter(range(1 << 62)).__next__
+_IDENT_MAX = 64
 
 
 def _ident(x):
     if hasattr(x, "hex"):
         return x.hex()
-    _IDENT_PINS[id(x)] = x
-    return ("id", id(x))
+    ent = _IDENT_PINS.pop(id(x), None)
+    if ent is None:
+        ent = (_IDENT_SEQ(), x)
+    _IDENT_PINS[id(x)] = ent  # (re-)insert -> most-recently-used
+    while len(_IDENT_PINS) > _IDENT_MAX:
+        _IDENT_PINS.pop(next(iter(_IDENT_PINS)))
+    return ("id", ent[0])
 
 
 def make_inpaint_fn(wm_ref, cfg, motif_ref=None, emit_metadata=True, spans_ref=None,
@@ -168,9 +181,19 @@ class InpaintStage:
         src = np.asarray(batch["source"])
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         if cfg.window_kind == "session":
-            from .detect import lookup_session_windows
+            if self.session_map is None:
+                # legal only when no wm table is consulted (row-local
+                # detectors / fixed token — run_flagship skips phase 0
+                # then); window ids are irrelevant in that case
+                if self.wm:
+                    raise ValueError(
+                        "session windows need a session_map when a wm table is present"
+                    )
+                win = np.zeros(ts.size, dtype=np.int64)
+            else:
+                from .detect import lookup_session_windows
 
-            win = lookup_session_windows(self.session_map, src, ts)
+                win = lookup_session_windows(self.session_map, src, ts)
         else:
             win = assign_windows_batch(ts, cfg)
         wm_row = lookup_wm_rows(self.wm, src, win, default=cfg.fixed_wm_token)

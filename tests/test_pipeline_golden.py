@@ -140,3 +140,77 @@ def test_tree_merge_partials_adversarial_cardinality(ray_session, tmp_path):
     merged = _tree_merge_partials(partials, cfg)
     rows = sum(len(b) for b in merged.iter_batches(batch_format="pyarrow"))
     assert rows == len(wm_flat)
+
+
+def test_bare_compute_wm_table_session_windows(ray_session, tmp_path):
+    """Review finding: the public phase-1 entry (compute_wm_table /
+    detect_watermarks without a session_map) crashed for session windows —
+    it must auto-build the mapping and agree with the pre-built-map path."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.detect import (
+        compute_wm_table,
+        session_window_mapping,
+    )
+
+    p = str(tmp_path / "s.parquet")
+    synth.write_stream(p, 300, n_sources=3, disorder=4)
+    cfg = DEFAULT_CONFIG.with_(window_kind="session", session_gap=8)
+    ds = ray.data.read_parquet(p)
+    bare = compute_wm_table(ds, cfg)
+    smap = session_window_mapping(ds, cfg)
+    with_map = compute_wm_table(ds, cfg, session_map=smap)
+    assert bare == with_map and len(bare) > 0
+
+
+def test_session_lookup_drift_fallbacks(ray_session):
+    """Review finding: a ts beyond the mapped range raised IndexError and an
+    absent-but-in-range ts silently took the NEXT session.  Now: in-range
+    gaps resolve to the governing (preceding) session, out-of-range and
+    unknown-source rows get NO_WINDOW (-> no-detection default)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.detect import (
+        NO_WINDOW,
+        lookup_session_windows,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.inpaint import lookup_wm_rows
+
+    smap = {"a": (np.array([0, 2, 10, 11], np.int64), np.array([0, 0, 10, 10], np.int64))}
+    src = np.array(["a", "a", "a", "a", "b"], dtype=object)
+    ts = np.array([1, 11, 12, -5, 3], np.int64)
+    win = lookup_session_windows(smap, src, ts)
+    #  ts=1: inside session [0,2] -> 0;  ts=11 exact -> 10;
+    #  ts=12: beyond max -> NO_WINDOW;  ts=-5: below min -> NO_WINDOW;
+    #  source b unknown -> NO_WINDOW
+    assert win.tolist() == [0, 10, NO_WINDOW, NO_WINDOW, NO_WINDOW]
+    # the sentinel must not enter the w_span factorization (int64 min)
+    wm = {("a", 0): (150, 5.0), ("a", 10): (170, 5.0)}
+    toks = lookup_wm_rows(wm, src, win, default=-1)
+    assert toks.tolist() == [150, 170, -1, -1, -1]
+
+
+def test_flagship_session_row_local_skips_phase0(ray_session, tmp_path):
+    """Review finding: session windows + a row-local detector ran the whole
+    phase-0 mapping pass whose result cannot affect the output.  The rewrite
+    must still be golden-equal with session_map=None internally."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray import golden, synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.flagship import run_flagship
+
+    p = str(tmp_path / "s.parquet")
+    synth.write_stream(p, 200, n_sources=2, disorder=4)
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="session", session_gap=8, detection_method="auto"
+    )
+    expected = golden.golden_pipeline(pq.read_table(p), cfg).sort_by("doc_id")
+    got = (
+        run_flagship(ray.data.read_parquet(p), cfg)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["tokens"].map(list).tolist() == expected["tokens"].to_pylist()

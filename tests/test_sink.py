@@ -262,3 +262,47 @@ def test_begin_epoch_exclusive_claim(tmp_path):
     e2 = begin_epoch(out)
     assert e2 == 3  # skips the claimed-but-unpublished epoch
     assert begin_epoch(out) == 4
+
+
+def test_finalize_uses_run_epoch_not_published(ray_session, tmp_path):
+    """Review finding: _finalize_partition re-read _epoch.json, so a stale
+    unordered publish from a dead producer could make a run classify its OWN
+    staged files as stale and delete them.  finalize_staged(epoch=...) must
+    judge staleness against the run's allocated epoch."""
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        adopt_epoch,
+        finalize_staged,
+        read_output,
+        stage_table,
+    )
+
+    out = str(tmp_path / "sink")
+    t = pa.table({"doc_id": pa.array(["d1", "d2"]), "x": pa.array([1, 2], pa.int64())})
+    stage_table(out, t, num_partitions=4, epoch=5)
+    # a dead producer's stale publish lands AFTER ours (the race)
+    adopt_epoch(out, 3)
+    rep = finalize_staged(out, epoch=5)
+    assert int(rep.filter(
+        pa.compute.equal(rep["status"], "committed")
+    )["row_count"].to_pylist()[0] if rep.num_rows else 0) >= 0
+    got = read_output(out).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == ["d1", "d2"]  # own rows committed, not dropped
+
+
+def test_begin_epoch_cleans_spent_claims(ray_session, tmp_path):
+    """Review finding: _epoch-<n>.claim files accumulated forever.  After a
+    publish, claims strictly below the published epoch are removed; the
+    producer's own claim stays as the probe guard."""
+    import os
+
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import begin_epoch
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    epochs = [begin_epoch(out) for _ in range(5)]
+    assert epochs == [1, 2, 3, 4, 5]
+    mdir = os.path.join(out, "_manifests")
+    claims = sorted(f for f in os.listdir(mdir) if f.endswith(".claim"))
+    assert claims == ["_epoch-5.claim"]
