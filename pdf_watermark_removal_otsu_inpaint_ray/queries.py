@@ -2057,6 +2057,354 @@ def q_top_customers(sf_dir: str):
     )
 
 
+def q_nation_revenue(sf_dir: str):
+    """Multi-way star join (TPC-H-Q5 shape): discounted lineitem revenue per
+    customer nation — lineitem ⋈ orders ⋈ customer ⋈ nation.
+
+    The 100-TB plan: two chained combiner-first repartition joins (the
+    q_priority_revenue pattern, applied per hop) plus one tiny driver-side
+    dimension map:
+
+    * hop 1 (orderkey): lineitem pre-aggregates integer-cent revenue per
+      (pk, orderkey) inside each batch; orders ships (orderkey, custkey);
+      one coarse ``groupby(pk)`` maps orderkey→custkey and re-emits
+      custkey-aggregated partials — the shuffle carries per-orderkey int64
+      partials, never line items;
+    * hop 2 (custkey): those partials meet customer's (custkey, nationkey)
+      in a second coarse groupby; out come (nationkey, rev) partials
+      (≤ nations × partitions rows);
+    * the final groupby is nation-sized, and nation itself (25 rows,
+      constant in TPC-H) is a driver-side lookup applied in the last
+      map_batches.
+
+    Both hops share one generic vectorized group callback (sort + searchsorted
+    dim lookup + bincount re-aggregate); sides are discriminated by payload
+    null-ness exactly as in q_priority_revenue.  Revenue quantization matches
+    the SQL twin bit-for-bit (cents × (100 − discount%), floor(x*100+0.5))."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    num_parts = 64
+
+    def li_partials(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"], np.int64)
+        cents = np.floor(
+            np.asarray(b["l_extendedprice"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            np.asarray(b["l_discount"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        uk, inv = np.unique(ok, return_inverse=True)
+        rs = np.bincount(inv, weights=rev, minlength=uk.size).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "rev": pa.array(rs, pa.int64()),
+                "payload": pa.nulls(uk.size, pa.int64()),
+                "pk": pa.array(uk % num_parts, pa.int64()),
+            }
+        )
+
+    def dim_side(key_col: str, payload_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = np.asarray(b[key_col], np.int64)
+            # payload null-ness is the side discriminator in dim_join_part —
+            # a null dim payload would reclassify the row as a fact partial
+            if b[payload_col].null_count:
+                raise ValueError(f"{payload_col} must be non-null")
+            return pa.table(
+                {
+                    "key": pa.array(k, pa.int64()),
+                    "rev": pa.nulls(len(k), pa.int64()),
+                    "payload": b[payload_col].cast(pa.int64()),
+                    "pk": pa.array(k % num_parts, pa.int64()),
+                }
+            )
+
+        return fn
+
+    def _partials_table(ua: np.ndarray, rs: np.ndarray) -> pa.Table:
+        # arrow output keeps every hop's block type uniform, so the next
+        # union with an arrow dim side is legal
+        return pa.table(
+            {
+                "key": pa.array(ua, pa.int64()),
+                "rev": pa.array(rs, pa.int64()),
+                "payload": pa.nulls(ua.size, pa.int64()),
+                "pk": pa.array(ua % num_parts, pa.int64()),
+            }
+        )
+
+    def dim_join_part(g: pd.DataFrame) -> pa.Table:
+        """(fact key→rev partials) ⋈ (dim key→attr) → per-attr rev partials,
+        re-keyed on attr for the next hop.  Inner-join semantics: fact rows
+        without a dim match drop."""
+        is_dim = g["payload"].notna().to_numpy()
+        d_key = g["key"].to_numpy()[is_dim]
+        d_attr = g["payload"].to_numpy()[is_dim].astype(np.int64)
+        order = np.argsort(d_key, kind="stable")
+        d_key, d_attr = d_key[order], d_attr[order]
+        f_key = g["key"].to_numpy()[~is_dim]
+        f_rev = g["rev"].to_numpy()[~is_dim].astype(np.int64)
+        if d_key.size == 0 or f_key.size == 0:
+            return _partials_table(
+                np.empty(0, np.int64), np.empty(0, np.int64)
+            )
+        pos = np.minimum(np.searchsorted(d_key, f_key), d_key.size - 1)
+        hit = d_key[pos] == f_key
+        attr, rev = d_attr[pos[hit]], f_rev[hit]
+        ua, inv = np.unique(attr, return_inverse=True)
+        rs = np.bincount(inv, weights=rev, minlength=ua.size).astype(np.int64)
+        return _partials_table(ua, rs)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(dim_side("o_orderkey", "o_custkey"), batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(dim_side("c_custkey", "c_nationkey"), batch_format="pyarrow")
+
+    by_cust = li.union(orders).groupby("pk").map_groups(
+        dim_join_part, batch_format="pandas"
+    )
+    by_nation = by_cust.union(cust).groupby("pk").map_groups(
+        dim_join_part, batch_format="pandas"
+    )
+    agg = by_nation.groupby("key").sum("rev")
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk = np.asarray(nt["n_nationkey"], np.int64)
+    order = np.argsort(nk)
+    nk = nk[order]
+    nname = np.asarray(nt["n_name"].to_pylist(), dtype=object)[order]
+
+    def rename(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["key"], np.int64)
+        pos = np.minimum(np.searchsorted(nk, k), nk.size - 1)
+        if not bool(np.all(nk[pos] == k)):
+            raise ValueError("nationkey missing from nation table")
+        return pa.table(
+            {
+                "n_name": pa.array(list(nname[pos]), pa.string()),
+                "revenue_c": b["sum(rev)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def q_price_quantiles(
+    sf_dir: str, *, nbins: int = 4096, gather_limit: int = 65536
+):
+    """Exact distributed quantiles of o_totalprice (DuckDB quantile_disc
+    semantics: sorted[max(0, ceil(q·N)−1)]) WITHOUT a global sort.
+
+    Iterative histogram bisection — the selection-by-counting plan that
+    stays exact at 100 TB with bounded driver traffic:
+
+    * pass 0: Min/Max/Count aggregate (one column scan);
+    * refine passes: every still-open quantile bins its candidate value
+      range into NBINS uniform bins inside map_batches (per-batch sparse
+      (qi, bin, cnt) partials, fixed key space ≤ |Q|·NBINS), one coarse
+      groupby folds them, the driver cumsums ≤ 20k rows and narrows each
+      quantile to the single bin containing its rank (each pass divides
+      the candidate row count by up to NBINS, so the depth is
+      log_NBINS(N) — 2 passes at 10^12 rows);
+    * gather pass: once a quantile's candidate bin holds ≤ GATHER_LIMIT
+      rows, a (qi, value, cnt) distinct-partial groupby resolves the exact
+      rank statistic driver-side.
+
+    Bin membership across passes is decided by re-applying the SAME float
+    binning expression (never an interval test), so boundary values land
+    identically in the filter and the histogram.  q values are binary-exact
+    fractions so ceil(q·N) computes identically here and in the SQL twin."""
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    QS = [0.125, 0.25, 0.5, 0.75, 0.875]
+    NBINS = nbins
+    GATHER_LIMIT = gather_limit
+
+    path = f"{sf_dir}/orders.parquet"
+    base = ray.data.read_parquet(path, columns=["o_totalprice"])
+    stats = base.aggregate(
+        Min("o_totalprice"), Max("o_totalprice"), Count("o_totalprice")
+    )
+    lo = float(stats["min(o_totalprice)"])
+    hi = float(stats["max(o_totalprice)"])
+    n = int(stats["count(o_totalprice)"])
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())})
+
+    def bin_of(v: np.ndarray, vlo: float, vhi: float) -> np.ndarray:
+        # the one binning expression used by histogram AND membership filter
+        if vhi <= vlo:
+            return np.zeros(v.size, np.int64)
+        idx = np.floor((v - vlo) / (vhi - vlo) * NBINS).astype(np.int64)
+        return np.clip(idx, 0, NBINS - 1)
+
+    # per-quantile state: 1-based target rank, count of rows strictly below
+    # the candidate range, and the chain of (vlo, vhi, chosen_bin) levels
+    # whose successive binning defines candidate membership.  _stall counts
+    # consecutive passes that failed to shrink the candidate row count (a
+    # hyper-duplicated value): after 2 stalls the candidate range has shrunk
+    # by NBINS² around few distinct values, so gather resolves it — gather
+    # volume is DISTINCT-value count, not row count.
+    state = [
+        {
+            "k": max(1, math.ceil(q * n)),
+            "below": 0,
+            "chain": [],
+            "value": None,
+            "_stall": 0,
+        }
+        for q in QS
+    ]
+
+    def members(v: np.ndarray, chain) -> np.ndarray:
+        for vlo, vhi, bsel in chain:
+            v = v[bin_of(v, vlo, vhi) == bsel]
+        return v
+
+    def chain_range(chain):
+        vlo, vhi, bsel = chain[-1]
+        w = (vhi - vlo) / NBINS
+        return vlo + bsel * w, vlo + (bsel + 1) * w
+
+    for _depth in range(64):  # log_NBINS(N) in practice; hard stop for safety
+        open_idx = [i for i, s in enumerate(state) if s["value"] is None]
+        if not open_idx:
+            break
+        plans = []  # (qi, chain, vlo, vhi) histogram plans for big candidates
+        gathers = []  # qi whose candidate set is small enough to gather
+        for i in open_idx:
+            s = state[i]
+            remaining = n if not s["chain"] else s["_last_count"]
+            vlo, vhi = (lo, hi) if not s["chain"] else chain_range(s["chain"])
+            if vhi <= vlo:  # degenerate range: all candidates share one value
+                s["value"] = vlo
+                continue
+            if remaining <= GATHER_LIMIT or s["_stall"] >= 2:
+                gathers.append(i)
+            else:
+                plans.append((i, list(s["chain"]), vlo, vhi))
+
+        if plans:
+
+            def hist_partials(b: pa.Table, plans=plans) -> pa.Table:
+                v0 = np.asarray(b["o_totalprice"], np.float64)
+                qi_out, bin_out, cnt_out = [], [], []
+                for qi, chain, vlo, vhi in plans:
+                    v = members(v0, chain)
+                    if v.size == 0:
+                        continue
+                    bins = bin_of(v, vlo, vhi)
+                    ub, cnts = np.unique(bins, return_counts=True)
+                    qi_out.append(np.full(ub.size, qi, np.int64))
+                    bin_out.append(ub)
+                    cnt_out.append(cnts.astype(np.int64))
+                if not qi_out:
+                    return pa.table(
+                        {
+                            "qi": pa.array([], pa.int64()),
+                            "bin": pa.array([], pa.int64()),
+                            "cnt": pa.array([], pa.int64()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "qi": pa.array(np.concatenate(qi_out), pa.int64()),
+                        "bin": pa.array(np.concatenate(bin_out), pa.int64()),
+                        "cnt": pa.array(np.concatenate(cnt_out), pa.int64()),
+                    }
+                )
+
+            hist = (
+                ray.data.read_parquet(path, columns=["o_totalprice"])
+                .map_batches(hist_partials, batch_format="pyarrow")
+                .groupby(["qi", "bin"])
+                .sum("cnt")
+                .to_pandas()
+            )
+            for qi, chain, vlo, vhi in plans:
+                s = state[qi]
+                sub = hist[hist["qi"] == qi].sort_values("bin")
+                bins = sub["bin"].to_numpy()
+                cnts = sub["sum(cnt)"].to_numpy().astype(np.int64)
+                csum = np.cumsum(cnts)
+                need = s["k"] - s["below"]
+                j = int(np.searchsorted(csum, need))
+                s["below"] += int(csum[j - 1]) if j > 0 else 0
+                s["chain"].append((vlo, vhi, int(bins[j])))
+                prev = n if len(s["chain"]) == 1 else s["_last_count"]
+                s["_stall"] = s["_stall"] + 1 if int(cnts[j]) == prev else 0
+                s["_last_count"] = int(cnts[j])
+
+        if gathers:
+            g_plans = [(i, list(state[i]["chain"])) for i in gathers]
+
+            def gather_partials(b: pa.Table, g_plans=g_plans) -> pa.Table:
+                v0 = np.asarray(b["o_totalprice"], np.float64)
+                qi_out, val_out, cnt_out = [], [], []
+                for qi, chain in g_plans:
+                    v = members(v0, chain)
+                    if v.size == 0:
+                        continue
+                    uv, cnts = np.unique(v, return_counts=True)
+                    qi_out.append(np.full(uv.size, qi, np.int64))
+                    val_out.append(uv)
+                    cnt_out.append(cnts.astype(np.int64))
+                if not qi_out:
+                    return pa.table(
+                        {
+                            "qi": pa.array([], pa.int64()),
+                            "value": pa.array([], pa.float64()),
+                            "cnt": pa.array([], pa.int64()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "qi": pa.array(np.concatenate(qi_out), pa.int64()),
+                        "value": pa.array(np.concatenate(val_out), pa.float64()),
+                        "cnt": pa.array(np.concatenate(cnt_out), pa.int64()),
+                    }
+                )
+
+            gath = (
+                ray.data.read_parquet(path, columns=["o_totalprice"])
+                .map_batches(gather_partials, batch_format="pyarrow")
+                .groupby(["qi", "value"])
+                .sum("cnt")
+                .to_pandas()
+            )
+            for qi in gathers:
+                s = state[qi]
+                sub = gath[gath["qi"] == qi].sort_values("value")
+                vals = sub["value"].to_numpy()
+                csum = np.cumsum(sub["sum(cnt)"].to_numpy().astype(np.int64))
+                need = s["k"] - s["below"]
+                j = int(np.searchsorted(csum, need))
+                s["value"] = float(vals[j])
+
+    if any(s["value"] is None for s in state):
+        raise RuntimeError("quantile bisection failed to converge")
+    return pa.table(
+        {
+            "q": pa.array(QS, pa.float64()),
+            "value": pa.array([s["value"] for s in state], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2110,6 +2458,8 @@ QUERIES = {
     "events_lag_delta": q_events_lag_delta,
     "orders_pivot": q_orders_pivot,
     "priority_revenue": q_priority_revenue,
+    "nation_revenue": q_nation_revenue,
+    "price_quantiles": q_price_quantiles,
     "orders_integrity": q_orders_integrity,
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
@@ -2382,6 +2732,24 @@ ORACLE_SQL = {
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
     """,
+    "nation_revenue": """
+        SELECT n.n_name,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                      AS BIGINT))) AS BIGINT) AS revenue_c
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
+    # quantile_disc requires a constant q parameter → one SELECT per q
+    "price_quantiles": "\nUNION ALL\n".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+                   CAST(quantile_disc(o_totalprice, {q}) AS DOUBLE) AS value
+            FROM orders"""
+        for q in (0.125, 0.25, 0.5, 0.75, 0.875)
+    ),
     "orders_integrity": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)

@@ -649,3 +649,110 @@ def test_review_fixes_dedup_similarity(ray_session):
     c_raw = IvfIndex(n_list=4, n_probe=2).fit(sample * 100.0).centroids
     c_norm = IvfIndex(n_list=4, n_probe=2).fit(sn).centroids
     assert np.allclose(c_raw, c_norm)
+
+
+def test_nation_revenue_two_hop_inner_join(ray_session, tmp_path):
+    """Star join: both hops must apply inner-join semantics (an order whose
+    custkey is missing from customer drops at hop 2) and revenue must
+    aggregate integer-exactly per nation."""
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import q_nation_revenue
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3, 999], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 5.0, 7.0, 99.0]),
+                "l_discount": pa.array([0.10, 0.0, 0.05, 0.0, 0.5]),
+            }
+        ),
+        f"{sf}/lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # order 3's custkey 777 is absent from customer → drops
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([100, 200, 777], pa.int64()),
+            }
+        ),
+        f"{sf}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([100, 200], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        ),
+        f"{sf}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": pa.array(["ALPHA", "BETA"]),
+            }
+        ),
+        f"{sf}/nation.parquet",
+    )
+    got = (
+        q_nation_revenue(sf)
+        .to_pandas()
+        .sort_values("n_name", ignore_index=True)
+    )
+    # ALPHA (order 1): 1000c*90 + 2000c*100 = 290000
+    # BETA  (order 2): 500c*95 = 47500
+    # order 3 (custkey 777 unmatched) and orderkey 999 (no order) drop
+    assert got["n_name"].tolist() == ["ALPHA", "BETA"]
+    assert got["revenue_c"].tolist() == [290000, 47500]
+
+
+def test_price_quantiles_forced_bisection(ray_session, tmp_path):
+    """Tiny nbins/gather_limit force multiple histogram refine passes; the
+    result must still equal the exact sorted-array statistic, including on
+    a duplicate-heavy column (stall→gather fallback)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import q_price_quantiles
+
+    rng = np.random.default_rng(42)
+    # skewed + duplicate-heavy: lognormal floats, then 1500 copies of one value
+    vals = np.concatenate(
+        [rng.lognormal(mean=8.0, sigma=1.5, size=3500), np.full(1500, 1234.56)]
+    )
+    rng.shuffle(vals)
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table({"o_totalprice": pa.array(vals, pa.float64())}),
+        f"{sf}/orders.parquet",
+    )
+    got = (
+        q_price_quantiles(sf, nbins=8, gather_limit=64)
+        .to_pandas()
+        .sort_values("q", ignore_index=True)
+    )
+    sv = np.sort(vals)
+    n = sv.size
+    for q, v in zip(got["q"], got["value"]):
+        want = sv[max(0, math.ceil(q * n) - 1)]
+        assert v == want, (q, v, want)
+
+
+def test_price_quantiles_constant_column(ray_session, tmp_path):
+    """All-equal column: the min==max degenerate range must short-circuit."""
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import q_price_quantiles
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table({"o_totalprice": pa.array([77.5] * 500, pa.float64())}),
+        f"{sf}/orders.parquet",
+    )
+    got = q_price_quantiles(sf, nbins=8, gather_limit=64).to_pandas()
+    assert got["value"].tolist() == [77.5] * 5
