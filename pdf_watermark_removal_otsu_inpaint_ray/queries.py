@@ -2405,6 +2405,112 @@ def q_price_quantiles(
     )
 
 
+def q_customer_order_balance(sf_dir: str):
+    """FULL OUTER join — customer ⋈ per-custkey order counts — completing
+    the join-type family (inner: nation_revenue; left: as-of; semi: bloom;
+    anti: customers_without_orders).
+
+    Repartition plan: both sides hash-partition on custkey (pk = key % P);
+    orders pre-aggregate per-batch (custkey, cnt) combiners so the shuffle
+    carries int64 partials; inside each pk group the partials finish
+    summing, then a two-way sorted merge emits matched rows, left-only rows
+    (customers with no orders → null n_orders), and right-only rows (order
+    custkeys missing from customer → null c_acctbal).  Every custkey lands
+    in exactly one pk group, so the outer semantics are exact with one
+    shuffle."""
+    import pandas as pd
+
+    import ray.data
+
+    num_parts = 64
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["c_custkey"], np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "bal": b["c_acctbal"].cast(pa.float64()),
+                "cnt": pa.nulls(len(k), pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "pk": pa.array(k % num_parts, pa.int64()),
+            }
+        )
+
+    def order_partials(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["o_custkey"], np.int64)
+        uk, cnts = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "bal": pa.nulls(uk.size, pa.float64()),
+                "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+                "side": pa.array(np.ones(uk.size, np.int8), pa.int8()),
+                "pk": pa.array(uk % num_parts, pa.int64()),
+            }
+        )
+
+    def outer_part(g: pd.DataFrame) -> pa.Table:
+        side = g["side"].to_numpy()
+        c_key = g["key"].to_numpy()[side == 0]
+        c_bal = g["bal"].to_numpy()[side == 0].astype(np.float64)
+        o_key_raw = g["key"].to_numpy()[side == 1]
+        o_cnt_raw = g["cnt"].to_numpy()[side == 1].astype(np.int64)
+        # finish the count aggregation within the partition
+        o_key, inv = np.unique(o_key_raw, return_inverse=True)
+        o_cnt = np.bincount(inv, weights=o_cnt_raw, minlength=o_key.size).astype(
+            np.int64
+        )
+        order = np.argsort(c_key, kind="stable")
+        c_key, c_bal = c_key[order], c_bal[order]
+        # left + matched
+        pos = (
+            np.minimum(np.searchsorted(o_key, c_key), max(o_key.size - 1, 0))
+            if o_key.size
+            else np.zeros(c_key.size, np.int64)
+        )
+        hit = (o_key[pos] == c_key) if o_key.size else np.zeros(c_key.size, bool)
+        n_orders = np.where(hit, o_cnt[pos] if o_key.size else 0, 0)
+        # right-only: order custkeys with no customer row
+        if c_key.size:
+            rpos = np.minimum(np.searchsorted(c_key, o_key), c_key.size - 1)
+            rhit = c_key[rpos] == o_key
+        else:
+            rhit = np.zeros(o_key.size, bool)
+        ro_key, ro_cnt = o_key[~rhit], o_cnt[~rhit]
+        key = np.concatenate([c_key, ro_key])
+        bal = pa.chunked_array(
+            [
+                pa.array(c_bal, pa.float64()),
+                pa.nulls(ro_key.size, pa.float64()),
+            ]
+        )
+        cnt = pa.chunked_array(
+            [
+                pa.array(n_orders, pa.int64(), mask=~hit),
+                pa.array(ro_cnt, pa.int64()),
+            ]
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(key, pa.int64()),
+                "c_acctbal": bal,
+                "n_orders": cnt,
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(cust_side, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(order_partials, batch_format="pyarrow")
+    return (
+        cust.union(orders)
+        .groupby("pk")
+        .map_groups(outer_part, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2460,6 +2566,7 @@ QUERIES = {
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
     "price_quantiles": q_price_quantiles,
+    "customer_order_balance": q_customer_order_balance,
     "orders_integrity": q_orders_integrity,
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
@@ -2750,6 +2857,15 @@ ORACLE_SQL = {
             FROM orders"""
         for q in (0.125, 0.25, 0.5, 0.75, 0.875)
     ),
+    "customer_order_balance": """
+        SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+               c.c_acctbal,
+               o.n_orders
+        FROM customer c
+        FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                         FROM orders GROUP BY o_custkey) o
+          ON o.o_custkey = c.c_custkey
+    """,
     "orders_integrity": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)

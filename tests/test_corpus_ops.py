@@ -756,3 +756,44 @@ def test_price_quantiles_constant_column(ray_session, tmp_path):
     )
     got = q_price_quantiles(sf, nbins=8, gather_limit=64).to_pandas()
     assert got["value"].tolist() == [77.5] * 5
+
+
+def test_customer_order_balance_full_outer(ray_session, tmp_path):
+    """Full outer join must emit matched, left-only (null n_orders) AND
+    right-only (null c_acctbal) rows, with order-count partials finishing
+    their aggregation inside the pk group."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import (
+        q_customer_order_balance,
+    )
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 65], pa.int64()),  # 1 and 65 share pk%64
+                "c_acctbal": pa.array([10.5, 20.0, 65.5], pa.float64()),
+            }
+        ),
+        f"{sf}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            # custkey 1: 3 orders; custkey 9: orphan (no customer row);
+            # custkey 2: none → left-only
+            {"o_custkey": pa.array([1, 1, 1, 9, 9], pa.int64())}
+        ),
+        f"{sf}/orders.parquet",
+    )
+    got = (
+        q_customer_order_balance(sf)
+        .to_pandas()
+        .sort_values("custkey", ignore_index=True)
+    )
+    assert got["custkey"].tolist() == [1, 2, 9, 65]
+    assert got["c_acctbal"].tolist()[:2] == [10.5, 20.0]
+    assert pd.isna(got["c_acctbal"][2]) and got["c_acctbal"][3] == 65.5
+    assert got["n_orders"][0] == 3 and pd.isna(got["n_orders"][1])
+    assert got["n_orders"][2] == 2 and pd.isna(got["n_orders"][3])
