@@ -284,7 +284,7 @@ def main() -> None:
             "events_bloom_semi", "redact_grams",
             "priority_revenue", "events_rolling_sum", "unigram_logprob",
             "heavy_hitter_tokens", "collapse_repeats", "semdedup",
-            "nation_revenue", "price_quantiles",
+            "nation_revenue", "price_quantiles", "training_shuffle_head",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -128,6 +128,47 @@ def hash_sample(ds, *, key: str = "doc_id", rate_pct: int = 20, buckets: int = 1
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def training_shuffle(ds, *, key: str = "doc_id", seed: int = 0):
+    """Deterministic global shuffle for training epochs: rank every row by
+    the Lehmer hash of ``key + seed`` and globally sort by
+    ``(shuffle_key, key)`` — Ray Data's native sample-based range-partitioned
+    sort is the one all-to-all.
+
+    Unlike ``ds.random_shuffle()`` the order is a pure function of data +
+    seed: repeatable across runs, cluster sizes, and block layouts, and a
+    resumed job reproduces the identical epoch order (the property a
+    100-TB training pipeline actually needs — change ``seed`` per epoch).
+    The tie-break on ``key`` makes the order total even when two keys
+    collide mod 2147483647.  The same arithmetic is plain ANSI SQL, so the
+    shuffle order has an exact ORDER BY oracle twin.
+
+    The hash interleaves THREE Lehmer multiplies with xor-shift steps
+    (splitmix-style m-x-m-x-m): a single multiplicative congruential step is
+    order-preserving on keys below mod/48271 ≈ 44k and lattice-structured
+    above (the head of a pure-LCG shuffle comes out as an arithmetic
+    progression), and xor-shifts alone only touch the low bits that never
+    decide the sort — so linearity is broken BETWEEN multiplies and a
+    multiply goes last to spread the nonlinearity across the high bits
+    (empirically: irregular head gaps vs the LCG's uniform step).  Every
+    intermediate stays inside int64 / SQL BIGINT (max (mod−1)·48271 ≈
+    1.0e14 — overflow-free in DuckDB, which errors rather than wraps), and
+    xor / ``>>`` compute identically in numpy and DuckDB (verified)."""
+
+    def add_key(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[key], np.int64)
+        _require_nonneg(k, key)
+        sk = ((k + seed) * LEHMER_MULT) % LEHMER_MOD
+        sk = sk ^ (sk >> 15)
+        sk = (sk * 16807) % LEHMER_MOD
+        sk = sk ^ (sk >> 13)
+        sk = (sk * LEHMER_MULT) % LEHMER_MOD
+        return b.append_column("shuffle_key", pa.array(sk, pa.int64()))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort(
+        ["shuffle_key", key]
+    )
+
+
 def _require_nonneg(k: np.ndarray, name: str) -> None:
     """The Lehmer-hash SQL-twin contract holds only for keys >= 0: numpy's
     ``%`` returns the sign of the divisor while SQL ``%`` returns the sign

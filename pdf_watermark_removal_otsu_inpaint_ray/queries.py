@@ -2405,6 +2405,22 @@ def q_price_quantiles(
     )
 
 
+def q_training_shuffle_head(sf_dir: str):
+    """Deterministic training shuffle (hash-keyed NATIVE global sort) —
+    the first 50 documents of epoch-seed-7's shuffle order.  The limit
+    makes the order driver-checkable (the selected SET is order-determined);
+    the full-order guarantee is pytest-checked against the closed-form
+    permutation in tests (seed determinism, partition stability)."""
+    import ray.data
+
+    from .functions.selection import training_shuffle
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return training_shuffle(ds, key="doc_id", seed=7).limit(50)
+
+
 def q_customer_order_balance(sf_dir: str):
     """FULL OUTER join — customer ⋈ per-custkey order counts — completing
     the join-type family (inner: nation_revenue; left: as-of; semi: bloom;
@@ -2567,6 +2583,7 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "price_quantiles": q_price_quantiles,
     "customer_order_balance": q_customer_order_balance,
+    "training_shuffle_head": q_training_shuffle_head,
     "orders_integrity": q_orders_integrity,
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
@@ -2857,6 +2874,18 @@ ORACLE_SQL = {
             FROM orders"""
         for q in (0.125, 0.25, 0.5, 0.75, 0.875)
     ),
+    "training_shuffle_head": """
+        WITH h1 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                           ((doc_id + 7) * 48271) % 2147483647 AS h
+                    FROM documents),
+        h2 AS (SELECT doc_id, xor(h, h >> 15) AS h FROM h1),
+        h3 AS (SELECT doc_id, (h * 16807) % 2147483647 AS h FROM h2),
+        h4 AS (SELECT doc_id, xor(h, h >> 13) AS h FROM h3)
+        SELECT doc_id, (h * 48271) % 2147483647 AS shuffle_key
+        FROM h4
+        ORDER BY shuffle_key, doc_id
+        LIMIT 50
+    """,
     "customer_order_balance": """
         SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
                c.c_acctbal,

@@ -74,3 +74,48 @@ def test_topk_per_group_string_groups(ray_session):
     got2 = topk_per_group(ds2, group="g", score="s", tie="t", k=2).to_pandas()
     assert set(got2.columns) == {"g", "s", "t", "payload"}
     assert got2["payload"].tolist() == [f"p{i}" for i in got2["t"]]
+
+
+def test_training_shuffle_exact_order_and_determinism(ray_session):
+    """The shuffle order must equal the closed-form permutation (sort by
+    Lehmer hash of key+seed, tie-break key), be a permutation of the input,
+    be block-layout independent, and differ between seeds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.selection import (
+        LEHMER_MOD,
+        LEHMER_MULT,
+        training_shuffle,
+    )
+
+    ids = np.arange(500, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    def expected(seed):
+        sk = ((ids + seed) * LEHMER_MULT) % LEHMER_MOD
+        sk = sk ^ (sk >> 15)
+        sk = (sk * 16807) % LEHMER_MOD
+        sk = sk ^ (sk >> 13)
+        sk = (sk * LEHMER_MULT) % LEHMER_MOD
+        order = np.lexsort((ids, sk))
+        return ids[order].tolist()
+
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        got = [r["doc_id"] for r in training_shuffle(ds, seed=3).take_all()]
+        assert got == expected(3), f"nblocks={nblocks}"
+        assert sorted(got) == ids.tolist()  # permutation
+
+    other = [
+        r["doc_id"]
+        for r in training_shuffle(ray.data.from_arrow(tbl), seed=4).take_all()
+    ]
+    assert other == expected(4)
+    assert other != expected(3)
+
+    # shuffle QUALITY: the head of the order must not be an arithmetic
+    # progression (the pure-LCG lattice failure mode on sequential ids)
+    head = np.asarray(expected(3)[:20])
+    assert len(set(np.diff(head).tolist())) > 3
