@@ -2527,6 +2527,78 @@ def q_customer_order_balance(sf_dir: str):
     )
 
 
+def q_source_corr(sf_dir: str):
+    """Per-source Pearson correlation between stored document length
+    (``n_chars``) and whitespace word count — the grouped bivariate-moment
+    aggregate (reference analog: the classifier's per-document metric
+    profile reduced to associative partials, document_classifier.py:77-152).
+
+    Distribution shape: each batch emits EXACT integer moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy) per source — six ints per (batch, source)
+    through ONE source-scale groupby sum; documents never shuffle.  The
+    final estimator is assembled in float64 with the IDENTICAL expression
+    the SQL twin evaluates over the same exact integer sums, so the
+    doubles match bitwise (int→float conversions are exact below 2^53;
+    at larger scale the partials would carry int128 split sums).
+    Zero-variance groups yield NULL (den == 0)."""
+    import ray.data
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["n_chars"], np.int64).astype(np.float64)
+        y = np.asarray(
+            pc.count_substring_regex(b["text"], r"\S+"), np.int64
+        ).astype(np.float64)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        codes = np.asarray(d.indices, np.int64)
+        k = len(d.dictionary)
+        def bc(w=None):
+            out = np.bincount(codes, weights=w, minlength=k)
+            return pa.array(out.astype(np.int64), pa.int64())
+        return pa.table(
+            {
+                "source": d.dictionary.cast(pa.string()),
+                "n": bc(),
+                "sx": bc(x),
+                "sy": bc(y),
+                "sxx": bc(x * x),
+                "syy": bc(y * y),
+                "sxy": bc(x * y),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["sum(n)"], np.float64)
+        sx = np.asarray(b["sum(sx)"], np.float64)
+        sy = np.asarray(b["sum(sy)"], np.float64)
+        sxx = np.asarray(b["sum(sxx)"], np.float64)
+        syy = np.asarray(b["sum(syy)"], np.float64)
+        sxy = np.asarray(b["sum(sxy)"], np.float64)
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = num / den
+        return pa.table(
+            {
+                "source": b["source"],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "corr": pa.array(corr, pa.float64(), mask=(den == 0)),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source", "n_chars"]
+    )
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2584,6 +2656,7 @@ QUERIES = {
     "price_quantiles": q_price_quantiles,
     "customer_order_balance": q_customer_order_balance,
     "training_shuffle_head": q_training_shuffle_head,
+    "source_corr": q_source_corr,
     "orders_integrity": q_orders_integrity,
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
@@ -2894,6 +2967,35 @@ ORACLE_SQL = {
         FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
                          FROM orders GROUP BY o_custkey) o
           ON o.o_custkey = c.c_custkey
+    """,
+    "source_corr": """
+        WITH m AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(sum(w) AS BIGINT) AS sy,
+                   CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                        AS BIGINT) AS sxx,
+                   CAST(sum(w * w) AS BIGINT) AS syy,
+                   CAST(sum(CAST(n_chars AS BIGINT) * w) AS BIGINT) AS sxy
+            FROM (SELECT source, n_chars,
+                         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w
+                  FROM documents)
+            GROUP BY source
+        ),
+        f AS (
+            SELECT source, n,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                   sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS den
+            FROM m
+        )
+        SELECT source, n,
+               CASE WHEN den = 0 THEN NULL ELSE num / den END AS corr
+        FROM f
     """,
     "orders_integrity": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows,

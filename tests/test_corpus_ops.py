@@ -797,3 +797,55 @@ def test_customer_order_balance_full_outer(ray_session, tmp_path):
     assert pd.isna(got["c_acctbal"][2]) and got["c_acctbal"][3] == 65.5
     assert got["n_orders"][0] == 3 and pd.isna(got["n_orders"][1])
     assert got["n_orders"][2] == 2 and pd.isna(got["n_orders"][3])
+
+
+def test_source_corr_matches_numpy_and_layout_invariant(ray_session, tmp_path):
+    """Grouped Pearson partials must reduce to np.corrcoef regardless of
+    how rows are split across blocks; a zero-variance group yields NULL."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import q_source_corr
+
+    rng = np.random.default_rng(7)
+    n = 400
+    words = rng.integers(1, 40, n)
+    texts = [" ".join(["w"] * int(k)) for k in words]
+    # n_chars loosely tracks word count with noise → non-trivial corr
+    n_chars = (words * 3 + rng.integers(0, 25, n)).astype(np.int64)
+    src = np.where(np.arange(n) % 3 == 0, "a", "b")
+    # group "c": constant length → zero variance → NULL corr
+    texts += ["x y", "x y", "x y"]
+    n_chars = np.concatenate([n_chars, [5, 5, 5]])
+    src = np.concatenate([src, ["c"] * 3])
+    tbl = pa.table(
+        {
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(src, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+    def run(row_group_size):
+        pq.write_table(
+            tbl, f"{tmp_path}/documents.parquet", row_group_size=row_group_size
+        )
+        return (
+            q_source_corr(str(tmp_path))
+            .to_pandas()
+            .sort_values("source", ignore_index=True)
+        )
+
+    got = run(13)  # many tiny row groups → many blocks
+    wcounts = np.concatenate([words, [2, 2, 2]]).astype(np.float64)
+    for g in ("a", "b"):
+        m = src == g
+        expect = np.corrcoef(n_chars[m].astype(float), wcounts[m])[0, 1]
+        gotv = float(got.loc[got["source"] == g, "corr"].iloc[0])
+        assert abs(gotv - expect) < 1e-12, (g, gotv, expect)
+    assert pd.isna(got.loc[got["source"] == "c", "corr"].iloc[0])
+    assert got["n"].tolist() == [
+        int((src == "a").sum()), int((src == "b").sum()), 3
+    ]
+    got2 = run(4096)  # one block
+    pd.testing.assert_frame_equal(got, got2)
