@@ -522,3 +522,113 @@ def semdedup(ds, *, k: int = 8, iters: int = 4, threshold: float = 0.95,
         .groupby("cluster")
         .map_groups(within, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA projection (dimensionality reduction over embeddings)
+# ---------------------------------------------------------------------------
+
+
+def pca_moments(ds, *, x_scale: int = 10_000):
+    """EXACT integer second-moment sweep: one streaming pass emits per-block
+    partials (n, Σxq, XqᵀXq flattened), one combine stage merges blocks of
+    partial rows (so the driver receives ≤ ⌈blocks/COMBINE⌉ rows, the
+    tree-merge shape of stages/detect.py), and the driver adds int64s.
+
+    Quantization floor(x·x_scale+0.5) makes every sum order- and
+    layout-independent (integer addition is associative); magnitudes stay
+    int64-safe through ~1e9 rows at |x|≤1 — past that the partials would
+    carry split hi/lo int64 pairs.  Returns (n, s[d], G[d,d]) int64."""
+    COMBINE = 64
+
+    def partials(b: pa.Table) -> pa.Table:
+        M = matrix_of(b["embedding"])
+        Xq = np.floor(M * x_scale + 0.5).astype(np.int64)
+        d = Xq.shape[1]
+        s = Xq.sum(axis=0)
+        G = Xq.T @ Xq
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+                "g": pa.array([G.reshape(d * d).tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    def merge(b: pa.Table) -> pa.Table:
+        n = int(np.asarray(b["n"], np.int64).sum())
+        sc = b["s"].combine_chunks()
+        gc = b["g"].combine_chunks()
+        d = len(sc[0]) if len(sc) else 0
+        s = np.asarray(sc.values, np.int64).reshape(len(sc), d).sum(axis=0)
+        G = np.asarray(gc.values, np.int64).reshape(len(gc), d * d).sum(axis=0)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+                "g": pa.array([G.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = (
+        ds.select_columns(["embedding"])
+        .map_batches(partials, batch_format="pyarrow")
+        .map_batches(merge, batch_format="pyarrow", batch_size=COMBINE)
+        .take_all()
+    )
+    n = sum(int(r["n"]) for r in rows)
+    s = np.sum([np.asarray(r["s"], np.int64) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"], np.int64) for r in rows], axis=0)
+    d = s.size
+    return n, s, g.reshape(d, d)
+
+
+def pca_components(n: int, s: np.ndarray, G: np.ndarray, *, r: int,
+                   w_scale: int = 1_000_000) -> np.ndarray:
+    """Top-r principal directions from the exact integer moments, quantized
+    to int64 at ``w_scale``.  The n-scaled scatter  A = n·G − s·sᵀ  (int64,
+    exact) feeds one driver-side ``np.linalg.eigh`` — d×d work, never
+    row-scale.  Deterministic sign: each eigenvector is flipped so its
+    largest-|entry| component (first index on ties) is positive, making the
+    output a pure function of A."""
+    A = (n * G - np.outer(s, s)).astype(np.float64)
+    _, vecs = np.linalg.eigh(A)
+    W = vecs[:, ::-1][:, :r]  # eigh is ascending → top-r
+    flip = W[np.argmax(np.abs(W), axis=0), np.arange(W.shape[1])] < 0
+    W = W * np.where(flip, -1.0, 1.0)
+    return np.floor(W * w_scale + 0.5).astype(np.int64)
+
+
+def pca_project(ds, *, r: int = 4, x_scale: int = 10_000,
+                w_scale: int = 1_000_000):
+    """Distributed PCA projection: center and project every embedding onto
+    the top-r principal components — ENTIRELY in int64 so the result is
+    bit-exact for any block layout.
+
+    Two passes: (1) :func:`pca_moments` exact integer moment sweep;
+    (2) stateless ``map_batches`` computing  yq = (n·xq − s) @ Wq  per row
+    (centering scaled by n avoids a float mean).  The (d·r + d + 1)-int
+    projection state is broadcast once via ``ray.put``.  Output:
+    (vec_id, pc0..pc{r-1}) int64 at combined scale n·x_scale·w_scale.
+
+    The training-data analog of the reference's downsample-for-classify
+    step (document_classifier.py:84-89): a cheap low-d representation for
+    downstream clustering/dedup.  100-TB shape: pass 1 ships ≤ one tiny
+    row per block (tree-combined), pass 2 is embarrassingly parallel."""
+    n, s, G = pca_moments(ds, x_scale=x_scale)
+    Wq = pca_components(n, s, G, r=r, w_scale=w_scale)
+    state = ray.put((n, s, Wq))
+
+    def project(b: pa.Table) -> pa.Table:
+        n_, s_, W_ = ray.get(state)
+        M = matrix_of(b["embedding"])
+        Xq = np.floor(M * x_scale + 0.5).astype(np.int64)
+        Y = (n_ * Xq - s_[None, :]) @ W_
+        cols = {"vec_id": b["vec_id"].cast(pa.int64())}
+        for j in range(W_.shape[1]):
+            cols[f"pc{j}"] = pa.array(Y[:, j], pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow"
+    )

@@ -45,6 +45,7 @@ GOLDEN_QUERIES = (
     "kmeans_embeddings",
     "approx_distinct_words",
     "semdedup",
+    "pca_embeddings",
 )
 
 
@@ -480,6 +481,35 @@ def _golden_kmeans(sf_dir: str) -> pa.Table:
     )
 
 
+def _golden_pca(sf_dir: str) -> pa.Table:
+    """Single-process PCA twin — pure numpy, NO engine imports: quantize
+    floor(x·1e4+0.5), exact int64 moments (n, Σxq, XqᵀXq), scatter
+    A = n·G − s·sᵀ, one eigh, top-4 columns sign-fixed (largest-|entry|
+    positive, first index on ties), components floor(v·1e6+0.5), projection
+    yq = (n·xq − s) @ Wq in int64.  Every arithmetic step is either exact
+    integer or the identical eigh call on the identical float64 matrix the
+    engine's driver performs, so the comparison is machine-deterministic."""
+    r, x_scale, w_scale = 4, 10_000, 1_000_000
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    col = t["embedding"].combine_chunks()
+    X = np.asarray(col.values, np.float64).reshape(len(col), -1)
+    Xq = np.floor(X * x_scale + 0.5).astype(np.int64)
+    n = Xq.shape[0]
+    s = Xq.sum(axis=0)
+    G = Xq.T @ Xq
+    A = (n * G - np.outer(s, s)).astype(np.float64)
+    _, vecs = np.linalg.eigh(A)
+    W = vecs[:, ::-1][:, :r]
+    flip = W[np.argmax(np.abs(W), axis=0), np.arange(W.shape[1])] < 0
+    Wq = np.floor(W * np.where(flip, -1.0, 1.0) * w_scale + 0.5).astype(np.int64)
+    Y = (n * Xq - s[None, :]) @ Wq
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for j in range(r):
+        cols[f"pc{j}"] = pa.array(Y[:, j], pa.int64())
+    return pa.table(cols)
+
+
 def _golden_knn_ivf(sf_dir: str) -> pa.Table:
     """Pure-numpy replica of q_knn_ivf: same deterministic centroids
     (first 256 rows in file order), same probe rule, brute cosine on the
@@ -608,6 +638,7 @@ _COMPUTE = {
     "kmeans_embeddings": _golden_kmeans,
     "approx_distinct_words": _golden_approx_distinct,
     "semdedup": _golden_semdedup,
+    "pca_embeddings": _golden_pca,
 }
 
 

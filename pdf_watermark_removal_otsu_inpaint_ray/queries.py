@@ -1887,6 +1887,24 @@ def q_kmeans_embeddings(sf_dir: str):
     return kmeans_embeddings(ds, k=8, iters=4)
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA: exact int64 moment sweep (per-block partials,
+    tree-combined), driver-side d×d eigh, top-4 components broadcast once,
+    stateless int64 projection — bit-exact for any block layout
+    (functions/similarity.py::pca_project); checked against the pure-numpy
+    no-engine-code golden (oracle_data._golden_pca).  The dimensionality-
+    reduction stage an embedding dedup/clustering pipeline runs first."""
+    _with_golden("pca_embeddings", sf_dir)
+    import ray.data
+
+    from .functions.similarity import pca_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(ds, r=4)
+
+
 def q_learned_detector(sf_dir: str):
     """T3 actor-pool learned detector: 64 MB deterministic weights acquired
     through the ModelManager (S5 analog) — materialized + verified once per
@@ -2657,6 +2675,7 @@ QUERIES = {
     "customer_order_balance": q_customer_order_balance,
     "training_shuffle_head": q_training_shuffle_head,
     "source_corr": q_source_corr,
+    "pca_embeddings": q_pca_embeddings,
     "orders_integrity": q_orders_integrity,
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,

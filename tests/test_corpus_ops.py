@@ -849,3 +849,53 @@ def test_source_corr_matches_numpy_and_layout_invariant(ray_session, tmp_path):
     ]
     got2 = run(4096)  # one block
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_pca_project_layout_invariant_and_variance_ordered(ray_session):
+    """The int64 projection must be identical for any block layout, and the
+    retained components must capture variance in descending order (the PCA
+    contract), with pc0 aligned to the planted dominant direction."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.similarity import (
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 16
+    # planted spectrum: one dominant axis, one secondary, isotropic noise
+    u = rng.normal(size=d); u /= np.linalg.norm(u)
+    v = rng.normal(size=d); v -= u * (u @ v); v /= np.linalg.norm(v)
+    X = (
+        np.outer(rng.normal(size=n) * 5.0, u)
+        + np.outer(rng.normal(size=n) * 2.0, v)
+        + rng.normal(size=(n, d)) * 0.05
+    )
+    X = np.clip(X / np.abs(X).max(), -1, 1)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in X],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        return (
+            pca_project(ds, r=3)
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+
+    a, b = run(1), run(17)
+    assert a.equals(b), "projection depends on block layout"
+    P = a[["pc0", "pc1", "pc2"]].to_numpy(dtype=np.float64)
+    var = P.var(axis=0)
+    assert var[0] > var[1] > var[2] > 0
+    # pc0 must recover the planted dominant axis: |corr| with X@u near 1
+    t = X @ u
+    c = np.corrcoef(P[:, 0], t)[0, 1]
+    assert abs(c) > 0.99, c
