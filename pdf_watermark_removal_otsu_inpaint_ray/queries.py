@@ -2617,6 +2617,31 @@ def q_source_corr(sf_dir: str):
     )
 
 
+def q_regex_scrub(sf_dir: str):
+    """Regex scrub — the PII-redaction shape (emails/phones/SSNs in
+    production; here patterns that exist in the synthetic vocabulary):
+    every ``spark…``/``stream…`` word is masked in place.  One compiled-RE2
+    ``pc.replace_substring_regex`` kernel per batch (Arrow and DuckDB both
+    embed RE2, so the twin's ``regexp_replace(…, 'g')`` is semantics-
+    identical); stateless, no shuffle, embarrassingly parallel — the
+    rewrite complement of the M2 mask predicate applied to raw text
+    (reference analog: payload-prefix classification driving removal,
+    qr_detector.py:92-121 + cli.py:1015-1026)."""
+    PAT = r"\b(spark|stream)\w*"
+
+    def scrub(b: pa.Table) -> pa.Table:
+        out = pc.replace_substring_regex(b["text"], pattern=PAT, replacement="[MASK]")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "text": out,
+                "n_masked": pc.count_substring(out, "[MASK]").cast(pa.int64()),
+            }
+        )
+
+    return _docs_ds(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2676,6 +2701,7 @@ QUERIES = {
     "training_shuffle_head": q_training_shuffle_head,
     "source_corr": q_source_corr,
     "pca_embeddings": q_pca_embeddings,
+    "regex_scrub": q_regex_scrub,
     "orders_integrity": q_orders_integrity,
     "orders_rollup": q_orders_rollup,
     "customers_without_orders": q_customers_without_orders,
@@ -2986,6 +3012,13 @@ ORACLE_SQL = {
         FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
                          FROM orders GROUP BY o_custkey) o
           ON o.o_custkey = c.c_custkey
+    """,
+    "regex_scrub": r"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               regexp_replace(text, '\b(spark|stream)\w*', '[MASK]', 'g') AS text,
+               CAST(len(regexp_extract_all(text, '\b(spark|stream)\w*'))
+                    AS BIGINT) AS n_masked
+        FROM documents
     """,
     "source_corr": """
         WITH m AS (
