@@ -237,3 +237,67 @@ def tumbling_distinct_users(
         .groupby("pk")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def window_top_users(ds: "ray.data.Dataset", size_us: int = HOUR_US, k: int = 3):
+    """Exact per-(event_type, tumbling window) top-k users by event count —
+    the windowed heavy-hitter shape (per-window dominant keys; streaming
+    analog of A2's top-k dominant colors, watermark_detector.py:168-172).
+
+    Three cheap stages: (1) per-batch combiner — one ``np.unique(axis=0)``
+    collapses the batch to (type, window, user, n) partial rows, so the
+    count shuffle carries combiner-scale rows, never events; (2) exact
+    grouped count via ``groupby().sum``; (3) the partial-trim top-k
+    (functions/selection.py::topk_per_group) over a composite group key —
+    ≤ k rows per (type, window) per block move in the final trim.  Order:
+    n DESC, user_id ASC (deterministic)."""
+    from ..functions.selection import topk_per_group
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        w = _epoch_us(batch) // size_us
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        d = et.dictionary_encode()
+        codes = np.asarray(d.indices, np.int64)
+        uid = batch["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        triples, n = np.unique(
+            np.stack([codes, w, uid], axis=1), axis=0, return_counts=True
+        )
+        return pa.table(
+            {
+                "event_type": d.dictionary.take(
+                    pa.array(triples[:, 0], pa.int64())
+                ).cast(pa.string()),
+                "window_id": pa.array(triples[:, 1], pa.int64()),
+                "user_id": pa.array(triples[:, 2], pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def with_gkey(batch: pa.Table) -> pa.Table:
+        n = batch["sum(n)"].cast(pa.int64())
+        gkey = pc.binary_join_element_wise(
+            batch["event_type"].cast(pa.string()),
+            batch["window_id"].cast(pa.int64()).cast(pa.string()),
+            "|",
+        )
+        return pa.table(
+            {
+                "gkey": gkey,
+                "event_type": batch["event_type"],
+                "window_id": batch["window_id"].cast(pa.int64()),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "n": n,
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby(["event_type", "window_id", "user_id"])
+        .sum("n")
+        .map_batches(with_gkey, batch_format="pyarrow")
+    )
+    return topk_per_group(
+        counts, group="gkey", score="n", tie="user_id", k=k, num_parts=16
+    ).select_columns(["event_type", "window_id", "user_id", "n"])

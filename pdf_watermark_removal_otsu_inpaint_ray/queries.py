@@ -471,6 +471,17 @@ def q_sliding_counts(sf_dir: str):
     return sliding_counts(_events_ds(sf_dir))
 
 
+def q_window_top_users(sf_dir: str):
+    """Windowed heavy hitters: exact top-3 users per (event_type, hourly
+    tumbling window) — per-batch np.unique combiner, grouped count, then
+    the partial-trim distributed top-k (pipelines/windows.py
+    ::window_top_users).  SQL twin: QUALIFY row_number() over the same
+    grouped count."""
+    from .pipelines.windows import window_top_users
+
+    return window_top_users(_events_ds(sf_dir))
+
+
 def q_session_windows(sf_dir: str):
     from .pipelines.windows import session_windows
 
@@ -2667,6 +2678,7 @@ QUERIES = {
     "motif_doc_join": q_motif_doc_join,
     "tumbling_counts": q_tumbling_counts,
     "sliding_counts": q_sliding_counts,
+    "window_top_users": q_window_top_users,
     "session_windows": q_session_windows,
     "events_customer_join": q_events_customer_join,
     "events_bloom_semi": q_events_bloom_semi,
@@ -2876,6 +2888,18 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n,
                min(value) AS vmin, max(value) AS vmax
         FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    """,
+    "window_top_users": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, window_id, user_id, n FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type, window_id ORDER BY n DESC, user_id) <= 3
     """,
     "sliding_counts": """
         WITH b AS (SELECT event_type, epoch_us(ts) AS us FROM events),

@@ -899,3 +899,46 @@ def test_pca_project_layout_invariant_and_variance_ordered(ray_session):
     t = X @ u
     c = np.corrcoef(P[:, 0], t)[0, 1]
     assert abs(c) > 0.99, c
+
+
+def test_window_top_users_ties_and_layout(ray_session):
+    """Heavy-hitter trim must keep (n DESC, user_id ASC) under count ties
+    and be block-layout independent."""
+    import pandas as pd
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.windows import (
+        HOUR_US,
+        window_top_users,
+    )
+
+    # window 0: u1 x3, u2 x3, u3 x2, u4 x2, u5 x1 → top3 = u1,u2,u3
+    # window 1 (type b): u9 x1, u8 x1 → both kept (ties → user asc)
+    rows = (
+        [("a", 0, 1)] * 3 + [("a", 1, 2)] * 3 + [("a", 2, 3)] * 2
+        + [("a", 3, 4)] * 2 + [("a", 4, 5)]
+        + [("b", HOUR_US + 5, 9), ("b", HOUR_US + 6, 8)]
+    )
+    tbl = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+    def run(nb):
+        return (
+            window_top_users(ray.data.from_arrow(tbl).repartition(nb), k=3)
+            .to_pandas()
+            .sort_values(["event_type", "window_id", "n", "user_id"],
+                         ascending=[True, True, False, True],
+                         ignore_index=True)
+        )
+
+    got = run(5)
+    a_rows = got[got["event_type"] == "a"]
+    assert a_rows["user_id"].tolist() == [1, 2, 3]  # u4 tied with u3 but larger id
+    assert a_rows["n"].tolist() == [3, 3, 2]
+    b_rows = got[got["event_type"] == "b"]
+    assert b_rows["user_id"].tolist() == [8, 9]
+    pd.testing.assert_frame_equal(got, run(1))
