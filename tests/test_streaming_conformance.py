@@ -20,6 +20,11 @@ CASES = [
     (4, "sliding", 2, 10, dict(window_size=24, window_slide=12)),
     (5, "session", 4, 5, dict(session_gap=3)),
     (6, "session", 1, 9, dict(session_gap=11)),
+    # sticky detection (first window wins per source) must also conform in
+    # every variant — partitioned consumers share the actor-local sticky
+    # state, salted mode threads it through the coordinated protocol
+    (7, "tumbling", 4, 6, dict(window_size=24, detection_mode="sticky")),
+    (8, "session", 3, 4, dict(session_gap=5, detection_mode="sticky")),
 ]
 
 
