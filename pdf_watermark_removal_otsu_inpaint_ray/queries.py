@@ -1146,6 +1146,81 @@ def q_events_lag_delta(sf_dir: str):
     return lagged.map_batches(definite, batch_format="pyarrow")
 
 
+def _events_cep_prep(sf_dir: str):
+    """Projected int64 event view shared by the CEP queries: the shuffle
+    carries only (user_id, ts_us, event_id, event_type)."""
+    import ray.data
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+
+def q_events_funnel(sf_dir: str):
+    """CEP staged funnel (functions/cep.py::funnel): per user, first signup,
+    first view STRICTLY AFTER it, first purchase strictly after that —
+    greedy first-occurrence MATCH_RECOGNIZE(A → B → C) semantics (reference
+    analog: sticky first-window detection, watermark_detector.py's
+    first-hit-wins chain).  One coarse user-key partition, one
+    mask+segment-min sweep per stage — no sort, no per-group callback."""
+    from .functions.cep import funnel
+
+    return funnel(
+        _events_cep_prep(sf_dir),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        type_col="event_type",
+        steps=("signup", "view", "purchase"),
+    )
+
+
+def q_events_pattern(sf_dir: str):
+    """CEP immediate follow-by (functions/cep.py::match_next): view events
+    whose NEXT event for the user is a purchase within 1 h — the strictest
+    sequential-pattern form (lead() adjacency: nothing may intervene)."""
+    from .functions.cep import match_next
+
+    return match_next(
+        _events_cep_prep(sf_dir),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        type_col="event_type",
+        first="view",
+        second="purchase",
+        max_gap=3_600_000_000,
+    )
+
+
+def q_events_rate_limit(sf_dir: str):
+    """Per-(user, hour) arrival-order throttle (functions/cep.py::
+    rate_limit): keep only each user's first 2 events per tumbling hour —
+    the rate-cap primitive (keyed by domain instead, the per-domain
+    document cap of corpus curation)."""
+    from .functions.cep import rate_limit
+
+    return rate_limit(
+        _events_cep_prep(sf_dir).drop_columns(["event_type"]),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        window_us=3_600_000_000,
+        k=2,
+    )
+
+
 def q_priority_revenue(sf_dir: str):
     """Fact-⋈-fact equi-join + aggregate (TPC-H-Q4 shape): discounted
     lineitem revenue per o_orderpriority.  Combiner-first repartition join
@@ -2705,6 +2780,9 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "events_rolling_sum": q_events_rolling_sum,
     "events_lag_delta": q_events_lag_delta,
+    "events_funnel": q_events_funnel,
+    "events_pattern": q_events_pattern,
+    "events_rate_limit": q_events_rate_limit,
     "orders_pivot": q_orders_pivot,
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
@@ -3129,6 +3207,67 @@ ORACLE_SQL = {
                CAST(CASE WHEN lag_delta IS NULL THEN 1 ELSE 0 END AS BIGINT)
                    AS is_first
         FROM l
+    """,
+    "events_funnel": """
+        WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id
+                   FROM events),
+        s1 AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                      min(CAST(epoch_us(ts) AS BIGINT)) AS t
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                      min(CAST(epoch_us(e.ts) AS BIGINT)) AS t
+               FROM events e JOIN s1 ON CAST(e.user_id AS BIGINT) = s1.user_id
+               WHERE e.event_type = 'view'
+                 AND CAST(epoch_us(e.ts) AS BIGINT) > s1.t GROUP BY 1),
+        s3 AS (SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                      min(CAST(epoch_us(e.ts) AS BIGINT)) AS t
+               FROM events e JOIN s2 ON CAST(e.user_id AS BIGINT) = s2.user_id
+               WHERE e.event_type = 'purchase'
+                 AND CAST(epoch_us(e.ts) AS BIGINT) > s2.t GROUP BY 1)
+        SELECT u.user_id,
+               CAST(coalesce(s1.t, -1) AS BIGINT) AS ts_signup,
+               CAST(coalesce(s2.t, -1) AS BIGINT) AS ts_view,
+               CAST(coalesce(s3.t, -1) AS BIGINT) AS ts_purchase,
+               CAST((s1.t IS NOT NULL)::INT + (s2.t IS NOT NULL)::INT
+                    + (s3.t IS NOT NULL)::INT AS BIGINT) AS stage
+        FROM u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+    "events_pattern": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   event_type,
+                   lead(event_type) OVER w AS nxt_type,
+                   lead(CAST(epoch_us(ts) AS BIGINT)) OVER w AS nxt_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id,
+               ts_us AS ts_first,
+               CAST(nxt_ts AS BIGINT) AS ts_second,
+               CAST(nxt_ts - ts_us AS BIGINT) AS delta_us
+        FROM s
+        WHERE event_type = 'view' AND nxt_type = 'purchase'
+          AND nxt_ts - ts_us <= 3600000000
+    """,
+    "events_rate_limit": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id,
+                                    epoch_us(ts) // 3600000000
+                       ORDER BY ts, event_id) AS BIGINT) AS rn
+            FROM events
+        )
+        SELECT user_id, window_id, ts_us, event_id, rn
+        FROM s WHERE rn <= 2
     """,
     "pack_bins": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
