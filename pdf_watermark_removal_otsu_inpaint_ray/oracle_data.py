@@ -33,6 +33,7 @@ GOLDEN_QUERIES = (
     "inpaint_global",
     "inpaint_tumbling",
     "streaming_inpaint",
+    "streaming_dedup",
     "auto_tuned_inpaint",
     "minhash_lsh",
     "simhash",
@@ -622,10 +623,44 @@ def _golden_inpaint_session(sf_dir: str) -> pa.Table:
     )
 
 
+def _golden_streaming_dedup(sf_dir: str) -> pa.Table:
+    """Independent serial twin of the streaming_dedup query: the same
+    replay rule (1 + d % 3 copies at ts offsets 0/5/17 from base d // 4)
+    but identity = RAW TEXT and the horizon-8 chain walked with a plain
+    dict in (ts, seq) order — no engine hash, no engine chain code.  Also
+    proves the engine's 63-bit content hash is collision-free here."""
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    rows = []
+    for d, t in zip(ids, texts):
+        for k, off in enumerate((0, 5, 17)[: 1 + d % 3]):
+            rows.append((d // 4 + off, d * 4 + k, t, d))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    last: dict = {}
+    kept = []
+    for ts, seq, t, d in rows:
+        p = last.get(t)
+        if p is None or ts > p + 8:
+            last[t] = ts
+            kept.append((seq, d, ts))
+    kept.sort()
+    return pa.table(
+        {
+            "row_id": pa.array([r[0] for r in kept], pa.int64()),
+            "doc_id": pa.array([r[1] for r in kept], pa.int64()),
+            "event_ts": pa.array([r[2] for r in kept], pa.int64()),
+        }
+    )
+
+
 _COMPUTE = {
     "inpaint_global": _golden_inpaint_global,
     "inpaint_tumbling": _golden_inpaint_tumbling,
     "streaming_inpaint": _golden_streaming_inpaint,
+    "streaming_dedup": _golden_streaming_dedup,
     "auto_tuned_inpaint": _golden_auto_tuned,
     "minhash_lsh": _golden_minhash_lsh,
     "simhash": _golden_simhash,

@@ -1,0 +1,111 @@
+"""Streaming duplicate suppression pipeline: at-least-once source →
+exactly-once row set.
+
+Single-read arrival-order consumption (same log contract as
+:mod:`.streaming`), rows routed to a :class:`DedupStateActor` pool by
+IDENTITY hash (all occurrences of an identity meet the same actor — the
+partitioning assumption this operator relies on; identity hashes are
+uniform by construction, so no salting is needed even under source skew).
+The watermark tracker drives the sweep: a row's keep/dup decision
+finalizes only when no earlier-ts row can still arrive, making the output
+a pure function of the event-time order — independent of arrival
+interleaving, micro-batch size, and actor count.
+
+Sink mode (``out_dir``): kept rows flow from each actor straight into the
+exactly-once staged layout; late rows to ``<out_dir>/_late``; the driver
+moves manifests only.  Duplicates are counted per actor (their whole point
+is to be dropped) — ``state_stats`` carries ``n_dup``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..state.dedup_state import DedupStateActor, _splitmix_route
+from ..state.watermark_tracker import WatermarkTracker
+from .streaming import StreamingResult, _arrival_batches, _finalize_sink, _sink_done_sets
+
+
+def run_streaming_dedup(
+    source,
+    *,
+    horizon: int | None = None,
+    id_col: str = "dedup_id",
+    ts_col: str = "event_ts",
+    seq_col: str = "doc_id",
+    allowed_lateness: int = 32,
+    n_actors: int = 4,
+    micro_batch_rows: int = 512,
+    out_dir: str | None = None,
+    num_partitions: int = 8,
+) -> StreamingResult:
+    """Run streaming dedup over a Parquet path / Dataset.  Ray must already
+    be initialised by the caller.  ``horizon``: event-time TTL of a kept
+    identity (None = suppress duplicates forever; state then grows with
+    distinct identities, the inherent exact-dedup bound)."""
+    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    actors = [
+        DedupStateActor.remote(
+            horizon=horizon,
+            id_col=id_col,
+            ts_col=ts_col,
+            seq_col=seq_col,
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            late_done=late_done,
+            sink_epoch=sink_epoch,
+        )
+        for _ in range(n_actors)
+    ]
+    tracker = WatermarkTracker.remote(1, allowed_lateness)
+
+    kept_refs: list = []
+    pending: list = []
+    wm = -(1 << 62)
+    batch_idx = 0
+    for batch in _arrival_batches(source, micro_batch_rows):
+        ts = np.asarray(batch[ts_col], dtype=np.int64)
+        # watermark refreshed every few batches — monotone lower bound of
+        # the true one (staleness delays sweeps, never corrupts them)
+        if batch_idx % 4 == 0:
+            wm = max(wm, ray.get(tracker.watermark.remote()))
+        batch_idx += 1
+        route = _splitmix_route(np.asarray(batch[id_col], np.int64), n_actors)
+        for a in range(n_actors):
+            idx = np.nonzero(route == a)[0]
+            if idx.size == 0:
+                continue
+            pending.append(actors[a].ingest.remote(batch.take(idx), wm))
+        tracker.update.remote(0, int(ts.max()))
+        if len(pending) >= n_actors * 4:
+            done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
+            for tables, _, _ in ray.get(done):
+                kept_refs.extend(tables)
+
+    for tables, _, _ in ray.get(pending):
+        kept_refs.extend(tables)
+    for flushed in ray.get([a.flush.remote() for a in actors]):
+        kept_refs.extend(flushed)
+
+    late_tables = [
+        t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None
+    ]
+    stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+
+    if out_dir is not None:
+        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+
+    out = (
+        pa.concat_tables(kept_refs).sort_by(seq_col) if kept_refs else None
+    )
+    return StreamingResult(
+        output=out,
+        late=late,
+        n_late=sum(s["n_late"] for s in stats),
+        actor_stats=stats,
+    )

@@ -251,6 +251,59 @@ def q_streaming_inpaint(sf_dir: str):
     return _rewrite_summary(res.output)
 
 
+def q_streaming_dedup(sf_dir: str):
+    """Streaming duplicate suppression with event-time TTL
+    (pipelines/stream_dedup.py): documents replayed as an at-least-once
+    source — doc d arrives ``1 + d % 3`` times at ts offsets (0, 5, 17)
+    from base ``d // 4`` — and only the first occurrence per CONTENT hash
+    inside a rolling horizon of 8 survives (a 17-offset retry falls outside
+    the horizon and is legitimately re-admitted: the TTL chain restarts).
+    The replay rule, horizon=8 and lateness=24 are part of the query
+    definition, mirrored by the golden.  The oracle chains on RAW TEXT
+    identity with an independent dict walk — also proving the engine's
+    63-bit content hash is collision-free on this corpus."""
+    _with_golden("streaming_dedup", sf_dir)
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .functions.dedup import content_hash_batch
+    from .pipelines.stream_dedup import run_streaming_dedup
+
+    docs = content_hash_batch(
+        pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    d = np.asarray(docs["doc_id"], np.int64)
+    h = np.asarray(docs["content_hash"], np.int64)
+    copies = 1 + (d % 3)
+    starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
+    rep = np.repeat(np.arange(len(d)), copies)
+    k = np.arange(int(copies.sum())) - np.repeat(starts, copies)
+    offsets = np.array([0, 5, 17], np.int64)
+    stream = pa.table(
+        {
+            "doc_id": pa.array(d[rep] * 4 + k, pa.int64()),  # arrival seq
+            "orig_doc": pa.array(d[rep], pa.int64()),
+            "dedup_id": pa.array(h[rep], pa.int64()),
+            "event_ts": pa.array(d[rep] // 4 + offsets[k], pa.int64()),
+        }
+    )
+    res = run_streaming_dedup(
+        ray.data.from_arrow(stream),
+        horizon=8,
+        allowed_lateness=24,
+        n_actors=2,
+        micro_batch_rows=128,
+    )
+    out = res.output
+    return pa.table(
+        {
+            "row_id": out["doc_id"].cast(pa.int64()),
+            "doc_id": out["orig_doc"].cast(pa.int64()),
+            "event_ts": out["event_ts"].cast(pa.int64()),
+        }
+    )
+
+
 def q_auto_tuned(sf_dir: str):
     """Classifier-driven per-source parameter tuning (A5/A6) end to end —
     driver-checked against the materialized golden oracle."""
@@ -2742,6 +2795,7 @@ QUERIES = {
     "inpaint_global": q_inpaint_global,
     "inpaint_tumbling": q_inpaint_tumbling,
     "streaming_inpaint": q_streaming_inpaint,
+    "streaming_dedup": q_streaming_dedup,
     "auto_tuned_inpaint": q_auto_tuned,
     "inpaint_session": q_inpaint_session,
     "run_summary": q_run_summary,

@@ -54,6 +54,10 @@ def hash_partition_ids(doc_ids: pa.Array | pa.ChunkedArray, num_partitions: int)
     per-row Python."""
     if isinstance(doc_ids, pa.ChunkedArray):
         doc_ids = doc_ids.combine_chunks()
+    if pa.types.is_integer(doc_ids.type):
+        # integer row ids (the streaming-dedup layout) hash over their
+        # decimal utf-8 form — same function, one deterministic mapping
+        doc_ids = doc_ids.cast(pa.string())
     arr = doc_ids.cast(pa.binary())
     off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
