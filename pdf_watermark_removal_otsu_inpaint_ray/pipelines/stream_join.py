@@ -1,0 +1,131 @@
+"""Two-log streaming stateful join pipeline (symmetric interval join).
+
+Both logs are consumed in arrival order (same log contract as
+:mod:`.streaming`), round-robin interleaved so neither side's frontier
+races ahead; rows route to a :class:`JoinStateActor` pool by KEY hash
+(both sides of a key meet the same actor — the co-location assumption
+this operator relies on; salting a hot key would require splitting ONE
+side only, since pairs form across sides).  The watermark is the min of
+the two logs' frontiers minus lateness; each log closes its tracker
+partition when it ends, so a shorter log stops holding eviction back.
+
+Pair emission is at second-arrival (set-deterministic — see
+state/join_state.py); sink mode stages pairs from the actors straight
+into the exactly-once layout keyed by a deterministic pair id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..state.dedup_state import _splitmix_route
+from ..state.join_state import JoinStateActor
+from ..state.watermark_tracker import WatermarkTracker
+from .streaming import StreamingResult, _arrival_batches, _finalize_sink, _sink_done_sets
+
+
+def _normalize(batch: pa.Table, key: str, seq: str, ts: str) -> pa.Table:
+    return pa.table(
+        {
+            "key": batch[key].cast(pa.int64()),
+            "seq": batch[seq].cast(pa.int64()),
+            "ts": batch[ts].cast(pa.int64()),
+        }
+    )
+
+
+def run_streaming_join(
+    left_source,
+    right_source,
+    *,
+    band: int,
+    left_cols: tuple[str, str, str] = ("key", "seq", "event_ts"),
+    right_cols: tuple[str, str, str] = ("key", "seq", "event_ts"),
+    allowed_lateness: int = 1,
+    n_actors: int = 4,
+    micro_batch_rows: int = 512,
+    out_dir: str | None = None,
+    num_partitions: int = 8,
+) -> StreamingResult:
+    """Streaming interval equi-join of two logs: emit (key, l_seq, l_ts,
+    r_seq, r_ts) for every pair with equal keys and ``|l_ts - r_ts| <=
+    band``.  ``*_cols`` = (key, seq, ts) column names per side.  Ray must
+    already be initialised by the caller."""
+    sink_done, _, sink_epoch = _sink_done_sets(out_dir)
+    actors = [
+        JoinStateActor.remote(
+            band=band,
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            sink_epoch=sink_epoch,
+        )
+        for _ in range(n_actors)
+    ]
+    tracker = WatermarkTracker.remote(2, allowed_lateness)
+
+    pair_refs: list = []
+    pending: list = []
+    wm = -(1 << 62)
+    batch_idx = 0
+    iters = [
+        _arrival_batches(left_source, micro_batch_rows),
+        _arrival_batches(right_source, micro_batch_rows),
+    ]
+    cols = [left_cols, right_cols]
+    alive = [True, True]
+    while any(alive):
+        for side in (0, 1):
+            if not alive[side]:
+                continue
+            try:
+                raw = next(iters[side])
+            except StopIteration:
+                alive[side] = False
+                tracker.close_partition.remote(side)
+                continue
+            batch = _normalize(raw, *cols[side])
+            ts = np.asarray(batch["ts"], np.int64)
+            if batch_idx % 4 == 0:
+                wm = max(wm, ray.get(tracker.watermark.remote()))
+            batch_idx += 1
+            route = _splitmix_route(np.asarray(batch["key"], np.int64), n_actors)
+            for a in range(n_actors):
+                idx = np.nonzero(route == a)[0]
+                if idx.size == 0:
+                    continue
+                pending.append(actors[a].ingest.remote(side, batch.take(idx), wm))
+            tracker.update.remote(side, int(ts.max()))
+            if len(pending) >= n_actors * 4:
+                done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
+                for tables, _ in ray.get(done):
+                    pair_refs.extend(tables)
+
+    for tables, _ in ray.get(pending):
+        pair_refs.extend(tables)
+
+    late_tables = [
+        t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None
+    ]
+    stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+
+    if out_dir is not None:
+        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+
+    out = (
+        pa.concat_tables(pair_refs).sort_by(
+            [("l_seq", "ascending"), ("r_seq", "ascending")]
+        )
+        if pair_refs
+        else None
+    )
+    return StreamingResult(
+        output=out,
+        late=late,
+        n_late=sum(s["n_late"] for s in stats),
+        actor_stats=stats,
+    )

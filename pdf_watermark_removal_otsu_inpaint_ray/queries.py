@@ -1274,6 +1274,51 @@ def q_events_rate_limit(sf_dir: str):
     )
 
 
+def q_streaming_stream_join(sf_dir: str):
+    """TWO-LOG streaming stateful join (pipelines/stream_join.py): the
+    events log split into a view log and a purchase log, joined per user
+    within a ±6 h event-time band by the symmetric-hash interval join —
+    keyed actor state, watermark-driven eviction, pair emission at
+    second-arrival.  The emitted pair SET is deterministic, so the twin is
+    a closed-form SQL self-join (not a materialized golden)."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_join import run_streaming_join
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def log_of(kind: str) -> pa.Table:
+        sel = ev.filter(pc.equal(ev["event_type"], kind))
+        return pa.table(
+            {
+                "key": sel["user_id"].cast(pa.int64()),
+                "seq": sel["event_id"].cast(pa.int64()),
+                "event_ts": sel["ts"].cast(pa.int64()),
+            }
+        )
+
+    res = run_streaming_join(
+        ray.data.from_arrow(log_of("view")),
+        ray.data.from_arrow(log_of("purchase")),
+        band=21_600_000_000,
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=256,
+    )
+    out = res.output
+    if out is None:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("key", "l_seq", "l_ts", "r_seq", "r_ts")
+            }
+        )
+    return out.select(["key", "l_seq", "l_ts", "r_seq", "r_ts"])
+
+
 def q_priority_revenue(sf_dir: str):
     """Fact-⋈-fact equi-join + aggregate (TPC-H-Q4 shape): discounted
     lineitem revenue per o_orderpriority.  Combiner-first repartition join
@@ -2837,6 +2882,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_pattern": q_events_pattern,
     "events_rate_limit": q_events_rate_limit,
+    "streaming_stream_join": q_streaming_stream_join,
     "orders_pivot": q_orders_pivot,
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
@@ -3307,6 +3353,16 @@ ORACLE_SQL = {
         FROM s
         WHERE event_type = 'view' AND nxt_type = 'purchase'
           AND nxt_ts - ts_us <= 3600000000
+    """,
+    "streaming_stream_join": """
+        SELECT CAST(l.user_id AS BIGINT) AS key,
+               CAST(l.event_id AS BIGINT) AS l_seq,
+               CAST(epoch_us(l.ts) AS BIGINT) AS l_ts,
+               CAST(r.event_id AS BIGINT) AS r_seq,
+               CAST(epoch_us(r.ts) AS BIGINT) AS r_ts
+        FROM events l JOIN events r ON l.user_id = r.user_id
+        WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+          AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 21600000000
     """,
     "events_rate_limit": """
         WITH s AS (
