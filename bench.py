@@ -285,6 +285,8 @@ def main() -> None:
             "priority_revenue", "events_rolling_sum", "unigram_logprob",
             "heavy_hitter_tokens", "collapse_repeats", "semdedup",
             "nation_revenue", "price_quantiles", "training_shuffle_head",
+            "streaming_dedup", "streaming_stream_join",
+            "events_funnel", "window_top_users", "source_corr", "pca_embeddings",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -54,13 +54,14 @@ def run_streaming_join(
     r_seq, r_ts) for every pair with equal keys and ``|l_ts - r_ts| <=
     band``.  ``*_cols`` = (key, seq, ts) column names per side.  Ray must
     already be initialised by the caller."""
-    sink_done, _, sink_epoch = _sink_done_sets(out_dir)
+    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         JoinStateActor.remote(
             band=band,
             sink_dir=out_dir,
             sink_partitions=num_partitions,
             sink_done=sink_done,
+            late_done=late_done,
             sink_epoch=sink_epoch,
         )
         for _ in range(n_actors)

@@ -52,6 +52,7 @@ class JoinStateActor:
         sink_partitions: int = 8,
         sink_stage_rows: int = 32768,
         sink_done: frozenset[int] = frozenset(),
+        late_done: frozenset[int] = frozenset(),
         sink_epoch: int = 0,
     ):
         self.band = band
@@ -59,9 +60,12 @@ class JoinStateActor:
         self.sink_partitions = sink_partitions
         self.sink_stage_rows = sink_stage_rows
         self._sink_done = sink_done
+        self._late_done = late_done
         self.sink_epoch = sink_epoch
         self._sink_buf: list[pa.Table] = []
         self._sink_rows = 0
+        self._late_buf: list[pa.Table] = []
+        self._late_buf_rows = 0
         # per side (0 = left, 1 = right): compacted arrays sorted by key
         self._k = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
         self._s = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
@@ -119,8 +123,17 @@ class JoinStateActor:
             lb = batch.filter(pa.array(late)).append_column(
                 "side", pa.array(np.full(int(late.sum()), side), pa.int64())
             )
-            self.n_late += lb.num_rows
-            self._late_mem.append(lb)
+            # staged-layout partition key: unique iff seq is unique per log
+            # (the operator's stated contract), side bit disambiguates logs
+            lb = lb.append_column(
+                "doc_id",
+                pa.array(
+                    (np.asarray(lb["seq"], np.int64) << np.int64(1))
+                    | np.int64(side),
+                    pa.int64(),
+                ),
+            )
+            self._note_late(lb)
             keep = ~late
             batch = batch.filter(pa.array(keep))
             ts = ts[keep]
@@ -182,8 +195,34 @@ class JoinStateActor:
             self.sink_epoch,
         )
 
+    def _note_late(self, late_batch: pa.Table) -> None:
+        """Count + route a late batch: to the ``<sink_dir>/_late`` staged
+        layout in sink mode (bounded actor buffer — never O(stream)), to
+        actor memory only in driver-collected mode (small runs/tests)."""
+        self.n_late += late_batch.num_rows
+        if self.sink_dir is None:
+            self._late_mem.append(late_batch)
+            return
+        self._late_buf.append(late_batch)
+        self._late_buf_rows += late_batch.num_rows
+        if self._late_buf_rows >= self.sink_stage_rows:
+            self._flush_late()
+
+    def _flush_late(self) -> None:
+        if not self._late_buf:
+            return
+        from ..sinks.exactly_once import late_dir, stage_table
+
+        table = pa.concat_tables(self._late_buf)
+        self._late_buf, self._late_buf_rows = [], 0
+        stage_table(
+            late_dir(self.sink_dir), table, self.sink_partitions,
+            self._late_done, self.sink_epoch,
+        )
+
     def sink_flush(self) -> int:
         self._flush_sink()
+        self._flush_late()
         return self.n_pairs
 
     def late_rows(self) -> pa.Table | None:

@@ -108,6 +108,49 @@ def test_join_unequal_log_lengths(ray_session, tmp_path):
     assert _got_pairs(res) == _brute_pairs(lt, rt, 11)
 
 
+def test_join_late_rows_routed_and_staged(ray_session, tmp_path):
+    """A row arriving behind the watermark is LATE: counted, excluded from
+    pair probing, and routed — to actor memory in driver mode, to the
+    ``<sink>/_late`` staged layout (not actor memory) in sink mode."""
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_late,
+    )
+
+    # arrival order carries ts=5 after both frontiers reached 3000: with
+    # micro_batch_rows=1 the driver refreshes its cached watermark on the
+    # very batch that delivers it (batch_idx 8), so it is late everywhere
+    def tbl(ts_arrival):
+        return pa.table(
+            {
+                "key": pa.array([1] * len(ts_arrival), pa.int64()),
+                "seq": pa.array(np.arange(len(ts_arrival)), pa.int64()),
+                "event_ts": pa.array(ts_arrival, pa.int64()),
+            }
+        )
+
+    lt = tbl([0, 1000, 2000, 3000, 5])
+    rt = tbl([0, 1000, 2000, 3000, 4000])
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(lt, lp)
+    pq.write_table(rt, rp)
+
+    kw = dict(band=10, allowed_lateness=1, n_actors=1, micro_batch_rows=1)
+    driver = run_streaming_join(lp, rp, **kw)
+    assert driver.n_late == 1
+    assert driver.late is not None and driver.late.num_rows == 1
+    assert driver.late["ts"][0].as_py() == 5 and driver.late["side"][0].as_py() == 0
+    # the late row never probes: only the ts-equal pairs remain
+    assert _got_pairs(driver) == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+    out_dir = str(tmp_path / "sink")
+    sink = run_streaming_join(lp, rp, **kw, out_dir=out_dir)
+    assert sink.n_late == 1
+    assert sink.late is None or sink.late.num_rows == 0  # not actor memory
+    staged = read_late(out_dir).to_pandas()
+    assert len(staged) == 1
+    assert staged["ts"].iloc[0] == 5 and staged["side"].iloc[0] == 0
+
+
 def test_join_sink_mode_equals_driver_mode(ray_session, tmp_path):
     from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
         read_output,
