@@ -542,9 +542,29 @@ def _verify_pairs_distributed(cand_tbl: pa.Table, payload_ds, pair_value, out_fi
         # halves by it so pair_value(payload_a, payload_b) holds even for
         # ASYMMETRIC pair metrics (e.g. containment), not just jaccard/hamming
         is_b = (doc[half] == bb[half]).astype(np.int64)
-        return pd.DataFrame(
-            {"pair_id": pid[half], "a": aa[half], "b": bb[half],
-             "is_b": is_b, "payload": src_pay}
+        # emit ARROW with an explicit large_list payload: returning a pandas
+        # object column lets Ray re-infer the type per block (uniform-length
+        # blocks become fixed-shape tensor extensions, ragged ones variable-
+        # shaped), and the downstream groupby cannot concatenate the mix —
+        # a layout-dependent schema flake, reproduced at 16 cpus
+        lens = np.fromiter((len(x) for x in src_pay), np.int64, src_pay.size)
+        flat = (
+            np.concatenate(src_pay).astype(np.int64)
+            if src_pay.size
+            else np.zeros(0, np.int64)
+        )
+        offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
+        pay_arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.int64())
+        )
+        return pa.table(
+            {
+                "pair_id": pa.array(pid[half], pa.int64()),
+                "a": pa.array(aa[half], pa.int64()),
+                "b": pa.array(bb[half], pa.int64()),
+                "is_b": pa.array(is_b, pa.int64()),
+                "payload": pay_arr,
+            }
         )
 
     def add_pk(b: pa.Table) -> pa.Table:
