@@ -108,6 +108,49 @@ def test_join_unequal_log_lengths(ray_session, tmp_path):
     assert _got_pairs(res) == _brute_pairs(lt, rt, 11)
 
 
+def test_join_kill_and_replay_resumes_byte_identical(ray_session, tmp_path):
+    """A join run that dies mid-commit replays both logs; the sink's
+    committed partitions are skipped (sink_done adopted by the actors) and
+    the final output is byte-identical to an uninterrupted run."""
+    import pytest
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        committed_partitions,
+        read_output,
+        write_exactly_once,
+    )
+
+    def collect(d):
+        return pa.concat_tables(
+            [pa.table(b) for b in read_output(d).iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+
+    lt, rt = _log(250, seed=11), _log(250, seed=12)
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(lt, lp)
+    pq.write_table(rt, rp)
+    kw = dict(band=8, n_actors=2, micro_batch_rows=64, num_partitions=6)
+
+    clean = str(tmp_path / "clean")
+    run_streaming_join(lp, rp, **kw, out_dir=clean)
+
+    # crashed attempt: pairs computed but the sink dies before partition 2
+    crash = str(tmp_path / "crash")
+    res = run_streaming_join(lp, rp, band=8, n_actors=2, micro_batch_rows=64)
+    with pytest.raises(Exception):
+        write_exactly_once(
+            ray.data.from_arrow(res.output), crash, num_partitions=6,
+            fail_partitions=frozenset({2}),
+        )
+    assert 2 not in committed_partitions(crash)
+
+    # resume: replay both logs (state rebuilds), sink skips committed parts
+    run_streaming_join(lp, rp, **kw, out_dir=crash)
+    assert committed_partitions(crash) == set(range(6))
+    assert collect(crash).equals(collect(clean))
+
+
 def test_join_late_rows_routed_and_staged(ray_session, tmp_path):
     """A row arriving behind the watermark is LATE: counted, excluded from
     pair probing, and routed — to actor memory in driver mode, to the
