@@ -251,3 +251,57 @@ def grouped_rolling_sum(
         .groupby("pk")
         .map_groups(roll_part, batch_format="pandas")
     )
+
+
+def _latest_rows(tbl: pa.Table, group: str, order: str, tiebreak: str) -> pa.Table:
+    """Keep each group's LAST row by (order, tiebreak) — one vectorized
+    lexsort + run-boundary sweep, no per-group callback.  Payload columns
+    ride along untouched via ``take``."""
+    if tbl.num_rows == 0:
+        return tbl
+    gk = np.asarray(tbl[group], np.int64)
+    o = np.asarray(tbl[order], np.int64)
+    t = np.asarray(tbl[tiebreak], np.int64)
+    idx = np.lexsort((t, o, gk))
+    gs = gk[idx]
+    last = np.empty(len(gs), bool)
+    last[-1] = True
+    last[:-1] = gs[1:] != gs[:-1]
+    return tbl.take(pa.array(idx[last], pa.int64()))
+
+
+def grouped_latest(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    tiebreak: str = "event_id",
+):
+    """CDC log compaction / upsert-resolve: each group's latest row by
+    (order, tiebreak) — ``row_number() OVER (PARTITION BY g ORDER BY o
+    DESC, t DESC) = 1``, the merge-on-read primitive of a changelog table.
+
+    Two-level: a per-batch vectorized partial prune first (the shuffle then
+    carries at most one row per (batch, key), never the raw log), then ONE
+    coarse hash partition on the group key resolves the global latest with
+    the same lexsort sweep per partition.  ``group``/``order``/``tiebreak``
+    must be int64; payload columns pass through unmodified.  Reference
+    analog: the sticky first-page watermark color (`watermark_detector.py:
+    562-568`) is first-match-per-key; this is its last-match dual over a
+    keyed changelog."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _latest_rows(b, group, order, tiebreak)
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def final_part(g: pa.Table) -> pa.Table:
+        return _latest_rows(g, group, order, tiebreak).drop_columns(["pk"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(final_part, batch_format="pyarrow")
+    )

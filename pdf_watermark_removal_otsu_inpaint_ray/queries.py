@@ -1199,6 +1199,50 @@ def q_events_lag_delta(sf_dir: str):
     return lagged.map_batches(definite, batch_format="pyarrow")
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-20 retrieval (functions/retrieval.py::bm25_topk) for the
+    query ('spark', 'stream', 'dup'): one partials pass for corpus stats
+    (df/avgdl — the shuffle carries tiny int64 partials), driver-side
+    libm idf, then one scoring scan with per-term 1e-4-quantized integer
+    contributions (order-free sums → exact SQL hash match) and an
+    output-scale per-batch top-k merge."""
+    from .functions.retrieval import bm25_topk
+
+    return bm25_topk(_docs_ds(sf_dir), ("spark", "stream", "dup"), k=20)
+
+
+def q_events_latest_state(sf_dir: str):
+    """CDC log compaction (functions/packing.py::grouped_latest): each
+    user's latest event row by (ts, event_id) — the merge-on-read /
+    changelog-upsert primitive.  Per-batch vectorized partial prune (the
+    shuffle carries at most one row per (batch, user), never the raw log),
+    then one coarse hash-partition lexsort sweep resolves the global
+    latest.  Exact window-function SQL twin."""
+    import ray.data
+
+    from .functions.packing import grouped_latest
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["value"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "value_c": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_latest(ev, group="user_id", order="ts_us", tiebreak="event_id")
+
+
 def _events_cep_prep(sf_dir: str):
     """Projected int64 event view shared by the CEP queries: the shuffle
     carries only (user_id, ts_us, event_id, event_type)."""
@@ -2879,6 +2923,8 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "events_rolling_sum": q_events_rolling_sum,
     "events_lag_delta": q_events_lag_delta,
+    "events_latest_state": q_events_latest_state,
+    "bm25_topk": q_bm25_topk,
     "events_funnel": q_events_funnel,
     "events_pattern": q_events_pattern,
     "events_rate_limit": q_events_rate_limit,
@@ -3291,6 +3337,54 @@ ORACLE_SQL = {
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS roll_sum
         FROM events
+    """,
+    "bm25_topk": """
+        WITH low AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   regexp_extract_all(lower(text), '\\S+') AS toks
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM low
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM low)
+            WHERE term IN ('spark', 'stream', 'dup')
+            GROUP BY doc_id, term
+        ), corpus AS (
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT CAST(sum(len(toks)) AS DOUBLE) FROM low)
+                       / (SELECT count(*) FROM documents) AS avgdl
+        ), idf AS (
+            SELECT term,
+                   ln((corpus.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), corpus
+        ), contrib AS (
+            SELECT tf.doc_id,
+                   CAST(floor(idf.idf * (tf.tf * (1.2 + 1.0)) /
+                        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
+                        * 10000.0 + 0.5) AS BIGINT) AS cq
+            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), corpus
+        )
+        SELECT doc_id, score_q,
+               CAST(row_number() OVER (ORDER BY score_q DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM (SELECT doc_id, CAST(sum(cq) AS BIGINT) AS score_q
+              FROM contrib GROUP BY doc_id)
+        ORDER BY score_q DESC, doc_id ASC
+        LIMIT 20
+    """,
+    "events_latest_state": """
+        SELECT user_id, ts_us, event_id, event_type, value_c FROM (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
     """,
     "events_lag_delta": """
         WITH l AS (

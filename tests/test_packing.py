@@ -88,3 +88,41 @@ def test_grouped_lag_matches_brute(ray_session):
     }
     assert len(got) == n
     assert got == expect
+
+
+def test_grouped_latest_matches_brute(ray_session):
+    """CDC compaction: distributed latest-per-key equals the brute
+    sort-and-take-last, payload columns intact, heavy (ts) ties broken by
+    event_id."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import grouped_latest
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 25, n) * 10, pa.int64()),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "event_type": pa.array([f"t{i % 4}" for i in range(n)]),
+            "value_c": pa.array(rng.integers(-500, 500, n), pa.int64()),
+        }
+    )
+    out = (
+        grouped_latest(
+            ray.data.from_arrow(tbl).repartition(6),
+            group="user_id", order="ts_us", tiebreak="event_id",
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    brute = (
+        tbl.to_pandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out[brute.columns.tolist()], brute)
