@@ -216,7 +216,12 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # no explicit address: ray.init() honors RAY_ADDRESS, so the SAME
+        # entrypoint works standalone (RAY_ADDRESS=local in this sandbox)
+        # and under `ray job submit` on a multi-node cluster (the job
+        # runner injects the cluster address — hardcoding "local" there
+        # would silently start a one-node Ray beside the real cluster)
+        ray.init(include_dashboard=False, logging_level="ERROR")
     sel_tmp = None
     try:
         import os as _os
