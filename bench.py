@@ -285,7 +285,7 @@ def main() -> None:
             "priority_revenue", "events_rolling_sum", "unigram_logprob",
             "heavy_hitter_tokens", "collapse_repeats", "semdedup",
             "nation_revenue", "price_quantiles", "training_shuffle_head",
-            "streaming_dedup", "streaming_stream_join",
+            "streaming_dedup", "streaming_stream_join", "streaming_temporal_join",
             "events_funnel", "window_top_users", "source_corr", "pca_embeddings",
             "bm25_topk", "events_latest_state",
         ):

@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 
 from ..state.dedup_state import _splitmix_route
-from ..state.join_state import JoinStateActor
+from ..state.join_state import JoinStateActor, TemporalJoinActor
 from ..state.watermark_tracker import WatermarkTracker
 from .streaming import StreamingResult, _arrival_batches, _finalize_sink, _sink_done_sets
 
@@ -122,6 +122,108 @@ def run_streaming_join(
             [("l_seq", "ascending"), ("r_seq", "ascending")]
         )
         if pair_refs
+        else None
+    )
+    return StreamingResult(
+        output=out,
+        late=late,
+        n_late=sum(s["n_late"] for s in stats),
+        actor_stats=stats,
+    )
+
+
+def run_streaming_temporal_join(
+    dim_source,
+    event_source,
+    *,
+    dim_cols: tuple[str, str, str] = ("key", "seq", "event_ts"),
+    event_cols: tuple[str, str, str] = ("key", "seq", "event_ts"),
+    allowed_lateness: int = 1,
+    n_actors: int = 4,
+    micro_batch_rows: int = 512,
+    out_dir: str | None = None,
+    num_partitions: int = 8,
+) -> StreamingResult:
+    """Streaming TEMPORAL TABLE join (Flink-style versioned-dimension
+    enrichment): every event row emits exactly once with (key, e_seq,
+    e_ts, d_seq, d_ts) where d is the dimension log's latest version for
+    the key with ``d_ts <= e_ts`` (ties → highest d_seq), or (-1, -1)
+    when no version exists yet — LEFT semantics.  Same log/consumption
+    contract as :func:`run_streaming_join`: both logs round-robin
+    interleaved, rows route by key hash, the watermark is the min of the
+    two frontiers minus lateness, a closing log releases its tracker
+    partition, late rows route to the side output.  Events buffer in the
+    actors until the watermark passes their timestamp (dimension history
+    then provably complete — see TemporalJoinActor); a final ``drain``
+    flushes the tail once both logs end."""
+    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    actors = [
+        TemporalJoinActor.remote(
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            late_done=late_done,
+            sink_epoch=sink_epoch,
+        )
+        for _ in range(n_actors)
+    ]
+    tracker = WatermarkTracker.remote(2, allowed_lateness)
+
+    out_refs: list = []
+    pending: list = []
+    wm = -(1 << 62)
+    batch_idx = 0
+    iters = [
+        _arrival_batches(dim_source, micro_batch_rows),
+        _arrival_batches(event_source, micro_batch_rows),
+    ]
+    cols = [dim_cols, event_cols]
+    alive = [True, True]
+    while any(alive):
+        for side in (0, 1):
+            if not alive[side]:
+                continue
+            try:
+                raw = next(iters[side])
+            except StopIteration:
+                alive[side] = False
+                tracker.close_partition.remote(side)
+                continue
+            batch = _normalize(raw, *cols[side])
+            ts = np.asarray(batch["ts"], np.int64)
+            if batch_idx % 4 == 0:
+                wm = max(wm, ray.get(tracker.watermark.remote()))
+            batch_idx += 1
+            route = _splitmix_route(np.asarray(batch["key"], np.int64), n_actors)
+            for a in range(n_actors):
+                idx = np.nonzero(route == a)[0]
+                if idx.size == 0:
+                    continue
+                pending.append(actors[a].ingest.remote(side, batch.take(idx), wm))
+            tracker.update.remote(side, int(ts.max()))
+            if len(pending) >= n_actors * 4:
+                done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
+                for tables, _ in ray.get(done):
+                    out_refs.extend(tables)
+
+    for tables, _ in ray.get(pending):
+        out_refs.extend(tables)
+    # both logs closed: drain the buffered event tails
+    for tables in ray.get([a.drain.remote() for a in actors]):
+        out_refs.extend(tables)
+
+    late_tables = [
+        t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None
+    ]
+    stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+
+    if out_dir is not None:
+        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+
+    out = (
+        pa.concat_tables(out_refs).sort_by([("e_seq", "ascending")])
+        if out_refs
         else None
     )
     return StreamingResult(

@@ -1363,6 +1363,51 @@ def q_streaming_stream_join(sf_dir: str):
     return out.select(["key", "l_seq", "l_ts", "r_seq", "r_ts"])
 
 
+def q_streaming_temporal_join(sf_dir: str):
+    """Streaming TEMPORAL TABLE join (pipelines/stream_join.py::
+    run_streaming_temporal_join): each purchase enriches with the user's
+    latest view at-or-before the purchase time (last-touch attribution) —
+    the Flink versioned-dimension join as keyed actor state with
+    finalize-before-evict watermark ordering.  LEFT semantics: purchases
+    before any view emit (-1, -1).  Deterministic output → closed-form
+    SQL twin (LEFT JOIN + QUALIFY), not a materialized golden."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_join import run_streaming_temporal_join
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def log_of(kind: str) -> pa.Table:
+        sel = ev.filter(pc.equal(ev["event_type"], kind))
+        return pa.table(
+            {
+                "key": sel["user_id"].cast(pa.int64()),
+                "seq": sel["event_id"].cast(pa.int64()),
+                "event_ts": sel["ts"].cast(pa.int64()),
+            }
+        )
+
+    res = run_streaming_temporal_join(
+        ray.data.from_arrow(log_of("view")),
+        ray.data.from_arrow(log_of("purchase")),
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=256,
+    )
+    out = res.output
+    if out is None:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("key", "e_seq", "e_ts", "d_seq", "d_ts")
+            }
+        )
+    return out.select(["key", "e_seq", "e_ts", "d_seq", "d_ts"])
+
+
 def q_priority_revenue(sf_dir: str):
     """Fact-⋈-fact equi-join + aggregate (TPC-H-Q4 shape): discounted
     lineitem revenue per o_orderpriority.  Combiner-first repartition join
@@ -2929,6 +2974,7 @@ QUERIES = {
     "events_pattern": q_events_pattern,
     "events_rate_limit": q_events_rate_limit,
     "streaming_stream_join": q_streaming_stream_join,
+    "streaming_temporal_join": q_streaming_temporal_join,
     "orders_pivot": q_orders_pivot,
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
@@ -3447,6 +3493,28 @@ ORACLE_SQL = {
         FROM s
         WHERE event_type = 'view' AND nxt_type = 'purchase'
           AND nxt_ts - ts_us <= 3600000000
+    """,
+    "streaming_temporal_join": """
+        WITH v AS (
+            SELECT CAST(user_id AS BIGINT) AS key,
+                   CAST(event_id AS BIGINT) AS seq,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts
+            FROM events WHERE event_type = 'view'
+        ), p AS (
+            SELECT CAST(user_id AS BIGINT) AS key,
+                   CAST(event_id AS BIGINT) AS seq,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT key, e_seq, e_ts, d_seq, d_ts FROM (
+            SELECT p.key AS key, p.seq AS e_seq, p.ts AS e_ts,
+                   CAST(coalesce(v.seq, -1) AS BIGINT) AS d_seq,
+                   CAST(coalesce(v.ts, -1) AS BIGINT) AS d_ts,
+                   row_number() OVER (
+                       PARTITION BY p.seq
+                       ORDER BY v.ts DESC, v.seq DESC) AS rn
+            FROM p LEFT JOIN v ON p.key = v.key AND v.ts <= p.ts
+        ) WHERE rn = 1
     """,
     "streaming_stream_join": """
         SELECT CAST(l.user_id AS BIGINT) AS key,

@@ -21,6 +21,12 @@ are LATE — counted, routed, never probed (the same contract as
 Buffers are flat int64 triples (key, seq, ts) compacted sorted-by-key on
 each ingest; probes are two ``searchsorted`` calls + one repeat-expand +
 one band mask — no per-row Python, no dicts.
+
+:class:`TemporalJoinActor` is the second join shape over the same state
+contract: the Flink-style TEMPORAL TABLE (versioned-dimension) join —
+each event enriches with the dimension's latest version at-or-before the
+event's timestamp.  See its docstring for the finalize-before-evict
+ordering that makes the output a pure function of the two logs.
 """
 
 from __future__ import annotations
@@ -39,23 +45,22 @@ def _pair_ids(l_seq: np.ndarray, r_seq: np.ndarray) -> np.ndarray:
     return ((l_seq.astype(np.int64) << np.int64(31)) ^ r_seq.astype(np.int64))
 
 
-@ray.remote
-class JoinStateActor:
-    """One key-hash slice of the symmetric interval join.  Sides are
-    normalized upstream to (key:int64, seq:int64, ts:int64)."""
+class _StagedEmitterBase:
+    """Shared plumbing of the streaming join actors: output rows divert to
+    the exactly-once staged layout in sink mode (driver commits manifests
+    only), late rows route to the ``_late/`` side output; actor memory for
+    both is O(stage buffer), never O(stream)."""
 
-    def __init__(
+    def _init_staging(
         self,
         *,
-        band: int,
-        sink_dir: str | None = None,
-        sink_partitions: int = 8,
-        sink_stage_rows: int = 32768,
-        sink_done: frozenset[int] = frozenset(),
-        late_done: frozenset[int] = frozenset(),
-        sink_epoch: int = 0,
-    ):
-        self.band = band
+        sink_dir: str | None,
+        sink_partitions: int,
+        sink_stage_rows: int,
+        sink_done: frozenset[int],
+        late_done: frozenset[int],
+        sink_epoch: int,
+    ) -> None:
         self.sink_dir = sink_dir
         self.sink_partitions = sink_partitions
         self.sink_stage_rows = sink_stage_rows
@@ -66,111 +71,32 @@ class JoinStateActor:
         self._sink_rows = 0
         self._late_buf: list[pa.Table] = []
         self._late_buf_rows = 0
-        # per side (0 = left, 1 = right): compacted arrays sorted by key
-        self._k = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
-        self._s = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
-        self._t = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
         self.wm = int(_MIN)
-        self.n_pairs = 0
         self.n_late = 0
         self._late_mem: list[pa.Table] = []
 
-    def _evict(self) -> None:
-        for side in (0, 1):
-            if self._t[side].size:
-                alive = self._t[side] + self.band > self.wm
-                if not alive.all():
-                    self._k[side] = self._k[side][alive]
-                    self._s[side] = self._s[side][alive]
-                    self._t[side] = self._t[side][alive]
-
-    def _probe(self, opp: int, keys, seqs, ts):
-        """Match probe rows against the opposite buffer; returns the pair
-        index arrays (probe_row_idx, buffer_idx) after the band mask."""
-        bk = self._k[opp]
-        if bk.size == 0 or keys.size == 0:
-            return None
-        lo = np.searchsorted(bk, keys, "left")
-        hi = np.searchsorted(bk, keys, "right")
-        cnt = hi - lo
-        tot = int(cnt.sum())
-        if tot == 0:
-            return None
-        probe_idx = np.repeat(np.arange(keys.size), cnt)
-        starts = np.repeat(lo, cnt)
-        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        buf_idx = starts + offs
-        ok = np.abs(self._t[opp][buf_idx] - ts[probe_idx]) <= self.band
-        if not ok.any():
-            return None
-        return probe_idx[ok], buf_idx[ok]
-
-    def _insert(self, side: int, keys, seqs, ts) -> None:
-        k = np.concatenate([self._k[side], keys])
-        s = np.concatenate([self._s[side], seqs])
-        t = np.concatenate([self._t[side], ts])
-        o = np.argsort(k, kind="stable")
-        self._k[side], self._s[side], self._t[side] = k[o], s[o], t[o]
-
-    def ingest(self, side: int, batch: pa.Table, watermark: int) -> tuple[list[pa.Table], int]:
-        """Absorb one micro-batch of ``side`` (0 = left, 1 = right):
-        late-route, evict, probe the opposite buffer, insert.  Returns
-        (emitted pair tables — empty in sink mode, n_late so far)."""
-        self.wm = max(self.wm, watermark)
-        ts = np.asarray(batch["ts"], np.int64)
+    def _route_late(self, side: int, batch: pa.Table, ts: np.ndarray):
+        """Split off rows with ``ts <= wm``: tag (side, doc_id) and route
+        them late; return the surviving (batch, ts)."""
         late = ts <= self.wm
-        if late.any():
-            lb = batch.filter(pa.array(late)).append_column(
-                "side", pa.array(np.full(int(late.sum()), side), pa.int64())
-            )
-            # staged-layout partition key: unique iff seq is unique per log
-            # (the operator's stated contract), side bit disambiguates logs
-            lb = lb.append_column(
-                "doc_id",
-                pa.array(
-                    (np.asarray(lb["seq"], np.int64) << np.int64(1))
-                    | np.int64(side),
-                    pa.int64(),
-                ),
-            )
-            self._note_late(lb)
-            keep = ~late
-            batch = batch.filter(pa.array(keep))
-            ts = ts[keep]
-        self._evict()
-        if batch.num_rows == 0:
-            return [], self.n_late
-        keys = np.asarray(batch["key"], np.int64)
-        seqs = np.asarray(batch["seq"], np.int64)
-        opp = 1 - side
-        hit = self._probe(opp, keys, seqs, ts)
-        out: list[pa.Table] = []
-        if hit is not None:
-            p_idx, b_idx = hit
-            if side == 0:  # probe rows are LEFT
-                l_seq, l_ts = seqs[p_idx], ts[p_idx]
-                r_seq, r_ts = self._s[opp][b_idx], self._t[opp][b_idx]
-                key = keys[p_idx]
-            else:  # probe rows are RIGHT
-                r_seq, r_ts = seqs[p_idx], ts[p_idx]
-                l_seq, l_ts = self._s[opp][b_idx], self._t[opp][b_idx]
-                key = keys[p_idx]
-            pairs = pa.table(
-                {
-                    "doc_id": pa.array(_pair_ids(l_seq, r_seq), pa.int64()),
-                    "key": pa.array(key, pa.int64()),
-                    "l_seq": pa.array(l_seq, pa.int64()),
-                    "l_ts": pa.array(l_ts, pa.int64()),
-                    "r_seq": pa.array(r_seq, pa.int64()),
-                    "r_ts": pa.array(r_ts, pa.int64()),
-                }
-            )
-            self.n_pairs += pairs.num_rows
-            out = [pairs]
-        self._insert(side, keys, seqs, ts)
-        return self._divert(out), self.n_late
-
-    # -- sink plumbing ------------------------------------------------------
+        if not late.any():
+            return batch, ts
+        lb = batch.filter(pa.array(late)).append_column(
+            "side", pa.array(np.full(int(late.sum()), side), pa.int64())
+        )
+        # staged-layout partition key: unique iff seq is unique per log
+        # (the operator's stated contract), side bit disambiguates logs
+        lb = lb.append_column(
+            "doc_id",
+            pa.array(
+                (np.asarray(lb["seq"], np.int64) << np.int64(1))
+                | np.int64(side),
+                pa.int64(),
+            ),
+        )
+        self._note_late(lb)
+        keep = ~late
+        return batch.filter(pa.array(keep)), ts[keep]
 
     def _divert(self, tables: list[pa.Table]) -> list[pa.Table]:
         if self.sink_dir is None or not tables:
@@ -220,13 +146,122 @@ class JoinStateActor:
             self._late_done, self.sink_epoch,
         )
 
+    def late_rows(self) -> pa.Table | None:
+        return pa.concat_tables(self._late_mem) if self._late_mem else None
+
+
+@ray.remote
+class JoinStateActor(_StagedEmitterBase):
+    """One key-hash slice of the symmetric interval join.  Sides are
+    normalized upstream to (key:int64, seq:int64, ts:int64)."""
+
+    def __init__(
+        self,
+        *,
+        band: int,
+        sink_dir: str | None = None,
+        sink_partitions: int = 8,
+        sink_stage_rows: int = 32768,
+        sink_done: frozenset[int] = frozenset(),
+        late_done: frozenset[int] = frozenset(),
+        sink_epoch: int = 0,
+    ):
+        self.band = band
+        self._init_staging(
+            sink_dir=sink_dir,
+            sink_partitions=sink_partitions,
+            sink_stage_rows=sink_stage_rows,
+            sink_done=sink_done,
+            late_done=late_done,
+            sink_epoch=sink_epoch,
+        )
+        # per side (0 = left, 1 = right): compacted arrays sorted by key
+        self._k = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
+        self._s = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
+        self._t = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
+        self.n_pairs = 0
+
+    def _evict(self) -> None:
+        for side in (0, 1):
+            if self._t[side].size:
+                alive = self._t[side] + self.band > self.wm
+                if not alive.all():
+                    self._k[side] = self._k[side][alive]
+                    self._s[side] = self._s[side][alive]
+                    self._t[side] = self._t[side][alive]
+
+    def _probe(self, opp: int, keys, seqs, ts):
+        """Match probe rows against the opposite buffer; returns the pair
+        index arrays (probe_row_idx, buffer_idx) after the band mask."""
+        bk = self._k[opp]
+        if bk.size == 0 or keys.size == 0:
+            return None
+        lo = np.searchsorted(bk, keys, "left")
+        hi = np.searchsorted(bk, keys, "right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return None
+        probe_idx = np.repeat(np.arange(keys.size), cnt)
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        buf_idx = starts + offs
+        ok = np.abs(self._t[opp][buf_idx] - ts[probe_idx]) <= self.band
+        if not ok.any():
+            return None
+        return probe_idx[ok], buf_idx[ok]
+
+    def _insert(self, side: int, keys, seqs, ts) -> None:
+        k = np.concatenate([self._k[side], keys])
+        s = np.concatenate([self._s[side], seqs])
+        t = np.concatenate([self._t[side], ts])
+        o = np.argsort(k, kind="stable")
+        self._k[side], self._s[side], self._t[side] = k[o], s[o], t[o]
+
+    def ingest(self, side: int, batch: pa.Table, watermark: int) -> tuple[list[pa.Table], int]:
+        """Absorb one micro-batch of ``side`` (0 = left, 1 = right):
+        late-route, evict, probe the opposite buffer, insert.  Returns
+        (emitted pair tables — empty in sink mode, n_late so far)."""
+        self.wm = max(self.wm, watermark)
+        ts = np.asarray(batch["ts"], np.int64)
+        batch, ts = self._route_late(side, batch, ts)
+        self._evict()
+        if batch.num_rows == 0:
+            return [], self.n_late
+        keys = np.asarray(batch["key"], np.int64)
+        seqs = np.asarray(batch["seq"], np.int64)
+        opp = 1 - side
+        hit = self._probe(opp, keys, seqs, ts)
+        out: list[pa.Table] = []
+        if hit is not None:
+            p_idx, b_idx = hit
+            if side == 0:  # probe rows are LEFT
+                l_seq, l_ts = seqs[p_idx], ts[p_idx]
+                r_seq, r_ts = self._s[opp][b_idx], self._t[opp][b_idx]
+                key = keys[p_idx]
+            else:  # probe rows are RIGHT
+                r_seq, r_ts = seqs[p_idx], ts[p_idx]
+                l_seq, l_ts = self._s[opp][b_idx], self._t[opp][b_idx]
+                key = keys[p_idx]
+            pairs = pa.table(
+                {
+                    "doc_id": pa.array(_pair_ids(l_seq, r_seq), pa.int64()),
+                    "key": pa.array(key, pa.int64()),
+                    "l_seq": pa.array(l_seq, pa.int64()),
+                    "l_ts": pa.array(l_ts, pa.int64()),
+                    "r_seq": pa.array(r_seq, pa.int64()),
+                    "r_ts": pa.array(r_ts, pa.int64()),
+                }
+            )
+            self.n_pairs += pairs.num_rows
+            out = [pairs]
+        self._insert(side, keys, seqs, ts)
+        return self._divert(out), self.n_late
+
     def sink_flush(self) -> int:
         self._flush_sink()
         self._flush_late()
         return self.n_pairs
-
-    def late_rows(self) -> pa.Table | None:
-        return pa.concat_tables(self._late_mem) if self._late_mem else None
 
     def state_stats(self) -> dict:
         return {
@@ -234,4 +269,175 @@ class JoinStateActor:
             "n_late": self.n_late,
             "buffered_left": int(self._k[0].size),
             "buffered_right": int(self._k[1].size),
+        }
+
+
+@ray.remote
+class TemporalJoinActor(_StagedEmitterBase):
+    """One key-hash slice of the streaming TEMPORAL TABLE join (the
+    Flink-style versioned-dimension enrichment): each EVENT (side 1) is
+    joined with the DIMENSION log's (side 0) latest version for its key
+    with ``version_ts <= event_ts`` (tie on ts → highest seq), or the
+    (-1, -1) null sentinel when no version exists yet — LEFT semantics.
+
+    Correctness ordering per ingest (what makes the output a pure function
+    of the two logs whenever lateness covers disorder):
+
+    1. rows with ``ts <= wm`` route LATE (same contract as the interval
+       join — a late dimension row could only have affected events that
+       are already finalized, see 2.);
+    2. buffered events with ``event_ts <= wm`` FINALIZE: the watermark
+       contract says no non-late dimension row with ``ts <= wm`` can
+       still arrive, so the dimension history each finalized event sees
+       is complete up to its timestamp;
+    3. only THEN superseded dimension versions evict: per key every
+       version with ``ts > wm`` survives plus the single latest version
+       with ``ts <= wm`` (any remaining or future event has
+       ``event_ts > wm``, and its lookup can only land on the survivor).
+
+    The per-key version lookup is one ``pandas.merge_asof`` per finalize
+    round (C-implemented grouped backward search, the same kernel the
+    batch as-of operator uses); buffers are flat int64 arrays.  State is
+    bounded: pending events of one lateness horizon + one dimension
+    version per key per horizon.
+    """
+
+    def __init__(
+        self,
+        *,
+        sink_dir: str | None = None,
+        sink_partitions: int = 8,
+        sink_stage_rows: int = 32768,
+        sink_done: frozenset[int] = frozenset(),
+        late_done: frozenset[int] = frozenset(),
+        sink_epoch: int = 0,
+    ):
+        self._init_staging(
+            sink_dir=sink_dir,
+            sink_partitions=sink_partitions,
+            sink_stage_rows=sink_stage_rows,
+            sink_done=sink_done,
+            late_done=late_done,
+            sink_epoch=sink_epoch,
+        )
+        # dimension buffer, kept sorted by (ts, seq) — merge_asof order
+        self._dk = np.zeros(0, np.int64)
+        self._ds = np.zeros(0, np.int64)
+        self._dt = np.zeros(0, np.int64)
+        # pending (not yet finalizable) events, unsorted
+        self._ek = np.zeros(0, np.int64)
+        self._es = np.zeros(0, np.int64)
+        self._et = np.zeros(0, np.int64)
+        self.n_emitted = 0
+
+    def _insert_dim(self, keys, seqs, ts) -> None:
+        k = np.concatenate([self._dk, keys])
+        s = np.concatenate([self._ds, seqs])
+        t = np.concatenate([self._dt, ts])
+        o = np.lexsort((s, t))
+        self._dk, self._ds, self._dt = k[o], s[o], t[o]
+
+    def _evict_dim(self) -> None:
+        """Keep per key: all versions with ts > wm + the latest version
+        with ts <= wm.  One lexsort by (key, ts, seq) + shift compare."""
+        if not self._dt.size:
+            return
+        o = np.lexsort((self._ds, self._dt, self._dk))
+        k, t = self._dk[o], self._dt[o]
+        le = t <= self.wm
+        # within the (key, ts, seq)-sorted order, a ts<=wm version is the
+        # key's LATEST such version iff it is the key's last row or the
+        # next row (same key, ts ascending) is beyond the watermark
+        last_le = le.copy()
+        same_next = np.empty(k.size, bool)
+        same_next[:-1] = k[:-1] == k[1:]
+        same_next[-1] = False
+        nxt_le = np.empty(k.size, bool)
+        nxt_le[:-1] = le[1:]
+        nxt_le[-1] = False
+        last_le &= ~(same_next & nxt_le)
+        keep_sorted = ~le | last_le
+        if keep_sorted.all():
+            return
+        keep_idx = o[keep_sorted]
+        # restore (ts, seq) order for merge_asof
+        sel = np.sort(keep_idx)
+        self._dk, self._ds, self._dt = self._dk[sel], self._ds[sel], self._dt[sel]
+
+    def _finalize(self, horizon: int) -> pa.Table | None:
+        """Emit every pending event with ``ts <= horizon`` joined against
+        the current dimension buffer."""
+        due = self._et <= horizon
+        if not due.any():
+            return None
+        ek, es, et = self._ek[due], self._es[due], self._et[due]
+        rest = ~due
+        self._ek, self._es, self._et = self._ek[rest], self._es[rest], self._et[rest]
+        import pandas as pd
+
+        left = pd.DataFrame({"key": ek, "e_seq": es, "ts": et}).sort_values(
+            ["ts", "e_seq"], kind="stable", ignore_index=True
+        )
+        if self._dt.size:
+            right = pd.DataFrame(
+                {"key": self._dk, "d_seq": self._ds, "ts": self._dt,
+                 "d_ts": self._dt}
+            )
+            joined = pd.merge_asof(
+                left, right, on="ts", by="key", direction="backward",
+                allow_exact_matches=True,
+            )
+            d_seq = joined["d_seq"].fillna(-1).astype(np.int64).to_numpy()
+            d_ts = joined["d_ts"].fillna(-1).astype(np.int64).to_numpy()
+        else:
+            d_seq = np.full(len(left), -1, np.int64)
+            d_ts = np.full(len(left), -1, np.int64)
+        out = pa.table(
+            {
+                "doc_id": left["e_seq"].to_numpy(),  # event seq is unique
+                "key": pa.array(left["key"].to_numpy(), pa.int64()),
+                "e_seq": pa.array(left["e_seq"].to_numpy(), pa.int64()),
+                "e_ts": pa.array(left["ts"].to_numpy(), pa.int64()),
+                "d_seq": pa.array(d_seq, pa.int64()),
+                "d_ts": pa.array(d_ts, pa.int64()),
+            }
+        )
+        self.n_emitted += out.num_rows
+        return out
+
+    def ingest(self, side: int, batch: pa.Table, watermark: int) -> tuple[list[pa.Table], int]:
+        """side 0 = dimension updates, side 1 = events."""
+        self.wm = max(self.wm, watermark)
+        ts = np.asarray(batch["ts"], np.int64)
+        batch, ts = self._route_late(side, batch, ts)
+        if batch.num_rows:
+            keys = np.asarray(batch["key"], np.int64)
+            seqs = np.asarray(batch["seq"], np.int64)
+            if side == 0:
+                self._insert_dim(keys, seqs, ts)
+            else:
+                self._ek = np.concatenate([self._ek, keys])
+                self._es = np.concatenate([self._es, seqs])
+                self._et = np.concatenate([self._et, ts])
+        out = self._finalize(self.wm)
+        self._evict_dim()
+        return self._divert([out] if out is not None else []), self.n_late
+
+    def drain(self) -> list[pa.Table]:
+        """End of both logs: finalize every pending event (the watermark
+        contract is vacuous once the logs are closed)."""
+        out = self._finalize(1 << 62)
+        return self._divert([out] if out is not None else [])
+
+    def sink_flush(self) -> int:
+        self._flush_sink()
+        self._flush_late()
+        return self.n_emitted
+
+    def state_stats(self) -> dict:
+        return {
+            "n_emitted": self.n_emitted,
+            "n_late": self.n_late,
+            "buffered_dim": int(self._dk.size),
+            "buffered_events": int(self._ek.size),
         }

@@ -215,3 +215,176 @@ def test_join_sink_mode_equals_driver_mode(ray_session, tmp_path):
     cols = [c for c in ("key", "l_seq", "l_ts", "r_seq", "r_ts") if c in got]
     want = driver.output.select(cols).to_pandas()
     assert got[cols].equals(want)
+
+
+# --- streaming temporal (versioned-dimension) join --------------------------
+
+from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_join import (  # noqa: E402
+    run_streaming_temporal_join,
+)
+
+
+def _brute_temporal(dim: pa.Table, ev: pa.Table):
+    """Per event: latest dim version with same key and d_ts <= e_ts,
+    tie on ts -> highest seq; else (-1, -1)."""
+    dk = np.asarray(dim["key"], np.int64)
+    ds = np.asarray(dim["seq"], np.int64)
+    dt = np.asarray(dim["event_ts"], np.int64)
+    out = []
+    for k, s, t in zip(
+        np.asarray(ev["key"], np.int64),
+        np.asarray(ev["seq"], np.int64),
+        np.asarray(ev["event_ts"], np.int64),
+    ):
+        m = (dk == k) & (dt <= t)
+        if m.any():
+            i = np.flatnonzero(m)
+            best = i[np.lexsort((ds[i], dt[i]))[-1]]
+            out.append((int(s), int(t), int(ds[best]), int(dt[best])))
+        else:
+            out.append((int(s), int(t), -1, -1))
+    return sorted(out)
+
+
+def _got_temporal(res):
+    if res.output is None:
+        return []
+    o = res.output
+    return sorted(
+        zip(
+            np.asarray(o["e_seq"], np.int64).tolist(),
+            np.asarray(o["e_ts"], np.int64).tolist(),
+            np.asarray(o["d_seq"], np.int64).tolist(),
+            np.asarray(o["d_ts"], np.int64).tolist(),
+        )
+    )
+
+
+def test_temporal_join_matches_brute_and_left_nulls(ray_session, tmp_path):
+    dim, ev = _log(120, seed=21, keys=9, step=5), _log(300, seed=22, keys=9)
+    dp, ep = str(tmp_path / "d.parquet"), str(tmp_path / "e.parquet")
+    pq.write_table(dim, dp)
+    pq.write_table(ev, ep)
+    res = run_streaming_temporal_join(dp, ep, n_actors=3, micro_batch_rows=64)
+    assert res.n_late == 0
+    got = _got_temporal(res)
+    assert got == _brute_temporal(dim, ev)
+    # every event emits exactly once (LEFT semantics), some with sentinels
+    assert len(got) == ev.num_rows
+    assert any(g[2] == -1 for g in got)  # early events precede any version
+
+
+def test_temporal_join_ts_tie_takes_highest_seq(ray_session, tmp_path):
+    # two dim versions at the SAME (key, ts): the higher seq must win
+    dim = pa.table(
+        {
+            "key": pa.array([1, 1, 1, 1], pa.int64()),
+            "seq": pa.array([0, 1, 2, 3], pa.int64()),
+            "event_ts": pa.array([10, 10, 20, 20], pa.int64()),
+        }
+    )
+    ev = pa.table(
+        {
+            "key": pa.array([1, 1, 1], pa.int64()),
+            "seq": pa.array([0, 1, 2], pa.int64()),
+            "event_ts": pa.array([10, 15, 25], pa.int64()),
+        }
+    )
+    dp, ep = str(tmp_path / "d.parquet"), str(tmp_path / "e.parquet")
+    pq.write_table(dim, dp)
+    pq.write_table(ev, ep)
+    res = run_streaming_temporal_join(dp, ep, n_actors=1, micro_batch_rows=2)
+    assert _got_temporal(res) == [(0, 10, 1, 10), (1, 15, 1, 10), (2, 25, 3, 20)]
+
+
+def test_temporal_join_layout_invariance_and_eviction(ray_session, tmp_path):
+    dim, ev = _log(900, seed=23, keys=5), _log(900, seed=24, keys=5)
+    dp, ep = str(tmp_path / "d.parquet"), str(tmp_path / "e.parquet")
+    pq.write_table(dim, dp)
+    pq.write_table(ev, ep)
+    outs, stats = [], []
+    # micro-batches small enough that the driver's cached watermark
+    # refreshes many times (it polls every 4th batch) — eviction and
+    # mid-stream finalization need an advancing watermark
+    for n_actors, mb in ((1, 96), (4, 23)):
+        res = run_streaming_temporal_join(
+            dp, ep, n_actors=n_actors, micro_batch_rows=mb
+        )
+        outs.append(_got_temporal(res))
+        stats.append(res.actor_stats)
+    assert outs[0] == outs[1] == _brute_temporal(dim, ev)
+    # superseded versions evict: the single-actor dim buffer holds ~one
+    # version per key per horizon, never the 900-row dim log
+    s = stats[0][0]
+    assert s["buffered_dim"] < 200
+    assert s["buffered_events"] < 200
+
+
+def test_temporal_join_sink_mode_equals_driver_mode(ray_session, tmp_path):
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    dim, ev = _log(200, seed=25, keys=7), _log(200, seed=26, keys=7)
+    dp, ep = str(tmp_path / "d.parquet"), str(tmp_path / "e.parquet")
+    pq.write_table(dim, dp)
+    pq.write_table(ev, ep)
+    driver = run_streaming_temporal_join(dp, ep, n_actors=2, micro_batch_rows=32)
+    out_dir = str(tmp_path / "sink")
+    sink = run_streaming_temporal_join(
+        dp, ep, n_actors=2, micro_batch_rows=32, out_dir=out_dir,
+    )
+    assert sink.output is None
+    staged = pa.concat_tables(
+        [pa.table(b) for b in read_output(out_dir).iter_batches(batch_format="pyarrow")]
+    )
+    got = sorted(
+        zip(
+            np.asarray(staged["e_seq"], np.int64).tolist(),
+            np.asarray(staged["e_ts"], np.int64).tolist(),
+            np.asarray(staged["d_seq"], np.int64).tolist(),
+            np.asarray(staged["d_ts"], np.int64).tolist(),
+        )
+    )
+    assert got == _got_temporal(driver) == _brute_temporal(dim, ev)
+
+
+def test_temporal_join_kill_and_replay_resumes_byte_identical(ray_session, tmp_path):
+    """Temporal-join sink run that dies mid-commit: the replay adopts the
+    committed partitions and the final layout is byte-identical to an
+    uninterrupted run (same protocol as the interval join)."""
+    import pytest
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        committed_partitions,
+        read_output,
+        write_exactly_once,
+    )
+
+    def collect(d):
+        return pa.concat_tables(
+            [pa.table(b) for b in read_output(d).iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+
+    dim, ev = _log(220, seed=31, keys=8), _log(220, seed=32, keys=8)
+    dp, ep = str(tmp_path / "d.parquet"), str(tmp_path / "e.parquet")
+    pq.write_table(dim, dp)
+    pq.write_table(ev, ep)
+    kw = dict(n_actors=2, micro_batch_rows=48, num_partitions=6)
+
+    clean = str(tmp_path / "clean")
+    run_streaming_temporal_join(dp, ep, **kw, out_dir=clean)
+
+    crash = str(tmp_path / "crash")
+    res = run_streaming_temporal_join(dp, ep, n_actors=2, micro_batch_rows=48)
+    with pytest.raises(Exception):
+        write_exactly_once(
+            ray.data.from_arrow(res.output), crash, num_partitions=6,
+            fail_partitions=frozenset({3}),
+        )
+    assert 3 not in committed_partitions(crash)
+
+    run_streaming_temporal_join(dp, ep, **kw, out_dir=crash)
+    assert committed_partitions(crash) == set(range(6))
+    assert collect(crash).equals(collect(clean))
