@@ -47,6 +47,7 @@ GOLDEN_QUERIES = (
     "approx_distinct_words",
     "semdedup",
     "pca_embeddings",
+    "bpe_token_counts",
 )
 
 
@@ -679,7 +680,7 @@ _COMPUTE = {
 
 # bump when any golden-relevant definition changes (hash kernels, detection
 # rules) so stale materialized goldens in a reused /tmp are invalidated
-_ORACLE_VERSION = "r3-hll-fsum-1"
+_ORACLE_VERSION = "r3-bpe-1"
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -729,3 +730,71 @@ def ensure_for_query(name: str, sf_dir: str) -> None:
     on the driver's correctness sf (never on bench dirs)."""
     if os.path.abspath(sf_dir) == os.path.abspath(ORACLE_SF_DEFAULT):
         ensure_golden(sf_dir, [name])
+
+
+def _golden_bpe_token_counts(sf_dir: str) -> pa.Table:
+    """Independent BPE twin (shares NO engine code, not even the
+    tokenizer): words re-extracted with a fresh regex, training re-counts
+    pair frequencies per round from scratch, and — unlike the engine's
+    rank-based ``encode_len`` — document lengths come from SEQUENTIAL
+    MERGE REPLAY over the vocabulary (the classical equivalence: replaying
+    merges in training order segments identically to lowest-rank-first
+    encoding for in-corpus words).  A bug in either formulation breaks the
+    hash match."""
+    import re
+    from collections import Counter
+
+    docs = _docs_table(sf_dir)
+    split = re.compile(r"[\t\n\f\r ]+")
+    per_doc: list[list[str]] = []
+    wf: Counter = Counter()
+    for t in docs["text"].to_pylist():
+        ws = [w for w in split.split(t.lower()) if w]
+        per_doc.append(ws)
+        wf.update(ws)
+
+    sym: dict[str, list[str]] = {w: list(w) for w in wf}
+
+    def pair_counts() -> Counter:
+        c: Counter = Counter()
+        for w, f in wf.items():
+            s = sym[w]
+            i = 0
+            while i + 1 < len(s):
+                c[(s[i], s[i + 1])] += f
+                if s[i] == s[i + 1] and i + 2 < len(s) and s[i + 2] == s[i]:
+                    i += 2
+                else:
+                    i += 1
+        return c
+
+    for _ in range(60):  # n_merges mirrors q_bpe_token_counts
+        c = pair_counts()
+        if not c:
+            break
+        top = max(c.values())
+        a, b = min(p for p, n in c.items() if n == top)
+        for w, s in sym.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sym[w] = out
+
+    ids = docs["doc_id"].to_pylist()
+    n_words = [len(ws) for ws in per_doc]
+    n_bpe = [sum(len(sym[w]) for w in ws) for ws in per_doc]
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe": pa.array(n_bpe, pa.int64()),
+        }
+    )
+
+
+_COMPUTE["bpe_token_counts"] = _golden_bpe_token_counts

@@ -1199,6 +1199,20 @@ def q_events_lag_delta(sf_dir: str):
     return lagged.map_batches(definite, batch_format="pyarrow")
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Distributed BPE tokenizer (functions/bpe.py): one combiner-first
+    word-count pass (vocabulary-scale driver collect), driver-side merge
+    training (60 merges — inherently sequential), then a broadcast +
+    memoized actor-pool encode emitting (doc_id, n_words, n_bpe).  The
+    oracle is an INDEPENDENT pure-Python twin (own tokenizer + training
+    rescan + sequential merge REPLAY instead of rank-based encoding)."""
+    _with_golden("bpe_token_counts", sf_dir)
+    from .functions.bpe import bpe_token_counts
+
+    docs = _docs_ds(sf_dir)
+    return bpe_token_counts(docs, _docs_ds(sf_dir), n_merges=60)
+
+
 def q_bm25_topk(sf_dir: str):
     """BM25 top-20 retrieval (functions/retrieval.py::bm25_topk) for the
     query ('spark', 'stream', 'dup'): one partials pass for corpus stats
@@ -2975,6 +2989,7 @@ QUERIES = {
     "events_lag_delta": q_events_lag_delta,
     "events_latest_state": q_events_latest_state,
     "bm25_topk": q_bm25_topk,
+    "bpe_token_counts": q_bpe_token_counts,
     "events_funnel": q_events_funnel,
     "events_pattern": q_events_pattern,
     "events_rate_limit": q_events_rate_limit,
