@@ -287,7 +287,7 @@ def main() -> None:
             "nation_revenue", "price_quantiles", "training_shuffle_head",
             "streaming_dedup", "streaming_stream_join", "streaming_temporal_join",
             "events_funnel", "window_top_users", "source_corr", "pca_embeddings",
-            "bm25_topk", "events_latest_state", "bpe_token_counts",
+            "bm25_topk", "events_latest_state", "bpe_token_counts", "events_rolling_outlier",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

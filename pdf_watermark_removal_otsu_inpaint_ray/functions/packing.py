@@ -305,3 +305,87 @@ def grouped_latest(
         .groupby("pk")
         .map_groups(final_part, batch_format="pyarrow")
     )
+
+
+def grouped_rolling_outlier(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    tiebreak: str = "event_id",
+    value: str = "value_c",
+    window: int = 8,
+    thresh: int = 2,
+):
+    """Per-group rolling z-score outlier flag, INTEGER-EXACT (the anomaly
+    / data-drift gate of a feature pipeline): over each row's trailing
+    ``window`` rows (current included, group-bounded), flag the row iff
+
+        (n·x − sum)² > thresh² · (n·sumsq − sum²)
+
+    which is ``(x − mean)² > thresh² · var`` with both sides multiplied by
+    n² — no float ever materializes, so the distributed result
+    hash-matches the SQL window twin bit-for-bit (a float stddev would
+    differ in the last ulp between engines).  ``value`` must be int64
+    cents-scale: with window ≤ 16 and |value| ≤ 1e7 the intermediates stay
+    far inside int64.
+
+    Same distribution shape as :func:`grouped_rolling_sum`: one coarse
+    hash partition on the group key, one lexsort + two prefix-sum
+    differences per partition."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    order: pd.Series(dtype=np.int64),
+                    tiebreak: pd.Series(dtype=np.int64),
+                    value: pd.Series(dtype=np.int64),
+                    "roll_n": pd.Series(dtype=np.int64),
+                    "roll_sum": pd.Series(dtype=np.int64),
+                    "is_outlier": pd.Series(dtype=np.int64),
+                }
+            )
+        gk = g[group].to_numpy()
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        v = g[value].to_numpy().astype(np.int64)
+        idx = np.lexsort((t, o, gk))
+        gk, o, t, v = gk[idx], o[idx], t[idx], v[idx]
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        run_start = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        cs = np.concatenate(([0], np.cumsum(v)))
+        cs2 = np.concatenate(([0], np.cumsum(v * v)))
+        pos = np.arange(n, dtype=np.int64)
+        lo = np.maximum(pos - window + 1, run_start[gid])
+        cnt = pos + 1 - lo
+        s = cs[pos + 1] - cs[lo]
+        s2 = cs2[pos + 1] - cs2[lo]
+        lhs = (cnt * v - s) ** 2
+        rhs = (thresh * thresh) * (cnt * s2 - s * s)
+        return pd.DataFrame(
+            {
+                group: gk,
+                order: o,
+                tiebreak: t,
+                value: v,
+                "roll_n": cnt.astype(np.int64),
+                "roll_sum": s.astype(np.int64),
+                "is_outlier": (lhs > rhs).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(part, batch_format="pandas")
+    )

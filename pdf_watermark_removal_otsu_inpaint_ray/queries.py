@@ -1257,6 +1257,39 @@ def q_events_latest_state(sf_dir: str):
     return grouped_latest(ev, group="user_id", order="ts_us", tiebreak="event_id")
 
 
+def q_events_rolling_outlier(sf_dir: str):
+    """Integer-exact rolling z-score anomaly flag (functions/packing.py::
+    grouped_rolling_outlier): per user, flag events where (x − mean)² >
+    4·var over the trailing 8-row window — both sides cross-multiplied by
+    n² so no float stddev ever materializes (bit-exact SQL twin).  One
+    coarse group-key partition, one lexsort + two prefix-sum differences."""
+    import ray.data
+
+    from .functions.packing import grouped_rolling_outlier
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["value"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "value_c": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_rolling_outlier(
+        ev, group="user_id", order="ts_us", tiebreak="event_id",
+        value="value_c", window=8, thresh=2,
+    )
+
+
 def _events_cep_prep(sf_dir: str):
     """Projected int64 event view shared by the CEP queries: the shuffle
     carries only (user_id, ts_us, event_id, event_type)."""
@@ -2988,6 +3021,7 @@ QUERIES = {
     "events_rolling_sum": q_events_rolling_sum,
     "events_lag_delta": q_events_lag_delta,
     "events_latest_state": q_events_latest_state,
+    "events_rolling_outlier": q_events_rolling_outlier,
     "bm25_topk": q_bm25_topk,
     "bpe_token_counts": q_bpe_token_counts,
     "events_funnel": q_events_funnel,
@@ -3438,6 +3472,29 @@ ORACLE_SQL = {
               FROM contrib GROUP BY doc_id)
         ORDER BY score_q DESC, doc_id ASC
         LIMIT 20
+    """,
+    "events_rolling_outlier": """
+        WITH w AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+                   CAST(count(*) OVER win AS BIGINT) AS roll_n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER win AS BIGINT) AS roll_sum,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER win AS BIGINT) AS roll_sumsq
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, ts_us, event_id, value_c, roll_n, roll_sum,
+               CAST(CASE WHEN (roll_n * value_c - roll_sum)
+                              * (roll_n * value_c - roll_sum)
+                            > 4 * (roll_n * roll_sumsq - roll_sum * roll_sum)
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        FROM w
     """,
     "events_latest_state": """
         SELECT user_id, ts_us, event_id, event_type, value_c FROM (

@@ -126,3 +126,51 @@ def test_grouped_latest_matches_brute(ray_session):
         .sort_values("user_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(out[brute.columns.tolist()], brute)
+
+
+def test_grouped_rolling_outlier_matches_brute(ray_session):
+    """Integer z-score flag equals a brute per-row float check (strict
+    inequality keeps them equivalent: both sides are exact integers)."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_rolling_outlier,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    vals = rng.integers(-50, 50, n)
+    spikes = rng.choice(n, 60, replace=False)
+    vals[spikes] += rng.choice([-4000, 4000], 60)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 40, n) * 10, pa.int64()),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "value_c": pa.array(vals, pa.int64()),
+        }
+    )
+    out = (
+        grouped_rolling_outlier(
+            ray.data.from_arrow(tbl).repartition(5),
+            group="user_id", order="ts_us", tiebreak="event_id",
+            value="value_c", window=8, thresh=2,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+    )
+    assert out["is_outlier"].sum() > 0  # the planted spikes flag
+    df = tbl.to_pandas().sort_values(
+        ["user_id", "ts_us", "event_id"], ignore_index=True
+    )
+    for uid, g in df.groupby("user_id"):
+        v = g["value_c"].to_numpy()
+        sub = out[out["user_id"] == uid]
+        for i in range(len(v)):
+            w = v[max(0, i - 7): i + 1].astype(np.int64)
+            k = len(w)
+            lhs = int(k * v[i] - w.sum()) ** 2
+            rhs = 4 * int(k * (w * w).sum() - w.sum() ** 2)
+            row = sub.iloc[i]
+            assert row["roll_n"] == k and row["roll_sum"] == w.sum()
+            assert row["is_outlier"] == int(lhs > rhs), (uid, i)
