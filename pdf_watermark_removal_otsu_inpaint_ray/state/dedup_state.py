@@ -37,6 +37,8 @@ import pyarrow as pa
 
 import ray
 
+from .staging import _StagedEmitterBase
+
 _MIN = np.int64(-(1 << 62))
 
 
@@ -73,7 +75,7 @@ def serial_dedup_mask(
 
 
 @ray.remote
-class DedupStateActor:
+class DedupStateActor(_StagedEmitterBase):
     def __init__(
         self,
         *,
@@ -90,79 +92,27 @@ class DedupStateActor:
     ):
         self.horizon = horizon
         self.id_col, self.ts_col, self.seq_col = id_col, ts_col, seq_col
-        self.sink_dir = sink_dir
-        self.sink_partitions = sink_partitions
-        self.sink_stage_rows = sink_stage_rows
-        self._sink_done = sink_done
-        self._late_done = late_done
-        self.sink_epoch = sink_epoch
-        self._sink_buf: list[pa.Table] = []
-        self._sink_rows = 0
-        self._late_buf: list[pa.Table] = []
-        self._late_buf_rows = 0
-        self._late_mem: list[pa.Table] = []
+        self._init_staging(
+            sink_dir=sink_dir,
+            sink_partitions=sink_partitions,
+            sink_stage_rows=sink_stage_rows,
+            sink_done=sink_done,
+            late_done=late_done,
+            sink_epoch=sink_epoch,
+        )
         # identity state: parallel sorted arrays (id → last kept event_ts)
         self._sid = np.zeros(0, np.int64)
         self._sts = np.zeros(0, np.int64)
         self._pending: list[pa.Table] = []
         # watermark of the last completed sweep: rows at/below it are late
         self.finalized_upto = int(_MIN)
-        self.wm = int(_MIN)
         self.n_kept = 0
         self.n_dup = 0
-        self.n_late = 0
-
-    # -- sink plumbing (same staged/atomic protocol as KeyedStateActor) ----
-
-    def _divert(self, tables: list[pa.Table]) -> list[pa.Table]:
-        if self.sink_dir is None or not tables:
-            return tables
-        for t in tables:
-            if t.num_rows:
-                self._sink_buf.append(t)
-                self._sink_rows += t.num_rows
-        if self._sink_rows >= self.sink_stage_rows:
-            self._flush_sink()
-        return []
-
-    def _flush_sink(self) -> None:
-        if not self._sink_buf:
-            return
-        from ..sinks.exactly_once import stage_table
-
-        table = pa.concat_tables(self._sink_buf)
-        self._sink_buf, self._sink_rows = [], 0
-        stage_table(
-            self.sink_dir, table, self.sink_partitions, self._sink_done,
-            self.sink_epoch,
-        )
 
     def sink_flush(self) -> int:
         self._flush_sink()
         self._flush_late()
         return self.n_kept
-
-    def _note_late(self, late_batch: pa.Table) -> None:
-        self.n_late += late_batch.num_rows
-        if self.sink_dir is None:
-            self._late_mem.append(late_batch)
-            return
-        self._late_buf.append(late_batch)
-        self._late_buf_rows += late_batch.num_rows
-        if self._late_buf_rows >= self.sink_stage_rows:
-            self._flush_late()
-
-    def _flush_late(self) -> None:
-        if not self._late_buf:
-            return
-        from ..sinks.exactly_once import late_dir, stage_table
-
-        table = pa.concat_tables(self._late_buf)
-        self._late_buf, self._late_buf_rows = [], 0
-        stage_table(
-            late_dir(self.sink_dir), table, self.sink_partitions,
-            self._late_done, self.sink_epoch,
-        )
 
     # -- ingest / sweep -----------------------------------------------------
 
@@ -284,9 +234,6 @@ class DedupStateActor:
     def flush(self) -> list[pa.Table]:
         """End of stream: sweep everything still pending."""
         return self._divert(self._sweep(1 << 62))
-
-    def late_rows(self) -> pa.Table | None:
-        return pa.concat_tables(self._late_mem) if self._late_mem else None
 
     def state_stats(self) -> dict:
         return {

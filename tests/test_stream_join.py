@@ -388,3 +388,30 @@ def test_temporal_join_kill_and_replay_resumes_byte_identical(ray_session, tmp_p
     run_streaming_temporal_join(dp, ep, **kw, out_dir=crash)
     assert committed_partitions(crash) == set(range(6))
     assert collect(crash).equals(collect(clean))
+
+
+def test_temporal_join_disorder_within_lateness(ray_session, tmp_path):
+    """Arrival disorder covered by allowed_lateness: the output still
+    equals the brute per-event latest-version lookup (no late rows)."""
+    rng = np.random.default_rng(41)
+    base_d, base_e = _log(400, seed=42, keys=6), _log(400, seed=43, keys=6)
+
+    def scramble(t: pa.Table, block: int = 8) -> pa.Table:
+        # permute arrival order within blocks: max ts regression between
+        # consecutive arrivals is one block span (block*step)
+        n = t.num_rows
+        idx = np.arange(n)
+        for s in range(0, n, block):
+            seg = idx[s: s + block]
+            rng.shuffle(seg)
+        return t.take(pa.array(idx, pa.int64()))
+
+    dim, ev = scramble(base_d), scramble(base_e)
+    dp, ep = str(tmp_path / "d.parquet"), str(tmp_path / "e.parquet")
+    pq.write_table(dim, dp)
+    pq.write_table(ev, ep)
+    res = run_streaming_temporal_join(
+        dp, ep, allowed_lateness=3 * 8 + 1, n_actors=2, micro_batch_rows=32,
+    )
+    assert res.n_late == 0
+    assert _got_temporal(res) == _brute_temporal(base_d, base_e)
