@@ -223,3 +223,121 @@ class FeatureStage:
                 "feature": pa.array(feats, pa.list_(pa.float64())),
             }
         )
+
+
+def phash64(arr: "np.ndarray") -> int:
+    """64-bit perceptual hash of an H×W×3 uint8 image, INTEGER-EXACT (the
+    aHash variant of image near-dup — Krawetz's average hash with the mean
+    comparison cross-multiplied so no float materializes):
+
+    * cell (r, c) of an 8×8 grid samples source pixel
+      ``((r·H)//8, (c·W)//8)`` (nearest-neighbor floor scaling);
+    * a cell's value is its channel sum r+g+b (0..765);
+    * bit ``r·8+c`` is set iff ``cell·64 > sum(all 64 cells)``
+      (strictly-above-average brightness).
+
+    Returned as the int64 two's-complement view of the uint64 bit pattern
+    (Arrow carries int64)."""
+    a = arr.astype(np.int64)
+    h, w = a.shape[0], a.shape[1]
+    g = a.sum(axis=2)
+    ri = (np.arange(8, dtype=np.int64) * h) // 8
+    ci = (np.arange(8, dtype=np.int64) * w) // 8
+    cells = g[np.ix_(ri, ci)].ravel()
+    bits = (cells * 64) > cells.sum()
+    val = np.uint64(0)
+    for k in np.nonzero(bits)[0]:
+        val |= np.uint64(1) << np.uint64(k)
+    return int(val.astype(np.int64))
+
+
+def phash_batch(batch: pa.Table) -> pa.Table:
+    """(item_id, phash) for the IMAGE rows of a media batch (other media
+    types pass: frame-level hashing would go through the seek table)."""
+    ids = batch["item_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kinds = batch["media_type"].to_pylist()
+    payloads = batch["payload"].to_pylist()
+    out_ids, out_h = [], []
+    for i, k, p in zip(ids, kinds, payloads):
+        if k != "image":
+            continue
+        out_ids.append(int(i))
+        out_h.append(phash64(decode_ppm(p)))
+    return pa.table(
+        {
+            "item_id": pa.array(out_ids, pa.int64()),
+            "phash": pa.array(out_h, pa.int64()),
+        }
+    )
+
+
+def phash_near_dup(media_ds, *, max_hamming: int = 3) -> pa.Table:
+    """Image near-duplicate pairs with Hamming(phash) <= max_hamming —
+    the multimodal twin of ``dedup.simhash_dedup`` and the image-dedup
+    shape of a multimodal training pipeline: 16-bit band blocking over the
+    64-bit hash (complete recall for max_hamming <= 3 by pigeonhole),
+    salted coarse bucket groupbys for candidates, vectorized popcount
+    verify over the output-scale broadcast candidate hashes.  Returns
+    (a, b, hamming) with a < b.  Ray must already be initialised."""
+    from .dedup import _candidate_pairs_tbl, _collect_arrow, _empty_pairs
+
+    hashed = media_ds.map_batches(phash_batch, batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["item_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = b["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        band = np.repeat(np.arange(4, dtype=np.int32), ids.size)
+        key = np.concatenate(
+            [(sigs >> np.uint64(16 * j)) & np.uint64(0xFFFF) for j in range(4)]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(band, pa.int32()),
+                "band_hash": pa.array(key, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+            }
+        )
+
+    cand_tbl = _candidate_pairs_tbl(hashed.map_batches(explode, batch_format="pyarrow"))
+    if cand_tbl.num_rows == 0:
+        return _empty_pairs("hamming", pa.int64())
+
+    import ray
+
+    # collect only the CANDIDATE hashes (output-scale), never the corpus's
+    # — the same rule as simhash_dedup's sigs_needed filter
+    need_ref = ray.put(
+        np.unique(
+            np.concatenate(
+                [np.asarray(cand_tbl["a"], np.int64), np.asarray(cand_tbl["b"], np.int64)]
+            )
+        )
+    )
+
+    def sigs_needed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["item_id"].combine_chunks().cast(pa.int64()))
+        keep = np.isin(ids, ray.get(need_ref))
+        return b.filter(pa.array(keep)) if not keep.all() else b
+
+    sig_tbl = _collect_arrow(
+        hashed.map_batches(sigs_needed, batch_format="pyarrow"),
+        pa.schema([("item_id", pa.int64()), ("phash", pa.int64())]),
+    )
+    sids = np.asarray(sig_tbl["item_id"], np.int64)
+    svals = np.asarray(sig_tbl["phash"], np.int64)
+    order = np.argsort(sids)
+    sids, svals = sids[order], svals[order].astype(np.uint64)
+    a_ids = np.asarray(cand_tbl["a"], np.int64)
+    b_ids = np.asarray(cand_tbl["b"], np.int64)
+    xa = svals[np.searchsorted(sids, a_ids)]
+    xb = svals[np.searchsorted(sids, b_ids)]
+    xor = np.ascontiguousarray(xa ^ xb).view(np.uint8).reshape(-1, 8)
+    ham = np.unpackbits(xor, axis=1).sum(axis=1).astype(np.int64)
+    keep = ham <= max_hamming
+    return pa.table(
+        {
+            "a": pa.array(a_ids[keep], pa.int64()),
+            "b": pa.array(b_ids[keep], pa.int64()),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        }
+    )

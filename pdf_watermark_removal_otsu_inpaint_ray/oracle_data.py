@@ -48,6 +48,7 @@ GOLDEN_QUERIES = (
     "semdedup",
     "pca_embeddings",
     "bpe_token_counts",
+    "media_phash_near_dup",
 )
 
 
@@ -680,7 +681,7 @@ _COMPUTE = {
 
 # bump when any golden-relevant definition changes (hash kernels, detection
 # rules) so stale materialized goldens in a reused /tmp are invalidated
-_ORACLE_VERSION = "r3-bpe-1"
+_ORACLE_VERSION = "r3-phash-3"
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -798,3 +799,69 @@ def _golden_bpe_token_counts(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["bpe_token_counts"] = _golden_bpe_token_counts
+
+
+def _golden_media_phash_near_dup(sf_dir: str) -> pa.Table:
+    """Independent image-near-dup twin: pixels are rebuilt DIRECTLY from
+    the documents text via the documented tiling/dimension formulas
+    (skipping the engine's PPM encode→decode round trip — so the codec
+    round trip is implicitly verified too), the 64-bit average-hash is
+    recomputed per its spec with plain Python ints, and pairs come from a
+    brute all-pairs popcount at Hamming <= 3 (no banding)."""
+    docs = _docs_table(sf_dir)
+    ids = [int(i) for i in docs["doc_id"].to_pylist()]
+    texts = docs["text"].to_pylist()
+
+    def hash_of(buf: bytes, w: int, h: int) -> int:
+        # grayscale channel sums per pixel, 8x8 nearest-neighbor grid
+        cells = []
+        for r in range(8):
+            for c in range(8):
+                sr, sc = (r * h) // 8, (c * w) // 8
+                base = (sr * w + sc) * 3
+                cells.append(buf[base] + buf[base + 1] + buf[base + 2])
+        tot = sum(cells)
+        val = 0
+        for k, v in enumerate(cells):
+            if v * 64 > tot:
+                val |= 1 << k
+        if val >= 1 << 63:
+            val -= 1 << 64  # int64 two's complement
+        return val
+
+    hashes: list[tuple[int, int]] = []
+    for i, t in zip(ids, texts):
+        if i % 3 != 0:  # round-robin media kinds: only doc_id%3==0 is image
+            continue
+        w, h = 8 + i % 24, 8 + (i // 7) % 16
+        raw = (t.encode() or b"\x00")
+        n = w * h * 3
+        buf = (raw * (n // len(raw) + 1))[:n]
+        hashes.append((i, hash_of(buf, w, h)))
+        if i % 30 == 0:
+            # the query's planted duplicate: pixels sampled by grid cells
+            # (0, 0..3) saturated (same rule as q_media_phash_near_dup)
+            pbuf = bytearray(buf)
+            for c in range(4):
+                base = ((c * w) // 8) * 3
+                pbuf[base:base + 3] = b"\xff\xff\xff"
+            hashes.append((i + 10_000_000, hash_of(bytes(pbuf), w, h)))
+    pairs = []
+    for x in range(len(hashes)):
+        for y in range(x + 1, len(hashes)):
+            a, ha = hashes[x]
+            b, hb = hashes[y]
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                pairs.append((min(a, b), max(a, b), d))
+    pairs.sort()
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+            "hamming": pa.array([p[2] for p in pairs], pa.int64()),
+        }
+    )
+
+
+_COMPUTE["media_phash_near_dup"] = _golden_media_phash_near_dup

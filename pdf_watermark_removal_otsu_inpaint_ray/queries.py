@@ -2343,6 +2343,57 @@ def q_media_frame_sample(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_media_phash_near_dup(sf_dir: str):
+    """Image near-dup over the media table (functions/multimodal.py::
+    phash_near_dup): integer-exact 64-bit average-hash per decoded image,
+    16-bit band blocking + salted bucket groupbys for candidates,
+    output-scale broadcast popcount verify — the multimodal twin of
+    simhash_dedup.  Oracle: INDEPENDENT pure-Python twin that rebuilds
+    pixels straight from the text (validating the PPM round trip) and
+    brute-forces all pairs."""
+    _with_golden("media_phash_near_dup", sf_dir)
+    from .functions.codecs import decode_ppm, encode_ppm
+    from .functions.multimodal import documents_to_media_batch, phash_near_dup
+
+    def plant(b: pa.Table) -> pa.Table:
+        # planted-duplicate harness: the synthetic word-salad images are
+        # all far apart (measured min Hamming 16 at sf0.01), so every 30th
+        # image gets a re-encoded COPY (item_id + 10_000_000) with the four
+        # pixels sampled by grid cells (0, 0..3) saturated — perturbed
+        # copies land at Hamming ~0-5, so the <=3 verify threshold and the
+        # banding recall both actually bite; the independent golden plants
+        # the same
+        ids = b["item_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kinds = b["media_type"].to_pylist()
+        payloads = b["payload"].to_pylist()
+        add_id, add_pay, add_kind = [], [], []
+        for i, k, p in zip(ids, kinds, payloads):
+            if k == "image" and i % 30 == 0:
+                arr = decode_ppm(p).copy()
+                w = arr.shape[1]
+                for c in range(4):
+                    arr[0, (c * w) // 8, :] = 255
+                add_id.append(int(i) + 10_000_000)
+                add_pay.append(encode_ppm(arr))
+                add_kind.append("image")
+        extra = pa.table(
+            {
+                "item_id": pa.array(add_id, pa.int64()),
+                "payload": pa.array(add_pay, pa.binary()),
+                "media_type": pa.array(add_kind, pa.string()),
+                "meta": pa.array(["{}"] * len(add_id), pa.string()),
+            }
+        )
+        return pa.concat_tables([b, extra]) if extra.num_rows else b
+
+    media = _docs_ds(sf_dir).map_batches(
+        documents_to_media_batch, batch_format="pyarrow"
+    ).map_batches(plant, batch_format="pyarrow")
+    return phash_near_dup(media, max_hamming=3).sort_by(
+        [("a", "ascending"), ("b", "ascending")]
+    )
+
+
 def q_orders_by_status(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
@@ -3063,6 +3114,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "learned_detector": q_learned_detector,
     "media_decode": q_media_decode,
+    "media_phash_near_dup": q_media_phash_near_dup,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "orders_by_status": q_orders_by_status,

@@ -121,3 +121,69 @@ def test_ivf_recall_vs_brute_force(ray_session):
     idx_full = IvfIndex(n_list=8, n_probe=8).fit(sample)
     full = set(idx_full.search(idx_full.add_partition_column(ds), q, k=10)["vec_id"].to_pylist())
     assert full == brute
+
+
+def test_phash64_spec_and_near_dup_banding(ray_session):
+    """phash64 follows the documented integer spec; banding finds exactly
+    the brute-force Hamming<=3 pairs over planted near-identical images."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.codecs import encode_ppm
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.multimodal import (
+        phash64,
+        phash_near_dup,
+    )
+
+    # spec check on a hand-computable image: 8x8, left half dark (0),
+    # right half bright (200) -> bits set exactly on grid columns 4..7
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[:, 4:, :] = 200
+    v = np.uint64(phash64(arr))
+    expect = np.uint64(0)
+    for r in range(8):
+        for c in range(4, 8):
+            expect |= np.uint64(1) << np.uint64(r * 8 + c)
+    assert v == expect
+
+    # planted near-dups: base random images + copies with k pixels flipped
+    rng = np.random.default_rng(5)
+    items, payloads = [], []
+    imgs = {}
+    for i in range(30):
+        a = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        imgs[i] = a
+        items.append(i)
+        payloads.append(encode_ppm(a))
+        b = a.copy()
+        b[0, : (i % 6), :] = 255  # 0..5 saturated pixels
+        imgs[100 + i] = b
+        items.append(100 + i)
+        payloads.append(encode_ppm(b))
+    media = pa.table(
+        {
+            "item_id": pa.array(items, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image"] * len(items), pa.string()),
+            "meta": pa.array(["{}"] * len(items), pa.string()),
+        }
+    )
+    got = phash_near_dup(
+        ray.data.from_arrow(media).repartition(4), max_hamming=3
+    )
+    got_pairs = sorted(
+        zip(got["a"].to_pylist(), got["b"].to_pylist(), got["hamming"].to_pylist())
+    )
+    # brute force over all pairs
+    hs = {k: np.uint64(phash64(v)) for k, v in imgs.items()}
+    brute = []
+    keys = sorted(hs)
+    for x in range(len(keys)):
+        for y in range(x + 1, len(keys)):
+            a, b = keys[x], keys[y]
+            d = bin(int(hs[a] ^ hs[b])).count("1")
+            if d <= 3:
+                brute.append((a, b, d))
+    assert got_pairs == sorted(brute)
+    assert len(got_pairs) > 0
