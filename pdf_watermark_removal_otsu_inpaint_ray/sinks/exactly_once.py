@@ -513,3 +513,86 @@ def read_output(out_dir: str):
     if not paths:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
     return ray.data.read_parquet(paths)
+
+
+def compact_output(
+    src_dir: str,
+    dst_dir: str,
+    *,
+    factor: int = 4,
+    fail_partitions: frozenset[int] = frozenset(),
+) -> pa.Table:
+    """Small-files maintenance (the Iceberg/Hudi compaction analog): merge
+    the committed N-partition layout at ``src_dir`` into an N//factor-
+    partition layout at ``dst_dir``.
+
+    Partition-id consistency is what makes this safe: with ``M | N``,
+    ``hash(doc_id) % N % M == hash(doc_id) % M``, so destination partition
+    ``j`` is exactly the union of source partitions ``{p : p % M == j}`` —
+    the compacted layout is bit-identical to what a direct M-partition
+    write of the same rows would have produced, and doc_id-hash routing
+    (resume, dedup, late side outputs) keeps working unchanged.
+
+    Crash-safety by construction instead of an in-place swap: the
+    destination is a NEW directory built under the SAME manifest protocol
+    — one Ray task per destination partition reads its ``factor`` source
+    files, concatenates, and commits atomically; a crashed compaction is
+    simply rerun and skips destination partitions that already committed
+    (``fail_partitions`` is the test fault-injection hook).  The caller
+    flips readers to ``dst_dir`` and deletes ``src_dir`` once the returned
+    report shows every partition committed.  Requires a fully-committed
+    source (compacting around holes would bake missing data into the new
+    layout); raises when N % factor != 0.
+    """
+    import ray
+
+    src_parts = sorted(committed_partitions(src_dir))
+    n = len(src_parts)
+    if n == 0:
+        raise FileNotFoundError(f"no committed partitions under {src_dir}")
+    if src_parts != list(range(n)):
+        missing = sorted(set(range(max(src_parts) + 1)) - set(src_parts))
+        raise RuntimeError(
+            f"source layout incomplete (uncommitted partitions {missing}); "
+            "finish or resume the producing job before compacting"
+        )
+    if factor < 1 or n % factor != 0:
+        raise ValueError(
+            f"factor {factor} must divide the source partition count {n} "
+            "(hash(doc_id) % N % M == hash % M only when M | N)"
+        )
+    m = n // factor
+    os.makedirs(dst_dir, exist_ok=True)
+    _check_layout(dst_dir, m)
+    done = committed_partitions(dst_dir)
+
+    @ray.remote
+    def compact_one(j: int) -> pa.Table:
+        srcs = [
+            os.path.join(src_dir, f"part={p:05d}", "data.parquet")
+            for p in range(j, n, m)
+        ]
+        table = pa.concat_tables([pq.read_table(p) for p in srcs])
+        return _commit_partition(dst_dir, j, table, fail_partitions)
+
+    todo = [j for j in range(m) if j not in done]
+    reports = list(ray.get([compact_one.remote(j) for j in todo]))
+    reports.extend(_manifest_row(j, "skipped", 0) for j in sorted(done))
+    report = pa.concat_tables(reports).sort_by("partition_id")
+
+    # row-conservation check: the compacted layout must carry exactly the
+    # source's committed rows (manifest sums, no data re-read)
+    def _rows(d: str) -> int:
+        total = 0
+        for p in committed_partitions(d):
+            with open(_manifest_path(d, p)) as f:
+                total += int(json.load(f)["row_count"])
+        return total
+
+    if len(committed_partitions(dst_dir)) == m:
+        src_rows, dst_rows = _rows(src_dir), _rows(dst_dir)
+        if src_rows != dst_rows:
+            raise RuntimeError(
+                f"compaction row mismatch: src {src_rows} vs dst {dst_rows}"
+            )
+    return report

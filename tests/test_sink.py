@@ -306,3 +306,66 @@ def test_begin_epoch_cleans_spent_claims(ray_session, tmp_path):
     mdir = os.path.join(out, "_manifests")
     claims = sorted(f for f in os.listdir(mdir) if f.endswith(".claim"))
     assert claims == ["_epoch-5.claim"]
+
+
+def test_compact_output_merges_partitions_byte_equal(ray_session, tmp_path):
+    """Compaction N=8 → M=2: row set byte-equal, partition routing stays
+    hash-consistent (dst equals a DIRECT 2-partition write of the same
+    rows), resumable after an injected crash, and guarded against
+    incomplete sources / non-divisor factors."""
+    import pytest
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        committed_partitions,
+        compact_output,
+        read_output,
+        write_exactly_once,
+    )
+
+    stream = synth.generate_stream(1200, n_tok_lo=8, n_tok_hi=32)
+    src = str(tmp_path / "src")
+    write_exactly_once(ray.data.from_arrow(stream), src, num_partitions=8)
+
+    def collect(d):
+        t = pa.concat_tables(
+            [pa.table(b) for b in read_output(d).iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+        # the hive-parsed part=K provenance column legitimately differs
+        # between the 8- and 2-partition layouts
+        return t.drop_columns(["part"]) if "part" in t.column_names else t
+
+    # crash mid-compaction: partition 1 injected to fail, 0 commits
+    dst = str(tmp_path / "dst")
+    with pytest.raises(Exception):
+        compact_output(src, dst, factor=4, fail_partitions=frozenset({1}))
+    # ray.get raises on the injected failure without waiting for the
+    # sibling task, so partition 0 may or may not have committed yet
+    assert committed_partitions(dst) <= {0}
+
+    # rerun resumes: completes whatever is missing, skips whatever is not
+    report = compact_output(src, dst, factor=4)
+    assert committed_partitions(dst) == {0, 1}
+    statuses = dict(
+        zip(report["partition_id"].to_pylist(), report["status"].to_pylist())
+    )
+    assert statuses[1] == "committed" and statuses[0] in ("skipped", "committed")
+    assert collect(dst).equals(collect(src))
+
+    # hash-consistency: identical to a direct 2-partition write
+    direct = str(tmp_path / "direct")
+    write_exactly_once(ray.data.from_arrow(stream), direct, num_partitions=2)
+    for j in (0, 1):
+        a = pq.read_table(f"{dst}/part={j:05d}/data.parquet")
+        b = pq.read_table(f"{direct}/part={j:05d}/data.parquet")
+        assert a.equals(b), j
+
+    # guards
+    with pytest.raises(ValueError):
+        compact_output(src, str(tmp_path / "x"), factor=3)
+    import json, os
+
+    os.remove(f"{src}/_manifests/part-00003.json")
+    with pytest.raises(RuntimeError, match="incomplete"):
+        compact_output(src, str(tmp_path / "y"), factor=2)
