@@ -169,6 +169,8 @@ def run_streaming(
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
     num_partitions: int = 8,
+    checkpoint_every: int | None = None,
+    _stop_after_batches: int | None = None,
 ) -> StreamingResult:
     """Run the incremental engine over a Parquet path / Dataset.
 
@@ -178,8 +180,63 @@ def run_streaming(
     manifests at end of stream — rewritten tokens never pass through the
     driver; ``result.output`` is None (read with ``read_output(out_dir)``).
     Ray must already be initialised by the caller.
+
+    ``checkpoint_every``: sink-mode only — every N consumed micro-batches,
+    barrier the in-flight ingests, snapshot every actor's state + the
+    staged-file manifest, and publish an atomic checkpoint under
+    ``out_dir/_checkpoints`` (see pipelines/checkpoint.py).  When a
+    checkpoint exists under ``out_dir``, a rerun RESUMES from it: actor
+    state restores, the staged log truncates to the manifest, the SAME
+    staging epoch is adopted, and only the micro-batches after the
+    checkpoint replay — crash recovery cost is the tail, not the log.
+    Checkpoints are deleted on successful finalize.
+    ``_stop_after_batches`` is the test-only crash-injection hook (raises
+    after consuming that many batches).
     """
-    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    from .checkpoint import (
+        clear_checkpoints,
+        latest_checkpoint,
+        staged_file_manifest,
+        truncate_staged,
+        write_checkpoint,
+    )
+
+    if checkpoint_every is not None and out_dir is None:
+        raise ValueError("checkpoint_every requires sink mode (out_dir)")
+
+    resume_ckpt = latest_checkpoint(out_dir) if out_dir is not None else None
+    skip_batches = 0
+    restored_wm = -(1 << 62)
+    if resume_ckpt is not None:
+        skip_batches, ck_meta, ck_blobs = resume_ckpt
+        if int(ck_meta["n_actors"]) != n_actors or int(
+            ck_meta["micro_batch_rows"]
+        ) != micro_batch_rows:
+            raise RuntimeError(
+                "checkpoint was taken with n_actors="
+                f"{ck_meta['n_actors']}/micro_batch_rows="
+                f"{ck_meta['micro_batch_rows']}; resuming with different "
+                "values would desynchronize hash routing / batch numbering"
+            )
+        # adopt the CHECKPOINTED epoch (a fresh begin_epoch would discard
+        # the pre-checkpoint staged rows at finalize) and truncate the
+        # staged log to the snapshot's manifest: anything the crashed
+        # continuation staged after the checkpoint is re-decided exactly
+        # once by this resumed attempt
+        import os as _os
+
+        from ..sinks.exactly_once import adopt_epoch, committed_partitions, late_dir
+
+        _os.makedirs(out_dir, exist_ok=True)
+        sink_epoch = int(ck_meta["epoch"])
+        adopt_epoch(out_dir, sink_epoch)
+        adopt_epoch(late_dir(out_dir), sink_epoch)
+        truncate_staged(out_dir, ck_meta["staged_files"])
+        sink_done = frozenset(committed_partitions(out_dir))
+        late_done = frozenset(committed_partitions(late_dir(out_dir)))
+        restored_wm = int(ck_meta["wm"])
+    else:
+        sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         KeyedStateActor.remote(
             cfg,
@@ -191,13 +248,23 @@ def run_streaming(
         )
         for _ in range(n_actors)
     ]
+    if resume_ckpt is not None:
+        ray.get(
+            [a.restore_state.remote(b) for a, b in zip(actors, ck_blobs)]
+        )
     tracker = WatermarkTracker.remote(1, cfg.allowed_lateness)
 
     emitted_refs: list = []
     pending: list = []
-    wm = -(1 << 62)
+    wm = restored_wm
     batch_idx = 0
+    consumed = 0
     for batch in _arrival_batches(source, micro_batch_rows):
+        if consumed < skip_batches:
+            # already absorbed into the restored state — the re-read IS the
+            # lineage; only the tail replays
+            consumed += 1
+            continue
         ts = np.asarray(batch["event_ts"], dtype=np.int64)
         # the watermark a batch is judged against excludes the batch itself
         # (it advances only after the data that generated it is absorbed).
@@ -216,11 +283,36 @@ def run_streaming(
                 continue
             pending.append(actors[a].ingest.remote(batch.take(idx), wm))
         tracker.update.remote(0, int(ts.max()))
+        consumed += 1
         # drain completed ingests so emitted tables don't pile up as refs
         if len(pending) >= n_actors * 4:
             done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
             for tables, _ in ray.get(done):
                 emitted_refs.extend(tables)
+        if (
+            checkpoint_every is not None
+            and consumed > skip_batches
+            and consumed % checkpoint_every == 0
+        ):
+            # barrier: every sent ingest must be absorbed before snapshot
+            for tables, _ in ray.get(pending):
+                emitted_refs.extend(tables)
+            pending = []
+            blobs = ray.get([a.checkpoint_state.remote() for a in actors])
+            write_checkpoint(
+                out_dir,
+                consumed,
+                blobs,
+                {
+                    "epoch": sink_epoch,
+                    "wm": wm,
+                    "n_actors": n_actors,
+                    "micro_batch_rows": micro_batch_rows,
+                    "staged_files": staged_file_manifest(out_dir),
+                },
+            )
+        if _stop_after_batches is not None and consumed >= _stop_after_batches:
+            raise RuntimeError(f"injected stop after {consumed} batches")
 
     for tables, _ in ray.get(pending):
         emitted_refs.extend(tables)
@@ -234,7 +326,11 @@ def run_streaming(
     if out_dir is not None:
         # sink mode: emitted_refs stayed empty — drain actor stage buffers,
         # then commit per-partition manifests (driver moves manifests only)
-        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+        res = _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+        # checkpoints exist only to shorten crash recovery: once the run
+        # committed, a LATER fresh run over this dir must not "resume"
+        clear_checkpoints(out_dir)
+        return res
 
     out = (
         pa.concat_tables(emitted_refs).sort_by("doc_id")

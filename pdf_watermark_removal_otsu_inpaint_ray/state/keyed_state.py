@@ -727,3 +727,28 @@ class KeyedStateActor:
             "n_late": self.n_late,
             "n_emitted": self.n_emitted,
         }
+
+    # -- checkpoint / restore (pipelines/checkpoint.py) ----------------------
+
+    _CKPT_FIELDS = (
+        "hists", "buffers", "finalized", "_sticky", "_hist_horizon",
+        "sessions", "session_horizon", "n_late", "n_emitted", "wm",
+        "_salted_rows", "_outbox", "_late_mem",
+    )
+
+    def checkpoint_state(self) -> bytes:
+        """Snapshot ALL mutable state.  Stage buffers flush to durable
+        staged files FIRST, so the checkpoint's staged-file manifest plus
+        this blob is the complete run state (nothing lives only in actor
+        memory when the snapshot publishes)."""
+        import pickle
+
+        self._flush_sink()
+        self._flush_late()
+        return pickle.dumps({k: getattr(self, k) for k in self._CKPT_FIELDS})
+
+    def restore_state(self, blob: bytes) -> None:
+        import pickle
+
+        for k, v in pickle.loads(blob).items():
+            setattr(self, k, v)

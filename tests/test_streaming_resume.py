@@ -47,3 +47,59 @@ def test_streaming_kill_and_replay(ray_session, tmp_path):
     run_streaming(p, cfg, n_actors=2, micro_batch_rows=100, out_dir=crash, num_partitions=6)
     assert committed_partitions(crash) == set(range(6))
     assert _collect(crash).equals(_collect(clean))
+
+
+def test_checkpoint_resume_replays_tail_only_byte_equal(ray_session, tmp_path):
+    """Flink-style checkpoint/restore: a run crashing mid-stream resumes
+    from the latest state snapshot — actor state restores, the staged log
+    truncates to the snapshot manifest, the SAME staging epoch is adopted,
+    and only the post-checkpoint micro-batches replay.  The committed
+    layout is byte-identical to an uninterrupted run; zero rows turn late
+    on resume (if the head replayed against the restored watermark, the
+    pre-checkpoint rows would flood the late side output)."""
+    import os
+
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import read_output
+
+    stream = str(tmp_path / "stream.parquet")
+    synth.write_stream(stream, 6000, n_sources=4, disorder=4)
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="tumbling", window_size=64, allowed_lateness=16
+    )
+
+    def collect(d):
+        t = pa.concat_tables(
+            [pa.table(b) for b in read_output(d).iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+        return t.drop_columns(["part"]) if "part" in t.column_names else t
+
+    kw = dict(n_actors=2, micro_batch_rows=256, num_partitions=6)
+    clean = str(tmp_path / "clean")
+    run_streaming(stream, cfg, **kw, out_dir=clean)
+    golden = collect(clean)
+
+    crash = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming(
+            stream, cfg, **kw, out_dir=crash,
+            checkpoint_every=5, _stop_after_batches=15,
+        )
+    assert os.path.isdir(os.path.join(crash, "_checkpoints", "ckpt-00000015"))
+
+    # resuming with mismatched routing parameters must refuse
+    with pytest.raises(RuntimeError, match="desynchronize"):
+        run_streaming(
+            stream, cfg, n_actors=3, micro_batch_rows=256, num_partitions=6,
+            out_dir=crash, checkpoint_every=5,
+        )
+
+    res = run_streaming(stream, cfg, **kw, out_dir=crash, checkpoint_every=5)
+    assert collect(crash).equals(golden)
+    assert res.n_late == 0  # tail-only replay: the head never re-ingests
+    # checkpoints are recovery state, not output: cleared on success
+    assert not os.path.isdir(os.path.join(crash, "_checkpoints"))
