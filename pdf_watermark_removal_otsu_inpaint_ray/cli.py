@@ -191,6 +191,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--partitions", type=int, default=32)
     r.add_argument("--streaming", action="store_true",
                    help="incremental engine (single read, keyed state actors)")
+    r.add_argument("--checkpoint-every", type=int, default=None,
+                   help="streaming only: snapshot actor state every N "
+                        "micro-batches; a rerun resumes from the last "
+                        "checkpoint replaying only the log tail")
     r.add_argument("--overwrite", action="store_true",
                    help="recommit over an existing output dir instead of "
                         "resuming (skipping already-committed partitions)")
@@ -248,7 +252,8 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.streaming import run_streaming
 
             res = run_streaming(run_input, cfg, out_dir=args.output,
-                                num_partitions=args.partitions)
+                                num_partitions=args.partitions,
+                                checkpoint_every=args.checkpoint_every)
             # sink mode: rows staged by the actors; output lives under
             # --output (res.output is None by design)
             rows = sum(s["n_emitted"] for s in res.actor_stats)
