@@ -232,6 +232,20 @@ def main() -> None:
         assert res2.output is None
         shutil.rmtree(sink_dir, ignore_errors=True)
 
+        # sink-direct streaming WITH periodic state checkpoints: the delta
+        # vs streaming_sink_direct is the checkpoint overhead (barrier +
+        # state pickle + manifest snapshot every 16 micro-batches)
+        ck_dir = os.path.join(BENCH_OUT, f"stream_ck_{NUM_CPUS}_{int(time.time() * 1e6)}")
+        t0 = time.perf_counter()
+        res2c = run_streaming(
+            stream, cfg, n_actors=max(2, NUM_CPUS // 4), micro_batch_rows=2048,
+            out_dir=ck_dir, num_partitions=max(16, NUM_CPUS),
+            checkpoint_every=16,
+        )
+        timings["streaming_checkpointed"] = round(time.perf_counter() - t0, 3)
+        assert res2c.output is None
+        shutil.rmtree(ck_dir, ignore_errors=True)
+
         # session-windowed streaming (vectorized gap-merge state)
         t0 = time.perf_counter()
         res3 = run_streaming(
