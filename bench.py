@@ -302,7 +302,7 @@ def main() -> None:
             "streaming_dedup", "streaming_stream_join", "streaming_temporal_join",
             "events_funnel", "window_top_users", "source_corr", "pca_embeddings",
             "bm25_topk", "events_latest_state", "bpe_token_counts", "events_rolling_outlier",
-            "media_phash_near_dup",
+            "media_phash_near_dup", "events_json_props",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

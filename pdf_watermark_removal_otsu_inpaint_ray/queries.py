@@ -1257,6 +1257,65 @@ def q_events_latest_state(sf_dir: str):
     return grouped_latest(ev, group="user_id", order="ts_us", tiebreak="event_id")
 
 
+def q_events_json_props(sf_dir: str):
+    """Semi-structured column processing: the events ``props`` JSON string
+    is parsed VECTORIZED (one compiled-RE2 ``pc.extract_regex`` per batch —
+    never per-row ``json.loads``; exact for this flat non-escaped shape,
+    the common fast path of metadata columns) and aggregated per
+    event_type: row count, extracted-value sum, exact distinct count.
+    Combiner-first: per-batch (type, k, cnt) uniques through one small
+    groupby — the shuffle carries type×k-cardinality int64 rows; the
+    finish is an output-scale driver fold."""
+    import ray.data
+
+    def extract(b: pa.Table) -> pa.Table:
+        # Arrow's extract_regex requires NAMED groups (RE2 restriction)
+        m = pc.extract_regex(b["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, 0), pa.int64())
+        if k.null_count:
+            raise ValueError("props row without an integer k field")
+        te = b["event_type"].combine_chunks().dictionary_encode()
+        codes = np.asarray(te.indices, np.int64)
+        kv = np.asarray(k)
+        kcap = int(kv.max()) + 1 if kv.size else 1  # batch-local packing base
+        pair, cnt = np.unique(codes * kcap + kv, return_counts=True)
+        return pa.table(
+            {
+                "event_type": te.dictionary.take(
+                    pa.array(pair // kcap, pa.int64())
+                ).cast(pa.string()),
+                "k": pa.array(pair % kcap, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+        )
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby(["event_type", "k"])
+        .sum("cnt")
+        .take_all()
+    )
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        a = agg.setdefault(r["event_type"], [0, 0, 0])
+        c = int(r["sum(cnt)"])
+        a[0] += c
+        a[1] += c * int(r["k"])
+        a[2] += 1
+    types = sorted(agg)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array([agg[t][0] for t in types], pa.int64()),
+            "k_sum": pa.array([agg[t][1] for t in types], pa.int64()),
+            "k_distinct": pa.array([agg[t][2] for t in types], pa.int64()),
+        }
+    )
+
+
 def q_events_rolling_outlier(sf_dir: str):
     """Integer-exact rolling z-score anomaly flag (functions/packing.py::
     grouped_rolling_outlier): per user, flag events where (x − mean)² >
@@ -3073,6 +3132,7 @@ QUERIES = {
     "events_lag_delta": q_events_lag_delta,
     "events_latest_state": q_events_latest_state,
     "events_rolling_outlier": q_events_rolling_outlier,
+    "events_json_props": q_events_json_props,
     "bm25_topk": q_bm25_topk,
     "bpe_token_counts": q_bpe_token_counts,
     "events_funnel": q_events_funnel,
@@ -3524,6 +3584,18 @@ ORACLE_SQL = {
               FROM contrib GROUP BY doc_id)
         ORDER BY score_q DESC, doc_id ASC
         LIMIT 20
+    """,
+    "events_json_props": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS k_sum,
+               CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+        FROM (
+            SELECT event_type,
+                   CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type
     """,
     "events_rolling_outlier": """
         WITH w AS (
