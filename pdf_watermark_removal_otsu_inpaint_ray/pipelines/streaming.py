@@ -135,14 +135,19 @@ def _sink_done_sets(out_dir: str | None) -> tuple[frozenset[int], frozenset[int]
     )
 
 
-def _finalize_sink(actors, stats, late, out_dir: str, epoch: int) -> StreamingResult:
+def _finalize_sink(
+    actors, stats, late, out_dir: str, epoch: int, consumer_metrics=None
+) -> StreamingResult:
     """Sink-mode epilogue shared by every streaming variant: drain actor
     stage buffers, commit main + late layouts (driver moves manifests
-    only), return a sink-shaped StreamingResult.  ``epoch`` is THIS run's
-    allocated staging epoch — finalize must judge staleness against it,
-    not against a re-read of ``_epoch.json`` (restart-race review
-    finding)."""
-    from ..sinks.exactly_once import finalize_staged, late_dir
+    only), persist the run metrics beside the lineage manifests, return a
+    sink-shaped StreamingResult.  ``epoch`` is THIS run's allocated
+    staging epoch — finalize must judge staleness against it, not against
+    a re-read of ``_epoch.json`` (restart-race review finding)."""
+    import json as _json
+    import os as _os
+
+    from ..sinks.exactly_once import _atomic_write_bytes, finalize_staged, late_dir
 
     ray.get([a.sink_flush.remote() for a in actors])
     report = finalize_staged(out_dir, epoch=epoch)
@@ -150,6 +155,19 @@ def _finalize_sink(actors, stats, late, out_dir: str, epoch: int) -> StreamingRe
     # epoch into it at run start), so finalize it unconditionally — with zero
     # late rows this commits nothing and returns an empty report
     lrep = finalize_staged(late_dir(out_dir), epoch=epoch)
+    # north-star metrics land WITH the lineage manifests: per-actor state
+    # stats + (partitioned mode) per-partition throughput and watermark lag
+    _atomic_write_bytes(
+        _os.path.join(out_dir, "_manifests", "run_metrics.json"),
+        _json.dumps(
+            {
+                "epoch": epoch,
+                "actor_stats": stats,
+                "n_late": sum(s["n_late"] for s in stats),
+                "consumer_metrics": consumer_metrics or [],
+            }
+        ).encode(),
+    )
     return StreamingResult(
         output=None,
         late=late,
@@ -517,8 +535,16 @@ def run_streaming_partitioned(
     stats = ray.get([a.state_stats.remote() for a in actors])
     late = pa.concat_tables(late_tables) if late_tables else None
     if out_dir is not None:
-        # sink mode: flush/outbox stayed empty (emissions were diverted)
-        return _finalize_sink(actors, stats, late, out_dir, sink_epoch), metrics
+        # sink mode: flush/outbox stayed empty (emissions were diverted);
+        # the per-partition throughput/wm-lag metrics persist with the
+        # lineage manifests
+        return (
+            _finalize_sink(
+                actors, stats, late, out_dir, sink_epoch,
+                consumer_metrics=metrics,
+            ),
+            metrics,
+        )
     out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
     return (
         StreamingResult(

@@ -439,3 +439,38 @@ def test_salted_sticky_gap_window_not_retroactive(ray_session, tmp_path):
         assert got["doc_id"].to_pylist() == expected["doc_id"].to_pylist()
         assert got["wm_token"].to_pylist() == expected["wm_token"].to_pylist()
         assert got["tokens"].to_pylist() == expected["tokens"].to_pylist()
+
+
+def test_run_metrics_persist_with_manifests(ray_session, tmp_path):
+    """North-star metrics contract: a sink-mode run writes its per-actor
+    state stats (and, partitioned, per-partition throughput + watermark
+    lag) beside the lineage manifests."""
+    import json
+    import os
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming_partitioned,
+    )
+
+    import pyarrow.parquet as pq_
+
+    stream = str(tmp_path / "s")
+    os.makedirs(stream)
+    for start, name in ((0, "a"), (1500, "b")):
+        t = synth.generate_stream(1500, start_row=start, n_sources=4, disorder=4)
+        pq_.write_table(t, f"{stream}/{name}.parquet")
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64, allowed_lateness=16)
+    out = str(tmp_path / "out")
+    _res, metrics = run_streaming_partitioned(
+        stream, cfg, n_actors=2, n_partitions=2, micro_batch_rows=256,
+        out_dir=out, num_partitions=4,
+    )
+    with open(os.path.join(out, "_manifests", "run_metrics.json")) as f:
+        m = json.load(f)
+    assert len(m["actor_stats"]) == 2
+    assert len(m["consumer_metrics"]) == 2
+    for cm in m["consumer_metrics"]:
+        assert "rows_per_sec" in cm and "wm_lag_max" in cm
+    assert m["n_late"] == sum(s["n_late"] for s in m["actor_stats"])
