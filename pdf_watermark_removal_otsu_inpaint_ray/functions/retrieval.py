@@ -6,10 +6,10 @@ passes, no corpus-scale shuffle:
 
 1. **Corpus stats**: per-batch PARTIALS — df per query term (docs in the
    batch containing the term), batch doc count, batch token-length sum —
-   one tiny int64 row per (batch, term); a ``groupby("term").sum`` then
-   reduces to ``len(terms)+1`` rows.  The shuffle carries partials only,
-   never tokens (same combiner-before-shuffle shape as
-   text.term_df_partials).
+   one tiny int64 row per (batch, term), folded driver-side (the partial
+   set is output-scale; a Dataset groupby would pay a full Aggregate
+   round for a handful of keys).  No token ever leaves its batch (same
+   combiner-before-shuffle shape as text.term_df_partials).
 2. **Score scan**: idf per term is computed DRIVER-side with
    ``math.log`` (CPython calls libm ``log`` — bit-identical to DuckDB's
    ``ln``; ``np.log``'s SIMD path can differ in the last ulp) and
@@ -93,21 +93,21 @@ def bm25_topk(
     query ``terms``.  Returns (doc_id, score_q, rank) ordered by
     (score_q DESC, doc_id ASC) — score_q is the 1e-4-quantized integer
     score, rank 1-based.  Ray must already be initialised."""
-    stats = (
-        docs_ds.map_batches(_stats_partials(terms), batch_format="pyarrow")
-        .groupby("term")
-        .sum(["df", "dl_sum", "n_docs"])
-        .take_all()
-    )
+    # partials are (len(terms)+1) rows per BATCH — output-scale, so the
+    # final sum is a driver fold (a Dataset.groupby would pay a full
+    # sort-based Aggregate round ~1 s for a handful of keys)
+    stats = docs_ds.map_batches(
+        _stats_partials(terms), batch_format="pyarrow"
+    ).take_all()
     n_docs = 0
     dl_sum = 0
-    df_by_term: dict[str, int] = {}
+    df_by_term: dict[str, int] = {t: 0 for t in terms}
     for r in stats:
         if r["term"] == "":
-            n_docs = int(r["sum(n_docs)"])
-            dl_sum = int(r["sum(dl_sum)"])
+            n_docs += int(r["n_docs"])
+            dl_sum += int(r["dl_sum"])
         else:
-            df_by_term[r["term"]] = int(r["sum(df)"])
+            df_by_term[r["term"]] += int(r["df"])
     if n_docs == 0:
         return pa.table(
             {

@@ -2630,27 +2630,33 @@ def q_nation_revenue(sf_dir: str):
     by_nation = by_cust.union(cust).groupby("pk").map_groups(
         dim_join_part, batch_format="pandas"
     )
-    agg = by_nation.groupby("key").sum("rev")
+    # final reduce DRIVER-side over output-scale partials (≤ 25 nations ×
+    # partitions rows): a Dataset.groupby here would cost a third full
+    # sort-based Aggregate round for a 25-row result (the same fixed cost
+    # measured at ~half of q_priority_revenue before its driver-reduce fix)
+    import collections
+
+    total: dict[int, int] = collections.defaultdict(int)
+    for r in by_nation.take_all():
+        total[int(r["key"])] += int(r["rev"])
 
     nt = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nk = np.asarray(nt["n_nationkey"], np.int64)
-    order = np.argsort(nk)
-    nk = nk[order]
-    nname = np.asarray(nt["n_name"].to_pylist(), dtype=object)[order]
-
-    def rename(b: pa.Table) -> pa.Table:
-        k = np.asarray(b["key"], np.int64)
-        pos = np.minimum(np.searchsorted(nk, k), nk.size - 1)
-        if not bool(np.all(nk[pos] == k)):
-            raise ValueError("nationkey missing from nation table")
-        return pa.table(
-            {
-                "n_name": pa.array(list(nname[pos]), pa.string()),
-                "revenue_c": b["sum(rev)"].cast(pa.int64()),
-            }
+    nname = dict(
+        zip(
+            (int(x) for x in nt["n_nationkey"].to_pylist()),
+            nt["n_name"].to_pylist(),
         )
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    )
+    missing = [k for k in total if k not in nname]
+    if missing:
+        raise ValueError(f"nationkey missing from nation table: {missing}")
+    keys = sorted(total)
+    return pa.table(
+        {
+            "n_name": pa.array([nname[k] for k in keys], pa.string()),
+            "revenue_c": pa.array([total[k] for k in keys], pa.int64()),
+        }
+    )
 
 
 def q_price_quantiles(
