@@ -103,3 +103,47 @@ def test_checkpoint_resume_replays_tail_only_byte_equal(ray_session, tmp_path):
     assert res.n_late == 0  # tail-only replay: the head never re-ingests
     # checkpoints are recovery state, not output: cleared on success
     assert not os.path.isdir(os.path.join(crash, "_checkpoints"))
+
+
+@pytest.mark.parametrize(
+    "kind,extra",
+    [
+        ("sliding", dict(window_size=64, window_slide=32)),
+        ("session", dict(session_gap=8)),
+    ],
+)
+def test_checkpoint_resume_all_window_kinds(ray_session, tmp_path, kind, extra):
+    """Checkpoint/restore across window kinds: sliding (multi-window
+    buffers) and session (open gap-merge state with buffered tables) both
+    snapshot and resume byte-equal — open sessions crossing the checkpoint
+    are the hard case."""
+    import os
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import read_output
+
+    stream = str(tmp_path / "stream.parquet")
+    synth.write_stream(stream, 4000, n_sources=4, disorder=4)
+    cfg = DEFAULT_CONFIG.with_(window_kind=kind, allowed_lateness=16, **extra)
+
+    def collect(d):
+        t = pa.concat_tables(
+            [pa.table(b) for b in read_output(d).iter_batches(batch_format="pyarrow")]
+        ).sort_by("doc_id")
+        return t.drop_columns(["part"]) if "part" in t.column_names else t
+
+    kw = dict(n_actors=2, micro_batch_rows=256, num_partitions=4)
+    clean = str(tmp_path / "clean")
+    run_streaming(stream, cfg, **kw, out_dir=clean)
+
+    crash = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming(
+            stream, cfg, **kw, out_dir=crash,
+            checkpoint_every=4, _stop_after_batches=10,
+        )
+    res = run_streaming(stream, cfg, **kw, out_dir=crash, checkpoint_every=4)
+    assert collect(crash).equals(collect(clean))
+    assert not os.path.isdir(os.path.join(crash, "_checkpoints"))
