@@ -7,7 +7,8 @@ Ray is initialised by the driver BEFORE this module is imported; nothing here
   inpainting) over sf0.001-derived sequences; returns the rewritten stream.
 - ``queries()``: one callable per implemented operator/pipeline from
   SURVEY.md §2 + the training-data ops (dedup / similarity / text analysis /
-  multimodal plumbing).
+  retrieval / BPE tokenization / multimodal incl. image near-dup /
+  streaming dedup, interval + temporal joins / CDC compaction / CEP).
 - ``oracle_sql()``: exact DuckDB twins where SQL-expressible; the full
   inpaint chain and the probabilistic sketches are rows-only here and
   byte-verified against the golden NumPy oracle in pytest instead.

@@ -9,8 +9,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": ...}
 
-``--scaling``: reruns the headline in fresh processes at num_cpus=8 and 32
-on the same cached input and reports both throughputs + scaling efficiency
+``--scaling``: reruns the headline in fresh processes at two CPU levels
+(``GRAFT_SCALE_LO``/``GRAFT_SCALE_HI``, default 8/32; the criterion runs
+2 vs 8 — see BASELINE.md) on the same cached input and reports both throughputs + scaling efficiency
 (the sandbox substitute for the N vs 4N-node cluster rule; SURVEY.md §4.3).
 """
 

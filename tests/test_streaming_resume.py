@@ -147,3 +147,42 @@ def test_checkpoint_resume_all_window_kinds(ray_session, tmp_path, kind, extra):
     res = run_streaming(stream, cfg, **kw, out_dir=crash, checkpoint_every=4)
     assert collect(crash).equals(collect(clean))
     assert not os.path.isdir(os.path.join(crash, "_checkpoints"))
+
+
+def test_truncate_staged_removes_only_post_checkpoint_files(tmp_path):
+    """Unit: the staged-log truncation deletes exactly the files a crashed
+    continuation added after the snapshot (main AND late trees)."""
+    import os
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.checkpoint import (
+        staged_file_manifest,
+        truncate_staged,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import late_dir
+
+    out = str(tmp_path / "out")
+    for base, part, name in (
+        (out, 0, "a.parquet"),
+        (out, 1, "b.parquet"),
+        (late_dir(out), 0, "l.parquet"),
+    ):
+        d = os.path.join(base, "_staged", f"part={part:05d}")
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, name), "wb").close()
+    manifest = staged_file_manifest(out)
+    assert manifest["main"] and manifest["late"]
+
+    # crashed continuation stages more files after the snapshot
+    extras = [
+        (out, 1, "post1.parquet"),
+        (out, 2, "post2.parquet"),
+        (late_dir(out), 0, "post3.parquet"),
+    ]
+    for base, part, name in extras:
+        d = os.path.join(base, "_staged", f"part={part:05d}")
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, name), "wb").close()
+
+    removed = truncate_staged(out, manifest)
+    assert removed == 3
+    assert staged_file_manifest(out) == manifest
