@@ -242,6 +242,13 @@ def main(argv: list[str] | None = None) -> int:
                 # rerun with DIFFERENT input into the same dir would keep
                 # the stale committed partitions
                 summary(t("resume_notice", parts=already))
+            ckdir = _os.path.join(args.output, "_checkpoints")
+            if _os.path.isdir(ckdir) and _os.listdir(ckdir):
+                # same never-silently rule for streaming state checkpoints
+                # (the engine validates cfg/source fingerprints and raises
+                # on mismatch, but an intentional resume should be visible)
+                summary(f"[resume] streaming checkpoint found under {ckdir}; "
+                        "resuming from the latest snapshot")
         run_input = args.input
         if args.rows:
             # materialize the selected rows once (storage order, 1-indexed)

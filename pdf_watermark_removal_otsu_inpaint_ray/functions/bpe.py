@@ -61,15 +61,21 @@ def word_freq(docs_ds, *, min_count: int = 1) -> list[tuple[str, int]]:
             }
         )
 
-    rows = (
+    from .dedup import _collect_arrow
+
+    # Arrow-batch collection, not take_all: the vocab table is
+    # 10^5-10^6 rows before min_count pruning, and per-row python-dict
+    # materialization is the documented ~100x-slower path (dedup.py
+    # _collect_arrow note)
+    tbl = _collect_arrow(
         docs_ds.map_batches(partials, batch_format="pyarrow")
         .groupby("term")
-        .sum("tf")
-        .take_all()
+        .sum("tf"),
+        pa.schema([("term", pa.string()), ("sum(tf)", pa.int64())]),
     )
-    out = [
-        (r["term"], int(r["sum(tf)"])) for r in rows if int(r["sum(tf)"]) >= min_count
-    ]
+    terms = tbl["term"].to_pylist()
+    tf = np.asarray(tbl["sum(tf)"], np.int64)
+    out = [(t, int(c)) for t, c in zip(terms, tf) if c >= min_count]
     out.sort()
     return out
 

@@ -304,8 +304,10 @@ def phash_near_dup(media_ds, *, max_hamming: int = 3) -> pa.Table:
 
     import ray
 
-    # collect only the CANDIDATE hashes (output-scale), never the corpus's
-    # — the same rule as simhash_dedup's sigs_needed filter
+    # verify pass: filter to candidate ids BEFORE the second decode+hash
+    # pass — the decode dominates at media scale, so re-hashing the whole
+    # corpus to keep output-scale rows would double the pipeline's cost
+    # (the same rule as simhash_dedup's sigs_needed filter)
     need_ref = ray.put(
         np.unique(
             np.concatenate(
@@ -314,13 +316,15 @@ def phash_near_dup(media_ds, *, max_hamming: int = 3) -> pa.Table:
         )
     )
 
-    def sigs_needed(b: pa.Table) -> pa.Table:
+    def media_needed(b: pa.Table) -> pa.Table:
         ids = np.asarray(b["item_id"].combine_chunks().cast(pa.int64()))
         keep = np.isin(ids, ray.get(need_ref))
         return b.filter(pa.array(keep)) if not keep.all() else b
 
     sig_tbl = _collect_arrow(
-        hashed.map_batches(sigs_needed, batch_format="pyarrow"),
+        media_ds.map_batches(media_needed, batch_format="pyarrow").map_batches(
+            phash_batch, batch_format="pyarrow"
+        ),
         pa.schema([("item_id", pa.int64()), ("phash", pa.int64())]),
     )
     sids = np.asarray(sig_tbl["item_id"], np.int64)

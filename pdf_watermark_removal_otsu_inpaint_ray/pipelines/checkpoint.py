@@ -81,9 +81,20 @@ def truncate_staged(out_dir: str, manifest: dict[str, list[str]]) -> int:
 def write_checkpoint(
     out_dir: str, batch_index: int, blobs: list[bytes], meta: dict
 ) -> str:
-    """Atomically publish checkpoint ``batch_index`` (tmp dir + rename)."""
+    """Atomically publish checkpoint ``batch_index`` (tmp dir + rename +
+    parent-dir fsync — without the fsync the journal could drop the rename
+    on power loss and recovery would silently fall back to a much older
+    checkpoint, the exact failure mode _fsync_dir documents for the
+    sink).  Stale ``.tmp-`` dirs from crashed earlier publishes are swept
+    here (only the driver writes checkpoints, so the sweep cannot race a
+    live publish)."""
+    from ..sinks.exactly_once import _fsync_dir
+
     root = _ckpt_root(out_dir)
     os.makedirs(root, exist_ok=True)
+    for stale in os.listdir(root):
+        if ".tmp-" in stale:
+            shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
     final = os.path.join(root, f"ckpt-{batch_index:08d}")
     tmp = f"{final}.tmp-{uuid.uuid4().hex}"
     os.makedirs(tmp)
@@ -96,7 +107,9 @@ def write_checkpoint(
         json.dump({**meta, "batch_index": batch_index}, f)
         f.flush()
         os.fsync(f.fileno())
+    _fsync_dir(tmp)
     os.replace(tmp, final)
+    _fsync_dir(root)
     return final
 
 

@@ -222,6 +222,27 @@ def run_streaming(
     if checkpoint_every is not None and out_dir is None:
         raise ValueError("checkpoint_every requires sink mode (out_dir)")
 
+    # cfg + source fingerprints: restoring actor state under a DIFFERENT
+    # engine config (window kind/size/lateness...) or source would commit
+    # garbage with no error — windows re-key, skip_batches skips the wrong
+    # log prefix.  The source fingerprint covers path sources (file names +
+    # sizes); Dataset sources can't be fingerprinted and record "dataset"
+    # (resume then only guards cfg/routing).
+    import dataclasses as _dc
+
+    cfg_fp = repr(sorted(_dc.asdict(cfg).items()))
+    if isinstance(source, str):
+        import os as _os2
+
+        src_fp = repr(
+            [
+                (_os2.path.basename(p), _os2.path.getsize(p))
+                for p in _resolve_parquet_paths(source)
+            ]
+        )
+    else:
+        src_fp = "dataset"
+
     resume_ckpt = latest_checkpoint(out_dir) if out_dir is not None else None
     skip_batches = 0
     restored_wm = -(1 << 62)
@@ -235,6 +256,18 @@ def run_streaming(
                 f"{ck_meta['n_actors']}/micro_batch_rows="
                 f"{ck_meta['micro_batch_rows']}; resuming with different "
                 "values would desynchronize hash routing / batch numbering"
+            )
+        if ck_meta.get("cfg_fp") != cfg_fp:
+            raise RuntimeError(
+                "checkpoint was taken under a different engine config; "
+                "restoring its window/session state would commit wrong "
+                "output (delete the sink dir to start fresh)"
+            )
+        if ck_meta.get("src_fp") != src_fp:
+            raise RuntimeError(
+                "checkpoint was taken over a different source "
+                "(file set/sizes changed); the skipped log prefix would "
+                "not be the data the restored state absorbed"
             )
         # adopt the CHECKPOINTED epoch (a fresh begin_epoch would discard
         # the pre-checkpoint staged rows at finalize) and truncate the
@@ -326,6 +359,8 @@ def run_streaming(
                     "wm": wm,
                     "n_actors": n_actors,
                     "micro_batch_rows": micro_batch_rows,
+                    "cfg_fp": cfg_fp,
+                    "src_fp": src_fp,
                     "staged_files": staged_file_manifest(out_dir),
                 },
             )

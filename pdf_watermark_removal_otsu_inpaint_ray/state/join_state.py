@@ -276,16 +276,24 @@ class TemporalJoinActor(_StagedEmitterBase):
             ["ts", "e_seq"], kind="stable", ignore_index=True
         )
         if self._dt.size:
+            # merge_asof carries ONLY a bounded buffer index (ridx): the
+            # unmatched-row NaN forces the carried column to float64, and a
+            # raw int64 seq/ts above 2^53 would silently round (the batch
+            # as-of operator guards the same way, stages/temporal_join.py);
+            # ridx is a buffer position, always far inside float53
             right = pd.DataFrame(
-                {"key": self._dk, "d_seq": self._ds, "ts": self._dt,
-                 "d_ts": self._dt}
+                {"key": self._dk, "ts": self._dt,
+                 "ridx": np.arange(self._dt.size, dtype=np.int64)}
             )
             joined = pd.merge_asof(
                 left, right, on="ts", by="key", direction="backward",
                 allow_exact_matches=True,
             )
-            d_seq = joined["d_seq"].fillna(-1).astype(np.int64).to_numpy()
-            d_ts = joined["d_ts"].fillna(-1).astype(np.int64).to_numpy()
+            ridx = joined["ridx"].fillna(-1).astype(np.int64).to_numpy()
+            hit = ridx >= 0
+            safe = np.maximum(ridx, 0)
+            d_seq = np.where(hit, self._ds[safe], np.int64(-1))
+            d_ts = np.where(hit, self._dt[safe], np.int64(-1))
         else:
             d_seq = np.full(len(left), -1, np.int64)
             d_ts = np.full(len(left), -1, np.int64)

@@ -186,3 +186,42 @@ def test_truncate_staged_removes_only_post_checkpoint_files(tmp_path):
     removed = truncate_staged(out, manifest)
     assert removed == 3
     assert staged_file_manifest(out) == manifest
+
+
+def test_checkpoint_resume_refuses_changed_cfg_or_source(ray_session, tmp_path):
+    """Review finding: restoring actor state under a different engine
+    config or source would commit garbage silently — both fingerprints
+    must be validated before any state restores."""
+    import os
+
+    from pdf_watermark_removal_otsu_inpaint_ray import synth
+    from pdf_watermark_removal_otsu_inpaint_ray.config import DEFAULT_CONFIG
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import run_streaming
+
+    stream = str(tmp_path / "stream.parquet")
+    synth.write_stream(stream, 3000, n_sources=4, disorder=4)
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="tumbling", window_size=64, allowed_lateness=16
+    )
+    out = str(tmp_path / "out")
+    kw = dict(n_actors=2, micro_batch_rows=256, num_partitions=4)
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming(
+            stream, cfg, **kw, out_dir=out,
+            checkpoint_every=4, _stop_after_batches=8,
+        )
+
+    with pytest.raises(RuntimeError, match="different engine config"):
+        run_streaming(
+            stream, cfg.with_(window_size=32), **kw, out_dir=out,
+        )
+
+    other = str(tmp_path / "other.parquet")
+    synth.write_stream(other, 2000, n_sources=4, disorder=4)
+    with pytest.raises(RuntimeError, match="different source"):
+        run_streaming(other, cfg, **kw, out_dir=out)
+
+    # unchanged cfg+source resumes and completes
+    res = run_streaming(stream, cfg, **kw, out_dir=out)
+    assert res.output is None
+    assert not os.path.isdir(os.path.join(out, "_checkpoints"))
