@@ -515,6 +515,14 @@ def run_streaming_partitioned(
     partition, per-partition watermarks merged (min) by the tracker, keyed
     state actors shared across consumers.
 
+    Recovery design (deliberate split): this multi-consumer shape recovers
+    by WHOLE-RUN replay against the exactly-once sink (kill-and-replay
+    byte-equal, tested) — a fine-grained state checkpoint here would need
+    a consistent cut across concurrently-ingesting consumers (a
+    Chandy-Lamport barrier through the actor pool); the coordinated
+    single-consumer engine (`run_streaming(checkpoint_every=…)`) is the
+    variant that offers tail-only checkpoint resume.
+
     The global watermark is ``min over open partitions (max_ts) −
     allowed_lateness``, so cross-partition skew only delays finalization —
     it can never produce false lates.  Input files are assigned round-robin
