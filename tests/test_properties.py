@@ -411,3 +411,75 @@ def test_empty_docs_never_near_dup(ray_session):
     sh = simhash_dedup(ray.data.from_arrow(t).repartition(2), max_hamming=3)
     spairs = set(zip(sh["a"].to_pylist(), sh["b"].to_pylist()))
     assert spairs == {(12, 13)}
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=192, max_size=192),
+    st.integers(min_value=8, max_value=16),
+)
+@settings(max_examples=40, deadline=None)
+def test_phash64_stable_under_exact_duplicate_and_brightness_invariants(flat, w):
+    """phash64 properties: (a) exact duplicate pixels → identical hash;
+    (b) a constant-shift image (all pixels += c, clamped away) keeps the
+    same above-average pattern → identical hash; (c) the all-equal image
+    hashes to 0 (no cell is STRICTLY above average)."""
+    import numpy as np
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.multimodal import phash64
+
+    h = 192 // w // 3 * 1  # keep a (h, w, 3) shape from the flat pool
+    n = h * w * 3
+    if h < 1:
+        return
+    arr = np.asarray(flat[:n], np.uint8).reshape(h, w, 3)
+    assert phash64(arr) == phash64(arr.copy())
+    # constant shift without clamping preserves strict above-average bits
+    if int(arr.max()) <= 205:
+        shifted = (arr.astype(np.int64) + 50).astype(np.uint8)
+        assert phash64(arr) == phash64(shifted)
+    flat_img = np.full((h, w, 3), 7, np.uint8)
+    assert phash64(flat_img) == 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.integers(min_value=0, max_value=30),  # ts
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_latest_rows_idempotent_and_matches_dict_fold(rows):
+    """_latest_rows (the grouped_latest kernel): idempotent, and equal to
+    the obvious dict fold over (ts, seq)-max per key."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import _latest_rows
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([k for k, _ in rows], pa.int64()),
+            "ts_us": pa.array([t for _, t in rows], pa.int64()),
+            "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        }
+    )
+    once = _latest_rows(tbl, "user_id", "ts_us", "event_id")
+    twice = _latest_rows(once, "user_id", "ts_us", "event_id")
+    assert once.sort_by("user_id").equals(twice.sort_by("user_id"))
+    best = {}
+    for i, (k, t) in enumerate(rows):
+        if k not in best or (t, i) > best[k][:2]:
+            best[k] = (t, i)
+    got = {
+        (k, t, e)
+        for k, t, e in zip(
+            once["user_id"].to_pylist(),
+            once["ts_us"].to_pylist(),
+            once["event_id"].to_pylist(),
+        )
+    }
+    assert got == {(k, t, i) for k, (t, i) in best.items()}
