@@ -226,6 +226,86 @@ def exact_dedup(ds, group_on: str = "content_hash", num_parts: int = 64):
     )
 
 
+def incremental_dedup(ds, *, base_col: str = "is_base", num_parts: int = 64):
+    """Cross-snapshot (incremental) exact dedup: keep each DELTA text that
+    never occurs in the BASE snapshot, collapsing delta-internal duplicates
+    to the lowest doc_id — the "dedup tonight's crawl against the corpus"
+    step of a continuously-ingesting training pipeline.
+
+    ``ds`` must carry ``doc_id``, ``text`` and an int/bool ``base_col``
+    (1 = row belongs to the already-ingested base snapshot).  Returns
+    (text, keep_id, n_delta_dup) for surviving delta texts.
+
+    Scale shape: a per-batch PARTIAL prune first — one row per (batch,
+    content_hash, membership): min doc_id + count, text carried only on
+    delta rows (base rows ship an empty string; only the 8-byte hash key
+    matters for them) — so the shuffle carries at most two prunes per
+    distinct text per batch, never the corpus.  Then one coarse
+    ``num_parts`` hash-partition groupby resolves globally with vectorized
+    pandas aggregation (no per-key callback; the `_distinct_pairs` lesson).
+    Same collision caveat as :func:`exact_dedup` (63-bit content hash;
+    hostile corpora should key on text)."""
+    import pandas as pd
+
+    def partials(b: pa.Table) -> pa.Table:
+        hb = content_hash_batch(b)
+        df = pd.DataFrame(
+            {
+                "content_hash": np.asarray(hb["content_hash"], np.int64),
+                "is_base": np.asarray(hb[base_col]).astype(np.int64),
+                "doc_id": np.asarray(hb["doc_id"], np.int64),
+                "text": np.asarray(hb["text"]),
+            }
+        )
+        gb = df.groupby(["content_hash", "is_base"], sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"), n=("doc_id", "size"), text=("text", "first")
+        )
+        # base partials never contribute text to the output — drop the
+        # payload so the shuffle carries only their 8-byte key
+        gb.loc[gb["is_base"] == 1, "text"] = ""
+        return pa.table(
+            {
+                "content_hash": pa.array(gb["content_hash"].to_numpy(), pa.int64()),
+                "is_base": pa.array(gb["is_base"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(gb["doc_id"].to_numpy(), pa.int64()),
+                "n": pa.array(gb["n"].to_numpy().astype(np.int64), pa.int64()),
+                "text": pa.array(gb["text"], pa.string()),
+                "pk": pa.array(
+                    gb["content_hash"].to_numpy() % num_parts, pa.int64()
+                ),
+            }
+        )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        base_hashes = g.loc[g["is_base"] == 1, "content_hash"].unique()
+        delta = g[(g["is_base"] == 0) & ~g["content_hash"].isin(base_hashes)]
+        if len(delta) == 0:
+            return pd.DataFrame(
+                {
+                    "text": pd.Series(dtype=object),
+                    "keep_id": pd.Series(dtype=np.int64),
+                    "n_delta_dup": pd.Series(dtype=np.int64),
+                }
+            )
+        # first-by-min-doc_id: partials preserve the min row's text, so
+        # sorting by doc_id makes "first" the global minimum's carry
+        delta = delta.sort_values("doc_id", kind="stable")
+        gb = delta.groupby("content_hash", sort=False)
+        return pd.DataFrame(
+            {
+                "text": gb["text"].first().to_numpy(),
+                "keep_id": gb["doc_id"].min().to_numpy().astype(np.int64),
+                "n_delta_dup": gb["n"].sum().to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(collapse, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -182,6 +182,73 @@ def grouped_lag(
     )
 
 
+def grouped_ntile(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    tiebreak: str = "event_id",
+    k: int = 4,
+):
+    """Per-group equal-count bucket assignment — ``NTILE(k) OVER (PARTITION
+    BY g ORDER BY o, t)``, the quantile-bucket labeler of curriculum /
+    difficulty-split sampling (rows ranked within their group, first
+    ``n % k`` buckets one row larger, exactly the SQL window semantics).
+
+    Same distribution shape as :func:`grouped_lag`: one coarse hash
+    partition on the group key co-locates each group, then ONE vectorized
+    lexsort + integer bucket formula per partition — no per-group callback,
+    no global sort.  All int64, bit-equal to the SQL twin."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    order: pd.Series(dtype=np.int64),
+                    tiebreak: pd.Series(dtype=np.int64),
+                    "tile": pd.Series(dtype=np.int64),
+                }
+            )
+        gk = g[group].to_numpy().astype(np.int64)
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        idx = np.lexsort((t, o, gk))
+        gk, o, t = gk[idx], o[idx], t[idx]
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        run_start = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        sizes = np.diff(np.append(run_start, n))
+        cnt = sizes[gid]  # each row's group size
+        pos = np.arange(n, dtype=np.int64) - run_start[gid]  # 0-based rank
+        q, r = cnt // k, cnt % k
+        big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+        # q == 0 (group smaller than k): big == cnt, every row takes the
+        # first branch, so the q-branch divisor is never 0-by-use — the
+        # maximum() only silences the vectorized division
+        tile = np.where(
+            pos < big,
+            pos // np.maximum(q + 1, 1),
+            r + (pos - big) // np.maximum(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {group: gk, order: o, tiebreak: t, "tile": tile.astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(part, batch_format="pandas")
+    )
+
+
 def grouped_rolling_sum(
     ds,
     *,

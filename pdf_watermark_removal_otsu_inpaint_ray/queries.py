@@ -1155,6 +1155,98 @@ def q_events_rolling_sum(sf_dir: str):
     )
 
 
+def q_events_ntile(sf_dir: str):
+    """Per-user NTILE(4) bucket by (ts, event_id) order — the equal-count
+    quantile labeler (functions/packing.py::grouped_ntile): one coarse
+    group-key partition, one lexsort + integer bucket formula per
+    partition, bit-equal to the SQL window twin."""
+    import ray.data
+
+    from .functions.packing import grouped_ntile
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_ntile(ev, group="user_id", order="ts_us", tiebreak="event_id", k=4)
+
+
+def q_events_skew_join(sf_dir: str):
+    """Skew-aware events ⋈ customer enrichment (stages/join.py::
+    salted_skew_join): MG hot-key detection over a column-pruned key scan,
+    hot build rows replicated per salt, ONE native co-partitioned join on
+    (key, salt) — the Zipf-fact-table join shape.  Result is identical to
+    a plain inner join (the SQL twin)."""
+    import ray.data
+
+    from .stages.join import salted_skew_join
+
+    def prep_probe(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+            }
+        )
+
+    def prep_build(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["c_custkey"].cast(pa.int64()),
+                "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+                "c_mktsegment": b["c_mktsegment"],
+            }
+        )
+
+    probe = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    ).map_batches(prep_probe, batch_format="pyarrow")
+    probe_keys = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    build = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    ).map_batches(prep_build, batch_format="pyarrow")
+    return salted_skew_join(
+        probe, build, on="user_id", probe_keys_ds=probe_keys, salt=8
+    )
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental (cross-snapshot) exact dedup: delta docs (doc_id%10>=7)
+    kept only when their text never occurs in the base snapshot
+    (doc_id%10<7), delta-internal dups collapsed to the min doc_id
+    (functions/dedup.py::incremental_dedup — per-batch partial prune, then
+    a coarse content-hash partition groupby)."""
+    def tag(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": b["text"],
+                "is_base": pa.array((ids % 10 < 7).astype(np.int64), pa.int64()),
+            }
+        )
+
+    from .functions.dedup import incremental_dedup
+
+    return incremental_dedup(
+        _docs_ds(sf_dir).map_batches(tag, batch_format="pyarrow")
+    )
+
+
 def q_events_lag_delta(sf_dir: str):
     """Per-user time-since-previous-event (functions/packing.py::
     grouped_lag): one coarse hash partition on the user key, vectorized
@@ -1713,15 +1805,14 @@ def q_orders_integrity(sf_dir: str):
     ).astype(np.int64)
 
 
-def q_orders_rollup(sf_dir: str):
-    """OLAP rollup (GROUP BY ROLLUP(year, status)): combiner-first partials
+def _orders_year_status_base(sf_dir: str):
+    """Shared distributed base for the rollup/cube OLAP levels: exact
+    (year, status) → (n_orders, sum_cents) via combiner-first partials
     (per-batch np.unique over the combined key — the shuffle carries
-    years×statuses rows per block, never orders-scale data), one small
-    groupby-sum, then the three rollup levels derived from the
-    dimension-scale base aggregate on the driver (years × 3 statuses —
-    bounded by the calendar, documented like dominant_tokens).  Money sums
-    are integer cents (floor(p*100+0.5)) so the distributed sum is
-    order-free exact."""
+    years×statuses rows per block, never orders-scale data) and one small
+    groupby-sum.  Money sums are integer cents (floor(p*100+0.5)) so the
+    distributed sum is order-free exact.  Returns a dimension-scale pandas
+    frame (years × 3 statuses — bounded by the calendar)."""
     import ray.data
 
     def partials(b: pa.Table) -> pa.Table:
@@ -1756,11 +1847,18 @@ def q_orders_rollup(sf_dir: str):
         .sum(["n_orders", "sum_cents"])
         .to_pandas()
     )  # dimension-scale: years × statuses
-    import pandas as pd
-
-    base = base.rename(
+    return base.rename(
         columns={"sum(n_orders)": "n_orders", "sum(sum_cents)": "sum_cents"}
     )
+
+
+def q_orders_rollup(sf_dir: str):
+    """OLAP rollup (GROUP BY ROLLUP(year, status)): the three rollup levels
+    derived from the shared dimension-scale base aggregate on the driver
+    (documented like dominant_tokens)."""
+    import pandas as pd
+
+    base = _orders_year_status_base(sf_dir)
     detail = pd.DataFrame(
         {
             "o_year": base["o_year"].astype(str),
@@ -1785,6 +1883,49 @@ def q_orders_rollup(sf_dir: str):
     )
     cols = ["o_year", "o_orderstatus", "n_orders", "sum_cents"]
     out = pd.concat([detail[cols], per_year[cols], total[cols]], ignore_index=True)
+    return out.astype({"n_orders": np.int64, "sum_cents": np.int64})
+
+
+def q_orders_cube(sf_dir: str):
+    """OLAP cube (GROUP BY CUBE(year, status)): rollup's three levels PLUS
+    the per-status margin — all four derived from the same shared
+    dimension-scale base aggregate; the distributed work is identical to
+    the rollup (one combiner-first pass + one tiny groupby)."""
+    import pandas as pd
+
+    base = _orders_year_status_base(sf_dir)
+    detail = pd.DataFrame(
+        {
+            "o_year": base["o_year"].astype(str),
+            "o_orderstatus": base["o_orderstatus"],
+            "n_orders": base["n_orders"],
+            "sum_cents": base["sum_cents"],
+        }
+    )
+    per_year = (
+        base.groupby("o_year", as_index=False)[["n_orders", "sum_cents"]]
+        .sum()
+        .assign(o_orderstatus="ALL")
+    )
+    per_year["o_year"] = per_year["o_year"].astype(str)
+    per_status = (
+        base.groupby("o_orderstatus", as_index=False)[["n_orders", "sum_cents"]]
+        .sum()
+        .assign(o_year="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "o_year": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "n_orders": [base["n_orders"].sum()],
+            "sum_cents": [base["sum_cents"].sum()],
+        }
+    )
+    cols = ["o_year", "o_orderstatus", "n_orders", "sum_cents"]
+    out = pd.concat(
+        [detail[cols], per_year[cols], per_status[cols], total[cols]],
+        ignore_index=True,
+    )
     return out.astype({"n_orders": np.int64, "sum_cents": np.int64})
 
 
@@ -3136,6 +3277,8 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "events_rolling_sum": q_events_rolling_sum,
     "events_lag_delta": q_events_lag_delta,
+    "events_ntile": q_events_ntile,
+    "events_skew_join": q_events_skew_join,
     "events_latest_state": q_events_latest_state,
     "events_rolling_outlier": q_events_rolling_outlier,
     "events_json_props": q_events_json_props,
@@ -3157,6 +3300,7 @@ QUERIES = {
     "regex_scrub": q_regex_scrub,
     "orders_integrity": q_orders_integrity,
     "orders_rollup": q_orders_rollup,
+    "orders_cube": q_orders_cube,
     "customers_without_orders": q_customers_without_orders,
     "label_centroids": q_label_centroids,
     "token_count": q_token_count,
@@ -3165,6 +3309,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_text": q_dedup_exact_text,
+    "dedup_incremental": q_dedup_incremental,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "length_quantiles": q_length_quantiles,
@@ -3537,6 +3682,38 @@ ORACLE_SQL = {
                    AS BIGINT) AS sum_cents
         FROM orders
         GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+    """,
+    "orders_cube": """
+        SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS sum_cents
+        FROM orders
+        GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+    """,
+    "events_ntile": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS tile
+        FROM events
+    """,
+    "events_skew_join": """
+        SELECT CAST(e.event_id AS BIGINT) AS event_id,
+               CAST(e.user_id AS BIGINT) AS user_id,
+               CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+               c.c_mktsegment AS c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "dedup_incremental": """
+        SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_delta_dup
+        FROM documents
+        WHERE doc_id % 10 >= 7
+          AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 < 7)
+        GROUP BY text
     """,
     "customers_without_orders": """
         SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name

@@ -58,6 +58,101 @@ def apply_forced_ranges(
     return flag
 
 
+def salted_skew_join(
+    probe_ds,
+    build_ds,
+    *,
+    on: str,
+    probe_keys_ds=None,
+    salt: int = 8,
+    hot_capacity: int = 64,
+    num_partitions: int = 32,
+):
+    """Skew-aware inner equi-join — the Spark-AQE skew-join analog,
+    expressed Ray-Data-first for Zipf-keyed fact tables where one hot key
+    would otherwise pin an entire hash partition on one worker.
+
+    1. **Hot-key detection** (routing-only — the JOIN RESULT is identical
+       for ANY candidate set, so the approximation is free): Misra–Gries
+       partials over the probe key (``functions.sketch._mg_summary``,
+       mergeable per Agarwal et al. PODS'12), folded driver-side from
+       fixed-size per-batch summaries.  Pass ``probe_keys_ds`` as a
+       column-pruned read of JUST the key so the detection scan never
+       touches payload bytes.
+    2. **Salting**: build rows whose key is hot replicate ``salt`` ways
+       (one copy per salt value); probe rows with hot keys scatter across
+       the ``salt`` values; all cold rows ride salt 0 untouched.  The hot
+       key's probe rows now spread over ``salt`` hash partitions instead
+       of one.
+    3. ONE native co-partitioned ``Dataset.join`` on ``(key, _salt)`` —
+       single scan of each side, no driver-side row collection, partition
+       count capped at cluster CPUs (deadlock guard, functions/dedup.py::
+       _join_partitions).
+
+    Reference analog: the per-page QR-span join (`qr_detector.py:226-400`
+    joined back to pages in `cli.py:905-945`) has the same one-document-
+    dominates skew when a single PDF holds most spans.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import _join_partitions
+    from ..functions.sketch import _mg_summary
+
+    def mg_partials(b: pa.Table) -> pa.Table:
+        k = np.asarray(b[on], np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        keys, counts = _mg_summary(uk, cnt.astype(np.int64), hot_capacity)
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()), "cnt": pa.array(counts, pa.int64())}
+        )
+
+    keys_src = probe_keys_ds if probe_keys_ds is not None else probe_ds
+    parts = keys_src.map_batches(mg_partials, batch_format="pyarrow").take_all()
+    if parts:
+        ak = np.array([r["key"] for r in parts], np.int64)
+        ac = np.array([r["cnt"] for r in parts], np.int64)
+        uk, inv = np.unique(ak, return_inverse=True)
+        merged = np.bincount(inv, weights=ac).astype(np.int64)
+        hot_keys, _ = _mg_summary(uk, merged, hot_capacity)
+    else:
+        hot_keys = np.zeros(0, np.int64)
+    hot_arr = pa.array(np.sort(hot_keys), pa.int64())
+
+    def salt_build(b: pa.Table) -> pa.Table:
+        hot = np.asarray(
+            pc.is_in(b[on].combine_chunks(), value_set=hot_arr), bool
+        )
+        n = b.num_rows
+        # cold rows once (salt 0); hot rows replicated salt ways
+        take = np.concatenate(
+            [np.nonzero(~hot)[0]] + [np.nonzero(hot)[0]] * salt
+        )
+        salts = np.concatenate(
+            [np.zeros(int((~hot).sum()), np.int64)]
+            + [np.full(int(hot.sum()), s, np.int64) for s in range(salt)]
+        )
+        out = b.take(pa.array(take, pa.int64()))
+        return out.append_column("_salt", pa.array(salts, pa.int64()))
+
+    def salt_probe(b: pa.Table) -> pa.Table:
+        hot = np.asarray(
+            pc.is_in(b[on].combine_chunks(), value_set=hot_arr), bool
+        )
+        salts = np.zeros(b.num_rows, np.int64)
+        # scatter hot probe rows uniformly across the salt range; the
+        # choice is routing-only (every salted build copy is identical)
+        salts[hot] = np.arange(int(hot.sum()), dtype=np.int64) % salt
+        return b.append_column("_salt", pa.array(salts, pa.int64()))
+
+    joined = probe_ds.map_batches(salt_probe, batch_format="pyarrow").join(
+        build_ds.map_batches(salt_build, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=(on, "_salt"),
+    )
+    return joined.drop_columns(["_salt"])
+
+
 def hash_join_events_documents(
     docs_ds,
     events_ds,

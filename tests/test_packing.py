@@ -174,3 +174,47 @@ def test_grouped_rolling_outlier_matches_brute(ray_session):
             row = sub.iloc[i]
             assert row["roll_n"] == k and row["roll_sum"] == w.sum()
             assert row["is_outlier"] == int(lhs > rhs), (uid, i)
+
+
+def test_grouped_ntile_matches_window_semantics(ray_session):
+    """NTILE(k): first n%k buckets get one extra row; groups smaller than
+    k get one row per bucket; ties on ts broken by event_id."""
+    import duckdb
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import grouped_ntile
+
+    rng = np.random.default_rng(17)
+    n = 400
+    tbl = pa.table(
+        {
+            "user_id": pa.array(
+                np.concatenate(
+                    [rng.integers(0, 25, n - 3), np.array([100, 101, 101])]
+                ),  # include 1-row and 2-row groups (n < k)
+                pa.int64(),
+            ),
+            "ts_us": pa.array(rng.integers(0, 40, n) * 10, pa.int64()),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+        }
+    )
+    out = (
+        grouped_ntile(
+            ray.data.from_arrow(tbl).repartition(5),
+            group="user_id", order="ts_us", tiebreak="event_id", k=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    expect = con.execute(
+        """SELECT user_id, ts_us, event_id,
+                  ntile(4) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS tile
+           FROM t ORDER BY user_id, ts_us, event_id"""
+    ).fetchdf()
+    assert len(out) == n
+    assert out["tile"].to_numpy().tolist() == expect["tile"].to_numpy().tolist()
+    # explicit small-group pin: a 1-row group is tile 1; a 2-row group is 1,2
+    assert out[out.user_id == 100]["tile"].tolist() == [1]
+    assert sorted(out[out.user_id == 101]["tile"].tolist()) == [1, 2]

@@ -1,0 +1,163 @@
+"""salted_skew_join (stages/join.py) and incremental_dedup
+(functions/dedup.py): result equality vs brute references under heavy key
+skew / cross-snapshot overlap, plus the salting mechanics themselves."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _skew_tables(n=2000, hot_frac=0.85, seed=3):
+    """events-like probe where one key owns ``hot_frac`` of rows."""
+    rng = np.random.default_rng(seed)
+    hot_n = int(n * hot_frac)
+    keys = np.concatenate(
+        [np.full(hot_n, 7, np.int64), rng.integers(0, 50, n - hot_n)]
+    )
+    rng.shuffle(keys)
+    probe = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(keys, pa.int64()),
+        }
+    )
+    build = pa.table(
+        {
+            "user_id": pa.array(np.arange(0, 40), pa.int64()),  # 40..49 unmatched
+            "payload": pa.array([f"c{i}" for i in range(40)], pa.string()),
+        }
+    )
+    return probe, build
+
+
+def test_salted_skew_join_equals_plain_join(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.join import salted_skew_join
+
+    probe, build = _skew_tables()
+    out = (
+        salted_skew_join(
+            ray.data.from_arrow(probe).repartition(6),
+            ray.data.from_arrow(build).repartition(2),
+            on="user_id",
+            salt=4,
+            hot_capacity=8,
+        )
+        .to_pandas()
+        .sort_values(["event_id"], ignore_index=True)
+    )
+    expect = (
+        probe.to_pandas()
+        .merge(build.to_pandas(), on="user_id", how="inner")
+        .sort_values(["event_id"], ignore_index=True)
+    )
+    assert list(out.columns) in (
+        ["event_id", "user_id", "payload"],
+        ["user_id", "event_id", "payload"],
+    ) or set(out.columns) == {"event_id", "user_id", "payload"}
+    out = out[["event_id", "user_id", "payload"]]
+    expect = expect[["event_id", "user_id", "payload"]]
+    pd.testing.assert_frame_equal(out, expect)
+
+
+def test_salted_skew_join_no_hot_keys_and_dup_build(ray_session):
+    """Uniform keys (MG finds nothing dominant — whatever it returns is
+    routing-only) and a build side with DUPLICATE key rows (each probe row
+    must fan out to every matching build row, including replicated hot
+    copies exactly once each)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.stages.join import salted_skew_join
+
+    rng = np.random.default_rng(11)
+    n = 600
+    probe = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        }
+    )
+    build = pa.table(
+        {
+            # key 5 appears twice in the build side
+            "user_id": pa.array(list(range(30)) + [5], pa.int64()),
+            "payload": pa.array([f"c{i}" for i in range(30)] + ["c5b"], pa.string()),
+        }
+    )
+    out = (
+        salted_skew_join(
+            ray.data.from_arrow(probe).repartition(4),
+            ray.data.from_arrow(build),
+            on="user_id",
+            salt=3,
+            hot_capacity=4,
+        )
+        .to_pandas()
+        .sort_values(["event_id", "payload"], ignore_index=True)
+    )
+    expect = (
+        probe.to_pandas()
+        .merge(build.to_pandas(), on="user_id", how="inner")
+        .sort_values(["event_id", "payload"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["event_id", "user_id", "payload"]],
+        expect[["event_id", "user_id", "payload"]],
+    )
+
+
+def test_incremental_dedup_cross_snapshot(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        incremental_dedup,
+    )
+
+    # base: texts A, B.  delta: A (dup of base — dropped), C×3 (internal
+    # dups — collapsed to min id), D (unique — kept), B (base dup), E ""
+    rows = [
+        (0, "A", 1),
+        (1, "B", 1),
+        (10, "C", 0),
+        (11, "C", 0),
+        (12, "D", 0),
+        (13, "A", 0),
+        (14, "C", 0),
+        (15, "B", 0),
+        (16, "", 0),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "is_base": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = (
+        incremental_dedup(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("keep_id", ignore_index=True)
+    )
+    assert out.to_dict("records") == [
+        {"text": "C", "keep_id": 10, "n_delta_dup": 3},
+        {"text": "D", "keep_id": 12, "n_delta_dup": 1},
+        {"text": "", "keep_id": 16, "n_delta_dup": 1},
+    ]
+
+
+def test_incremental_dedup_all_dropped(ray_session):
+    """Every delta text exists in base → empty result (the empty-partition
+    frame must keep its schema through Arrow conversion)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        incremental_dedup,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x", "y", "x", "y"], pa.string()),
+            "is_base": pa.array([1, 1, 0, 0], pa.int64()),
+        }
+    )
+    ds = incremental_dedup(ray.data.from_arrow(tbl))
+    # the driver pads empty results from schema().names — that is the
+    # stability contract an all-dropped run must uphold
+    assert set(ds.schema().names) == {"text", "keep_id", "n_delta_dup"}
+    assert len(ds.to_pandas()) == 0
