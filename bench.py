@@ -304,7 +304,8 @@ def main() -> None:
             "events_funnel", "window_top_users", "source_corr", "pca_embeddings",
             "bm25_topk", "events_latest_state", "bpe_token_counts", "events_rolling_outlier",
             "media_phash_near_dup", "events_json_props",
-            "events_skew_join", "events_ntile", "dedup_incremental",
+            "events_skew_join", "events_ntile", "events_sessionize",
+            "dedup_incremental",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

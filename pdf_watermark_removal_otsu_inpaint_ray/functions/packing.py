@@ -249,6 +249,68 @@ def grouped_ntile(
     )
 
 
+def grouped_sessionize(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    tiebreak: str = "event_id",
+    gap: int = 1000,
+):
+    """Gap-based sessionization: label each row with its group's 1-based
+    session id, where a NEW session starts at the group's first row or
+    whenever the time since the previous row exceeds ``gap`` — the batch
+    (table-side) twin of the streaming session windows, and exactly the
+    classic SQL idiom ``sum(is_new) OVER (PARTITION BY g ORDER BY o, t)``
+    over ``is_new = (o - lag(o) > gap OR lag IS NULL)``.
+
+    Same distribution shape as :func:`grouped_lag`: one coarse hash
+    partition on the group key, one vectorized lexsort + cumsum per
+    partition.  All int64 — bit-equal to the SQL window twin."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    order: pd.Series(dtype=np.int64),
+                    tiebreak: pd.Series(dtype=np.int64),
+                    "session_id": pd.Series(dtype=np.int64),
+                }
+            )
+        gk = g[group].to_numpy().astype(np.int64)
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        idx = np.lexsort((t, o, gk))
+        gk, o, t = gk[idx], o[idx], t[idx]
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        new_sess = first.copy()
+        new_sess[1:] |= (o[1:] - o[:-1]) > gap
+        new_sess[first] = True
+        ns = new_sess.astype(np.int64)
+        cs = np.cumsum(ns)
+        run_start = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        base = (cs - ns)[run_start]  # cumsum BEFORE each group's first row
+        sid = cs - base[gid]  # 1-based: first row of a group is always new
+        return pd.DataFrame(
+            {group: gk, order: o, tiebreak: t, "session_id": sid.astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(part, batch_format="pandas")
+    )
+
+
 def grouped_rolling_sum(
     ds,
     *,

@@ -92,6 +92,9 @@ def salted_skew_join(
     Reference analog: the per-page QR-span join (`qr_detector.py:226-400`
     joined back to pages in `cli.py:905-945`) has the same one-document-
     dominates skew when a single PDF holds most spans.
+
+    Assumes an int64 join key (hash string keys upstream) and that
+    neither side carries a ``_salt`` column.
     """
     import pyarrow.compute as pc
 

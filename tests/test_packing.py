@@ -218,3 +218,53 @@ def test_grouped_ntile_matches_window_semantics(ray_session):
     # explicit small-group pin: a 1-row group is tile 1; a 2-row group is 1,2
     assert out[out.user_id == 100]["tile"].tolist() == [1]
     assert sorted(out[out.user_id == 101]["tile"].tolist()) == [1, 2]
+
+
+def test_grouped_sessionize_matches_window_idiom(ray_session):
+    """Session ids equal the lag+cumsum SQL idiom; boundary is STRICTLY
+    greater-than gap (delta == gap stays in-session); ties on ts never
+    split a session (delta 0)."""
+    import duckdb
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_sessionize,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 500
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 15, n), pa.int64()),
+            # coarse grid makes exact-gap and tie cases common
+            "ts_us": pa.array(rng.integers(0, 30, n) * 100, pa.int64()),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+        }
+    )
+    out = (
+        grouped_sessionize(
+            ray.data.from_arrow(tbl).repartition(5),
+            group="user_id", order="ts_us", tiebreak="event_id", gap=100,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    expect = con.execute(
+        """WITH lagged AS (
+               SELECT user_id, ts_us, event_id,
+                      CASE WHEN ts_us - lag(ts_us) OVER w > 100
+                                OR lag(ts_us) OVER w IS NULL
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+           SELECT user_id, ts_us, event_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM lagged ORDER BY user_id, ts_us, event_id"""
+    ).fetchdf()
+    assert len(out) == n
+    assert out["session_id"].to_numpy().tolist() == expect["session_id"].astype(int).tolist()
+    # sanity: delta == gap stays in-session
+    sub = out[out.user_id == out.user_id.iloc[0]]
+    assert sub["session_id"].iloc[0] == 1
