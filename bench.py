@@ -305,7 +305,7 @@ def main() -> None:
             "bm25_topk", "events_latest_state", "bpe_token_counts", "events_rolling_outlier",
             "media_phash_near_dup", "events_json_props",
             "events_skew_join", "events_ntile", "events_sessionize",
-            "dedup_incremental",
+            "dedup_incremental", "user_cohort_retention",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

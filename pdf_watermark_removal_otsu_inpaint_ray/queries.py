@@ -1277,6 +1277,80 @@ def q_events_sessionize(sf_dir: str):
     )
 
 
+def q_user_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: distinct users active in week
+    ``cohort + offset``, cohorted by each user's first active week — the
+    standard product-analytics rollup, built without ever shuffling raw
+    events: per-batch DISTINCT (user, week) partials first (the shuffle
+    carries at most users × weeks int64 pairs), then ONE coarse hash
+    partition on user_id resolves each user's cohort and per-week activity
+    with a vectorized lexsort sweep, emitting dimension-scale
+    (cohort, offset) count partials folded by a tiny final groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], np.int64)
+        w = np.asarray(b["ts"].cast(pa.int64()), np.int64) // WEEK_US
+        key = np.unique(u * np.int64(1 << 20) + w)  # weeks << 2^20
+        uu, ww = key >> 20, key & ((1 << 20) - 1)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "week": pa.array(ww, pa.int64()),
+                "pk": pa.array(uu % 64, pa.int64()),
+            }
+        )
+
+    def cohort_counts(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.Series(dtype=np.int64),
+                    "week_offset": pd.Series(dtype=np.int64),
+                    "n_users": pd.Series(dtype=np.int64),
+                }
+            )
+        u = g["user_id"].to_numpy()
+        w = g["week"].to_numpy()
+        idx = np.lexsort((w, u))
+        u, w = u[idx], w[idx]
+        # partials emit per-BATCH distinct pairs, so a (user, week) pair
+        # can repeat across batches — drop consecutive duplicates first or
+        # every repeat would count as an extra user
+        dup = np.zeros(len(u), bool)
+        dup[1:] = (u[1:] == u[:-1]) & (w[1:] == w[:-1])
+        u, w = u[~dup], w[~dup]
+        first = np.empty(len(u), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(first) - 1
+        cohort = w[np.nonzero(first)[0]][gid]  # each user's min week
+        cell = np.stack([cohort, w - cohort], axis=1)
+        uc, cnt = np.unique(cell, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cohort_week": uc[:, 0].astype(np.int64),
+                "week_offset": uc[:, 1].astype(np.int64),
+                "n_users": cnt.astype(np.int64),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(cohort_counts, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    return agg
+
+
 def q_events_lag_delta(sf_dir: str):
     """Per-user time-since-previous-event (functions/packing.py::
     grouped_lag): one coarse hash partition on the user key, vectorized
@@ -3310,6 +3384,7 @@ QUERIES = {
     "events_ntile": q_events_ntile,
     "events_sessionize": q_events_sessionize,
     "events_skew_join": q_events_skew_join,
+    "user_cohort_retention": q_user_cohort_retention,
     "events_latest_state": q_events_latest_state,
     "events_rolling_outlier": q_events_rolling_outlier,
     "events_json_props": q_events_json_props,
@@ -3722,6 +3797,19 @@ ORACLE_SQL = {
                    AS BIGINT) AS sum_cents
         FROM orders
         GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+    """,
+    "user_cohort_retention": """
+        WITH uw AS (
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+                   epoch_us(ts) // 604800000000 AS week
+            FROM events),
+        coh AS (
+            SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+        SELECT CAST(coh.cohort AS BIGINT) AS cohort_week,
+               CAST(uw.week - coh.cohort AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM uw JOIN coh USING (user_id)
+        GROUP BY 1, 2
     """,
     "events_sessionize": """
         WITH lagged AS (

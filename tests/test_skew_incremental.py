@@ -161,3 +161,49 @@ def test_incremental_dedup_all_dropped(ray_session):
     # stability contract an all-dropped run must uphold
     assert set(ds.schema().names) == {"text", "keep_id", "n_delta_dup"}
     assert len(ds.to_pandas()) == 0
+
+
+def test_user_cohort_retention_planted(ray_session, tmp_path):
+    """Hand-built cohorts: users 1-2 start week 0, user 3 starts week 1;
+    repeat events in the same (user, week) must not inflate counts."""
+    import pyarrow.parquet as pq
+
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import (
+        q_user_cohort_retention,
+    )
+
+    WEEK = 7 * 24 * 3600 * 1_000_000
+    rows = [  # (user, week) with duplicates
+        (1, 0), (1, 0), (1, 1), (1, 3),
+        (2, 0), (2, 1),
+        (3, 1), (3, 1), (3, 2),
+    ]
+    ts = pa.array(
+        np.array(
+            [w * WEEK + 1000 * i for i, (u, w) in enumerate(rows)], np.int64
+        ),
+        pa.int64(),
+    ).cast(pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, w in rows], pa.int64()),
+            "ts": ts,
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = (
+        q_user_cohort_retention(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"], ignore_index=True)
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for _, r in out.iterrows()
+    }
+    assert got == {
+        (0, 0): 2,  # users 1, 2
+        (0, 1): 2,  # users 1, 2
+        (0, 3): 1,  # user 1
+        (1, 0): 1,  # user 3
+        (1, 1): 1,  # user 3
+    }
