@@ -214,7 +214,7 @@ def grouped_ntile(
                     "tile": pd.Series(dtype=np.int64),
                 }
             )
-        gk = g[group].to_numpy().astype(np.int64)
+        gk = g[group].to_numpy()  # any hashable key type (as grouped_lag)
         o = g[order].to_numpy().astype(np.int64)
         t = g[tiebreak].to_numpy().astype(np.int64)
         idx = np.lexsort((t, o, gk))
@@ -282,7 +282,7 @@ def grouped_sessionize(
                     "session_id": pd.Series(dtype=np.int64),
                 }
             )
-        gk = g[group].to_numpy().astype(np.int64)
+        gk = g[group].to_numpy()  # any hashable key type (as grouped_lag)
         o = g[order].to_numpy().astype(np.int64)
         t = g[tiebreak].to_numpy().astype(np.int64)
         idx = np.lexsort((t, o, gk))
