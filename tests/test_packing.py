@@ -268,3 +268,35 @@ def test_grouped_sessionize_matches_window_idiom(ray_session):
     # sanity: delta == gap stays in-session
     sub = out[out.user_id == out.user_id.iloc[0]]
     assert sub["session_id"].iloc[0] == 1
+
+
+def test_grouped_ops_accept_string_group_keys(ray_session):
+    """ntile/sessionize must work with string group keys (the source
+    column is the natural group in document pipelines)."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_ntile,
+        grouped_sessionize,
+    )
+
+    tbl = pa.table(
+        {
+            "src": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+            "o": pa.array([0, 10, 300, 5, 6], pa.int64()),
+            "t": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    nt = (
+        grouped_ntile(ds, group="src", order="o", tiebreak="t", k=2)
+        .to_pandas()
+        .sort_values(["src", "o"], ignore_index=True)
+    )
+    assert nt["tile"].tolist() == [1, 1, 2, 1, 2]
+    se = (
+        grouped_sessionize(ds, group="src", order="o", tiebreak="t", gap=100)
+        .to_pandas()
+        .sort_values(["src", "o"], ignore_index=True)
+    )
+    assert se["session_id"].tolist() == [1, 1, 2, 1, 1]
