@@ -306,6 +306,70 @@ def incremental_dedup(ds, *, base_col: str = "is_base", num_parts: int = 64):
     )
 
 
+def cross_source_texts(ds, *, min_sources: int = 2, num_parts: int = 64):
+    """Set-intersection across corpus partitions: texts that occur in at
+    least ``min_sources`` DISTINCT sources (the boilerplate / mirrored-
+    content detector — text shared across crawls is navigation chrome,
+    licenses, templates).  Returns (text, n_sources, n_docs).
+
+    Same scale shape as :func:`incremental_dedup`: per-batch partials of
+    distinct (content_hash, source) with one carried text + doc count —
+    the shuffle carries at most one row per (batch, text, source) — then a
+    coarse content-hash partition groupby counts distinct sources per text
+    with one vectorized pandas pass."""
+    import pandas as pd
+
+    def partials(b: pa.Table) -> pa.Table:
+        hb = content_hash_batch(b)
+        df = pd.DataFrame(
+            {
+                "content_hash": np.asarray(hb["content_hash"], np.int64),
+                "source": np.asarray(hb["source"]),
+                "text": np.asarray(hb["text"]),
+            }
+        )
+        gb = df.groupby(["content_hash", "source"], sort=False, as_index=False).agg(
+            text=("text", "first"), n_docs=("text", "size")
+        )
+        return pa.table(
+            {
+                "content_hash": pa.array(gb["content_hash"].to_numpy(), pa.int64()),
+                "source": pa.array(gb["source"], pa.string()),
+                "text": pa.array(gb["text"], pa.string()),
+                "n_docs": pa.array(gb["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+                "pk": pa.array(gb["content_hash"].to_numpy() % num_parts, pa.int64()),
+            }
+        )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("content_hash", sort=False)
+        n_sources = gb["source"].nunique()
+        keep = n_sources[n_sources >= min_sources]
+        if len(keep) == 0:
+            return pd.DataFrame(
+                {
+                    "text": pd.Series(dtype=object),
+                    "n_sources": pd.Series(dtype=np.int64),
+                    "n_docs": pd.Series(dtype=np.int64),
+                }
+            )
+        sub = g[g["content_hash"].isin(keep.index)]
+        gb2 = sub.groupby("content_hash", sort=False)
+        return pd.DataFrame(
+            {
+                "text": gb2["text"].first().to_numpy(),
+                "n_sources": gb2["source"].nunique().to_numpy().astype(np.int64),
+                "n_docs": gb2["n_docs"].sum().to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(collapse, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -122,6 +122,38 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def normalize_text_batch(batch: pa.Table) -> pa.Table:
+    """Canonical text normalization (the pre-dedup cleanup of a crawl
+    pipeline): Unicode NFC → lowercase → collapse whitespace runs to one
+    space → trim — ``trim(regexp_replace(lower(nfc_normalize(text)),
+    '\\s+', ' ', 'g'))`` in DuckDB, exactly (lower/regex/trim are Arrow
+    C++ kernels; Arrow and DuckDB both use RE2 so the \\s class agrees).
+
+    The NFC step uses ``unicodedata.normalize`` (C per string, one Python
+    call per DOC — not per char): this build's ``pc.utf8_normalize``
+    decomposes but never RE-COMPOSES (verified codepoint-level:
+    NFC('e'+U+0301) stays decomposed), so it can never match DuckDB's
+    nfc_normalize.  NFC (not NFKC) because DuckDB only exposes NFC."""
+    import unicodedata
+
+    t = pa.array(
+        [
+            None if s is None else unicodedata.normalize("NFC", s)
+            for s in batch["text"].to_pylist()
+        ],
+        pa.string(),
+    )
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, pattern="\\s+", replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "norm_text": t,
+        }
+    )
+
+
 _WS_SPLIT_RE = "[\\t\\n\\f\\r ]+"  # ASCII-space complement of WORD_RE
 
 

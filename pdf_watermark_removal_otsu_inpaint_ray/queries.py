@@ -1227,6 +1227,24 @@ def q_events_skew_join(sf_dir: str):
     )
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization (functions/text.py::
+    normalize_text_batch): NFC → lower → whitespace-collapse → trim, all
+    Arrow C++ kernels — RE2 on both sides makes the DuckDB twin exact."""
+    from .functions.text import normalize_text_batch
+
+    return _docs_ds(sf_dir).map_batches(normalize_text_batch, batch_format="pyarrow")
+
+
+def q_cross_source_texts(sf_dir: str):
+    """Texts occurring in >= 2 distinct sources (functions/dedup.py::
+    cross_source_texts) — the boilerplate/mirrored-content detector; the
+    shuffle carries one (hash, source) row per batch per text."""
+    from .functions.dedup import cross_source_texts
+
+    return cross_source_texts(_docs_ds(sf_dir), min_sources=2)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental (cross-snapshot) exact dedup: delta docs (doc_id%10>=7)
     kept only when their text never occurs in the base snapshot
@@ -3416,6 +3434,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_text": q_dedup_exact_text,
     "dedup_incremental": q_dedup_incremental,
+    "normalize_text": q_normalize_text,
+    "cross_source_texts": q_cross_source_texts,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "length_quantiles": q_length_quantiles,
@@ -3843,6 +3863,19 @@ ORACLE_SQL = {
                CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
                c.c_mktsegment AS c_mktsegment
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "normalize_text": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               trim(regexp_replace(lower(nfc_normalize(text)),
+                                   '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    "cross_source_texts": """
+        SELECT text, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY text
+        HAVING count(DISTINCT source) >= 2
     """,
     "dedup_incremental": """
         SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -207,3 +207,77 @@ def test_user_cohort_retention_planted(ray_session, tmp_path):
         (1, 0): 1,  # user 3
         (1, 1): 1,  # user 3
     }
+
+
+def test_cross_source_texts_planted(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        cross_source_texts,
+    )
+
+    rows = [  # (doc_id, text, source)
+        (0, "shared nav", "a"),
+        (1, "shared nav", "b"),
+        (2, "shared nav", "b"),   # extra doc in same source: n_docs=3, n_sources=2
+        (3, "only-a", "a"),
+        (4, "only-a", "a"),       # duplicated WITHIN one source: excluded
+        (5, "tri", "a"),
+        (6, "tri", "b"),
+        (7, "tri", "c"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        cross_source_texts(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values("text", ignore_index=True)
+    )
+    assert out.to_dict("records") == [
+        {"text": "shared nav", "n_sources": 2, "n_docs": 3},
+        {"text": "tri", "n_sources": 3, "n_docs": 3},
+    ]
+
+
+def test_normalize_text_unicode_cases(ray_session):
+    """NFC composition, case folding, and whitespace collapse against
+    DuckDB's identical expression on unicode inputs (the sf corpora are
+    ASCII, so the driver twin alone never exercises these paths)."""
+    import duckdb
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.text import (
+        normalize_text_batch,
+    )
+
+    texts = [
+        "école  PLUS\tmore",   # combining accent -> NFC é; tabs/runs
+        "  \n MiXeD \r\n CASE  ",   # trim + CRLF collapse
+        "ﬁle",                      # compatibility ligature: NFC keeps it
+        "",                          # empty
+        "Å",             # A + ring -> Å -> å
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        ray.data.from_arrow(tbl)
+        .map_batches(normalize_text_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    expect = con.execute(
+        """SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)),
+                                '\\s+', ' ', 'g')) AS norm_text
+           FROM t ORDER BY doc_id"""
+    ).fetchdf()
+    assert got["norm_text"].tolist() == expect["norm_text"].tolist()
+    assert got["norm_text"].tolist()[0] == "école plus more"
+    assert got["norm_text"].tolist()[4] == "å"
