@@ -306,7 +306,7 @@ def main() -> None:
             "media_phash_near_dup", "events_json_props",
             "events_skew_join", "events_ntile", "events_sessionize",
             "dedup_incremental", "user_cohort_retention",
-            "normalize_text", "cross_source_texts",
+            "normalize_text", "cross_source_texts", "media_audio_energy",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -225,6 +225,54 @@ class FeatureStage:
         )
 
 
+class AudioFrameEnergyStage:
+    """Audio analysis stage: REAL WAV parse → per-frame signal energy.
+
+    Non-overlapping ``frame``-sample windows over the decoded int16 PCM
+    stream; energy = sum of squared samples as int64 (exact: 64 · 32768²
+    ≪ 2⁶³, no float ever materializes) — the VAD / silence-trim primitive
+    of an audio-corpus pipeline, and the 1-D analog of the per-window
+    histogram energy rule (`watermark_detector.py:162-189`).  One
+    ``np.add.reduceat`` per item; non-audio rows produce no output.
+    → (item_id, frame_id, frame_len, energy), one row per frame.
+    """
+
+    def __init__(self, frame: int = 64):
+        if frame < 1:
+            raise ValueError(f"frame must be >= 1, got {frame}")
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        fids: list[int] = []
+        flens: list[int] = []
+        energies: list[int] = []
+        kinds = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        items = batch["item_id"].to_pylist()
+        for i, p, k in zip(items, payloads, kinds):
+            if k != "audio":
+                continue
+            samples, _rate, _channels = decode_wav(p)
+            s = samples.astype(np.int64)
+            starts = np.arange(0, s.size, self.frame)
+            e = np.add.reduceat(s * s, starts)
+            n_f = starts.size
+            ids_out.extend([int(i)] * n_f)
+            fids.extend(range(n_f))
+            lens = np.minimum(starts + self.frame, s.size) - starts
+            flens.extend(int(x) for x in lens)
+            energies.extend(int(x) for x in e)
+        return pa.table(
+            {
+                "item_id": pa.array(ids_out, pa.int64()),
+                "frame_id": pa.array(fids, pa.int64()),
+                "frame_len": pa.array(flens, pa.int64()),
+                "energy": pa.array(energies, pa.int64()),
+            }
+        )
+
+
 def phash64(arr: "np.ndarray") -> int:
     """64-bit perceptual hash of an H×W×3 uint8 image, INTEGER-EXACT (the
     aHash variant of image near-dup — Krawetz's average hash with the mean

@@ -49,6 +49,7 @@ GOLDEN_QUERIES = (
     "pca_embeddings",
     "bpe_token_counts",
     "media_phash_near_dup",
+    "media_audio_energy",
 )
 
 
@@ -865,3 +866,40 @@ def _golden_media_phash_near_dup(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["media_phash_near_dup"] = _golden_media_phash_near_dup
+
+
+def _golden_media_audio_energy(sf_dir: str) -> pa.Table:
+    """Independent audio-energy twin: PCM samples rebuilt DIRECTLY from
+    the documents text via the generation formulas (utf-8 bytes tiled to
+    100 + doc_id % 400 samples, (byte - 128) * 256 — never touching the
+    engine's WAV encoder/decoder, so the codec round trip is implicitly
+    verified), framed at 64 samples with plain-Python sums."""
+    FRAME = 64
+    docs = _docs_table(sf_dir)
+    ids = [int(i) for i in docs["doc_id"].to_pylist()]
+    texts = docs["text"].to_pylist()
+    out_id, out_fid, out_len, out_e = [], [], [], []
+    for i, t in zip(ids, texts):
+        if i % 3 != 1:  # round-robin media kinds: only doc_id%3==1 is audio
+            continue
+        n = 100 + i % 400
+        raw = t.encode() or b"\x00"
+        buf = (raw * (n // len(raw) + 1))[:n]
+        samples = [(b - 128) * 256 for b in buf]
+        for f in range(0, n, FRAME):
+            chunk = samples[f : f + FRAME]
+            out_id.append(i)
+            out_fid.append(f // FRAME)
+            out_len.append(len(chunk))
+            out_e.append(sum(x * x for x in chunk))
+    return pa.table(
+        {
+            "item_id": pa.array(out_id, pa.int64()),
+            "frame_id": pa.array(out_fid, pa.int64()),
+            "frame_len": pa.array(out_len, pa.int64()),
+            "energy": pa.array(out_e, pa.int64()),
+        }
+    )
+
+
+_COMPUTE["media_audio_energy"] = _golden_media_audio_energy

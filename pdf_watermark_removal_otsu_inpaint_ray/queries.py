@@ -2595,6 +2595,25 @@ def q_media_decode(sf_dir: str):
     return decoded.map_batches(sql_comparable, batch_format="pyarrow")
 
 
+def q_media_audio_energy(sf_dir: str):
+    """Per-frame audio energy over REAL WAV payloads (functions/
+    multimodal.py::AudioFrameEnergyStage — decode → 64-sample frames →
+    integer-exact sum-of-squares).  Driver-checked against an INDEPENDENT
+    golden that rebuilds the PCM samples straight from the documents text
+    via the generation formulas (never touching the engine's WAV codec —
+    so the codec round trip is implicitly verified too)."""
+    _with_golden("media_audio_energy", sf_dir)
+    from .functions.multimodal import AudioFrameEnergyStage, documents_to_media_batch
+
+    media = _docs_ds(sf_dir).map_batches(
+        documents_to_media_batch, batch_format="pyarrow"
+    )
+    return media.map_batches(
+        AudioFrameEnergyStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
 def q_media_resize(sf_dir: str):
     """Image-resize actor pool over REAL PPM payloads (decode → nearest-
     neighbor ≤16px → re-encode; functions/multimodal.py::ResizeStage);
@@ -3452,6 +3471,7 @@ QUERIES = {
     "learned_detector": q_learned_detector,
     "media_decode": q_media_decode,
     "media_phash_near_dup": q_media_phash_near_dup,
+    "media_audio_energy": q_media_audio_energy,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "orders_by_status": q_orders_by_status,

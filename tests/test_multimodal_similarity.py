@@ -187,3 +187,52 @@ def test_phash64_spec_and_near_dup_banding(ray_session):
                 brute.append((a, b, d))
     assert got_pairs == sorted(brute)
     assert len(got_pairs) > 0
+
+
+def test_audio_frame_energy_matches_stdlib_wave(ray_session):
+    """Frame energies computed by the stage equal a brute recompute from
+    stdlib wave's parse of the same payload (independent WAV reader), and
+    the tail frame is short, not padded."""
+    import io
+    import wave as stdwave
+
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.multimodal import (
+        AudioFrameEnergyStage,
+        documents_to_media_batch,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 4, 7], pa.int64()),  # %3==1 → audio
+            "text": pa.array(["hello world", "", "abcdefgh" * 40], pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+        }
+    )
+    media = documents_to_media_batch(docs)
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            AudioFrameEnergyStage, batch_format="pyarrow", batch_size=2,
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values(["item_id", "frame_id"], ignore_index=True)
+    )
+    for item_id, payload in zip(
+        media["item_id"].to_pylist(), media["payload"].to_pylist()
+    ):
+        with stdwave.open(io.BytesIO(payload)) as w:
+            assert w.getsampwidth() == 2 and w.getnchannels() == 1
+            pcm = np.frombuffer(w.readframes(w.getnframes()), "<i2").astype(np.int64)
+        sub = out[out.item_id == item_id]
+        n = pcm.size
+        assert sub["frame_len"].sum() == n
+        for _, r in sub.iterrows():
+            lo = int(r["frame_id"]) * 64
+            chunk = pcm[lo : lo + 64]
+            assert r["frame_len"] == chunk.size
+            assert r["energy"] == int((chunk * chunk).sum()), (item_id, lo)
+    # 100 + 1%400 = 101 samples → frames of 64 + 37
+    assert out[out.item_id == 1]["frame_len"].tolist() == [64, 37]
