@@ -765,6 +765,45 @@ def q_top_docs_per_source(sf_dir: str):
     )
 
 
+def q_source_top_docs_agg(sf_dir: str):
+    """Ordered per-group string aggregation (``string_agg(... ORDER BY)``):
+    each source's top-5 doc ids by char length, comma-joined in rank
+    order — the distributed trim (topk_per_group: ≤ k rows per group per
+    block through the shuffle) does all the data-scale work; the final
+    concat is one per-group callback over the SOURCES-scale survivor set
+    (≤ k rows per group, bounded like dominant_tokens)."""
+    import pandas as pd
+
+    from .functions.selection import topk_per_group
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    docs = _docs_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    top = topk_per_group(
+        docs, group="source", score="n_chars", tie="doc_id", k=5, num_parts=16
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "top_docs": [",".join(str(int(d)) for d in g["doc_id"])],
+            }
+        )
+
+    return top.groupby("source").map_groups(agg, batch_format="pandas")
+
+
 def q_chunk_documents(sf_dir: str):
     """Context-window chunking: 256-codepoint windows, stride 192 (64
     overlap), zero chunks for empty docs (functions/text.py
@@ -3422,6 +3461,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_skew_join": q_events_skew_join,
     "user_cohort_retention": q_user_cohort_retention,
+    "source_top_docs_agg": q_source_top_docs_agg,
     "events_latest_state": q_events_latest_state,
     "events_rolling_outlier": q_events_rolling_outlier,
     "events_json_props": q_events_json_props,
@@ -3837,6 +3877,20 @@ ORACLE_SQL = {
                    AS BIGINT) AS sum_cents
         FROM orders
         GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+    """,
+    "source_top_docs_agg": """
+        WITH lens AS (
+            SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+                   length(text) AS n_chars
+            FROM documents),
+        top AS (
+            SELECT * FROM lens
+            QUALIFY row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) <= 5)
+        SELECT source,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY n_chars DESC, doc_id) AS top_docs
+        FROM top GROUP BY source
     """,
     "user_cohort_retention": """
         WITH uw AS (
