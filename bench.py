@@ -307,6 +307,8 @@ def main() -> None:
             "events_skew_join", "events_ntile", "events_sessionize",
             "dedup_incremental", "user_cohort_retention",
             "normalize_text", "cross_source_texts", "media_audio_energy",
+            "source_top_docs_agg", "events_percent_rank",
+            "price_quantiles_by_flag", "lineitem_unpivot_stats",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

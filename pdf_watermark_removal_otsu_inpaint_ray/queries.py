@@ -3185,6 +3185,100 @@ def q_price_quantiles(
     )
 
 
+def q_price_quantiles_by_flag(sf_dir: str):
+    """Per-GROUP exact quantiles (quantile_disc per l_returnflag) — the
+    giant-group order statistic: l_returnflag has 3 values, so the
+    co-locate-the-group window idiom cannot apply; functions/ranks.py::
+    grouped_quantiles decomposes the ORDER axis instead (monotone-bit
+    bucket histogram pass + targeted distinct-value gather pass, two
+    passes total, no group ever on one worker)."""
+    import ray.data
+
+    from .functions.ranks import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    return grouped_quantiles(
+        ds, group="l_returnflag", value="l_extendedprice", qs=(0.25, 0.5, 0.75)
+    )
+
+
+def q_events_percent_rank(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY event_type ORDER BY value) —
+    same giant-group decomposition (event_type is 6 values): bucket
+    histogram → broadcast per-bucket rank bases → one coarse (group,
+    bucket)-cell partition resolves within-bucket order vectorized
+    (functions/ranks.py::grouped_percent_rank).  Bit-equal to SQL: both
+    sides divide the same int64 rank by the same int64 (n−1) in float64."""
+    import ray.data
+
+    from .functions.ranks import grouped_percent_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return grouped_percent_rank(
+        ds, group="event_type", value="value", id_col="event_id", out="pr"
+    )
+
+
+def q_lineitem_unpivot_stats(sf_dir: str):
+    """UNPIVOT (wide measures → long (measure, value) rows) + re-aggregate:
+    the melt step of metric normalization.  The unpivot itself is a pure
+    per-batch reshape (np.tile of the key column, one concat per measure —
+    4× rows, zero shuffle); the groupby key space is fixed (3 flags × 4
+    measures), so per-batch combiner partials fold driver-side (the tiny-
+    final-Aggregate pattern).  Values quantize to int64 centi-units with
+    the same floor(x*100+0.5) expression as the SQL twin."""
+    import pandas as pd
+
+    import ray.data
+
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def unpivot_partials(b: pa.Table) -> pa.Table:
+        rf = np.asarray(b["l_returnflag"].combine_chunks())
+        frames = []
+        for c in measures:
+            v = np.asarray(b[c], np.float64)
+            v_c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            df = pd.DataFrame({"l_returnflag": rf, "v_c": v_c})
+            gb = df.groupby("l_returnflag", sort=False, as_index=False).agg(
+                total_c=("v_c", "sum"), n=("v_c", "size")
+            )
+            gb.insert(1, "measure", c)
+            frames.append(gb)
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"]),
+                "measure": pa.array(out["measure"]),
+                "total_c": pa.array(out["total_c"].to_numpy(), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"] + measures
+        )
+        .map_batches(unpivot_partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    fin = parts.groupby(["l_returnflag", "measure"], sort=False, as_index=False).agg(
+        total_c=("total_c", "sum"), n=("n", "sum")
+    )
+    return pa.table(
+        {
+            "l_returnflag": pa.array(fin["l_returnflag"]),
+            "measure": pa.array(fin["measure"]),
+            "total_c": pa.array(fin["total_c"].to_numpy(), pa.int64()),
+            "n": pa.array(fin["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def q_training_shuffle_head(sf_dir: str):
     """Deterministic training shuffle (hash-keyed NATIVE global sort) —
     the first 50 documents of epoch-seed-7's shuffle order.  The limit
@@ -3462,6 +3556,9 @@ QUERIES = {
     "events_skew_join": q_events_skew_join,
     "user_cohort_retention": q_user_cohort_retention,
     "source_top_docs_agg": q_source_top_docs_agg,
+    "price_quantiles_by_flag": q_price_quantiles_by_flag,
+    "events_percent_rank": q_events_percent_rank,
+    "lineitem_unpivot_stats": q_lineitem_unpivot_stats,
     "events_latest_state": q_events_latest_state,
     "events_rolling_outlier": q_events_rolling_outlier,
     "events_json_props": q_events_json_props,
@@ -3877,6 +3974,40 @@ ORACLE_SQL = {
                    AS BIGINT) AS sum_cents
         FROM orders
         GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+    """,
+    "price_quantiles_by_flag": """
+        SELECT l_returnflag, 0.25 AS q,
+               quantile_disc(l_extendedprice, 0.25) AS value
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.5 AS q,
+               quantile_disc(l_extendedprice, 0.5) AS value
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.75 AS q,
+               quantile_disc(l_extendedprice, 0.75) AS value
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_percent_rank": """
+        SELECT event_id, event_type, value,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+        FROM events
+    """,
+    "lineitem_unpivot_stats": """
+        WITH u AS (
+            UNPIVOT (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS l_quantity,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS l_extendedprice,
+                       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS l_discount,
+                       CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS l_tax
+                FROM lineitem
+            ) ON l_quantity, l_extendedprice, l_discount, l_tax
+            INTO NAME measure VALUE v_c
+        )
+        SELECT l_returnflag, measure,
+               CAST(sum(v_c) AS BIGINT) AS total_c, count(*) AS n
+        FROM u GROUP BY l_returnflag, measure
     """,
     "source_top_docs_agg": """
         WITH lens AS (
