@@ -1227,3 +1227,87 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = No
     # a pair can only appear once (block pairs are disjoint except self-pairs
     # already triangle-filtered), so a concat suffices
     return pa.concat_tables(parts)
+
+
+def dedup_keep_best(ds, num_parts: int = 64):
+    """Ranked (keep-best) dedup on the CANONICAL text: rows whose
+    normalized text (NFC -> lower -> whitespace-collapse -> trim, the
+    ``normalize_text_batch`` canonicalization) is identical form one
+    cluster; keep the variant with the LONGEST raw text (most formatting /
+    casing information preserved), ties to the lowest doc_id — the
+    "keep the best copy" policy of a crawl-dedup stage, vs
+    :func:`exact_dedup`'s keep-lowest-id.  Returns
+    ``(keep_id, keep_len, n_variants)``.
+
+    Distribution shape: per-batch normalize + 63-bit content hash of the
+    NORMALIZED text, then a per-batch PARTIAL prune (one best row + count
+    per (batch, hash) — lexsort + run-boundary sweep, no per-key callback),
+    so the shuffle carries int64 triples only, never text; ONE coarse
+    hash-keyed partition resolves the global best per cluster the same
+    vectorized way.  Hash-collision caveat identical to
+    :func:`exact_dedup`; the driver oracle (GROUP BY the normalized STRING)
+    doubles as the collision check.
+    """
+    import pandas as pd
+
+    from .text import normalize_text_batch
+
+    def partials(b: pa.Table) -> pa.Table:
+        norm = normalize_text_batch(b)
+        h = _text_hashes(norm["norm_text"].to_pylist())
+        ids = np.asarray(b["doc_id"], np.int64)
+        lens = np.asarray(b["n_chars"], np.int64)
+        # batch-local best per hash: sort by (hash, -len, id); run starts win
+        order = np.lexsort((ids, -lens, h))
+        h_s, id_s, len_s = h[order], ids[order], lens[order]
+        first = np.empty(h_s.size, bool)
+        if h_s.size:
+            first[0] = True
+            first[1:] = h_s[1:] != h_s[:-1]
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.append(starts, h_s.size))
+        hh = h_s[starts]
+        return pa.table(
+            {
+                "h": pa.array(hh, pa.int64()),
+                "keep_id": pa.array(id_s[starts], pa.int64()),
+                "keep_len": pa.array(len_s[starts], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "pk": pa.array(hh % num_parts, pa.int64()),
+            }
+        )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "keep_id": pd.Series(dtype=np.int64),
+                    "keep_len": pd.Series(dtype=np.int64),
+                    "n_variants": pd.Series(dtype=np.int64),
+                }
+            )
+        h = g["h"].to_numpy()
+        ids = g["keep_id"].to_numpy()
+        lens = g["keep_len"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        order = np.lexsort((ids, -lens, h))
+        h_s = h[order]
+        first = np.empty(h_s.size, bool)
+        first[0] = True
+        first[1:] = h_s[1:] != h_s[:-1]
+        starts = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        n_var = np.bincount(gid, weights=cnt[order]).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "keep_id": ids[order][starts],
+                "keep_len": lens[order][starts],
+                "n_variants": n_var,
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(collapse, batch_format="pandas")
+    )

@@ -518,3 +518,84 @@ def grouped_rolling_outlier(
         .groupby("pk")
         .map_groups(part, batch_format="pandas")
     )
+
+
+def transition_counts(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    tiebreak: str = "event_id",
+    label: str = "event_type",
+    num_parts: int = 64,
+) -> pa.Table:
+    """Markov transition matrix over per-group event sequences: count
+    (previous label -> label) adjacencies in each group's (order, tiebreak)
+    sequence, summed across all groups — the behavioral-model / session-flow
+    aggregate (``lag(label) OVER (PARTITION BY g ORDER BY o, t)`` followed by
+    a pair GROUP BY).  Reference analog: the sticky cross-page state chain
+    (watermark_detector.py:63-64) reads each page in document order and
+    conditions on the previous page's detection — the same prev->cur
+    adjacency, here reduced to counts.
+
+    Distribution shape: ONE coarse hash partition on the group key
+    (``_add_group_pk`` — a group's rows land in exactly one task, so every
+    adjacency is partition-local), one vectorized lexsort + shift per
+    partition, then per-partition PARTIAL pair counts (<= |labels|^2 rows
+    per partition, label space is small by definition) folded driver-side —
+    the shuffle carries rows once and the driver sees only the fixed
+    |labels|^2 key space, never events.  Returns a pa.Table
+    ``(prev_<label>, <label>, cnt)``.
+    """
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group, num_parts)
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {f"prev_{label}": [], label: [], "cnt": []}
+        if len(g) < 2:
+            return pd.DataFrame(out_cols)
+        gk = g[group].to_numpy()
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        lab_codes, lab_uniq = pd.factorize(g[label], sort=False)
+        idx = np.lexsort((t, o, gk))
+        gk_s, lab_s = gk[idx], lab_codes[idx]
+        same_group = gk_s[1:] == gk_s[:-1]
+        prev, cur = lab_s[:-1][same_group], lab_s[1:][same_group]
+        if prev.size == 0:
+            return pd.DataFrame(out_cols)
+        nl = len(lab_uniq)
+        cnt = np.bincount(prev * nl + cur, minlength=nl * nl)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {
+                f"prev_{label}": np.asarray(lab_uniq)[nz // nl],
+                label: np.asarray(lab_uniq)[nz % nl],
+                "cnt": cnt[nz].astype(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(pair_partials, batch_format="pandas")
+        .to_pandas()  # <= num_parts * |labels|^2 rows — driver-fold the tiny final
+    )
+    if len(parts) == 0:
+        return pa.table(
+            {
+                f"prev_{label}": pa.array([], pa.string()),
+                label: pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    gb = parts.groupby([f"prev_{label}", label], sort=False, as_index=False)["cnt"].sum()
+    return pa.table(
+        {
+            f"prev_{label}": pa.array(gb[f"prev_{label}"]),
+            label: pa.array(gb[label]),
+            "cnt": pa.array(gb["cnt"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )

@@ -280,3 +280,57 @@ def grouped_quantiles(
             "value": pa.array(out_v, pa.float64()),
         }
     )
+
+
+def grouped_mad(ds, *, group: str, value: str, bucket_bits: int = 16) -> pa.Table:
+    """Per-group median absolute deviation — TWO dependent order-statistic
+    passes (the robust-dispersion stat of outlier-tolerant quality gates):
+
+    1. per-group median via :func:`grouped_quantiles` (``quantile_disc``
+       semantics, two streaming passes, no group co-location);
+    2. the medians (|groups| rows) broadcast into a stateless deviation map
+       ``dev = |value - med(group)|``, then a second
+       :func:`grouped_quantiles` over ``dev``.
+
+    Returns ``(group, med, mad)`` float64 — both are actual data(-derived)
+    values, exact (int-valued inputs stay integral through the float64
+    abs-difference).  Four passes over the value column total; every
+    shuffle carries fixed-key-space count rows, never input rows.  SQL twin:
+    ``quantile_disc(abs(x - m), 0.5)`` joined against the per-group
+    ``quantile_disc(x, 0.5)`` CTE.
+    """
+    med_tbl = grouped_quantiles(
+        ds, group=group, value=value, qs=(0.5,), bucket_bits=bucket_bits
+    )
+    med_map = dict(
+        zip(med_tbl[group].to_pylist(), med_tbl["value"].to_pylist())
+    )
+
+    def deviation(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value].combine_chunks(), np.float64)
+        garr = np.asarray(b[group].combine_chunks())
+        g_u, g_inv = np.unique(garr, return_inverse=True)
+        meds = np.array([med_map[g] for g in g_u], np.float64)
+        return pa.table(
+            {
+                group: b[group],
+                "dev": pa.array(np.abs(v - meds[g_inv]), pa.float64()),
+            }
+        )
+
+    mad_tbl = grouped_quantiles(
+        ds.map_batches(deviation, batch_format="pyarrow"),
+        group=group,
+        value="dev",
+        qs=(0.5,),
+        bucket_bits=bucket_bits,
+    )
+    mad_map = dict(zip(mad_tbl[group].to_pylist(), mad_tbl["value"].to_pylist()))
+    groups = sorted(med_map)
+    return pa.table(
+        {
+            group: pa.array(groups),
+            "med": pa.array([med_map[g] for g in groups], pa.float64()),
+            "mad": pa.array([mad_map[g] for g in groups], pa.float64()),
+        }
+    )

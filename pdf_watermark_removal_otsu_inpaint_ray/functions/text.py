@@ -546,3 +546,105 @@ def collapse_repeat_words_batch(batch: pa.Table) -> pa.Table:
             "n_dropped": pa.array(dropped, pa.int64()),
         }
     )
+
+
+def term_cooccurrence(ds, *, vocab_size: int = 64):
+    """Head-vocabulary term co-occurrence counts (the GloVe/PMI-style
+    co-occurrence matrix builder): for the ``vocab_size`` highest-df terms,
+    count the DOCUMENTS containing each unordered term pair — two streaming
+    passes, never a pair-explosion shuffle.
+
+    1. **Vocabulary pass**: :func:`term_df_partials` -> ``groupby(term)
+       .sum(df)``; the driver picks the top-V terms by (df DESC, term ASC
+       in UTF-8 byte order — DuckDB's binary collation).  Vocab-scale
+       driver traffic only.
+    2. **GEMM pass**: each batch builds its docs x V 0/1 indicator matrix
+       (distinct (doc, term-in-vocab) pairs) and emits the nonzero upper
+       triangle of the V x V Gram matrix ``A.T @ A`` — a fixed <= V(V-1)/2
+       key space per batch regardless of corpus size — summed by one tiny
+       ``groupby((i, j)).sum``.
+
+    Returns a pa.Table ``(t1, t2, cnt)`` with ``t1 < t2`` (byte order) and
+    ``cnt`` = number of docs containing both.  Pairs never co-occurring are
+    absent (matches the SQL self-join twin).  At 100 TB the only scale knob
+    is V (the Gram partial is V^2 int64 per block); the document axis
+    streams.
+    """
+    import pandas as pd
+
+    df_tbl = (
+        ds.map_batches(term_df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df")
+        .to_pandas()  # vocab-scale (distinct terms), not corpus-scale
+    )
+    terms = df_tbl["term"].to_numpy()
+    dfs = df_tbl["sum(df)"].to_numpy().astype(np.int64)
+    # top-V by (df DESC, term ASC in utf-8 BYTE order == DuckDB ORDER BY term)
+    ranked = sorted(zip(terms, dfs), key=lambda p: (-p[1], p[0].encode()))
+    vocab = sorted((t for t, _ in ranked[:vocab_size]), key=lambda t: t.encode())
+    v_index = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+
+    def gram_partials(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if V == 0 or len(b) == 0:
+            return empty
+        rows, codes, bvocab = _words_with_rows(b["text"])
+        # batch-dict terms -> global vocab index: vocab-scale loop (distinct
+        # terms in the batch), never token-scale
+        lookup = np.array(
+            [v_index.get(t, -1) for t in bvocab.to_pylist()], np.int64
+        )
+        gidx = lookup[codes]
+        keep = gidx >= 0
+        rows, gidx = rows[keep], gidx[keep]
+        if rows.size == 0:
+            return empty
+        r_u, r_inv = np.unique(rows, return_inverse=True)
+        upair = np.unique(r_inv * V + gidx)  # distinct (doc, term) presence
+        A = np.zeros((r_u.size, V), np.int64)
+        A[upair // V, upair % V] = 1
+        C = A.T @ A
+        iu, ju = np.triu_indices(V, k=1)
+        cnt = C[iu, ju]
+        nz = cnt > 0
+        return pa.table(
+            {
+                "i": pa.array(iu[nz].astype(np.int64), pa.int64()),
+                "j": pa.array(ju[nz].astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    sums = (
+        ds.map_batches(gram_partials, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .sum("cnt")
+        .to_pandas()  # <= V(V-1)/2 rows — fixed key space
+    )
+    varr = np.array(vocab, dtype=object)
+    order = np.lexsort(
+        (sums["j"].to_numpy(), sums["i"].to_numpy())
+    ) if len(sums) else np.array([], np.int64)
+    return pa.table(
+        {
+            "t1": pa.array(varr[sums["i"].to_numpy()[order]], pa.string())
+            if len(sums)
+            else pa.array([], pa.string()),
+            "t2": pa.array(varr[sums["j"].to_numpy()[order]], pa.string())
+            if len(sums)
+            else pa.array([], pa.string()),
+            "cnt": pa.array(
+                sums["sum(cnt)"].to_numpy()[order].astype(np.int64), pa.int64()
+            )
+            if len(sums)
+            else pa.array([], pa.int64()),
+        }
+    )

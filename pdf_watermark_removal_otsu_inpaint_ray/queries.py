@@ -3498,6 +3498,116 @@ def q_regex_scrub(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(scrub, batch_format="pyarrow")
 
 
+def q_events_transitions(sf_dir: str):
+    """Markov transition matrix over per-user event sequences
+    (functions/packing.py::transition_counts): (prev_type -> type)
+    adjacency counts — ONE coarse user-hash partition, vectorized
+    lexsort+shift per partition, fixed |types|^2 partials folded
+    driver-side.  The lag() + pair GROUP BY idiom as one operator."""
+    from .functions.packing import transition_counts
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    return transition_counts(
+        _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow"),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        label="event_type",
+    )
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Ranked dedup on the canonical text (functions/dedup.py::
+    dedup_keep_best): normalize (NFC/lower/ws-collapse/trim) -> cluster by
+    the 63-bit hash of the NORMALIZED text -> keep the longest raw variant
+    (ties to lowest doc_id).  Per-batch partial prune first, so the
+    shuffle carries int64 triples only — never text."""
+    import ray.data
+
+    from .functions.dedup import dedup_keep_best
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return dedup_keep_best(docs)
+
+
+def q_source_mad(sf_dir: str):
+    """Per-source median absolute deviation of document length
+    (functions/ranks.py::grouped_mad) — two DEPENDENT order-statistic
+    passes (median, then median of |x - med|), each via the giant-group
+    bucket-histogram decomposition; no group is ever co-located."""
+    import ray.data
+
+    from .functions.ranks import grouped_mad
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    t = grouped_mad(docs, group="source", value="n_chars", bucket_bits=12)
+    return pa.table(
+        {
+            "source": t["source"],
+            "med": t["med"].cast(pa.int64()),  # int-valued by quantile_disc
+            "mad": t["mad"].cast(pa.int64()),
+        }
+    )
+
+
+def q_source_token_entropy(sf_dir: str):
+    """Per-source Shannon entropy of the gray-token distribution — the
+    corpus-diversity statistic (a collapsed source shows low entropy).
+    Distributed exact (source, gray, cnt) bincount partials (the A1
+    histogram shape) through one fixed-key-space groupby; the driver
+    finishes over <= sources x 256 rows, quantizing each c*ln(c) term to
+    micro-nat BIGINTs BEFORE the sum (order-free integer total, the
+    unigram_logprob precedent: python math.log == DuckDB ln bit-for-bit,
+    while np.log's SIMD path may differ) and assembling the float64
+    entropy with the IDENTICAL expression the SQL twin evaluates.
+    Scale caveat: c*ln(c)*1e6 overflows int64 past c ~ 3e17 tokens per
+    (source, gray) cell; at that scale the quantization shifts to
+    nat-scale or int128 split sums."""
+    import math
+
+    counts = q_gray_histogram(sf_dir).to_pandas()  # <= sources x 256 rows
+    rows = {}
+    for src, cnt in zip(counts["source"], counts["cnt"]):
+        c = int(cnt)
+        n, s = rows.get(src, (0, 0))
+        rows[src] = (n + c, s + math.floor(c * math.log(c) * 1e6))
+    srcs = sorted(rows)
+    ns = [rows[s][0] for s in srcs]
+    sq = [rows[s][1] for s in srcs]
+    ent = [math.log(n) - (q / 1e6) / n for n, q in zip(ns, sq)]
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "entropy": pa.array(ent, pa.float64()),
+        }
+    )
+
+
+def q_term_cooccurrence(sf_dir: str):
+    """Head-vocabulary term co-occurrence (functions/text.py::
+    term_cooccurrence): docs containing both terms, for the 32 highest-df
+    terms — per-batch V x V Gram-matrix partials (A.T @ A over the distinct
+    doc x term indicator), one fixed-key-space groupby sum; the pair
+    explosion of the SQL self-join twin never materializes."""
+    from .functions.text import term_cooccurrence
+
+    return term_cooccurrence(_docs_ds(sf_dir), vocab_size=32)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3566,6 +3676,7 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "events_funnel": q_events_funnel,
     "events_pattern": q_events_pattern,
+    "events_transitions": q_events_transitions,
     "events_rate_limit": q_events_rate_limit,
     "streaming_stream_join": q_streaming_stream_join,
     "streaming_temporal_join": q_streaming_temporal_join,
@@ -3576,6 +3687,9 @@ QUERIES = {
     "customer_order_balance": q_customer_order_balance,
     "training_shuffle_head": q_training_shuffle_head,
     "source_corr": q_source_corr,
+    "source_mad": q_source_mad,
+    "source_token_entropy": q_source_token_entropy,
+    "term_cooccurrence": q_term_cooccurrence,
     "pca_embeddings": q_pca_embeddings,
     "regex_scrub": q_regex_scrub,
     "orders_integrity": q_orders_integrity,
@@ -3590,6 +3704,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_text": q_dedup_exact_text,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_keep_best": q_dedup_keep_best,
     "normalize_text": q_normalize_text,
     "cross_source_texts": q_cross_source_texts,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3943,6 +4058,45 @@ ORACLE_SQL = {
                CASE WHEN den = 0 THEN NULL ELSE num / den END AS corr
         FROM f
     """,
+    "source_token_entropy": f"""
+        WITH c AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT source, unnest({_TOKENIZE_SQL}) % 256 AS gray
+                  FROM documents)
+            GROUP BY source, gray
+        ),
+        s AS (
+            SELECT source,
+                   CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(CAST(cnt AS DOUBLE)
+                                       * ln(CAST(cnt AS DOUBLE))
+                                       * 1000000.0) AS BIGINT)) AS BIGINT) AS sq
+            FROM c GROUP BY source
+        )
+        SELECT source, n,
+               ln(CAST(n AS DOUBLE))
+                   - (CAST(sq AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+                   AS entropy
+        FROM s
+    """,
+    "term_cooccurrence": f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, term
+            FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         unnest({_WORDS_SQL}) AS term
+                  FROM documents)
+            WHERE term <> ''
+        ),
+        v AS (
+            SELECT term FROM (SELECT term, count(*) AS df FROM dt GROUP BY term)
+            ORDER BY df DESC, term LIMIT 32
+        )
+        SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS cnt
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        WHERE a.term IN (SELECT term FROM v)
+          AND b.term IN (SELECT term FROM v)
+        GROUP BY a.term, b.term
+    """,
     "orders_integrity": """
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
@@ -4068,6 +4222,36 @@ ORACLE_SQL = {
                CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
                c.c_mktsegment AS c_mktsegment
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    "dedup_keep_best": """
+        WITH n AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\\s+', ' ', 'g')) AS nt
+            FROM documents
+        )
+        SELECT doc_id AS keep_id, n_chars AS keep_len,
+               CAST(cnt AS BIGINT) AS n_variants
+        FROM (SELECT doc_id, n_chars,
+                     row_number() OVER (
+                         PARTITION BY nt ORDER BY n_chars DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY nt) AS cnt
+              FROM n)
+        WHERE rn = 1
+    """,
+    "source_mad": """
+        WITH m AS (
+            SELECT source,
+                   quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS med
+            FROM documents GROUP BY source
+        )
+        SELECT d.source,
+               CAST(m.med AS BIGINT) AS med,
+               CAST(quantile_disc(abs(CAST(d.n_chars AS DOUBLE) - m.med), 0.5)
+                    AS BIGINT) AS mad
+        FROM documents d JOIN m ON d.source = m.source
+        GROUP BY d.source, m.med
     """,
     "normalize_text": """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -4206,6 +4390,18 @@ ORACLE_SQL = {
                CAST(CASE WHEN lag_delta IS NULL THEN 1 ELSE 0 END AS BIGINT)
                    AS is_first
         FROM l
+    """,
+    "events_transitions": """
+        WITH l AS (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_event_type
+            FROM events
+        )
+        SELECT prev_event_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM l WHERE prev_event_type IS NOT NULL
+        GROUP BY prev_event_type, event_type
     """,
     "events_funnel": """
         WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id

@@ -942,3 +942,56 @@ def test_window_top_users_ties_and_layout(ray_session):
     b_rows = got[got["event_type"] == "b"]
     assert b_rows["user_id"].tolist() == [8, 9]
     pd.testing.assert_frame_equal(got, run(1))
+
+
+def test_term_cooccurrence_matches_brute_and_layout_invariant(ray_session):
+    """Gram-matrix co-occurrence == brute per-doc pair sets; identical for
+    any block layout; vocab tie-break is (df DESC, utf-8 byte order)."""
+    from itertools import combinations
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.text import (
+        term_cooccurrence,
+    )
+
+    rng = np.random.default_rng(59)
+    vocab_pool = [f"w{i}" for i in range(12)]
+    docs = [
+        " ".join(rng.choice(vocab_pool, rng.integers(1, 9)))
+        for _ in range(80)
+    ] + ["", "  "]  # empty + whitespace-only docs
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64), pa.int64()),
+            "text": pa.array(docs),
+            "source": pa.array(["s"] * len(docs)),
+        }
+    )
+    V = 6
+    # brute: top-V by (df desc, term bytes), then doc-pair counting
+    from collections import Counter
+
+    df = Counter()
+    doc_terms = []
+    for d in docs:
+        ts = set(d.lower().split())
+        doc_terms.append(ts)
+        df.update(ts)
+    vocab = set(
+        t for t, _ in sorted(df.items(), key=lambda p: (-p[1], p[0].encode()))[:V]
+    )
+    expect = Counter()
+    for ts in doc_terms:
+        for a, b in combinations(sorted(ts & vocab, key=str.encode), 2):
+            expect[(a, b)] += 1
+
+    outs = []
+    for parts in (1, 7):
+        out = term_cooccurrence(
+            ray.data.from_arrow(tbl).repartition(parts), vocab_size=V
+        ).to_pandas()
+        got = {
+            (r.t1, r.t2): int(r.cnt) for r in out.itertuples()
+        }
+        assert got == dict(expect), f"parts={parts}"
+        outs.append(got)
+    assert outs[0] == outs[1]

@@ -300,3 +300,56 @@ def test_grouped_ops_accept_string_group_keys(ray_session):
         .sort_values(["src", "o"], ignore_index=True)
     )
     assert se["session_id"].tolist() == [1, 1, 2, 1, 1]
+
+
+def test_transition_counts_matches_window_idiom(ray_session):
+    """Markov pair counts == DuckDB lag() + GROUP BY, with heavy ts ties
+    (tiebreak decides adjacency) and single-event users (no pairs)."""
+    import duckdb
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        transition_counts,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 600
+    tbl = pa.table(
+        {
+            "user_id": pa.array(
+                np.concatenate(
+                    [rng.integers(0, 30, n - 1), np.array([999])]  # 1-event user
+                ),
+                pa.int64(),
+            ),
+            "ts_us": pa.array(rng.integers(0, 50, n) * 10, pa.int64()),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "event_type": pa.array(rng.choice(["a", "b", "c", "d"], n)),
+        }
+    )
+    out = transition_counts(
+        ray.data.from_arrow(tbl).repartition(7),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        label="event_type",
+    ).to_pandas().sort_values(["prev_event_type", "event_type"], ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    expect = con.execute(
+        """WITH l AS (
+               SELECT event_type,
+                      lag(event_type) OVER (
+                          PARTITION BY user_id ORDER BY ts_us, event_id
+                      ) AS prev_event_type
+               FROM t)
+           SELECT prev_event_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+           FROM l WHERE prev_event_type IS NOT NULL
+           GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchdf()
+    assert out["cnt"].to_numpy().tolist() == expect["cnt"].to_numpy().tolist()
+    assert out["prev_event_type"].tolist() == expect["prev_event_type"].tolist()
+    assert out["event_type"].tolist() == expect["event_type"].tolist()
+    # total pairs = rows - users-with-at-least-one-event
+    n_users = len(np.unique(tbl["user_id"].to_numpy()))
+    assert int(out["cnt"].sum()) == n - n_users

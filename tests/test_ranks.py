@@ -112,3 +112,34 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
                ORDER BY event_type, q"""
         ).fetchdf()
         assert out["value"].tolist() == exp["value"].tolist(), ties
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    """MAD = quantile_disc(|x - quantile_disc(x, .5)|, .5) per group —
+    two dependent order-stat passes; exercised with skewed integer values,
+    outlier spikes, and a single-row group (mad 0)."""
+    import duckdb
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.ranks import grouped_mad
+
+    rng = np.random.default_rng(41)
+    n = 700
+    g = rng.choice(["x", "y", "z"], n - 1).tolist() + ["solo"]
+    v = np.concatenate(
+        [rng.integers(0, 1000, n - 20), rng.integers(10**6, 10**7, 20)]
+    ).astype(np.float64)
+    tbl = pa.table({"g": pa.array(g), "v": pa.array(v, pa.float64())})
+    out = grouped_mad(
+        ray.data.from_arrow(tbl).repartition(6), group="g", value="v", bucket_bits=8
+    ).to_pandas().sort_values("g", ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    expect = con.execute(
+        """WITH m AS (SELECT g, quantile_disc(v, 0.5) AS med FROM t GROUP BY g)
+           SELECT t.g, m.med, quantile_disc(abs(t.v - m.med), 0.5) AS mad
+           FROM t JOIN m ON t.g = m.g GROUP BY t.g, m.med ORDER BY t.g"""
+    ).fetchdf()
+    assert out["g"].tolist() == expect["g"].tolist()
+    assert out["med"].to_numpy().tolist() == expect["med"].to_numpy().tolist()
+    assert out["mad"].to_numpy().tolist() == expect["mad"].to_numpy().tolist()
+    assert out[out.g == "solo"]["mad"].iloc[0] == 0.0

@@ -281,3 +281,43 @@ def test_normalize_text_unicode_cases(ray_session):
     assert got["norm_text"].tolist() == expect["norm_text"].tolist()
     assert got["norm_text"].tolist()[0] == "école plus more"
     assert got["norm_text"].tolist()[4] == "å"
+
+
+def test_dedup_keep_best_planted_variants(ray_session):
+    """Keep-best canonical dedup: case/whitespace variants of one text
+    normalize identically; the LONGEST raw variant wins, ties to lowest
+    doc_id; unique docs pass through as 1-variant clusters."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import dedup_keep_best
+
+    texts = [
+        "Hello   World",          # id 0, len 13  <- longest variant, wins
+        "hello world",            # id 1, len 11   same canonical form
+        "HELLO  world",           # id 2, len 12   same canonical form
+        "another doc",            # id 3, unique
+        "tie text A",             # id 4, len 10  <- tie: lowest id wins
+        "tie  text a",            # id 5, len 11  <- actually longer, wins
+        "TIE TEXT A",             # id 6, len 10
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    out = (
+        dedup_keep_best(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("keep_id", ignore_index=True)
+    )
+    got = {
+        int(r.keep_id): (int(r.keep_len), int(r.n_variants))
+        for r in out.itertuples()
+    }
+    assert got == {0: (13, 3), 3: (11, 1), 5: (11, 3)}
+
+    # equal-length tie -> lowest doc_id: drop the len-11 variant
+    tbl2 = tbl.filter(pa.array([t != "tie  text a" for t in texts]))
+    out2 = dedup_keep_best(ray.data.from_arrow(tbl2).repartition(3)).to_pandas()
+    got2 = {int(r.keep_id): int(r.n_variants) for r in out2.itertuples()}
+    assert got2 == {0: 3, 3: 1, 4: 2}
