@@ -156,14 +156,14 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     banding as the engine, bucketing + exact-Jaccard verify in plain driver
     code (the distributed path must reproduce this pair set exactly).
 
-    SHARED-CODE BOUNDARY: MinHashStage/_band_rows are imported from the
-    engine, so this oracle cross-checks the DISTRIBUTION layer (salted
-    bucket groupbys, repartition-join verify), not the signature kernel
-    itself.  The signature kernel is independently cross-checked by (a) the
-    pure-Python spec mirrors _py_word_hash AND _py_gram_hashes — the full
-    word→gram→shingle chain — property-tested against the vectorized kernel
-    on arbitrary unicode (tests/test_properties.py), and (b)
-    _golden_simhash below, which shares no engine code at all."""
+    FULLY INDEPENDENT (round 3): signatures, banding, bucketing, and the
+    exact-Jaccard verify are all recomputed in pure Python from the spec
+    (_py_word_hash/_py_gram_hashes/_py_minhash_sig/_py_band_hashes — no
+    imports from functions.dedup), so a bug anywhere in the engine's shared
+    signature/banding kernels is VISIBLE to the driver correctness check,
+    same independence level as _golden_simhash.  The only engine-shared
+    ingredient left is the multiply-shift constants' SEED derivation
+    (np.random.default_rng(12345) — a public PRNG, part of the spec)."""
     # memo key includes the SOURCE fingerprint — a path-only key would hand
     # back the previous corpus' pairs after testdata is regenerated
     # in-process and write them out as the "fresh" golden
@@ -171,33 +171,32 @@ def _golden_minhash_lsh(sf_dir: str) -> pa.Table:
     cached = _MINHASH_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    from .functions.dedup import MinHashStage, _band_rows, jaccard
-
-    stage = MinHashStage(64)
-    sig = stage(_docs_table(sf_dir))
-    # same empty-doc rule as the engine: zero-shingle docs are not banded
-    # (they all share the zero signature and are never near-dups)
-    import pyarrow.compute as _pc
-
-    banded = sig.filter(_pc.greater(_pc.list_value_length(sig["shingles"]), 0))
-    band = _band_rows(banded, 16, 4)
-    bands = np.asarray(band["band"], dtype=np.int64)
-    hashes = np.asarray(band["band_hash"], dtype=np.int64)
-    ids = np.asarray(band["doc_id"], dtype=np.int64)
+    docs = _docs_table(sf_dir)
+    ids = [int(d) for d in docs["doc_id"].to_pylist()]
+    texts = docs["text"].to_pylist()
+    shingles = {d: sorted(set(_py_gram_hashes(t))) for d, t in zip(ids, texts)}
+    a_c, b_c = _py_minhash_ab(64)
     buckets: dict[tuple[int, int], list[int]] = {}
-    for b, h, d in zip(bands, hashes, ids):
-        buckets.setdefault((int(b), int(h)), []).append(int(d))
+    for d in ids:
+        sh_d = shingles[d]
+        if not sh_d:  # zero-shingle docs are not banded (engine rule)
+            continue
+        sig = _py_minhash_sig(sh_d, a_c, b_c)
+        for band, bh in enumerate(_py_band_hashes(sig, 16, 4)):
+            buckets.setdefault((band, bh), []).append(d)
     cand = set()
     for members in buckets.values():
         u = sorted(set(members))
         for i in range(len(u)):
             for j in range(i + 1, len(u)):
                 cand.add((u[i], u[j]))
-    sh = {
-        int(d): np.asarray(s, dtype=np.int64)
-        for d, s in zip(sig["doc_id"].to_pylist(), sig["shingles"].to_pylist())
-    }
-    rows = [(a, b, jaccard(sh[a], sh[b])) for a, b in sorted(cand)]
+
+    def _jacc(x: list, y: list) -> float:
+        sx, sy = set(x), set(y)
+        union = len(sx | sy)
+        return len(sx & sy) / union if union else 0.0
+
+    rows = [(a, b, _jacc(shingles[a], shingles[b])) for a, b in sorted(cand)]
     rows = [(a, b, j) for a, b, j in rows if j >= 0.5]
     out = pa.table(
         {
@@ -294,6 +293,40 @@ def _py_gram_hashes(text: str, n: int = 3) -> list[int]:
         acc = 0
         for i in range(width):
             acc = (acc + wh[j + i] * pow(C, width - 1 - i, 1 << 64)) & _M64
+        out.append(_py_mix64(acc) >> 1)
+    return out
+
+
+def _py_minhash_ab(k: int) -> tuple:
+    """The engine's multiply-shift constants, re-derived from the SEED spec
+    (np.random.default_rng(12345): k odd multipliers in [1, 2^63), k adders
+    in [0, 2^62)) — the PRNG is the public spec, not engine code."""
+    rng = np.random.default_rng(12345)
+    a = (rng.integers(1, 1 << 62, size=k, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 62, size=k, dtype=np.uint64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
+def _py_minhash_sig(grams: list, a: list, b: list) -> list:
+    """Pure-Python MinHash signature: sig[j] = min over grams of
+    ((g*a[j] + b[j]) mod 2^64) >> 3; written from the spec, shares no code
+    with dedup.MinHashStage.signatures_flat."""
+    return [
+        min(((g * aj + bj) & _M64) >> 3 for g in grams)
+        for aj, bj in zip(a, b)
+    ]
+
+
+def _py_band_hashes(sig: list, bands: int, rows: int) -> list:
+    """Pure-Python LSH band hashes: each band's ``rows`` signature values
+    combined with positional C^(rows-1-r) coefficients mod 2^64, then
+    splitmix-mixed and >>1 (the spec of dedup._band_rows)."""
+    C = 0x100000001B3
+    out = []
+    for i in range(bands):
+        acc = 0
+        for r in range(rows):
+            acc = (acc + sig[i * rows + r] * pow(C, rows - 1 - r, 1 << 64)) & _M64
         out.append(_py_mix64(acc) >> 1)
     return out
 
