@@ -3498,6 +3498,238 @@ def q_regex_scrub(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(scrub, batch_format="pyarrow")
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """Correlated-subquery decorrelation (TPC-H-Q17 shape): revenue from
+    line items whose quantity is below 20% of their part's average —
+    ``l_quantity < 0.2 * avg(l_quantity) per part``.
+
+    Two passes, the classic decorrelation: (1) combiner-first per-partkey
+    (sum_qty, cnt) partials through one partkey-scale groupby; (2) the
+    per-part table broadcast once (``ray.put`` — partkey-scale; past ~10^8
+    parts this becomes the q_priority_revenue repartition join instead) and
+    a stateless filter scan re-reads lineitem.  The 0.2·avg comparison is
+    CROSS-MULTIPLIED to integers (5·qty·cnt < sum_qty): no float average
+    ever materializes, so the filter is bit-exact vs the SQL twin's same
+    integer predicate.  Output: one (n_small, revenue_c) row."""
+    import ray
+    import ray.data
+
+    def qty_partials(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["l_partkey"], np.int64)
+        q = np.asarray(b["l_quantity"], np.float64).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=q, minlength=uk.size).astype(np.int64)
+        c = np.bincount(inv, minlength=uk.size).astype(np.int64)
+        return pa.table(
+            {
+                "partkey": pa.array(uk, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    per_part = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols[:2])
+        .map_batches(qty_partials, batch_format="pyarrow")
+        .groupby("partkey")
+        .sum(["s", "c"])
+        .to_pandas()  # partkey-scale (dimension), not lineitem-scale
+    )
+    keys = per_part["partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(keys)
+    ref = ray.put(
+        (
+            keys[order],
+            per_part["sum(s)"].to_numpy().astype(np.int64)[order],
+            per_part["sum(c)"].to_numpy().astype(np.int64)[order],
+        )
+    )
+
+    def filter_partials(b: pa.Table) -> pa.Table:
+        k_sorted, s_sorted, c_sorted = ray.get(ref)
+        pk = np.asarray(b["l_partkey"], np.int64)
+        q = np.asarray(b["l_quantity"], np.float64).astype(np.int64)
+        pos = np.searchsorted(k_sorted, pk)  # every partkey exists by construction
+        keep = 5 * q * c_sorted[pos] < s_sorted[pos]
+        cents = np.floor(
+            np.asarray(b["l_extendedprice"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_small": pa.array([int(keep.sum())], pa.int64()),
+                "revenue_c": pa.array([int(cents[keep].sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+        .map_batches(filter_partials, batch_format="pyarrow")
+        .to_pandas()  # one row per block — driver-fold the tiny final
+    )
+    return pa.table(
+        {
+            "n_small": pa.array([int(parts["n_small"].sum())], pa.int64()),
+            "revenue_c": pa.array([int(parts["revenue_c"].sum())], pa.int64()),
+        }
+    )
+
+
+def q_customer_revenue_pareto(sf_dir: str):
+    """Pareto / ABC analysis: customers ranked by total order revenue
+    within their nation, with the running revenue total (``sum() OVER
+    (PARTITION BY nation ORDER BY rev DESC, custkey)``) — the
+    concentration-of-mass report behind "top 20% of customers drive 80% of
+    revenue".
+
+    Distribution shape: combiner-first per-custkey cent partials through
+    one custkey-scale groupby; the custkey→nationkey dimension column is
+    broadcast once (``ray.put``); the window resolves per nation with ONE
+    coarse nation-hash partition + lexsort + cumsum (customer-scale rows,
+    never orders).  All columns int64 — bit-equal to the window twin."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    def rev_partials(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"], np.int64)
+        cents = np.floor(
+            np.asarray(b["o_totalprice"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.bincount(inv, weights=cents, minlength=uk.size).astype(np.int64)
+        return pa.table(
+            {
+                "custkey": pa.array(uk, pa.int64()),
+                "rev_c": pa.array(s, pa.int64()),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()  # dimension table (column-pruned); at 10^9 customers this
+    # broadcast becomes the coarse repartition join of q_nation_revenue
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck)
+    ref = ray.put((ck[order], cust["c_nationkey"].to_numpy().astype(np.int64)[order]))
+
+    def attach_nation(b: pa.Table) -> pa.Table:
+        k_sorted, n_sorted = ray.get(ref)
+        c = np.asarray(b["custkey"], np.int64)
+        pos = np.searchsorted(k_sorted, c)
+        nat = n_sorted[pos]
+        pk = ((nat.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(16)
+        return pa.table(
+            {
+                "nationkey": pa.array(nat, pa.int64()),
+                "custkey": pa.array(c, pa.int64()),
+                "rev_c": b["rev_c"],
+                "pk": pa.array(pk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def window_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "nationkey": pd.Series(dtype=np.int64),
+                    "custkey": pd.Series(dtype=np.int64),
+                    "rev_c": pd.Series(dtype=np.int64),
+                    "cum_rev_c": pd.Series(dtype=np.int64),
+                    "rnk": pd.Series(dtype=np.int64),
+                }
+            )
+        nat = g["nationkey"].to_numpy()
+        c = g["custkey"].to_numpy()
+        r = g["rev_c"].to_numpy().astype(np.int64)
+        idx = np.lexsort((c, -r, nat))
+        nat, c, r = nat[idx], c[idx], r[idx]
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = nat[1:] != nat[:-1]
+        csum = np.cumsum(r)
+        base = np.maximum.accumulate(np.where(first, csum - r, 0))
+        pos = np.arange(len(g), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        return pd.DataFrame(
+            {
+                "nationkey": nat,
+                "custkey": c,
+                "rev_c": r,
+                "cum_rev_c": csum - base,
+                "rnk": pos - start + 1,
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(rev_partials, batch_format="pyarrow")
+        .groupby("custkey")
+        .sum("rev_c")
+        .map_batches(
+            lambda b: pa.table({"custkey": b["custkey"], "rev_c": b["sum(rev_c)"]}),
+            batch_format="pyarrow",
+        )
+        .map_batches(attach_nation, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(window_part, batch_format="pandas")
+    )
+
+
+def q_doc_pair_cosine(sf_dir: str):
+    """Sparse all-pairs cosine over head-vocab tf vectors
+    (functions/retrieval.py::sparse_pair_cosine) — inverted-index APSS:
+    term-partitioned posting-list partial dots, integer cross-multiplied
+    threshold, IEEE-sqrt cosine bit-equal to the SQL self-join twin."""
+    from .functions.retrieval import sparse_pair_cosine
+
+    return sparse_pair_cosine(_docs_ds(sf_dir), vocab_size=24, min_cos_pct=60)
+
+
+def q_events_zonemap_scan(sf_dir: str):
+    """Zone-map pruned range scan (functions/zonemap.py): events clustered
+    into 16 value-range Parquet partitions with an exact min/max manifest;
+    the range predicate reads ONLY overlapping buckets' files (scan pruned
+    at storage, the q_knn_ivf pattern on a scalar column) + exact residual
+    filter.  Layout cached by source-content fingerprint, atomic publish."""
+    import hashlib as _h
+    import os
+
+    from .functions.zonemap import build_zonemap_layout, zonemap_range_scan
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    key = f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:nb16:v1"
+    tag = _h.blake2b(key.encode(), digest_size=6).hexdigest()
+    layout = f"/tmp/graft_zonemap/{tag}"
+    done = os.path.join(layout, "_SUCCESS")
+    if not os.path.exists(done):
+        import shutil as _sh
+        import uuid as _uuid
+
+        import ray.data
+
+        _sh.rmtree(layout, ignore_errors=True)
+        tmp = f"{layout}.build-{_uuid.uuid4().hex}"
+        ds = ray.data.read_parquet(src, columns=["event_id", "value"])
+        build_zonemap_layout(ds, tmp, value_col="value", num_buckets=16)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, layout)
+        except OSError:  # concurrent builder won the publish — use theirs
+            _sh.rmtree(tmp, ignore_errors=True)
+    ds, n_pruned = zonemap_range_scan(layout, 40.0, 60.0, columns=["event_id", "value"])
+    assert n_pruned > 0, "zonemap scan read every bucket — pruning is broken"
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"event_id": b["event_id"].cast(pa.int64()), "value": b["value"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_transitions(sf_dir: str):
     """Markov transition matrix over per-user event sequences
     (functions/packing.py::transition_counts): (prev_type -> type)
@@ -3664,6 +3896,7 @@ QUERIES = {
     "events_ntile": q_events_ntile,
     "events_sessionize": q_events_sessionize,
     "events_skew_join": q_events_skew_join,
+    "events_zonemap_scan": q_events_zonemap_scan,
     "user_cohort_retention": q_user_cohort_retention,
     "source_top_docs_agg": q_source_top_docs_agg,
     "price_quantiles_by_flag": q_price_quantiles_by_flag,
@@ -3673,6 +3906,7 @@ QUERIES = {
     "events_rolling_outlier": q_events_rolling_outlier,
     "events_json_props": q_events_json_props,
     "bm25_topk": q_bm25_topk,
+    "doc_pair_cosine": q_doc_pair_cosine,
     "bpe_token_counts": q_bpe_token_counts,
     "events_funnel": q_events_funnel,
     "events_pattern": q_events_pattern,
@@ -3683,6 +3917,8 @@ QUERIES = {
     "orders_pivot": q_orders_pivot,
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "customer_revenue_pareto": q_customer_revenue_pareto,
     "price_quantiles": q_price_quantiles,
     "customer_order_balance": q_customer_order_balance,
     "training_shuffle_head": q_training_shuffle_head,
@@ -3983,6 +4219,40 @@ ORACLE_SQL = {
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
     """,
+    "small_qty_revenue": """
+        WITH a AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_c
+        FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.c < a.s
+    """,
+    "customer_revenue_pareto": """
+        WITH r AS (
+            SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM orders GROUP BY o_custkey
+        ),
+        j AS (
+            SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+                   r.custkey, r.rev_c
+            FROM r JOIN customer c ON CAST(c.c_custkey AS BIGINT) = r.custkey
+        )
+        SELECT nationkey, custkey, rev_c,
+               CAST(sum(rev_c) OVER (
+                   PARTITION BY nationkey ORDER BY rev_c DESC, custkey
+               ) AS BIGINT) AS cum_rev_c,
+               CAST(row_number() OVER (
+                   PARTITION BY nationkey ORDER BY rev_c DESC, custkey
+               ) AS BIGINT) AS rnk
+        FROM j
+    """,
     "nation_revenue": """
         SELECT n.n_name,
                CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -4057,6 +4327,42 @@ ORACLE_SQL = {
         SELECT source, n,
                CASE WHEN den = 0 THEN NULL ELSE num / den END AS corr
         FROM f
+    """,
+    "doc_pair_cosine": f"""
+        WITH w AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   unnest({_WORDS_SQL}) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM w GROUP BY doc_id, term
+        ),
+        v AS (
+            SELECT term
+            FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            ORDER BY df DESC, term LIMIT 24
+        ),
+        tv AS (SELECT * FROM tf WHERE term IN (SELECT term FROM v)),
+        n2 AS (
+            SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+            FROM tv GROUP BY doc_id
+        ),
+        d AS (
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(sum(x.tf * y.tf) AS BIGINT) AS dot
+            FROM tv x JOIN tv y ON x.term = y.term AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT d.a, d.b, d.dot,
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                   AS cos
+        FROM d
+        JOIN n2 na ON na.doc_id = d.a
+        JOIN n2 nb ON nb.doc_id = d.b
+        WHERE d.dot > 0
+          AND 10000 * d.dot * d.dot >= 3600 * na.n2 * nb.n2
     """,
     "source_token_entropy": f"""
         WITH c AS (
@@ -4215,6 +4521,10 @@ ORACLE_SQL = {
                CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS BIGINT) AS tile
         FROM events
+    """,
+    "events_zonemap_scan": """
+        SELECT CAST(event_id AS BIGINT) AS event_id, value
+        FROM events WHERE value BETWEEN 40.0 AND 60.0
     """,
     "events_skew_join": """
         SELECT CAST(e.event_id AS BIGINT) AS event_id,

@@ -995,3 +995,42 @@ def test_term_cooccurrence_matches_brute_and_layout_invariant(ray_session):
         assert got == dict(expect), f"parts={parts}"
         outs.append(got)
     assert outs[0] == outs[1]
+
+
+def test_zonemap_scan_prunes_and_matches_filter(ray_session, tmp_path):
+    """Zone-map layout: range scan reads ONLY overlapping buckets (pruned
+    count > 0), returns exactly the brute-filter row set; edge buckets
+    honor the closed-interval overlap rule."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.zonemap import (
+        build_zonemap_layout,
+        pruned_paths,
+        zonemap_range_scan,
+    )
+
+    rng = np.random.default_rng(77)
+    n = 3000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "value": pa.array(rng.uniform(0.0, 1000.0, n), pa.float64()),
+        }
+    )
+    layout = str(tmp_path / "zm")
+    build_zonemap_layout(
+        ray.data.from_arrow(tbl).repartition(5), layout, value_col="value",
+        num_buckets=10,
+    )
+    lo, hi = 230.0, 310.0
+    files, n_pruned = pruned_paths(layout, lo, hi)
+    assert n_pruned >= 7  # [230,310] overlaps at most 2-3 of 10 buckets
+    ds, n_pruned2 = zonemap_range_scan(layout, lo, hi, columns=["event_id", "value"])
+    assert n_pruned2 == n_pruned
+    got = ds.to_pandas().sort_values("event_id", ignore_index=True)
+    v = tbl["value"].to_numpy()
+    expect_ids = tbl["event_id"].to_numpy()[(v >= lo) & (v <= hi)]
+    assert got["event_id"].to_numpy().tolist() == sorted(expect_ids.tolist())
+    # no-match range entirely outside the data prunes everything
+    ds0, _ = zonemap_range_scan(layout, 5000.0, 6000.0)
+    assert ds0 is None
