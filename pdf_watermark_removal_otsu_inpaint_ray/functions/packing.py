@@ -599,3 +599,67 @@ def transition_counts(
             "cnt": pa.array(gb["cnt"].to_numpy().astype(np.int64), pa.int64()),
         }
     )
+
+
+def grouped_time_weighted(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    tiebreak: str = "event_id",
+    value: str = "cents",
+    num_parts: int = 64,
+):
+    """Per-group TIME-WEIGHTED value aggregate (the TWAP / IoT
+    state-duration primitive): each row's value is held until the group's
+    next event, so the group's weighted sum is ``sum(value_i * (t_{i+1} -
+    t_i))`` over all non-final rows — ``lead()`` + weighted GROUP BY in
+    SQL.  Returns one ``(group, twap_num, twap_den)`` row per group with
+    >= 2 events; both int64 (numerator in value-unit*microseconds), so the
+    division stays caller-side and the distributed result is bit-exact.
+
+    One coarse hash partition on the group key, one lexsort + shift per
+    partition (the grouped_lag shape), one bincount per output — no
+    per-group callback."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group, num_parts)
+
+    def twap_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                group: pd.Series(dtype=np.int64),
+                "twap_num": pd.Series(dtype=np.int64),
+                "twap_den": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        gk = g[group].to_numpy()
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        v = g[value].to_numpy().astype(np.int64)
+        idx = np.lexsort((t, o, gk))
+        gk, o, v = gk[idx], o[idx], v[idx]
+        same = gk[1:] == gk[:-1]  # row i paired with its group successor
+        dur = (o[1:] - o[:-1])[same]
+        val = v[:-1][same]
+        src = gk[:-1][same]
+        if src.size == 0:
+            return empty
+        uu, inv = np.unique(src, return_inverse=True)
+        # int64 scatter-add, NOT a float-weighted bincount: cents*us
+        # products can exceed 2^53, where float64 accumulation stops being
+        # exact; np.add.at is unbuffered but the volume is partition-local
+        num = np.zeros(uu.size, np.int64)
+        den = np.zeros(uu.size, np.int64)
+        np.add.at(num, inv, val * dur)
+        np.add.at(den, inv, dur)
+        return pd.DataFrame({group: uu, "twap_num": num, "twap_den": den})
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(twap_part, batch_format="pandas")
+    )

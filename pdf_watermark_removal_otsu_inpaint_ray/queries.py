@@ -3688,6 +3688,54 @@ def q_doc_pair_cosine(sf_dir: str):
     return sparse_pair_cosine(_docs_ds(sf_dir), vocab_size=24, min_cos_pct=60)
 
 
+def q_part_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the part co-purchase graph
+    (functions/graph.py::copurchase_pagerank): order-partitioned edge
+    build vectorized per order-size class, coarse pair-key edge combine,
+    broadcast micro-unit rank vector per iteration — ranks bit-equal to
+    the SQL CTE twin (every contribution is the same floored integer
+    division on both sides)."""
+    import ray.data
+
+    from .functions.graph import copurchase_pagerank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return copurchase_pagerank(ds, iterations=2)
+
+
+def q_events_twap(sf_dir: str):
+    """Per-user time-weighted value aggregate (functions/packing.py::
+    grouped_time_weighted): each event's cent value held until the user's
+    next event; integer (cents x microseconds) numerator/denominator —
+    the lead()-weighted GROUP BY as one operator."""
+    from .functions.packing import grouped_time_weighted
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.floor(
+                        np.asarray(b["value"], np.float64) * 100.0 + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_time_weighted(
+        _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow"),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        value="cents",
+    )
+
+
 def q_events_zonemap_scan(sf_dir: str):
     """Zone-map pruned range scan (functions/zonemap.py): events clustered
     into 16 value-range Parquet partitions with an exact min/max manifest;
@@ -3919,6 +3967,8 @@ QUERIES = {
     "nation_revenue": q_nation_revenue,
     "small_qty_revenue": q_small_qty_revenue,
     "customer_revenue_pareto": q_customer_revenue_pareto,
+    "part_pagerank": q_part_pagerank,
+    "events_twap": q_events_twap,
     "price_quantiles": q_price_quantiles,
     "customer_order_balance": q_customer_order_balance,
     "training_shuffle_head": q_training_shuffle_head,
@@ -4218,6 +4268,46 @@ ORACLE_SQL = {
                                       AS BIGINT))) AS BIGINT) AS revenue_c
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
+    """,
+    "part_pagerank": """
+        WITH e AS (
+            SELECT CAST(a.l_partkey AS BIGINT) AS u,
+                   CAST(b.l_partkey AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+        ),
+        s AS (SELECT u, CAST(sum(w) AS BIGINT) AS str FROM e GROUP BY u),
+        n AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS v FROM lineitem),
+        c1 AS (SELECT e.v, CAST(sum((1000000 * e.w) // s.str) AS BIGINT) AS c
+               FROM e JOIN s ON s.u = e.u GROUP BY e.v),
+        r1 AS (SELECT n.v,
+                      CAST(150000 + (850000 * COALESCE(c1.c, 0)) // 1000000
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN c1 ON c1.v = n.v),
+        c2 AS (SELECT e.v, CAST(sum((r1.r * e.w) // s.str) AS BIGINT) AS c
+               FROM e JOIN s ON s.u = e.u JOIN r1 ON r1.v = e.u
+               GROUP BY e.v)
+        SELECT n.v AS partkey,
+               CAST(150000 + (850000 * COALESCE(c2.c, 0)) // 1000000
+                    AS BIGINT) AS rank_q
+        FROM n LEFT JOIN c2 ON c2.v = n.v
+    """,
+    "events_twap": """
+        WITH l AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(cents * (nxt - ts_us)) AS BIGINT) AS twap_num,
+               CAST(sum(nxt - ts_us) AS BIGINT) AS twap_den
+        FROM l WHERE nxt IS NOT NULL
+        GROUP BY user_id
     """,
     "small_qty_revenue": """
         WITH a AS (

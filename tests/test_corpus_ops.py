@@ -1034,3 +1034,57 @@ def test_zonemap_scan_prunes_and_matches_filter(ray_session, tmp_path):
     # no-match range entirely outside the data prunes everything
     ds0, _ = zonemap_range_scan(layout, 5000.0, 6000.0)
     assert ds0 is None
+
+
+def test_copurchase_pagerank_planted_graph(ray_session):
+    """Integer PageRank: hand-built 4-node graph — two orders {1,2,3} and
+    {2,3}, so 2,3 are hubs — checked against a serial integer reference
+    and for block-layout invariance."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import (
+        copurchase_pagerank,
+    )
+
+    rows = [  # (orderkey, partkey)
+        (10, 1), (10, 2), (10, 3),
+        (11, 2), (11, 3),
+        (12, 4),          # isolated node: keeps the base rank
+        (13, 5), (13, 5)  # same part twice in one order: no self-edge
+    ]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+    def serial(iters=2):
+        import collections
+
+        edges = collections.Counter()
+        for okey in {r[0] for r in rows}:
+            parts = [p for o, p in rows if o == okey]
+            for i, u in enumerate(parts):
+                for j, v in enumerate(parts):
+                    if i != j and u != v:
+                        edges[(u, v)] += 1
+        strength = collections.Counter()
+        for (u, v), w in edges.items():
+            strength[u] += w
+        nodes = sorted({r[1] for r in rows})
+        r = {n: 1_000_000 for n in nodes}
+        for _ in range(iters):
+            acc = {n: 0 for n in nodes}
+            for (u, v), w in edges.items():
+                acc[v] += (r[u] * w) // strength[u]
+            r = {n: 150_000 + (850_000 * acc[n]) // 1_000_000 for n in nodes}
+        return r
+
+    exp = serial()
+    for parts in (1, 4):
+        out = copurchase_pagerank(
+            ray.data.from_arrow(tbl).repartition(parts), iterations=2
+        ).to_pandas()
+        got = {int(r.partkey): int(r.rank_q) for r in out.itertuples()}
+        assert got == exp, f"parts={parts}"
+    assert got[4] == 150_000  # isolated node: base rank, no contributions
+    assert got[2] > got[1]  # hub outranks the single-order part

@@ -353,3 +353,54 @@ def test_transition_counts_matches_window_idiom(ray_session):
     # total pairs = rows - users-with-at-least-one-event
     n_users = len(np.unique(tbl["user_id"].to_numpy()))
     assert int(out["cnt"].sum()) == n - n_users
+
+
+def test_grouped_time_weighted_matches_brute(ray_session):
+    """TWAP: per-user sum(value*(t_next - t)) / total-duration partials ==
+    brute per-user computation; single-event users emit nothing; ts ties
+    resolved by event_id; big durations stay int64-exact."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_time_weighted,
+    )
+
+    rng = np.random.default_rng(97)
+    n = 500
+    tbl = pa.table(
+        {
+            "user_id": pa.array(
+                np.concatenate([rng.integers(0, 40, n - 1), np.array([777])]),
+                pa.int64(),
+            ),
+            "ts_us": pa.array(
+                rng.integers(0, 3 * 10**13, n), pa.int64()  # ~1 year in us
+            ),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "cents": pa.array(rng.integers(1, 50_000, n), pa.int64()),
+        }
+    )
+    out = (
+        grouped_time_weighted(
+            ray.data.from_arrow(tbl).repartition(6),
+            group="user_id", order="ts_us", tiebreak="event_id", value="cents",
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    # brute
+    import pandas as pd
+
+    df = tbl.to_pandas().sort_values(["user_id", "ts_us", "event_id"])
+    exp = {}
+    for uid, sub in df.groupby("user_id"):
+        if len(sub) < 2:
+            continue
+        t = sub["ts_us"].to_numpy()
+        c = sub["cents"].to_numpy()
+        dur = t[1:] - t[:-1]
+        exp[int(uid)] = (int((c[:-1] * dur).sum()), int(dur.sum()))
+    got = {
+        int(r.user_id): (int(r.twap_num), int(r.twap_den))
+        for r in out.itertuples()
+    }
+    assert got == exp
+    assert 777 not in got  # single-event user excluded, like the SQL twin
