@@ -3688,6 +3688,36 @@ def q_doc_pair_cosine(sf_dir: str):
     return sparse_pair_cosine(_docs_ds(sf_dir), vocab_size=24, min_cos_pct=60)
 
 
+def q_streaming_window_topk(sf_dir: str):
+    """Streaming windowed top-k leaderboard (pipelines/stream_topk.py):
+    top-5 users per tumbling day, computed by a key-routed actor pool with
+    watermark-driven window close — local top-k per actor (a key's count
+    completes in one actor), global merge at output scale.  The events log
+    is ts-sorted, so a small lateness bound suffices and the result equals
+    the batch window twin exactly."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_topk import run_streaming_topk
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "event_ts": ev["ts"].cast(pa.int64()),
+        }
+    )
+    res = run_streaming_topk(
+        ray.data.from_arrow(src),
+        window_size=86_400_000_000,
+        k=5,
+        allowed_lateness=1,
+        n_actors=3,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_part_pagerank(sf_dir: str):
     """Integer-exact PageRank over the part co-purchase graph
     (functions/graph.py::copurchase_pagerank): order-partitioned edge
@@ -3969,6 +3999,7 @@ QUERIES = {
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "part_pagerank": q_part_pagerank,
     "events_twap": q_events_twap,
+    "streaming_window_topk": q_streaming_window_topk,
     "price_quantiles": q_price_quantiles,
     "customer_order_balance": q_customer_order_balance,
     "training_shuffle_head": q_training_shuffle_head,
@@ -4268,6 +4299,19 @@ ORACLE_SQL = {
                                       AS BIGINT))) AS BIGINT) AS revenue_c
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
+    """,
+    "streaming_window_topk": """
+        WITH c AS (
+            SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS window_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_id, user_id, cnt, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY window_id ORDER BY cnt DESC, user_id) AS rnk
+              FROM c)
+        WHERE rnk <= 5
     """,
     "part_pagerank": """
         WITH e AS (

@@ -1,0 +1,100 @@
+"""Streaming windowed top-k leaderboard (pipelines/stream_topk.py):
+golden equality vs a brute batch computation under disorder <= lateness,
+invariance to actor count / micro-batch size, tie ranking, and late-row
+routing for rows behind the watermark."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_topk import (
+    run_streaming_topk,
+)
+
+W = 1000
+
+
+def _brute(tbl: pa.Table, k: int = 3) -> dict:
+    df = tbl.to_pandas()
+    df["window_id"] = df["event_ts"] // W
+    c = (
+        df.groupby(["window_id", "user_id"], as_index=False)
+        .size()
+        .rename(columns={"size": "cnt"})
+    )
+    out = {}
+    for wid, sub in c.groupby("window_id"):
+        sub = sub.sort_values(["cnt", "user_id"], ascending=[False, True])
+        for r, row in enumerate(sub.head(k).itertuples(), 1):
+            out[(int(wid), int(row.user_id))] = (int(row.cnt), r)
+    return out
+
+
+def _stream(n=4000, disorder=0, seed=5):
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(0, 20 * W, n))
+    if disorder:
+        ts = ts + rng.integers(-disorder, disorder + 1, n)
+    return pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+            "event_ts": pa.array(ts, pa.int64()),
+        }
+    )
+
+
+def test_stream_topk_matches_brute_and_is_layout_invariant(ray_session):
+    tbl = _stream(disorder=40)
+    exp = _brute(tbl)
+    for n_actors, mb in ((1, 4000), (3, 256), (5, 97)):
+        res = run_streaming_topk(
+            ray.data.from_arrow(tbl),
+            window_size=W,
+            k=3,
+            allowed_lateness=80,  # >= 2*disorder: no legitimate row is late
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+        )
+        got = {
+            (int(r.window_id), int(r.user_id)): (int(r.cnt), int(r.rnk))
+            for r in res.output.to_pandas().itertuples()
+        }
+        assert got == exp, f"actors={n_actors} mb={mb}"
+        assert res.n_late == 0
+
+
+def test_stream_topk_ties_rank_by_key(ray_session):
+    rows = [(0, u) for u in (7, 3, 9, 3, 7, 9, 1)]  # 3,7,9 tie at 2; 1 once
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for _, u in rows], pa.int64()),
+            "event_ts": pa.array([t for t, _ in rows], pa.int64()),
+        }
+    )
+    res = run_streaming_topk(
+        ray.data.from_arrow(tbl), window_size=W, k=3,
+        allowed_lateness=1, n_actors=2, micro_batch_rows=2,
+    )
+    df = res.output.to_pandas().sort_values("rnk")
+    assert df["user_id"].tolist() == [3, 7, 9]
+    assert df["cnt"].tolist() == [2, 2, 2]
+
+
+def test_stream_topk_late_rows_routed_not_dropped(ray_session):
+    # ordered stream, then one far-late straggler whose window has closed
+    ts = np.concatenate([np.arange(5000, dtype=np.int64), np.array([12])])
+    tbl = pa.table(
+        {
+            "user_id": pa.array(np.arange(ts.size) % 11, pa.int64()),
+            "event_ts": pa.array(ts, pa.int64()),
+        }
+    )
+    res = run_streaming_topk(
+        ray.data.from_arrow(tbl), window_size=W, k=2,
+        allowed_lateness=1, n_actors=2, micro_batch_rows=128,
+    )
+    assert res.n_late == 1
+    assert res.late is not None and res.late.num_rows == 1
+    assert int(res.late["event_ts"][0].as_py()) == 12
