@@ -122,3 +122,89 @@ def run_streaming_topk(
         n_late=sum(s["n_late"] for s in stats),
         actor_stats=stats,
     )
+
+
+def run_streaming_distinct(
+    source,
+    *,
+    window_size: int,
+    key_col: str = "user_id",
+    ts_col: str = "event_ts",
+    allowed_lateness: int = 32,
+    n_actors: int = 4,
+    micro_batch_rows: int = 512,
+) -> StreamingResult:
+    """Streaming EXACT count(DISTINCT key) per tumbling window — the same
+    key-routed state pool (keys are disjoint across actors, so the global
+    distinct count of a window is the SUM of per-actor cell counts at
+    close).  Returns ``(window_id, n_distinct)``; per-window driver traffic
+    is one int64 row per actor."""
+    from ..state.topk_state import TopkStateActor
+
+    actors = [
+        TopkStateActor.remote(
+            window_size=window_size, k=1, key_col=key_col, ts_col=ts_col,
+            emit="distinct",
+        )
+        for _ in range(n_actors)
+    ]
+    tracker = WatermarkTracker.remote(1, allowed_lateness)
+
+    cand: list = []
+    pending: list = []
+    wm = -(1 << 62)
+    batch_idx = 0
+    for batch in _arrival_batches(source, micro_batch_rows):
+        ts = np.asarray(batch[ts_col], dtype=np.int64)
+        if batch_idx % 4 == 0:
+            wm = max(wm, ray.get(tracker.watermark.remote()))
+        batch_idx += 1
+        route = _splitmix_route(np.asarray(batch[key_col], np.int64), n_actors)
+        for a in range(n_actors):
+            idx = np.nonzero(route == a)[0]
+            if idx.size == 0:
+                continue
+            pending.append(actors[a].ingest.remote(batch.take(idx), wm))
+        tracker.update.remote(0, int(ts.max()))
+        if len(pending) >= n_actors * 4:
+            done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
+            for tables, _ in ray.get(done):
+                cand.extend(tables)
+
+    for tables, _ in ray.get(pending):
+        cand.extend(tables)
+    for flushed in ray.get([a.flush.remote() for a in actors]):
+        cand.extend(flushed)
+
+    late_tables = [
+        t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None
+    ]
+    stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+
+    if not cand:
+        out = pa.table(
+            {
+                "window_id": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+            }
+        )
+    else:
+        t = pa.concat_tables(cand)
+        w = np.asarray(t["window_id"], np.int64)
+        c = np.asarray(t["n_distinct"], np.int64)
+        wu, inv = np.unique(w, return_inverse=True)
+        sums = np.bincount(inv, weights=c, minlength=wu.size).astype(np.int64)
+        out = pa.table(
+            {
+                "window_id": pa.array(wu, pa.int64()),
+                "n_distinct": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return StreamingResult(
+        output=out,
+        late=late,
+        n_late=sum(s["n_late"] for s in stats),
+        actor_stats=stats,
+    )

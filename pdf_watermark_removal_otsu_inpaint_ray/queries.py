@@ -3718,6 +3718,34 @@ def q_streaming_window_topk(sf_dir: str):
     return res.output
 
 
+def q_streaming_window_distinct(sf_dir: str):
+    """Streaming exact count(DISTINCT user) per tumbling day
+    (pipelines/stream_topk.py::run_streaming_distinct): keys are disjoint
+    across the key-routed actors, so per-window distinct = SUM of
+    per-actor state-cell counts at watermark close — one int64 row per
+    actor per window to the driver."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_topk import run_streaming_distinct
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "event_ts": ev["ts"].cast(pa.int64()),
+        }
+    )
+    res = run_streaming_distinct(
+        ray.data.from_arrow(src),
+        window_size=86_400_000_000,
+        allowed_lateness=1,
+        n_actors=3,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_part_pagerank(sf_dir: str):
     """Integer-exact PageRank over the part co-purchase graph
     (functions/graph.py::copurchase_pagerank): order-partitioned edge
@@ -4000,6 +4028,7 @@ QUERIES = {
     "part_pagerank": q_part_pagerank,
     "events_twap": q_events_twap,
     "streaming_window_topk": q_streaming_window_topk,
+    "streaming_window_distinct": q_streaming_window_distinct,
     "price_quantiles": q_price_quantiles,
     "customer_order_balance": q_customer_order_balance,
     "training_shuffle_head": q_training_shuffle_head,
@@ -4299,6 +4328,11 @@ ORACLE_SQL = {
                                       AS BIGINT))) AS BIGINT) AS revenue_c
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
+    """,
+    "streaming_window_distinct": """
+        SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS window_id,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        FROM events GROUP BY 1
     """,
     "streaming_window_topk": """
         WITH c AS (

@@ -42,6 +42,9 @@ class TopkStateActor(_StagedEmitterBase):
         k: int,
         key_col: str = "user_id",
         ts_col: str = "event_ts",
+        emit: str = "topk",  # "topk" | "distinct" (exact per-window
+        # distinct-key count: cells per closed window; keys are disjoint
+        # across actors, so the driver SUM of per-actor counts is exact)
     ):
         self._init_staging(
             sink_dir=None,
@@ -54,6 +57,7 @@ class TopkStateActor(_StagedEmitterBase):
         self.window_size = int(window_size)
         self.k = int(k)
         self.key_col, self.ts_col = key_col, ts_col
+        self.emit = emit
         # lexsorted (window, key) -> count state
         self._swin = np.zeros(0, np.int64)
         self._skey = np.zeros(0, np.int64)
@@ -83,6 +87,25 @@ class TopkStateActor(_StagedEmitterBase):
             return []
         mask = self._swin <= w_closed
         out: list[pa.Table] = []
+        if mask.any() and self.emit == "distinct":
+            w = self._swin[mask]
+            wu, nd = np.unique(w, return_counts=True)
+            out = [
+                pa.table(
+                    {
+                        "window_id": pa.array(wu, pa.int64()),
+                        "n_distinct": pa.array(nd.astype(np.int64), pa.int64()),
+                    }
+                )
+            ]
+            inv = ~mask
+            self._swin, self._skey, self._scnt = (
+                self._swin[inv],
+                self._skey[inv],
+                self._scnt[inv],
+            )
+            self.finalized_win = max(self.finalized_win, int(w_closed))
+            return out
         if mask.any():
             w, kk, c = self._swin[mask], self._skey[mask], self._scnt[mask]
             # local top-k per window: one lexsort (window, -cnt, key) + rank

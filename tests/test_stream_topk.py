@@ -98,3 +98,35 @@ def test_stream_topk_late_rows_routed_not_dropped(ray_session):
     assert res.n_late == 1
     assert res.late is not None and res.late.num_rows == 1
     assert int(res.late["event_ts"][0].as_py()) == 12
+
+
+def _brute_distinct(tbl: pa.Table) -> dict:
+    df = tbl.to_pandas()
+    df["window_id"] = df["event_ts"] // W
+    return {
+        int(w): int(n)
+        for w, n in df.groupby("window_id")["user_id"].nunique().items()
+    }
+
+
+def test_stream_distinct_matches_brute_and_is_layout_invariant(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_topk import (
+        run_streaming_distinct,
+    )
+
+    tbl = _stream(disorder=40, seed=9)
+    exp = _brute_distinct(tbl)
+    for n_actors, mb in ((1, 4000), (3, 256), (5, 97)):
+        res = run_streaming_distinct(
+            ray.data.from_arrow(tbl),
+            window_size=W,
+            allowed_lateness=80,
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+        )
+        got = {
+            int(r.window_id): int(r.n_distinct)
+            for r in res.output.to_pandas().itertuples()
+        }
+        assert got == exp, f"actors={n_actors} mb={mb}"
+        assert res.n_late == 0
