@@ -632,3 +632,151 @@ def pca_project(ds, *, r: int = 4, x_scale: int = 10_000,
     return ds.select_columns(["vec_id", "embedding"]).map_batches(
         project, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN codes + ADC search
+# ---------------------------------------------------------------------------
+
+
+class PqIndex:
+    """Product-quantization ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split the d-dim embedding into
+    ``m`` subspaces, k-means each subspace to ``k_codes`` centroids on a
+    driver-held sample, then ENCODE every vector as m small codes (uint8)
+    — a 4-byte-per-dim float column becomes ~m bytes per row.  Search is
+    asymmetric distance computation (ADC): one (m × k_codes) lookup table
+    per query, then a vectorized gather-sum over the code columns.
+
+    Engine analog of the reference's downsample-before-classify idea
+    (document_classifier.py:84-89) applied to retrieval: pay full precision
+    once at encode time, stream the compressed codes afterwards.
+
+    Determinism (the repo-wide integer convention, cf. ``_kmeans_assign``):
+    vectors quantize to int64 at ``x_scale``; codebook entries live at
+    scale ``100·x_scale`` as int64; assignment and ADC distances are exact
+    integer arithmetic — the distributed result is bit-identical to the
+    single-process golden twin for any batch layout.  Ties break to the
+    lowest code / lowest vec_id.
+
+    100-TB shape: fit is a driver-side Lloyd loop over a bounded sample
+    (codebooks are m·k_codes·(d/m) ints — tiny, broadcast once via
+    ``ray.put``); encode is one embarrassingly-parallel ``map_batches``
+    pass whose OUTPUT is ~16× smaller than its input (this is the point:
+    the search corpus that must be rescanned per query batch is the
+    compressed one); search is one ``map_batches`` over codes emitting k
+    candidate rows per block, driver merges k×blocks rows (k-scale).
+    """
+
+    def __init__(self, m: int = 8, k_codes: int = 16, iters: int = 4,
+                 x_scale: int = 10_000):
+        self.m, self.k_codes, self.iters, self.x_scale = m, k_codes, iters, x_scale
+        self.codebooks: np.ndarray | None = None  # (m, k_codes, d//m) int64 @ 100*x_scale
+        self.dim: int | None = None
+
+    # -- training ----------------------------------------------------------
+
+    def fit(self, sample: np.ndarray) -> "PqIndex":
+        """Per-subspace integer Lloyd on a driver-held sample.  Init: the
+        first ``k_codes`` sample rows (file order — no RNG); an empty code
+        keeps its previous centroid; means round ``floor(x+0.5)``."""
+        S = np.asarray(sample, dtype=np.float64)
+        n, d = S.shape
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        if n < self.k_codes:
+            raise ValueError(f"PQ fit needs >= k_codes={self.k_codes} rows, got {n}")
+        sub = d // self.m
+        Sq = _kmeans_quantize(S, self.x_scale).reshape(n, self.m, sub)
+        books = np.empty((self.m, self.k_codes, sub), np.int64)
+        for mi in range(self.m):
+            X = Sq[:, mi, :]                       # (n, sub) int64 @ x_scale
+            C = X[: self.k_codes] * 100            # @ 100*x_scale
+            for _ in range(self.iters):
+                a = _kmeans_assign(X, C)
+                cnt = np.bincount(a, minlength=self.k_codes).astype(np.int64)
+                sums = np.zeros((self.k_codes, sub), np.int64)
+                np.add.at(sums, a, X)
+                nz = cnt > 0
+                C = C.copy()
+                C[nz] = np.floor(
+                    sums[nz].astype(np.float64) * 100.0 / cnt[nz, None] + 0.5
+                ).astype(np.int64)
+            books[mi] = C
+        self.codebooks, self.dim = books, d
+        return self
+
+    # -- encode (distributed, output ~16x smaller than input) ---------------
+
+    def encode(self, ds):
+        """``(vec_id, embedding)`` → ``(vec_id, codes: list<uint8>[m])``.
+        One stateless vectorized pass; codebooks broadcast once."""
+        bref = ray.put(self.codebooks)
+        m, sub, x_scale = self.m, self.dim // self.m, self.x_scale
+
+        def enc(b: pa.Table) -> pa.Table:
+            books = ray.get(bref)
+            M = matrix_of(b["embedding"])
+            Xq = _kmeans_quantize(M, x_scale).reshape(len(M), m, sub)
+            codes = np.empty((len(M), m), np.uint8)
+            for mi in range(m):
+                codes[:, mi] = _kmeans_assign(Xq[:, mi, :], books[mi]).astype(np.uint8)
+            flat = pa.array(codes.reshape(-1), pa.uint8())
+            off = pa.array(np.arange(len(M) + 1, dtype=np.int32) * m)
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"].cast(pa.int64()),
+                    "codes": pa.ListArray.from_arrays(off, flat),
+                }
+            )
+
+        return ds.select_columns(["vec_id", "embedding"]).map_batches(
+            enc, batch_format="pyarrow"
+        )
+
+    # -- ADC search ---------------------------------------------------------
+
+    def _adc_lut(self, query: np.ndarray) -> np.ndarray:
+        """(m, k_codes) int64 table of exact ||100·q_sub − c||² distances."""
+        q = np.asarray(query, dtype=np.float64)
+        sub = self.dim // self.m
+        Qq = _kmeans_quantize(q[None, :], self.x_scale).reshape(self.m, sub)
+        lut = np.empty((self.m, self.k_codes), np.int64)
+        for mi in range(self.m):
+            diff = 100 * Qq[mi][None, :] - self.codebooks[mi]
+            lut[mi] = np.einsum("ij,ij->i", diff, diff)
+        return lut
+
+    def search(self, codes_ds, query: np.ndarray, k: int = 10) -> pa.Table:
+        """ADC top-k over an encoded Dataset: per block, gather-sum the
+        broadcast LUT over the code matrix and keep the k smallest
+        (ties → lowest vec_id); the driver merges k rows per block with
+        the same rule.  Returns ``(vec_id, rank, adc_dist)`` int64."""
+        lref = ray.put(self._adc_lut(query))
+        m = self.m
+
+        def topk_part(b: pa.Table) -> pa.Table:
+            lut = ray.get(lref)
+            ids = np.asarray(b["vec_id"].combine_chunks().cast(pa.int64()))
+            col = b["codes"].combine_chunks()
+            codes = np.asarray(col.values, np.int64).reshape(-1, m)
+            dist = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            sel = np.lexsort((ids, dist))[:k]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[sel], pa.int64()),
+                    "adc_dist": pa.array(dist[sel], pa.int64()),
+                }
+            )
+
+        cand = codes_ds.map_batches(topk_part, batch_format="pyarrow").to_pandas()
+        ids = cand["vec_id"].to_numpy(np.int64)
+        dist = cand["adc_dist"].to_numpy(np.int64)
+        sel = np.lexsort((ids, dist))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[sel], pa.int64()),
+                "rank": pa.array(np.arange(1, sel.size + 1), pa.int64()),
+                "adc_dist": pa.array(dist[sel], pa.int64()),
+            }
+        )

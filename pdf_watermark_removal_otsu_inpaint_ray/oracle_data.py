@@ -50,6 +50,7 @@ GOLDEN_QUERIES = (
     "bpe_token_counts",
     "media_phash_near_dup",
     "media_audio_energy",
+    "pq_topk",
 )
 
 
@@ -936,3 +937,69 @@ def _golden_media_audio_energy(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["media_audio_energy"] = _golden_media_audio_energy
+
+
+def _golden_pq_topk(sf_dir: str) -> pa.Table:
+    """Independent single-process PQ twin: per-subspace integer Lloyd,
+    uint8 encode, exact-integer ADC top-10 — REIMPLEMENTED here with plain
+    numpy (no PqIndex import), so a bug in the engine's shared fit/assign
+    code shows up as a golden mismatch rather than propagating to both
+    sides.  Spec (must track functions/similarity.PqIndex): x quantizes to
+    floor(x*1e4+0.5) int64; codebooks at scale 1e6 init from the first
+    k_codes sample rows; assignment = argmin ||100*xq - c||^2 exact int,
+    ties to the LOWEST code; means floor(sum*100/cnt+0.5); empty code
+    keeps its centroid; ADC dist = sum_m ||100*qq_m - c_m,code||^2; final
+    ties to the lowest vec_id."""
+    m, k_codes, iters, k = 8, 16, 4, 10
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    col = t["embedding"].combine_chunks()
+    M = np.asarray(col.flatten(), dtype=np.float64).reshape(len(ids), -1)
+    n, d = M.shape
+    sub = d // m
+    q = M[np.nonzero(ids == 0)[0][0]]
+    Xq = np.floor(M * 10_000 + 0.5).astype(np.int64).reshape(n, m, sub)
+    Sq = Xq[:256]  # sample = first 256 rows in file order (IVF convention)
+
+    def assign(X, C):
+        # argmin ||100X - C||^2 = argmin (||C||^2 - 2 (100X)·C) per row
+        d2 = np.einsum("ij,ij->i", C, C)
+        return np.argmin(d2[None, :] - 2 * ((100 * X) @ C.T), axis=1)
+
+    books = []
+    for mi in range(m):
+        X = Sq[:, mi, :]
+        C = X[:k_codes] * 100
+        for _ in range(iters):
+            a = assign(X, C)
+            cnt = np.bincount(a, minlength=k_codes)
+            sums = np.zeros((k_codes, sub), np.int64)
+            np.add.at(sums, a, X)
+            C = C.copy()
+            nz = cnt > 0
+            C[nz] = np.floor(sums[nz] * 100.0 / cnt[nz, None] + 0.5).astype(np.int64)
+        books.append(C)
+
+    codes = np.empty((n, m), np.int64)
+    for mi in range(m):
+        codes[:, mi] = assign(Xq[:, mi, :], books[mi])
+    qq = np.floor(q * 10_000 + 0.5).astype(np.int64).reshape(m, sub)
+    lut = np.stack(
+        [
+            np.einsum("ij,ij->i", 100 * qq[mi][None, :] - books[mi],
+                      100 * qq[mi][None, :] - books[mi])
+            for mi in range(m)
+        ]
+    )
+    dist = lut[np.arange(m)[None, :], codes].sum(axis=1)
+    sel = np.lexsort((ids, dist))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[sel], pa.int64()),
+            "rank": pa.array(np.arange(1, sel.size + 1), pa.int64()),
+            "adc_dist": pa.array(dist[sel], pa.int64()),
+        }
+    )
+
+
+_COMPUTE["pq_topk"] = _golden_pq_topk

@@ -2516,6 +2516,30 @@ def q_knn_ivf(sf_dir: str):
     return idx.search_partitioned(layout, q, k=10)
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (functions/similarity.py::PqIndex): fit
+    8×16 integer codebooks on the first-256-row sample, ENCODE the corpus
+    to uint8 codes in one distributed pass (~16× smaller than the float
+    column), then ADC top-10 via a broadcast lookup table — checked
+    bit-exact against an independently reimplemented single-process twin
+    (oracle_data._golden_pq_topk)."""
+    _with_golden("pq_topk", sf_dir)
+    import pyarrow.parquet as pq_
+
+    import ray.data
+
+    from .functions.similarity import PqIndex, matrix_of
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = t.filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
+    sample = matrix_of(t["embedding"].slice(0, 256))
+    idx = PqIndex(m=8, k_codes=16, iters=4).fit(sample)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return idx.search(idx.encode(ds), np.asarray(q), k=10)
+
+
 def q_embedding_near_dup_ivf(sf_dir: str):
     """IVF-bucketed near-dup (multi-probe top-2 partitions) — the scale
     path for embedding_near_dup; checked against its materialized golden."""
@@ -4062,6 +4086,7 @@ QUERIES = {
     "embedding_knn": q_embedding_knn,
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf": q_knn_ivf,
+    "pq_topk": q_pq_topk,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "approx_distinct_words": q_approx_distinct_words,
     "kmeans_embeddings": q_kmeans_embeddings,
