@@ -316,7 +316,8 @@ def main() -> None:
             "source_token_entropy", "term_cooccurrence",
             "small_qty_revenue", "customer_revenue_pareto",
             "events_zonemap_scan", "part_pagerank", "events_twap",
-            "streaming_window_topk",
+            "streaming_window_topk", "streaming_window_distinct", "pq_topk",
+            "edit_distance_join",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

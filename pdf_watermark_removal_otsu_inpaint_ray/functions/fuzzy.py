@@ -1,0 +1,182 @@
+"""Edit-distance similarity join (fuzzy self-join over a document corpus).
+
+Finds all same-source pairs within Levenshtein distance ``tau`` — the
+string-metric sibling of the MinHash/SimHash near-dup family (reference
+analog: the duplicate-page detection idea behind the multi-pass removal
+chain, ``watermark_remover.py:174-232``, applied to text instead of masks).
+Unlike the sketch paths this join is EXACT: the banding scheme is lossless
+for the metric, so the distributed result equals the naive all-pairs twin.
+
+Distribution shape (the 100-TB path):
+* **Lossless length banding.** ``|len(a) − len(b)| ≤ tau`` is a hard
+  Levenshtein bound, so with band width ``tau+1`` a qualifying pair's bands
+  differ by at most 1.  Each doc is emitted to its native band ``k`` and to
+  ``k+1``; a pair is evaluated exactly once, in group
+  ``g = max(band_a, band_b)`` — no global dedup pass needed.
+* **Coarse partitions, vectorized sweep.** Group key (source, g) hashes to
+  ``num_parts`` coarse partitions; within a partition one lexsort +
+  boundary sweep walks the groups (the `_distinct_pairs` lesson: never a
+  per-tiny-group callback).  The shuffle carries (doc_id, text, band) — a
+  length-banded fuzzy join cannot avoid shipping the strings it compares,
+  but each string travels to at most 2 groups.
+* **Cheap lossless prefilter.** Per-pair, the character-bag bound
+  ``ed(a,b) ≥ max(#inserts, #deletes)`` from two 128-bin histograms kills
+  most non-matches for ~1 µs before the O(n·m) DP runs.
+* **Early-abandon banded DP.** The row minimum of the Levenshtein matrix is
+  non-decreasing, so the vectorized row DP aborts once it exceeds ``tau``.
+
+Driver traffic is output-scale only (the matched pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _mix64, _text_hashes
+
+_HIST_BINS = 128  # ASCII fold: codepoints >= 128 share bins mod 128
+
+
+def _codepoints(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+def _char_hist(cp: np.ndarray) -> np.ndarray:
+    return np.bincount(cp % _HIST_BINS, minlength=_HIST_BINS)
+
+
+def _bag_bound(ha: np.ndarray, hb: np.ndarray) -> int:
+    """Lossless lower bound: turning a into b needs at least max(surplus,
+    deficit) edits, where surplus/deficit come from the character bags.
+    (Folding bins only WEAKENS the bound — still lossless.)"""
+    d = ha - hb
+    return int(max(d[d > 0].sum(initial=0), -d[d < 0].sum(initial=0)))
+
+
+def _lev_capped(s: np.ndarray, t: np.ndarray, tau: int) -> int:
+    """Exact Levenshtein if ≤ tau, else any value > tau.  Vectorized row DP:
+    vertical+diagonal from the previous row, then the horizontal (insert)
+    closure as a running min — ``cur[j] = min_i≤j (cur[i] + (j−i))``."""
+    n, m = s.size, t.size
+    if abs(n - m) > tau:
+        return tau + 1
+    if n == 0 or m == 0:
+        return max(n, m)
+    ar = np.arange(m + 1, dtype=np.int64)
+    prev = ar.copy()
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (t != s[i - 1]))
+        cur = np.minimum(cur, np.minimum.accumulate(cur - ar) + ar)
+        if cur.min() > tau:  # row min is non-decreasing in i
+            return tau + 1
+        prev = cur
+    return int(prev[m])
+
+
+def edit_distance_join(ds, *, tau: int = 80, num_parts: int = 32):
+    """All (a, b, dist) with ``a.doc_id < b.doc_id``, equal ``source``, and
+    ``levenshtein(a.text, b.text) ≤ tau`` — exact, layout-independent.
+
+    Input needs columns (doc_id, text, source).  Lengths are UNICODE char
+    counts (matching SQL ``levenshtein`` semantics).
+    """
+    import pandas as pd
+
+    width = tau + 1
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        band = lens // width
+        src_h = _text_hashes(b["source"].to_pylist())
+        ids = np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
+        idx = np.concatenate([np.arange(len(texts))] * 2)
+        g = np.concatenate([band, band + 1])
+        pk = (
+            (src_h[idx].astype(np.uint64) ^ _mix64(g.astype(np.uint64)))
+            % np.uint64(num_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "src_h": pa.array(src_h[idx], pa.int64()),
+                "g": pa.array(g, pa.int64()),
+                "band": pa.array(band[idx], pa.int64()),
+                "doc_id": pa.array(ids[idx], pa.int64()),
+                "len": pa.array(lens[idx], pa.int64()),
+                "text": pa.array([texts[i] for i in idx], pa.string()),
+                # carried so a (astronomically unlikely) 63-bit src_h
+                # collision can't emit a cross-source pair — the join
+                # predicate compares the real strings
+                "source": b["source"].take(pa.array(idx, pa.int32())),
+            }
+        )
+
+    def sweep(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame({"a": [], "b": [], "dist": []}, dtype=np.int64)
+        order = np.lexsort((part["g"].to_numpy(), part["src_h"].to_numpy()))
+        src_h = part["src_h"].to_numpy()[order]
+        g = part["g"].to_numpy()[order]
+        band = part["band"].to_numpy()[order]
+        ids = part["doc_id"].to_numpy()[order]
+        lens = part["len"].to_numpy()[order]
+        texts = part["text"].to_numpy()[order]
+        srcs = part["source"].to_numpy()[order]
+        starts = np.nonzero(
+            np.concatenate(([True], (src_h[1:] != src_h[:-1]) | (g[1:] != g[:-1])))
+        )[0]
+        ends = np.concatenate((starts[1:], [len(ids)]))
+        out_a, out_b, out_d = [], [], []
+        for s0, e0 in zip(starts, ends):
+            k = e0 - s0
+            if k < 2:
+                continue
+            gg = g[s0]
+            cps = [None] * k
+            hists = [None] * k
+            for i in range(s0, e0 - 1):
+                for j in range(i + 1, e0):
+                    # evaluate each pair exactly once: in the MAX of the two
+                    # native bands (both copies coexist only there and in
+                    # max+1, which this guard skips)
+                    if max(band[i], band[j]) != gg:
+                        continue
+                    if abs(lens[i] - lens[j]) > tau or ids[i] == ids[j]:
+                        continue
+                    if srcs[i] != srcs[j]:
+                        continue
+                    ii, jj = i - s0, j - s0
+                    if cps[ii] is None:
+                        cps[ii] = _codepoints(texts[i])
+                        hists[ii] = _char_hist(cps[ii])
+                    if cps[jj] is None:
+                        cps[jj] = _codepoints(texts[j])
+                        hists[jj] = _char_hist(cps[jj])
+                    if _bag_bound(hists[ii], hists[jj]) > tau:
+                        continue
+                    d = _lev_capped(cps[ii], cps[jj], tau)
+                    if d <= tau:
+                        a_id, b_id = (
+                            (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                        )
+                        out_a.append(a_id)
+                        out_b.append(b_id)
+                        out_d.append(d)
+        return pd.DataFrame(
+            {
+                "a": np.asarray(out_a, np.int64),
+                "b": np.asarray(out_b, np.int64),
+                "dist": np.asarray(out_d, np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id", "text", "source"])
+        .map_batches(fan_out, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(sweep, batch_format="pandas")
+    )

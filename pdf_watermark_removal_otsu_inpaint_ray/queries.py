@@ -2516,6 +2516,18 @@ def q_knn_ivf(sf_dir: str):
     return idx.search_partitioned(layout, q, k=10)
 
 
+def q_edit_distance_join(sf_dir: str):
+    """Exact Levenshtein self-join (functions/fuzzy.py::edit_distance_join):
+    same-source pairs within edit distance 80, found via lossless length
+    banding + coarse-partition sweep + bag-bound prefilter + early-abandon
+    vectorized DP — never an all-pairs pass."""
+    from .functions.fuzzy import edit_distance_join
+
+    ds = _docs_ds(sf_dir)
+    out = edit_distance_join(ds, tau=80)
+    return out.select_columns(["a", "b", "dist"])
+
+
 def q_pq_topk(sf_dir: str):
     """Product-quantization ANN (functions/similarity.py::PqIndex): fit
     8×16 integer codebooks on the first-256-row sample, ENCODE the corpus
@@ -4078,6 +4090,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "cross_source_texts": q_cross_source_texts,
     "ngram_jaccard": q_ngram_jaccard,
+    "edit_distance_join": q_edit_distance_join,
     "dedup_clusters": q_dedup_clusters,
     "length_quantiles": q_length_quantiles,
     "quality_cut": q_quality_cut,
@@ -5315,6 +5328,14 @@ ORACLE_SQL = {
         SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
                CAST(count(*) AS BIGINT) AS n_dup
         FROM documents GROUP BY text
+    """,
+    "edit_distance_join": """
+        SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM documents a JOIN documents b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 80
+        WHERE levenshtein(a.text, b.text) <= 80
     """,
     "ngram_jaccard": f"""
         WITH t AS (SELECT doc_id, source, list_distinct({_WORDS_SQL}) AS grams

@@ -1,0 +1,115 @@
+"""Edit-distance similarity join (functions/fuzzy.py): brute all-pairs
+equality (independent pure-python DP), band-edge pairs, cross-source
+exclusion, layout invariance, and the capped-DP/bag-bound unit contracts."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pdf_watermark_removal_otsu_inpaint_ray.functions.fuzzy import (
+    _bag_bound,
+    _char_hist,
+    _codepoints,
+    _lev_capped,
+    edit_distance_join,
+)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def _corpus():
+    rng = np.random.default_rng(3)
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = []
+    did = 0
+
+    def add(text, source):
+        nonlocal did
+        rows.append((did, text, source))
+        did += 1
+
+    # clusters of near-duplicates (small random edits), mixed sources
+    for src in ("s0", "s1"):
+        for c in range(3):
+            seed = base + f"cluster {c} of {src} " * (c + 1)
+            for v in range(3):
+                chars = list(seed)
+                for _ in range(rng.integers(0, 12)):
+                    p = int(rng.integers(0, len(chars)))
+                    chars[p] = chr(97 + int(rng.integers(0, 26)))
+                add("".join(chars), src)
+    # same text in DIFFERENT sources: must NOT pair
+    add("identical across sources " * 6, "s0")
+    add("identical across sources " * 6, "s1")
+    # band-edge pair: lengths straddle a band boundary (width tau+1 = 31)
+    add("x" * 61, "s0")   # band 1
+    add("x" * 63, "s0")   # band 2, ed = 2
+    # unrelated long docs
+    for _ in range(12):
+        add("".join(chr(97 + int(c)) for c in rng.integers(0, 26, 200)), "s0")
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _brute(tbl: pa.Table, tau: int) -> set:
+    ids = tbl["doc_id"].to_pylist()
+    txt = tbl["text"].to_pylist()
+    src = tbl["source"].to_pylist()
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if src[i] != src[j] or abs(len(txt[i]) - len(txt[j])) > tau:
+                continue
+            d = _lev_ref(txt[i], txt[j])
+            if d <= tau:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, d))
+    return out
+
+
+def test_edit_join_matches_brute_and_is_layout_invariant(ray_session):
+    tbl = _corpus()
+    tau = 30
+    exp = _brute(tbl, tau)
+    assert exp, "corpus must contain matching pairs"
+    # the planted band-edge pair is present
+    assert any(a == 20 and b == 21 for a, b, _ in exp)
+    for nblocks in (1, 4, 9):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        res = edit_distance_join(ds, tau=tau, num_parts=8).to_pandas()
+        got = set(zip(res["a"].astype(int), res["b"].astype(int), res["dist"].astype(int)))
+        assert got == exp, f"nblocks={nblocks}"
+    # identical text across sources excluded
+    assert not any(a == 18 and b == 19 for a, b, _ in exp)
+
+
+def test_lev_capped_exact_and_capped():
+    cases = [("kitten", "sitting"), ("abc", ""), ("", ""), ("same", "same"),
+             ("abcdef", "azcdxf"), ("aaaa", "bbbb")]
+    for a, b in cases:
+        ref = _lev_ref(a, b)
+        assert _lev_capped(_codepoints(a), _codepoints(b), 10) == min(ref, 11)
+        if ref > 2:
+            assert _lev_capped(_codepoints(a), _codepoints(b), 2) > 2
+
+
+def test_bag_bound_is_lower_bound():
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        a = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 40))
+        b = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 45))
+        ca, cb = _codepoints(a), _codepoints(b)
+        assert _bag_bound(_char_hist(ca), _char_hist(cb)) <= _lev_ref(a, b)
