@@ -76,7 +76,78 @@ def _lev_capped(s: np.ndarray, t: np.ndarray, tau: int) -> int:
     return int(prev[m])
 
 
-def edit_distance_join(ds, *, tau: int = 80, num_parts: int = 32):
+def _lev_capped_many(s: np.ndarray, ts: list[np.ndarray], tau: int) -> np.ndarray:
+    """`_lev_capped` of one left string against MANY partners at once: the
+    partners pad into a (P, m_max) matrix (sentinel −1 never equals a
+    codepoint) and every DP row is computed for all still-active partners
+    in one set of numpy ops.  Padded columns sit to the RIGHT of each
+    partner's true end and the horizontal closure only flows left→right,
+    so they can't contaminate the read-out at column m_j.  Partners whose
+    row minimum exceeds ``tau`` retire from the active set (the row min is
+    non-decreasing), exactly like the scalar early abandon."""
+    P = len(ts)
+    res = np.full(P, tau + 1, np.int64)
+    n = s.size
+    m_lens = np.fromiter((t.size for t in ts), np.int64, P)
+    fits = np.abs(m_lens - n) <= tau
+    if n == 0:
+        res[fits] = m_lens[fits]
+        return res
+    zero = fits & (m_lens == 0)
+    res[zero] = n
+    act = np.nonzero(fits & (m_lens > 0))[0]
+    if act.size == 0:
+        return res
+    m_max = int(m_lens[act].max())
+    T = np.full((act.size, m_max), -1, np.int64)
+    for r, p in enumerate(act):
+        T[r, : m_lens[p]] = ts[p]
+    # Ukkonen diagonal band: a cell (i, j) with |i−j| > tau costs ≥ tau+1,
+    # so only columns [i−tau, i+tau] are computed; everything outside holds
+    # the placeholder tau+1, which UNDERSTATES true costs (all > tau) but
+    # can never pull a readout back under tau (path costs only grow), so
+    # the ≤tau/“>tau” classification — all the caller uses — is exact.
+    big = np.int32(tau + 1)
+    ar = np.arange(m_max + 1, dtype=np.int32)
+    prev = np.minimum(ar, big)  # row 0 with the band placeholder applied
+    prev = np.broadcast_to(prev, (act.size, m_max + 1)).copy()
+    alive = np.arange(act.size)
+    for i in range(1, n + 1):
+        lo = max(0, i - tau)
+        hi = min(m_max, i + tau)  # inclusive column bound
+        cur = np.full((alive.size, m_max + 1), big, np.int32)
+        if lo == 0:
+            cur[:, 0] = min(i, tau + 1)
+            c0 = 1
+        else:
+            c0 = lo
+        sl = slice(c0, hi + 1)
+        dg = slice(c0 - 1, hi)
+        cur[:, sl] = np.minimum(
+            np.minimum(prev[:, sl] + 1, big),
+            prev[:, dg] + (T[alive, c0 - 1 : hi] != s[i - 1]),
+        )
+        seg = cur[:, c0 - 1 : hi + 1] - ar[c0 - 1 : hi + 1]
+        cur[:, c0 - 1 : hi + 1] = np.minimum(
+            cur[:, c0 - 1 : hi + 1],
+            np.minimum.accumulate(seg, axis=1) + ar[c0 - 1 : hi + 1],
+        )
+        if i == n:
+            res[act[alive]] = cur[np.arange(alive.size), m_lens[act[alive]]].astype(
+                np.int64
+            )
+            break
+        keep = cur[:, sl].min(axis=1) <= tau
+        if not keep.all():
+            alive = alive[keep]
+            cur = cur[keep]
+            if alive.size == 0:
+                break
+        prev = cur
+    return np.minimum(res, tau + 1)
+
+
+def edit_distance_join(ds, *, tau: int = 80, num_parts: int = 128):
     """All (a, b, dist) with ``a.doc_id < b.doc_id``, equal ``source``, and
     ``levenshtein(a.text, b.text) ≤ tau`` — exact, layout-independent.
 
@@ -138,7 +209,18 @@ def edit_distance_join(ds, *, tau: int = 80, num_parts: int = 32):
             gg = g[s0]
             cps = [None] * k
             hists = [None] * k
+
+            def prep(ii: int) -> None:
+                if cps[ii] is None:
+                    cps[ii] = _codepoints(texts[s0 + ii])
+                    hists[ii] = _char_hist(cps[ii])
+
+            # candidate partner lists per LEFT doc, so the DP runs once per
+            # left against ALL its partners as one (P, m) matrix — the
+            # numpy row overhead amortizes across partners instead of
+            # paying ~len(a) tiny-array calls per pair
             for i in range(s0, e0 - 1):
+                partners = []
                 for j in range(i + 1, e0):
                     # evaluate each pair exactly once: in the MAX of the two
                     # native bands (both copies coexist only there and in
@@ -150,15 +232,17 @@ def edit_distance_join(ds, *, tau: int = 80, num_parts: int = 32):
                     if srcs[i] != srcs[j]:
                         continue
                     ii, jj = i - s0, j - s0
-                    if cps[ii] is None:
-                        cps[ii] = _codepoints(texts[i])
-                        hists[ii] = _char_hist(cps[ii])
-                    if cps[jj] is None:
-                        cps[jj] = _codepoints(texts[j])
-                        hists[jj] = _char_hist(cps[jj])
+                    prep(ii)
+                    prep(jj)
                     if _bag_bound(hists[ii], hists[jj]) > tau:
                         continue
-                    d = _lev_capped(cps[ii], cps[jj], tau)
+                    partners.append(j)
+                if not partners:
+                    continue
+                dists = _lev_capped_many(
+                    cps[i - s0], [cps[j - s0] for j in partners], tau
+                )
+                for j, d in zip(partners, dists):
                     if d <= tau:
                         a_id, b_id = (
                             (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])

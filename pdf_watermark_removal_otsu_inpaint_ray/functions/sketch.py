@@ -373,3 +373,119 @@ def heavy_hitter_tokens(ds, *, k: int = 20, sketch_k: int = 256):
             "n": pa.array(counts[order], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimation + heavy words
+# ---------------------------------------------------------------------------
+
+CMS_D, CMS_W = 4, 2048  # 4 rows x 2048 counters: eps ~ e/W, delta ~ e^-4
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_indices(h: np.ndarray) -> np.ndarray:
+    """(d, n) int64 counter indices for uint64 word hashes: row r uses
+    ``mix64(h ^ seed_r) % W`` (the repo's splitmix finisher — pairwise-
+    independent enough for the CM guarantee, deterministic for the twin)."""
+    from .dedup import _mix64
+
+    out = np.empty((CMS_D, h.size), np.int64)
+    for r in range(CMS_D):
+        out[r] = (_mix64(h ^ _CMS_SEEDS[r]) % np.uint64(CMS_W)).astype(np.int64)
+    return out
+
+
+def cms_partial_batch(batch: pa.Table) -> pa.Table:
+    """One (d·w)-int64 sketch row + word count per batch — corpus text never
+    leaves the task; partials are elementwise-ADDITIVE (a commutative
+    monoid), so any merge tree gives the identical sketch."""
+    from .dedup import _word_hashes_flat
+
+    h, _ = _word_hashes_flat(batch["text"].to_pylist())
+    sk = np.zeros((CMS_D, CMS_W), np.int64)
+    if h.size:
+        idx = _cms_indices(h)
+        for r in range(CMS_D):
+            np.add.at(sk[r], idx[r], 1)
+    return pa.table(
+        {
+            "sketch": pa.array([sk.reshape(-1).tolist()], pa.list_(pa.int64())),
+            "n_words": pa.array([int(h.size)], pa.int64()),
+        }
+    )
+
+
+def cms_build(ds) -> tuple[np.ndarray, int]:
+    """Merged (d, w) sketch + total word count.  The driver folds one tiny
+    fixed-size row per block (at extreme block counts the same additive
+    rows tree-merge through map_batches rounds unchanged)."""
+    sk = np.zeros(CMS_D * CMS_W, np.int64)
+    n = 0
+    part = ds.select_columns(["text"]).map_batches(cms_partial_batch, batch_format="pyarrow")
+    for b in part.iter_batches(batch_format="pyarrow"):
+        col = b["sketch"].combine_chunks()
+        sk += np.asarray(col.flatten(), np.int64).reshape(len(b), -1).sum(axis=0)
+        n += int(np.asarray(b["n_words"], np.int64).sum())
+    return sk.reshape(CMS_D, CMS_W), n
+
+
+def cms_heavy_words(ds, *, phi: float = 0.005):
+    """All words whose CM-estimated count ≥ ceil(phi·N), with the estimate
+    (Cormode & Muthukrishnan 2005).  One-sided error: est ≥ true count, so
+    the result is a SUPERSET of the true phi-heavy words — the classic
+    sublinear heavy-hitters contract, vs the exact-after-candidates shape
+    of :func:`heavy_hitter_tokens`.
+
+    Pass 1 builds the merged sketch (fixed-size traffic); pass 2 broadcasts
+    it, estimates each block's DISTINCT words locally, and emits only
+    qualifying (word, est) rows; a word surfacing in many blocks emits the
+    same estimate everywhere, so the final tiny ``groupby(word)`` max is
+    pure dedup.  Returns (word, est) sorted driver-side only by the
+    consumer.
+    """
+    import ray as _ray
+
+    from .dedup import _word_hashes_flat
+
+    sk, n_total = cms_build(ds)
+    thresh = int(np.ceil(phi * n_total)) if n_total else 1
+    ref = _ray.put(sk)
+
+    def emit(b: pa.Table) -> pa.Table:
+        sketch = _ray.get(ref)
+        words: set[str] = set()
+        from .dedup import WORD_RE
+
+        for t in b["text"].to_pylist():
+            words.update(WORD_RE.findall(t.lower()))
+        wl = sorted(words)
+        if not wl:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "est": pa.array([], pa.int64())}
+            )
+        # words are \S+ tokens, so a space-joined round-trip through the
+        # shared kernel re-splits to exactly these words (one vectorized
+        # hash pass instead of a per-word call)
+        h, _ = _word_hashes_flat([" ".join(wl)])
+        idx = _cms_indices(h)
+        est = sketch[np.arange(CMS_D)[:, None], idx].min(axis=0)
+        keep = est >= thresh
+        return pa.table(
+            {
+                "word": pa.array([w for w, k in zip(wl, keep) if k], pa.string()),
+                "est": pa.array(est[keep], pa.int64()),
+            }
+        )
+
+    cand = ds.select_columns(["text"]).map_batches(emit, batch_format="pyarrow")
+    agg = cand.groupby("word").max("est")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"word": b["word"], "est": b["max(est)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -51,6 +51,7 @@ GOLDEN_QUERIES = (
     "media_phash_near_dup",
     "media_audio_energy",
     "pq_topk",
+    "cms_heavy_words",
 )
 
 
@@ -1003,3 +1004,46 @@ def _golden_pq_topk(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["pq_topk"] = _golden_pq_topk
+
+
+def _golden_cms_heavy_words(sf_dir: str) -> pa.Table:
+    """Independent Count-Min twin: exact word counts first (pure-Python
+    Counter over the _re_words spec split), then the sketch built BY
+    DISTINCT WORD from those counts (add c once per word) — linearity makes
+    this equal to the engine's per-occurrence adds, so a bug in either
+    accumulation shows as a mismatch.  Hashes via _py_word_hash/_py_mix64
+    (pure-Python spec mirrors, no engine imports)."""
+    from collections import Counter
+
+    D, W = 4, 2048
+    seeds = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+    docs = _docs_table(sf_dir)
+    counts: Counter = Counter()
+    for t in docs["text"].to_pylist():
+        counts.update(_re_words(t))
+    n_total = sum(counts.values())
+    thresh = int(np.ceil(0.005 * n_total)) if n_total else 1
+    idx_of = {
+        w: [int(_py_mix64(_py_word_hash(w) ^ s) % W) for s in seeds]
+        for w in counts
+    }
+    sketch = [[0] * W for _ in range(D)]
+    for w, c in counts.items():
+        for r, ix in enumerate(idx_of[w]):
+            sketch[r][ix] += c
+    rows = []
+    for w in counts:
+        est = min(sketch[r][ix] for r, ix in enumerate(idx_of[w]))
+        if est >= thresh:
+            rows.append((w, est))
+    rows.sort()
+    return pa.table(
+        {
+            "word": pa.array([r[0] for r in rows], pa.string()),
+            "est": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+_COMPUTE["cms_heavy_words"] = _golden_cms_heavy_words

@@ -1101,6 +1101,18 @@ def q_heavy_hitter_tokens(sf_dir: str):
     return heavy_hitter_tokens(_docs_ds(sf_dir), k=20, sketch_k=256)
 
 
+def q_cms_heavy_words(sf_dir: str):
+    """Count-Min heavy words (functions/sketch.py::cms_heavy_words):
+    fixed-size additive sketch partials per block (text never shuffles),
+    broadcast merged sketch, per-block distinct-word estimation, tiny
+    output-scale dedup groupby — checked bit-exact against an independent
+    by-distinct-word pure-Python twin (linearity equivalence)."""
+    _with_golden("cms_heavy_words", sf_dir)
+    from .functions.sketch import cms_heavy_words
+
+    return cms_heavy_words(_docs_ds(sf_dir), phi=0.005)
+
+
 def q_dup_ngrams(sf_dir: str):
     """Cross-document duplicated word-3-gram statistics per doc (the Lee
     et al. exact-substring-dedup signal): two coarse int64-only shuffles —
@@ -4028,6 +4040,7 @@ QUERIES = {
     "collapse_repeats": q_collapse_repeats,
     "unigram_logprob": q_unigram_logprob,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "cms_heavy_words": q_cms_heavy_words,
     "dup_ngrams": q_dup_ngrams,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,

@@ -113,3 +113,26 @@ def test_bag_bound_is_lower_bound():
         b = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, 45))
         ca, cb = _codepoints(a), _codepoints(b)
         assert _bag_bound(_char_hist(ca), _char_hist(cb)) <= _lev_ref(a, b)
+
+
+def test_lev_capped_many_matches_scalar():
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.fuzzy import _lev_capped_many
+
+    rng = np.random.default_rng(13)
+    left = "".join(chr(97 + int(c)) for c in rng.integers(0, 5, 60))
+    partners = []
+    for ln in (0, 3, 40, 58, 60, 62, 75, 95):
+        partners.append("".join(chr(97 + int(c)) for c in rng.integers(0, 5, ln)))
+    partners.append(left)  # identical -> 0
+    for tau in (2, 10, 30):
+        got = _lev_capped_many(
+            _codepoints(left), [_codepoints(p) for p in partners], tau
+        )
+        for p, d in zip(partners, got):
+            ref = _lev_ref(left, p)
+            assert d == (ref if ref <= tau else tau + 1) or (ref > tau and d > tau), (
+                p[:10], tau, d, ref)
+    # empty left string
+    got = _lev_capped_many(_codepoints(""), [_codepoints(p) for p in partners], 70)
+    for p, d in zip(partners, got):
+        assert d == (len(p) if len(p) <= 70 else 71)
