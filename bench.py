@@ -317,7 +317,7 @@ def main() -> None:
             "small_qty_revenue", "customer_revenue_pareto",
             "events_zonemap_scan", "part_pagerank", "events_twap",
             "streaming_window_topk", "streaming_window_distinct", "pq_topk",
-            "edit_distance_join", "cms_heavy_words",
+            "edit_distance_join", "cms_heavy_words", "jaccard_prefix_join",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

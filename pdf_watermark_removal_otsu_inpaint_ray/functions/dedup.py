@@ -1311,3 +1311,152 @@ def dedup_keep_best(ds, num_parts: int = 64):
         .groupby("pk")
         .map_groups(collapse, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (PPJoin-style prefix filter)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_gram_sets(b: pa.Table, ngram: int) -> list[np.ndarray]:
+    """Per-doc SORTED distinct word-n-gram hash arrays (ngram=1 → word
+    sets); one flat kernel pass, same hash spec as the MinHash shingles."""
+    wh, doc_off = _word_hashes_flat(b["text"].to_pylist())
+    grams, goff = _gram_hashes_flat(wh, doc_off, ngram)
+    return [np.unique(grams[goff[i] : goff[i + 1]]) for i in range(b.num_rows)]
+
+
+def gram_df_table(ds, ngram: int = 3, num_parts: int = 64) -> pa.Table:
+    """Document frequency of every distinct word n-gram —
+    (word_hash, df) int64 rows.
+
+    Per-batch partials count each gram ONCE per doc, a coarse hash-
+    partitioned groupby sums them vectorized.  The result is vocabulary-
+    scale: at the bench corpora it collects to the driver for a broadcast
+    lookup; at open-web scale the same table stays a Dataset and joins back
+    to the prefix pass hash-partitioned instead (the tradeoff is noted at
+    the call site).
+    """
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        sets = _distinct_gram_sets(b, ngram)
+        flat = (
+            np.concatenate(sets) if sets else np.zeros(0, np.int64)
+        )
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "word_hash": pa.array(u, pa.int64()),
+                "df": pa.array(c.astype(np.int64), pa.int64()),
+                "pk": pa.array(u % num_parts, pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("word_hash", sort=True)["df"].sum()
+        return pd.DataFrame(
+            {"word_hash": s.index.to_numpy(np.int64), "df": s.to_numpy(np.int64)}
+        )
+
+    return _collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(fold, batch_format="pandas"),
+        pa.schema([("word_hash", pa.int64()), ("df", pa.int64())]),
+    )
+
+
+def jaccard_prefix_join(ds, *, ngram: int = 3, threshold: float = 0.5, num_parts: int = 64) -> pa.Table:
+    """EXACT word-set Jaccard self-join via the PPJoin prefix filter
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW 2008) — the no-false-negative sibling of MinHash-LSH:
+
+    Operates on distinct word-n-gram (shingle) sets — the EXACT twin of
+    :func:`minhash_lsh_dedup`'s banded approximation at the same ngram and
+    threshold, guaranteed to miss nothing.
+
+    1. one pass computes global gram document frequencies (broadcast as
+       two sorted arrays; at web-scale vocabularies the df table joins
+       back hash-partitioned instead of broadcasting);
+    2. each doc's distinct words sort by (df asc, hash asc) — the rarest
+       words first — and only the PREFIX (first ``m − ⌈t·m⌉ + 1`` words)
+       is emitted as (token, doc_id) index rows.  Two sets with
+       J(x,y) ≥ t MUST share a prefix token (pigeonhole on the overlap
+       bound ⌈t/(1+t)·(m_x+m_y)⌉), so bucketing by prefix token is a
+       LOSSLESS candidate generator, and rare-first ordering keeps the
+       buckets small;
+    3. the bucket → distinct-pair machinery and the repartition-join
+       exact-Jaccard verify are shared with the LSH path
+       (:func:`_distinct_pairs`, :func:`_verify_pairs_distributed`).
+
+    Returns (a, b, jacc) with a < b and jacc ≥ threshold — equal to the
+    naive all-pairs twin (modulo 63-bit word-hash collisions, the corpus
+    dedup caveat documented on :func:`exact_dedup`).
+    """
+    df_tbl = gram_df_table(ds, ngram, num_parts)
+    vh = np.asarray(df_tbl["word_hash"], np.int64)  # sorted per fold
+    vdf = np.asarray(df_tbl["df"], np.int64)
+    order = np.argsort(vh, kind="stable")  # partitions interleave: re-sort
+    vh, vdf = vh[order], vdf[order]
+    vref = ray.put((vh, vdf))
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        vh_, vdf_ = ray.get(vref)
+        sets = _distinct_gram_sets(b, ngram)
+        ids = np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
+        out_tok, out_doc = [], []
+        for i, s in enumerate(sets):
+            m = s.size
+            if m == 0:
+                continue
+            L = m - int(np.ceil(threshold * m)) + 1
+            dfs = vdf_[np.searchsorted(vh_, s)]
+            sel = np.lexsort((s, dfs))[:L]
+            out_tok.append(s[sel])
+            out_doc.append(np.full(L, ids[i], np.int64))
+        tok = np.concatenate(out_tok) if out_tok else np.zeros(0, np.int64)
+        doc = np.concatenate(out_doc) if out_doc else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(tok.size, np.int64), pa.int64()),
+                "band_hash": pa.array(tok, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+            }
+        )
+
+    cand_tbl = _candidate_pairs_tbl(ds.map_batches(prefix_rows, batch_format="pyarrow"))
+    if cand_tbl.num_rows == 0:
+        return _empty_pairs("jacc", pa.float64())
+
+    need_arr = np.unique(
+        np.concatenate(
+            [np.asarray(cand_tbl["a"], np.int64), np.asarray(cand_tbl["b"], np.int64)]
+        )
+    )
+    need_ref = ray.put(need_arr)
+
+    def words_needed(b: pa.Table) -> pa.Table:
+        needed = ray.get(need_ref)
+        ids = np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
+        keep = np.isin(ids, needed, assume_unique=False)
+        if not keep.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "payload": pa.array([], pa.list_(pa.int64()))}
+            )
+        sub = b.filter(pa.array(keep))
+        sets = _distinct_gram_sets(sub, ngram)
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"].cast(pa.int64()),
+                "payload": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
+            }
+        )
+
+    w_ds = ds.map_batches(words_needed, batch_format="pyarrow")
+
+    def pair_jaccard(x: np.ndarray, y: np.ndarray):
+        j = jaccard(np.asarray(x, np.int64), np.asarray(y, np.int64))
+        return j if j >= threshold else None
+
+    return _verify_pairs_distributed(cand_tbl, w_ds, pair_jaccard, "jacc", np.float64)

@@ -52,6 +52,7 @@ GOLDEN_QUERIES = (
     "media_audio_energy",
     "pq_topk",
     "cms_heavy_words",
+    "jaccard_prefix_join",
 )
 
 
@@ -1047,3 +1048,37 @@ def _golden_cms_heavy_words(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["cms_heavy_words"] = _golden_cms_heavy_words
+
+
+def _golden_jaccard_prefix_join(sf_dir: str) -> pa.Table:
+    """Independent exact all-pairs 3-gram Jaccard twin of the PPJoin-style
+    prefix-filtered join: pure-Python gram hashes (_py_gram_hashes spec
+    mirror), naive O(n²) set arithmetic — no prefix filter, no engine
+    imports, so a filter that ever dropped a true pair would mismatch."""
+    docs = _docs_table(sf_dir)
+    ids = [int(d) for d in docs["doc_id"].to_pylist()]
+    sets = {
+        d: set(_py_gram_hashes(t, 3)) for d, t in zip(ids, docs["text"].to_pylist())
+    }
+    rows = []
+    sids = sorted(ids)
+    for i, a in enumerate(sids):
+        for b in sids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            union = len(sa | sb)
+            if union == 0:
+                continue
+            j = len(sa & sb) / union
+            if j >= 0.5:
+                rows.append((a, b, j))
+    rows.sort()
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "jacc": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+_COMPUTE["jaccard_prefix_join"] = _golden_jaccard_prefix_join

@@ -2288,6 +2288,17 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(_docs_ds(sf_dir), ngram=1, threshold=0.5)
 
 
+def q_jaccard_prefix_join(sf_dir: str):
+    """Exact global 3-gram Jaccard self-join via the PPJoin prefix filter
+    (functions/dedup.py::jaccard_prefix_join) — the no-false-negative twin
+    of minhash_lsh at the same shingles/threshold; checked against an
+    independent pure-Python naive all-pairs golden."""
+    _with_golden("jaccard_prefix_join", sf_dir)
+    from .functions.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(_docs_ds(sf_dir), ngram=3, threshold=0.5)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup cluster extraction (keep-one-per-cluster): distributed
     MinHash-LSH pairs → connected components → (doc_id, cluster_id=min id
@@ -4104,6 +4115,7 @@ QUERIES = {
     "cross_source_texts": q_cross_source_texts,
     "ngram_jaccard": q_ngram_jaccard,
     "edit_distance_join": q_edit_distance_join,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
     "dedup_clusters": q_dedup_clusters,
     "length_quantiles": q_length_quantiles,
     "quality_cut": q_quality_cut,

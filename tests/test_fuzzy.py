@@ -136,3 +136,59 @@ def test_lev_capped_many_matches_scalar():
     got = _lev_capped_many(_codepoints(""), [_codepoints(p) for p in partners], 70)
     for p, d in zip(partners, got):
         assert d == (len(p) if len(p) <= 70 else 71)
+
+
+def _brute_gram_jaccard(tbl: pa.Table, tau: float, ngram=3) -> set:
+    """Independent brute twin over word n-gram sets (python string grams,
+    no hash sharing: collisions would show as a mismatch)."""
+    out = set()
+    ids = tbl["doc_id"].to_pylist()
+    sets = []
+    for t in tbl["text"].to_pylist():
+        ws = t.lower().split()
+        if len(ws) == 0:
+            sets.append(set())
+        elif len(ws) < ngram:
+            sets.append({" ".join(ws)})
+        else:
+            sets.append({" ".join(ws[i:i+ngram]) for i in range(len(ws)-ngram+1)})
+    for i in range(len(ids)):
+        for j in range(i+1, len(ids)):
+            u = sets[i] | sets[j]
+            if u and len(sets[i] & sets[j]) / len(u) >= tau:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_jaccard_prefix_join_matches_brute_near_threshold(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        jaccard_prefix_join,
+    )
+
+    rng = np.random.default_rng(21)
+    words = [f"tok{i}" for i in range(400)]
+    docs = []
+    # clusters with graded overlap so several pairs sit right at the 0.5
+    # boundary (the regime where MinHash-LSH is allowed to miss)
+    for c in range(12):
+        base = [words[int(i)] for i in rng.integers(0, 400, 30)]
+        docs.append(" ".join(base))
+        for cut in (3, 7, 10, 14, 20):
+            v = list(base)
+            v[:cut] = [words[int(i)] for i in rng.integers(0, 400, cut)]
+            docs.append(" ".join(v))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+        }
+    )
+    exp = _brute_gram_jaccard(tbl, 0.5)
+    assert exp
+    for nblocks in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        res = jaccard_prefix_join(ds, ngram=3, threshold=0.5).to_pandas()
+        got = set(zip(res["a"].astype(int), res["b"].astype(int)))
+        assert got == exp, f"nblocks={nblocks}"
+        assert (res["jacc"] >= 0.5).all()
