@@ -780,3 +780,130 @@ class PqIndex:
                 "adc_dist": pa.array(dist[sel], pa.int64()),
             }
         )
+
+
+class IvfPqIndex:
+    """IVF-PQ composite (the FAISS ``IVFx,PQy`` layout, Jégou et al. 2011):
+    coarse IVF centroids prune WHICH rows are scanned, PQ codes compress
+    WHAT is scanned — together the per-query cost is
+    ``n_probe/n_list × m bytes`` per row instead of ``4·d`` bytes over the
+    whole corpus.  This is the composition actually deployed for web-scale
+    ANN; both halves reuse this module's primitives.
+
+    Encoding quantizes the RESIDUAL ``x − centroid(part)`` — residuals
+    concentrate near 0, so the same codebook budget spends on a tighter
+    distribution.  Determinism: the coarse fit is :class:`IvfIndex`'s
+    float Lloyd over a fixed driver sample (bit-reproducible for a fixed
+    sample); residuals quantize through :class:`PqIndex`'s integer pipeline,
+    so encode and ADC search are exact-integer and layout-independent.
+
+    100-TB shape: coarse+PQ codebooks broadcast once (tiny); one
+    distributed encode pass emits (vec_id, ivf_part, codes[m] uint8) —
+    write it with ``ivf_part`` as a Parquet partition key (cf.
+    ``IvfIndex.write_partitioned``) and a probe reads only its partitions'
+    compressed files.
+    """
+
+    def __init__(self, n_list: int = 8, n_probe: int = 3, m: int = 8,
+                 k_codes: int = 16, iters: int = 4, x_scale: int = 10_000):
+        self.coarse = IvfIndex(n_list=n_list, n_probe=n_probe)
+        self.pq = PqIndex(m=m, k_codes=k_codes, iters=iters, x_scale=x_scale)
+
+    def fit(self, sample: np.ndarray) -> "IvfPqIndex":
+        """Coarse centroids on the (normalized) sample, then PQ codebooks
+        on the sample's RESIDUALS against its assigned centroids."""
+        S = np.asarray(sample, dtype=np.float64)
+        Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+        self.coarse.fit(Sn)
+        part = np.argmax(Sn @ self.coarse.centroids.T, axis=1)
+        self.pq.fit(Sn - self.coarse.centroids[part])
+        return self
+
+    def encode(self, ds):
+        """(vec_id, embedding) → (vec_id, ivf_part, codes).  Rows normalize,
+        assign to their coarse partition, and PQ-encode the residual — one
+        stateless vectorized pass, codebooks broadcast once."""
+        cref = ray.put(self.coarse.centroids)
+        bref = ray.put(self.pq.codebooks)
+        m, sub, x_scale = self.pq.m, self.pq.dim // self.pq.m, self.pq.x_scale
+
+        def enc(b: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            books = ray.get(bref)
+            M = matrix_of(b["embedding"])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            part = np.argmax(Mn @ C.T, axis=1)
+            R = Mn - C[part]
+            Rq = _kmeans_quantize(R, x_scale).reshape(len(M), m, sub)
+            codes = np.empty((len(M), m), np.uint8)
+            for mi in range(m):
+                codes[:, mi] = _kmeans_assign(Rq[:, mi, :], books[mi]).astype(np.uint8)
+            flat = pa.array(codes.reshape(-1), pa.uint8())
+            off = pa.array(np.arange(len(M) + 1, dtype=np.int32) * m)
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"].cast(pa.int64()),
+                    "ivf_part": pa.array(part.astype(np.int32), pa.int32()),
+                    "codes": pa.ListArray.from_arrays(off, flat),
+                }
+            )
+
+        return ds.select_columns(["vec_id", "embedding"]).map_batches(
+            enc, batch_format="pyarrow"
+        )
+
+    def search(self, codes_ds, query: np.ndarray, k: int = 10) -> pa.Table:
+        """ADC top-k over probed partitions only: the query builds one LUT
+        PER PROBED PARTITION (its residual differs per centroid); each
+        block filters to probed rows, gathers its partition's LUT, and
+        emits k candidates; ties → lowest vec_id.  Returns
+        (vec_id, rank, adc_dist)."""
+        q = np.asarray(query, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-30)
+        probes = np.argsort(-(self.coarse.centroids @ qn))[: self.coarse.n_probe]
+        luts = {int(p): self.pq._adc_lut(qn - self.coarse.centroids[p]) for p in probes}
+        lref = ray.put(luts)
+        m = self.pq.m
+
+        def topk_part(b: pa.Table) -> pa.Table:
+            lut_by_part = ray.get(lref)
+            part = np.asarray(b["ivf_part"], np.int64)
+            keep = np.isin(part, list(lut_by_part))
+            empty = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.int64()),
+                }
+            )
+            if not keep.any():
+                return empty
+            sub = b.filter(pa.array(keep))
+            ids = np.asarray(sub["vec_id"].combine_chunks().cast(pa.int64()))
+            codes = np.asarray(sub["codes"].combine_chunks().values, np.int64).reshape(-1, m)
+            spart = np.asarray(sub["ivf_part"], np.int64)
+            dist = np.empty(len(ids), np.int64)
+            for p, lut in lut_by_part.items():
+                rows = spart == p
+                if rows.any():
+                    dist[rows] = lut[
+                        np.arange(m)[None, :], codes[rows]
+                    ].sum(axis=1)
+            sel = np.lexsort((ids, dist))[:k]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[sel], pa.int64()),
+                    "adc_dist": pa.array(dist[sel], pa.int64()),
+                }
+            )
+
+        cand = codes_ds.map_batches(topk_part, batch_format="pyarrow").to_pandas()
+        ids = cand["vec_id"].to_numpy(np.int64)
+        dist = cand["adc_dist"].to_numpy(np.int64)
+        sel = np.lexsort((ids, dist))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[sel], pa.int64()),
+                "rank": pa.array(np.arange(1, sel.size + 1), pa.int64()),
+                "adc_dist": pa.array(dist[sel], pa.int64()),
+            }
+        )

@@ -53,6 +53,7 @@ GOLDEN_QUERIES = (
     "pq_topk",
     "cms_heavy_words",
     "jaccard_prefix_join",
+    "knn_ivf_pq",
 )
 
 
@@ -1082,3 +1083,64 @@ def _golden_jaccard_prefix_join(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["jaccard_prefix_join"] = _golden_jaccard_prefix_join
+
+
+def _golden_ivf_pq(sf_dir: str) -> pa.Table:
+    """Single-process IVF-PQ twin: codebook TRAINING is shared with the
+    engine (IvfPqIndex.fit on the same first-256-row sample — the same
+    shared-fit boundary as _golden_knn_ivf, noted per the round-2 advisory);
+    assignment, residual encode, per-partition ADC LUTs, and the top-k
+    search are all recomputed here with plain numpy."""
+    from .functions.similarity import IvfPqIndex
+
+    k = 10
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    col = t["embedding"].combine_chunks()
+    M = np.asarray(col.flatten(), dtype=np.float64).reshape(len(ids), -1)
+    q = M[np.nonzero(ids == 0)[0][0]]
+    idx = IvfPqIndex(n_list=8, n_probe=3, m=8, k_codes=16, iters=4).fit(M[:256])
+    C, books = idx.coarse.centroids, idx.pq.codebooks
+    m, sub = idx.pq.m, M.shape[1] // idx.pq.m
+
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    part = np.argmax(Mn @ C.T, axis=1)
+    R = Mn - C[part]
+    Rq = np.floor(R * 10_000 + 0.5).astype(np.int64).reshape(len(ids), m, sub)
+    codes = np.empty((len(ids), m), np.int64)
+    for mi in range(m):
+        B = books[mi]
+        d2 = np.einsum("ij,ij->i", B, B)
+        codes[:, mi] = np.argmin(d2[None, :] - 2 * ((100 * Rq[:, mi, :]) @ B.T), axis=1)
+
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probes = np.argsort(-(C @ qn))[:3]
+    best_ids, best_d = [], []
+    for p in probes:
+        qr = np.floor((qn - C[p]) * 10_000 + 0.5).astype(np.int64).reshape(m, sub)
+        lut = np.stack(
+            [
+                np.einsum("ij,ij->i", 100 * qr[mi][None, :] - books[mi],
+                          100 * qr[mi][None, :] - books[mi])
+                for mi in range(m)
+            ]
+        )
+        rows = np.nonzero(part == p)[0]
+        if rows.size == 0:
+            continue
+        d = lut[np.arange(m)[None, :], codes[rows]].sum(axis=1)
+        best_ids.append(ids[rows])
+        best_d.append(d)
+    ai = np.concatenate(best_ids) if best_ids else np.zeros(0, np.int64)
+    ad = np.concatenate(best_d) if best_d else np.zeros(0, np.int64)
+    sel = np.lexsort((ai, ad))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ai[sel], pa.int64()),
+            "rank": pa.array(np.arange(1, sel.size + 1), pa.int64()),
+            "adc_dist": pa.array(ad[sel], pa.int64()),
+        }
+    )
+
+
+_COMPUTE["knn_ivf_pq"] = _golden_ivf_pq

@@ -38,16 +38,20 @@ def run_streaming_topk(
     allowed_lateness: int = 32,
     n_actors: int = 4,
     micro_batch_rows: int = 512,
+    slide: int | None = None,
 ) -> StreamingResult:
     """Run the streaming windowed top-k over a Parquet path / Dataset.
     Ray must already be initialised by the caller.  Returns a
     StreamingResult whose ``output`` is ``(window_id, key, cnt, rnk)``
-    with ``rnk`` 1..k per window (count DESC, key ASC)."""
+    with ``rnk`` 1..k per window (count DESC, key ASC).  ``slide`` < 
+    window_size runs SLIDING windows (each row joins its ws/slide
+    overlapping windows inside the actor; window_id = start // slide)."""
     from ..state.topk_state import TopkStateActor
 
     actors = [
         TopkStateActor.remote(
-            window_size=window_size, k=k, key_col=key_col, ts_col=ts_col
+            window_size=window_size, k=k, key_col=key_col, ts_col=ts_col,
+            slide=slide,
         )
         for _ in range(n_actors)
     ]

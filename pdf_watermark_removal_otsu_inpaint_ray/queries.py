@@ -2575,6 +2575,29 @@ def q_pq_topk(sf_dir: str):
     return idx.search(idx.encode(ds), np.asarray(q), k=10)
 
 
+def q_knn_ivf_pq(sf_dir: str):
+    """IVF-PQ composite ANN (functions/similarity.py::IvfPqIndex): coarse
+    partitions prune which rows are scanned, residual PQ codes compress
+    what is scanned — probe-partition ADC top-10 over the distributed
+    uint8 code column; golden twin recomputes encode+search independently
+    (shared-fit boundary noted in oracle_data._golden_ivf_pq)."""
+    _with_golden("knn_ivf_pq", sf_dir)
+    import pyarrow.parquet as pq_
+
+    import ray.data
+
+    from .functions.similarity import IvfPqIndex, matrix_of
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = t.filter(pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
+    sample = matrix_of(t["embedding"].slice(0, 256))
+    idx = IvfPqIndex(n_list=8, n_probe=3, m=8, k_codes=16, iters=4).fit(sample)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return idx.search(idx.encode(ds), np.asarray(q), k=10)
+
+
 def q_embedding_near_dup_ivf(sf_dir: str):
     """IVF-bucketed near-dup (multi-probe top-2 partitions) — the scale
     path for embedding_near_dup; checked against its materialized golden."""
@@ -3777,6 +3800,36 @@ def q_streaming_window_topk(sf_dir: str):
     return res.output
 
 
+def q_streaming_sliding_topk(sf_dir: str):
+    """SLIDING-window streaming top-k (state/topk_state.py slide support):
+    top-3 users per 2-day window advancing by 1 day — each row joins its
+    2 overlapping windows inside the key-routed actor (state multiplies by
+    the overlap factor, the documented sliding cost), close at
+    watermark ≥ window end, same output-scale global merge."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_topk import run_streaming_topk
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "event_ts": ev["ts"].cast(pa.int64()),
+        }
+    )
+    res = run_streaming_topk(
+        ray.data.from_arrow(src),
+        window_size=2 * 86_400_000_000,
+        slide=86_400_000_000,
+        k=3,
+        allowed_lateness=1,
+        n_actors=3,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_streaming_window_distinct(sf_dir: str):
     """Streaming exact count(DISTINCT user) per tumbling day
     (pipelines/stream_topk.py::run_streaming_distinct): keys are disjoint
@@ -4089,6 +4142,7 @@ QUERIES = {
     "events_twap": q_events_twap,
     "streaming_window_topk": q_streaming_window_topk,
     "streaming_window_distinct": q_streaming_window_distinct,
+    "streaming_sliding_topk": q_streaming_sliding_topk,
     "price_quantiles": q_price_quantiles,
     "customer_order_balance": q_customer_order_balance,
     "training_shuffle_head": q_training_shuffle_head,
@@ -4125,6 +4179,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "knn_ivf": q_knn_ivf,
     "pq_topk": q_pq_topk,
+    "knn_ivf_pq": q_knn_ivf_pq,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "approx_distinct_words": q_approx_distinct_words,
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -4391,6 +4446,21 @@ ORACLE_SQL = {
                                       AS BIGINT))) AS BIGINT) AS revenue_c
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
+    """,
+    "streaming_sliding_topk": """
+        WITH x AS (
+            SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 - v.o AS window_id,
+                   CAST(user_id AS BIGINT) AS user_id
+            FROM events, (VALUES (0), (1)) v(o)
+        ), c AS (
+            SELECT window_id, user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM x GROUP BY 1, 2
+        )
+        SELECT window_id, user_id, cnt, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY window_id ORDER BY cnt DESC, user_id) AS rnk
+              FROM c)
+        WHERE rnk <= 3
     """,
     "streaming_window_distinct": """
         SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS window_id,

@@ -45,6 +45,10 @@ class TopkStateActor(_StagedEmitterBase):
         emit: str = "topk",  # "topk" | "distinct" (exact per-window
         # distinct-key count: cells per closed window; keys are disjoint
         # across actors, so the driver SUM of per-actor counts is exact)
+        slide: int | None = None,  # None -> tumbling; else sliding windows
+        # of `window_size` advancing by `slide`: each row joins its
+        # ws/slide overlapping windows (state multiplies by the overlap
+        # factor — the documented cost of sliding aggregation)
     ):
         self._init_staging(
             sink_dir=None,
@@ -55,6 +59,9 @@ class TopkStateActor(_StagedEmitterBase):
             sink_epoch=0,
         )
         self.window_size = int(window_size)
+        self.slide = int(slide) if slide is not None else int(window_size)
+        if self.slide <= 0 or self.slide > self.window_size:
+            raise ValueError("slide must be in (0, window_size]")
         self.k = int(k)
         self.key_col, self.ts_col = key_col, ts_col
         self.emit = emit
@@ -80,8 +87,9 @@ class TopkStateActor(_StagedEmitterBase):
     def _close_upto(self, wm: int) -> list[pa.Table]:
         """Emit local top-k for every window whose last possible timestamp
         the watermark passed; evict its state."""
-        # window w covers [w*ws, (w+1)*ws - 1]; closed iff that end <= wm
-        w_closed = (wm + 1) // self.window_size - 1
+        # window w covers [w*slide, w*slide + ws - 1]; closed iff end <= wm
+        # (slide == ws reduces to the tumbling (wm+1)//ws - 1)
+        w_closed = (wm + 1 - self.window_size) // self.slide
         if w_closed <= self.finalized_win or self._swin.size == 0:
             self.finalized_win = max(self.finalized_win, int(w_closed))
             return []
@@ -138,15 +146,27 @@ class TopkStateActor(_StagedEmitterBase):
         Returns (local top-k tables for newly closed windows, n_late)."""
         self.wm = max(self.wm, watermark)
         ts = np.asarray(batch[self.ts_col], np.int64)
-        win = ts // self.window_size
-        late = win <= self.finalized_win
+        # a row's NEWEST containing window is ts // slide; it is LATE only
+        # if even that window has been emitted (assignments to older,
+        # already-closed windows are simply dropped — they were finalized)
+        w_hi = ts // self.slide
+        late = w_hi <= self.finalized_win
         if late.any():
             self._note_late(batch.filter(pa.array(late)))
-            win = win[~late]
+            ts, w_hi = ts[~late], w_hi[~late]
             batch = batch.filter(pa.array(~late))
         if batch.num_rows:
             self.n_rows += batch.num_rows
-            self._merge(win, np.asarray(batch[self.key_col], np.int64))
+            keys = np.asarray(batch[self.key_col], np.int64)
+            if self.slide == self.window_size:
+                win, kk = w_hi, keys
+            else:
+                w_lo = (ts - self.window_size) // self.slide + 1
+                w_lo = np.maximum(w_lo, self.finalized_win + 1)  # drop closed
+                reps = w_hi - w_lo + 1
+                win = np.repeat(w_lo, reps) + _intra_run_arange(reps)
+                kk = np.repeat(keys, reps)
+            self._merge(win, kk)
         return self._close_upto(self.wm), self.n_late
 
     def flush(self) -> list[pa.Table]:
@@ -160,3 +180,12 @@ class TopkStateActor(_StagedEmitterBase):
             "state_cells": int(self._swin.size),
             "open_windows": int(np.unique(self._swin).size),
         }
+
+
+def _intra_run_arange(reps: np.ndarray) -> np.ndarray:
+    """[0..r0-1, 0..r1-1, ...] for run lengths ``reps`` — vectorized."""
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, reps)

@@ -97,3 +97,64 @@ def test_pq_codes_are_m_uint8_per_row(ray_session):
     assert lens == {8}
     vals = np.concatenate([np.asarray(c) for c in t["codes"].to_pylist()])
     assert vals.min() >= 0 and vals.max() < 16
+
+
+def _brute_ivfpq(tbl: pa.Table, idx, q: np.ndarray, k: int):
+    """Brute twin of IvfPqIndex.search: plain-numpy assignment, residual
+    encode, per-probe LUT, top-k (shares only the fitted codebooks)."""
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    M = np.asarray(tbl["embedding"].combine_chunks().flatten(), np.float64).reshape(
+        len(ids), -1
+    )
+    C, books = idx.coarse.centroids, idx.pq.codebooks
+    m, sub = idx.pq.m, M.shape[1] // idx.pq.m
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    part = np.argmax(Mn @ C.T, axis=1)
+    R = np.floor((Mn - C[part]) * idx.pq.x_scale + 0.5).astype(np.int64)
+    R = R.reshape(len(ids), m, sub)
+    codes = np.empty((len(ids), m), np.int64)
+    for mi in range(m):
+        B = books[mi]
+        d2 = np.einsum("ij,ij->i", B, B)
+        codes[:, mi] = np.argmin(d2[None, :] - 2 * ((100 * R[:, mi, :]) @ B.T), axis=1)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    probes = np.argsort(-(C @ qn))[: idx.coarse.n_probe]
+    out_i, out_d = [], []
+    for p in probes:
+        qr = np.floor((qn - C[p]) * idx.pq.x_scale + 0.5).astype(np.int64).reshape(m, sub)
+        lut = np.stack(
+            [
+                np.einsum("ij,ij->i", 100 * qr[mi][None, :] - books[mi],
+                          100 * qr[mi][None, :] - books[mi])
+                for mi in range(m)
+            ]
+        )
+        rows = np.nonzero(part == p)[0]
+        if rows.size:
+            out_i.append(ids[rows])
+            out_d.append(lut[np.arange(m)[None, :], codes[rows]].sum(axis=1))
+    ai = np.concatenate(out_i)
+    ad = np.concatenate(out_d)
+    sel = np.lexsort((ai, ad))[:k]
+    return list(zip(ai[sel].tolist(), ad[sel].tolist()))
+
+
+def test_ivfpq_matches_brute_and_is_layout_invariant(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.similarity import IvfPqIndex
+
+    tbl = _corpus(n=800, d=32, seed=17)
+    M = np.asarray(tbl["embedding"].combine_chunks().flatten(), np.float64).reshape(
+        tbl.num_rows, -1
+    )
+    idx = IvfPqIndex(n_list=6, n_probe=2, m=4, k_codes=16, iters=3).fit(M[:200])
+    q = M[5]
+    exp = _brute_ivfpq(tbl, idx, q, k=8)
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        res = idx.search(idx.encode(ds), q, k=8).to_pandas()
+        got = list(zip(res["vec_id"].astype(int), res["adc_dist"].astype(int)))
+        assert got == exp, f"nblocks={nblocks}"
+        assert res["rank"].tolist() == list(range(1, len(got) + 1))
+    # the query vector itself lands in a probed partition with the minimal
+    # quantization distance of its own code
+    assert exp[0][0] == 5 or 5 in [i for i, _ in exp]

@@ -130,3 +130,45 @@ def test_stream_distinct_matches_brute_and_is_layout_invariant(ray_session):
         }
         assert got == exp, f"actors={n_actors} mb={mb}"
         assert res.n_late == 0
+
+
+def _brute_sliding(tbl: pa.Table, ws: int, slide: int, k: int = 3) -> dict:
+    df = tbl.to_pandas()
+    rows = []
+    for t, u in zip(df["event_ts"], df["user_id"]):
+        w_hi = t // slide
+        w_lo = (t - ws) // slide + 1
+        for w in range(w_lo, w_hi + 1):
+            rows.append((w, u))
+    c = pd.DataFrame(rows, columns=["window_id", "user_id"])
+    c = c.groupby(["window_id", "user_id"], as_index=False).size().rename(
+        columns={"size": "cnt"}
+    )
+    out = {}
+    for wid, sub in c.groupby("window_id"):
+        sub = sub.sort_values(["cnt", "user_id"], ascending=[False, True])
+        for r, row in enumerate(sub.head(k).itertuples(), 1):
+            out[(int(wid), int(row.user_id))] = (int(row.cnt), r)
+    return out
+
+
+def test_stream_topk_sliding_matches_brute(ray_session):
+    ws, slide = 3 * W, W
+    tbl = _stream(disorder=40, seed=14)
+    exp = _brute_sliding(tbl, ws, slide)
+    for n_actors, mb in ((1, 4000), (4, 193)):
+        res = run_streaming_topk(
+            ray.data.from_arrow(tbl),
+            window_size=ws,
+            slide=slide,
+            k=3,
+            allowed_lateness=80,
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+        )
+        got = {
+            (int(r.window_id), int(r.user_id)): (int(r.cnt), int(r.rnk))
+            for r in res.output.to_pandas().itertuples()
+        }
+        assert got == exp, f"actors={n_actors} mb={mb}"
+        assert res.n_late == 0
