@@ -1367,6 +1367,92 @@ def gram_df_table(ds, ngram: int = 3, num_parts: int = 64) -> pa.Table:
     )
 
 
+def _prefix_candidate_pairs(rows_ds, threshold: float, num_parts: int = 64) -> pa.Table:
+    """(band_hash=token, doc_id, pos, size) prefix-index rows → the distinct
+    candidate-pair table, with PPJoin's LENGTH and POSITIONAL filters
+    applied per bucket (both LOSSLESS):
+
+    * length: J(x,y) ≥ t ⇒ |y| ≥ t·|x| — kills mismatched-size pairs;
+    * positional: a token at prefix positions (px, py) bounds the overlap
+      by ``1 + min(|x|−px−1, |y|−py−1)``; the pair needs overlap
+      ``α = ⌈t/(1+t)·(|x|+|y|)⌉``, and for a TRUE pair its FIRST shared
+      prefix token satisfies the bound, so keeping a pair if ANY shared
+      bucket passes loses nothing.
+
+    Same coarse-partition + lexsort-sweep shape as :func:`_distinct_pairs`
+    (buckets salted into ``num_parts`` partitions; per-bucket work is
+    vectorized triu pair expansion + three filter masks); the surviving
+    pair set collects at output scale and dedups with one driver lexsort.
+    """
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b["band_hash"], np.int64) % num_parts
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["band_hash"].to_numpy().astype(np.int64)
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        p = g["pos"].to_numpy().astype(np.int64)
+        m = g["size"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, h))
+        h, d, p, m = h[order], d[order], p[order], m[order]
+        starts = np.nonzero(np.concatenate(([True], h[1:] != h[:-1])))[0]
+        ends = np.append(starts[1:], h.size)
+        out_a, out_b = [], []
+        for s0, e0 in zip(starts, ends):
+            k = e0 - s0
+            if k < 2:
+                continue
+            ai, bi = np.triu_indices(k, k=1)
+            ai += s0
+            bi += s0
+            keep = d[ai] != d[bi]
+            ai, bi = ai[keep], bi[keep]
+            if ai.size == 0:
+                continue
+            mx, my = m[ai], m[bi]
+            # length filter: min ≥ t·max
+            keep = np.minimum(mx, my) >= threshold * np.maximum(mx, my)
+            ai, bi = ai[keep], bi[keep]
+            if ai.size == 0:
+                continue
+            mx, my = m[ai], m[bi]
+            alpha = np.ceil(threshold / (1.0 + threshold) * (mx + my))
+            ub = 1 + np.minimum(mx - p[ai] - 1, my - p[bi] - 1)
+            keep = ub >= alpha
+            ai, bi = ai[keep], bi[keep]
+            if ai.size == 0:
+                continue
+            a_, b_ = d[ai], d[bi]
+            lo = np.minimum(a_, b_)
+            hi = np.maximum(a_, b_)
+            out_a.append(lo)
+            out_b.append(hi)
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+            )
+        pairs = np.unique(
+            np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1), axis=0
+        )
+        return pd.DataFrame({"a": pairs[:, 0], "b": pairs[:, 1]})
+
+    raw = _collect_arrow(
+        rows_ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(emit, batch_format="pandas"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+    if raw.num_rows == 0:
+        return raw
+    ab = np.stack(
+        [np.asarray(raw["a"], np.int64), np.asarray(raw["b"], np.int64)], axis=1
+    )
+    ab = np.unique(ab, axis=0)
+    return pa.table({"a": pa.array(ab[:, 0], pa.int64()), "b": pa.array(ab[:, 1], pa.int64())})
+
+
 def jaccard_prefix_join(ds, *, ngram: int = 3, threshold: float = 0.5, num_parts: int = 64) -> pa.Table:
     """EXACT word-set Jaccard self-join via the PPJoin prefix filter
     (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -1405,7 +1491,7 @@ def jaccard_prefix_join(ds, *, ngram: int = 3, threshold: float = 0.5, num_parts
         vh_, vdf_ = ray.get(vref)
         sets = _distinct_gram_sets(b, ngram)
         ids = np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
-        out_tok, out_doc = [], []
+        out_tok, out_doc, out_pos, out_size = [], [], [], []
         for i, s in enumerate(sets):
             m = s.size
             if m == 0:
@@ -1415,17 +1501,24 @@ def jaccard_prefix_join(ds, *, ngram: int = 3, threshold: float = 0.5, num_parts
             sel = np.lexsort((s, dfs))[:L]
             out_tok.append(s[sel])
             out_doc.append(np.full(L, ids[i], np.int64))
+            out_pos.append(np.arange(L, dtype=np.int64))
+            out_size.append(np.full(L, m, np.int64))
         tok = np.concatenate(out_tok) if out_tok else np.zeros(0, np.int64)
         doc = np.concatenate(out_doc) if out_doc else np.zeros(0, np.int64)
+        pos = np.concatenate(out_pos) if out_pos else np.zeros(0, np.int64)
+        size = np.concatenate(out_size) if out_size else np.zeros(0, np.int64)
         return pa.table(
             {
-                "band": pa.array(np.zeros(tok.size, np.int64), pa.int64()),
                 "band_hash": pa.array(tok, pa.int64()),
                 "doc_id": pa.array(doc, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "size": pa.array(size, pa.int64()),
             }
         )
 
-    cand_tbl = _candidate_pairs_tbl(ds.map_batches(prefix_rows, batch_format="pyarrow"))
+    cand_tbl = _prefix_candidate_pairs(
+        ds.map_batches(prefix_rows, batch_format="pyarrow"), threshold, num_parts
+    )
     if cand_tbl.num_rows == 0:
         return _empty_pairs("jacc", pa.float64())
 
