@@ -852,6 +852,49 @@ class IvfPqIndex:
             enc, batch_format="pyarrow"
         )
 
+    def write_partitioned(self, ds, path: str) -> str:
+        """Materialize the IVF-PQ layout with ``ivf_part`` as a Parquet
+        partition KEY: probes then read ONLY their partitions' compressed
+        code files from storage — the full 100-TB shape (coarse prune at
+        the scan + PQ-compressed payload), composing
+        ``IvfIndex.write_partitioned``'s pruning with ``PqIndex``'s
+        16×-smaller rows."""
+        self.encode(ds).write_parquet(path, partition_cols=["ivf_part"])
+        return path
+
+    def search_partitioned(self, path: str, query: np.ndarray, k: int = 10) -> pa.Table:
+        """ADC top-k reading only the probed partition directories."""
+        import ray.data
+
+        q = np.asarray(query, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-30)
+        files = self.coarse.probe_paths(path, qn)
+        if not files:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.int64()),
+                }
+            )
+        ds = ray.data.read_parquet(files, columns=["vec_id", "ivf_part", "codes"])
+
+        def fix_part(b: pa.Table) -> pa.Table:
+            # hive partition values read back dictionary/string-typed;
+            # normalize to int32 so search()'s probe filter applies
+            part = b["ivf_part"]
+            if pa.types.is_dictionary(part.type):
+                part = part.cast(pa.string())
+            if not pa.types.is_integer(part.type):
+                part = part.cast(pa.string()).cast(pa.float64()).cast(pa.int32())
+            else:
+                part = part.cast(pa.int32())
+            return b.set_column(
+                b.schema.get_field_index("ivf_part"), "ivf_part", part
+            )
+
+        return self.search(ds.map_batches(fix_part, batch_format="pyarrow"), q, k=k)
+
     def search(self, codes_ds, query: np.ndarray, k: int = 10) -> pa.Table:
         """ADC top-k over probed partitions only: the query builds one LUT
         PER PROBED PARTITION (its residual differs per centroid); each

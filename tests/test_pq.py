@@ -158,3 +158,26 @@ def test_ivfpq_matches_brute_and_is_layout_invariant(ray_session):
     # the query vector itself lands in a probed partition with the minimal
     # quantization distance of its own code
     assert exp[0][0] == 5 or 5 in [i for i, _ in exp]
+
+
+def test_ivfpq_partitioned_search_matches_inmemory(ray_session, tmp_path):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.similarity import IvfPqIndex
+
+    tbl = _corpus(n=500, d=32, seed=23)
+    M = np.asarray(tbl["embedding"].combine_chunks().flatten(), np.float64).reshape(
+        tbl.num_rows, -1
+    )
+    idx = IvfPqIndex(n_list=5, n_probe=2, m=4, k_codes=16, iters=2).fit(M[:128])
+    q = M[9]
+    mem = idx.search(idx.encode(ray.data.from_arrow(tbl)), q, k=6).to_pandas()
+    layout = str(tmp_path / "ivfpq")
+    idx.write_partitioned(ray.data.from_arrow(tbl), layout)
+    disk = idx.search_partitioned(layout, q, k=6).to_pandas()
+    assert disk.equals(mem)
+    # pruning is real: only the probed partition dirs are read
+    import os
+
+    parts = [d for d in os.listdir(layout) if d.startswith("ivf_part=")]
+    assert len(parts) >= 3  # more partitions exist than are probed
+    assert len(idx.coarse.probe_paths(layout, q / np.linalg.norm(q))) < len(parts) or \
+        idx.coarse.n_probe >= len(parts)
