@@ -1291,9 +1291,17 @@ def q_cross_source_texts(sf_dir: str):
     """Texts occurring in >= 2 distinct sources (functions/dedup.py::
     cross_source_texts) — the boilerplate/mirrored-content detector; the
     shuffle carries one (hash, source) row per batch per text."""
-    from .functions.dedup import cross_source_texts
+    from .functions.dedup import _collect_arrow, cross_source_texts
 
-    return cross_source_texts(_docs_ds(sf_dir), min_sources=2)
+    # collect to an explicitly-typed table: when NO text crosses sources
+    # (this corpus) every block is empty and a bare Dataset loses its
+    # schema — the driver's compare needs the named zero-row columns
+    return _collect_arrow(
+        cross_source_texts(_docs_ds(sf_dir), min_sources=2),
+        pa.schema(
+            [("text", pa.string()), ("n_sources", pa.int64()), ("n_docs", pa.int64())]
+        ),
+    )
 
 
 def q_dedup_incremental(sf_dir: str):
