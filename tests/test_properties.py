@@ -483,3 +483,72 @@ def test_latest_rows_idempotent_and_matches_dict_fold(rows):
         )
     }
     assert got == {(k, t, i) for k, (t, i) in best.items()}
+
+
+# --- third-resume kernels: banded multi-partner DP & Count-Min -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcd", max_size=40),
+    st.lists(st.text(alphabet="abcd", max_size=50), min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=12),
+)
+def test_lev_capped_many_property(left, partners, tau):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.fuzzy import (
+        _codepoints,
+        _lev_capped_many,
+    )
+
+    def ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    got = _lev_capped_many(_codepoints(left), [_codepoints(p) for p in partners], tau)
+    for p, d in zip(partners, got):
+        r = ref(left, p)
+        if r <= tau:
+            assert d == r
+        else:
+            assert d == tau + 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="xyz ", min_size=1, max_size=30), min_size=1, max_size=20))
+def test_cms_partials_one_sided_property(texts):
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.sketch import (
+        CMS_D,
+        CMS_W,
+        _cms_indices,
+        cms_partial_batch,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        _word_hashes_flat,
+    )
+
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    sk = np.asarray(
+        cms_partial_batch(batch)["sketch"][0].as_py(), np.int64
+    ).reshape(CMS_D, CMS_W)
+    # every word's estimate >= its true count; sketch total == word total
+    from collections import Counter
+
+    truth = Counter(w for t in texts for w in t.lower().split())
+    n = sum(truth.values())
+    assert sk.sum() == n * CMS_D
+    for w, c in truth.items():
+        h, _ = _word_hashes_flat([w])
+        idx = _cms_indices(h)
+        est = min(int(sk[r, idx[r, 0]]) for r in range(CMS_D))
+        assert est >= c
