@@ -49,15 +49,20 @@ def run_streaming_join(
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
     num_partitions: int = 8,
+    mode: str = "inner",
 ) -> StreamingResult:
     """Streaming interval equi-join of two logs: emit (key, l_seq, l_ts,
     r_seq, r_ts) for every pair with equal keys and ``|l_ts - r_ts| <=
     band``.  ``*_cols`` = (key, seq, ts) column names per side.  Ray must
-    already be initialised by the caller."""
+    already be initialised by the caller.  ``mode="left_outer"`` also
+    emits (key, l_seq, l_ts, -1, -1) for every left row whose band closes
+    without a match — the null row fires exactly once, when the watermark
+    proves no in-band partner can still arrive."""
     sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         JoinStateActor.remote(
             band=band,
+            mode=mode,
             sink_dir=out_dir,
             sink_partitions=num_partitions,
             sink_done=sink_done,
@@ -107,6 +112,10 @@ def run_streaming_join(
 
     for tables, _ in ray.get(pending):
         pair_refs.extend(tables)
+    if mode == "left_outer":
+        # both logs ended: flush the remaining unmatched left rows
+        for flushed in ray.get([a.flush_outer.remote() for a in actors]):
+            pair_refs.extend(flushed)
 
     late_tables = [
         t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None

@@ -1742,6 +1742,51 @@ def q_streaming_stream_join(sf_dir: str):
     return out.select(["key", "l_seq", "l_ts", "r_seq", "r_ts"])
 
 
+def q_streaming_outer_join(sf_dir: str):
+    """LEFT OUTER streaming interval join (state/join_state.py
+    mode="left_outer"): same two logs and band as streaming_stream_join,
+    plus a (l, -1, -1) null row for every view whose ±6 h band closes at
+    the watermark without a purchase — the null fires exactly once, when
+    eviction proves no in-band partner can still arrive."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_join import run_streaming_join
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def log_of(kind: str) -> pa.Table:
+        sel = ev.filter(pc.equal(ev["event_type"], kind))
+        return pa.table(
+            {
+                "key": sel["user_id"].cast(pa.int64()),
+                "seq": sel["event_id"].cast(pa.int64()),
+                "event_ts": sel["ts"].cast(pa.int64()),
+            }
+        )
+
+    res = run_streaming_join(
+        ray.data.from_arrow(log_of("view")),
+        ray.data.from_arrow(log_of("purchase")),
+        band=21_600_000_000,
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=256,
+        mode="left_outer",
+    )
+    out = res.output
+    if out is None:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("key", "l_seq", "l_ts", "r_seq", "r_ts")
+            }
+        )
+    return out.select(["key", "l_seq", "l_ts", "r_seq", "r_ts"])
+
+
 def q_streaming_temporal_join(sf_dir: str):
     """Streaming TEMPORAL TABLE join (pipelines/stream_join.py::
     run_streaming_temporal_join): each purchase enriches with the user's
@@ -4140,6 +4185,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_rate_limit": q_events_rate_limit,
     "streaming_stream_join": q_streaming_stream_join,
+    "streaming_outer_join": q_streaming_outer_join,
     "streaming_temporal_join": q_streaming_temporal_join,
     "orders_pivot": q_orders_pivot,
     "priority_revenue": q_priority_revenue,
@@ -5099,6 +5145,17 @@ ORACLE_SQL = {
         FROM events l JOIN events r ON l.user_id = r.user_id
         WHERE l.event_type = 'view' AND r.event_type = 'purchase'
           AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 21600000000
+    """,
+    "streaming_outer_join": """
+        SELECT CAST(l.user_id AS BIGINT) AS key,
+               CAST(l.event_id AS BIGINT) AS l_seq,
+               CAST(epoch_us(l.ts) AS BIGINT) AS l_ts,
+               CAST(COALESCE(r.event_id, -1) AS BIGINT) AS r_seq,
+               CAST(COALESCE(epoch_us(r.ts), -1) AS BIGINT) AS r_ts
+        FROM (SELECT * FROM events WHERE event_type = 'view') l
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id
+         AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 21600000000
     """,
     "events_rate_limit": """
         WITH s AS (

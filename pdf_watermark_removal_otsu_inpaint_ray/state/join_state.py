@@ -56,6 +56,9 @@ class JoinStateActor(_StagedEmitterBase):
         self,
         *,
         band: int,
+        mode: str = "inner",  # "inner" | "left_outer": unmatched LEFT rows
+        # emit (key, l_seq, l_ts, -1, -1) when eviction proves no in-band
+        # partner can still arrive (watermark-triggered null emission)
         sink_dir: str | None = None,
         sink_partitions: int = 8,
         sink_stage_rows: int = 32768,
@@ -64,6 +67,9 @@ class JoinStateActor(_StagedEmitterBase):
         sink_epoch: int = 0,
     ):
         self.band = band
+        if mode not in ("inner", "left_outer"):
+            raise ValueError(f"unknown join mode {mode!r}")
+        self.outer = mode == "left_outer"
         self._init_staging(
             sink_dir=sink_dir,
             sink_partitions=sink_partitions,
@@ -76,16 +82,45 @@ class JoinStateActor(_StagedEmitterBase):
         self._k = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
         self._s = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
         self._t = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
+        self._m0 = np.zeros(0, bool)  # left rows' matched flags (outer mode)
         self.n_pairs = 0
 
-    def _evict(self) -> None:
+    def _null_row_ids(self, l_seq: np.ndarray) -> np.ndarray:
+        # r_seq sentinel 2^31-1 keeps null-row ids disjoint from real pair
+        # ids (real seqs are < 2^31-1 by the _pair_ids contract)
+        return _pair_ids(l_seq, np.full(l_seq.size, (1 << 31) - 1, np.int64))
+
+    def _evict(self) -> list[pa.Table]:
+        out: list[pa.Table] = []
         for side in (0, 1):
             if self._t[side].size:
                 alive = self._t[side] + self.band > self.wm
                 if not alive.all():
+                    if side == 0 and self.outer:
+                        # a dead left row's band is fully behind the
+                        # watermark: no non-late right row can match it
+                        # anymore — emit its null pair exactly once
+                        dead_unmatched = (~alive) & (~self._m0)
+                        if dead_unmatched.any():
+                            l_seq = self._s[0][dead_unmatched]
+                            n = l_seq.size
+                            out.append(
+                                pa.table(
+                                    {
+                                        "doc_id": pa.array(self._null_row_ids(l_seq), pa.int64()),
+                                        "key": pa.array(self._k[0][dead_unmatched], pa.int64()),
+                                        "l_seq": pa.array(l_seq, pa.int64()),
+                                        "l_ts": pa.array(self._t[0][dead_unmatched], pa.int64()),
+                                        "r_seq": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                                        "r_ts": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                                    }
+                                )
+                            )
+                        self._m0 = self._m0[alive]
                     self._k[side] = self._k[side][alive]
                     self._s[side] = self._s[side][alive]
                     self._t[side] = self._t[side][alive]
+        return out
 
     def _probe(self, opp: int, keys, seqs, ts):
         """Match probe rows against the opposite buffer; returns the pair
@@ -108,12 +143,16 @@ class JoinStateActor(_StagedEmitterBase):
             return None
         return probe_idx[ok], buf_idx[ok]
 
-    def _insert(self, side: int, keys, seqs, ts) -> None:
+    def _insert(self, side: int, keys, seqs, ts, matched=None) -> None:
         k = np.concatenate([self._k[side], keys])
         s = np.concatenate([self._s[side], seqs])
         t = np.concatenate([self._t[side], ts])
         o = np.argsort(k, kind="stable")
         self._k[side], self._s[side], self._t[side] = k[o], s[o], t[o]
+        if side == 0 and self.outer:
+            if matched is None:
+                matched = np.zeros(keys.size, bool)
+            self._m0 = np.concatenate([self._m0, matched])[o]
 
     def ingest(self, side: int, batch: pa.Table, watermark: int) -> tuple[list[pa.Table], int]:
         """Absorb one micro-batch of ``side`` (0 = left, 1 = right):
@@ -122,14 +161,14 @@ class JoinStateActor(_StagedEmitterBase):
         self.wm = max(self.wm, watermark)
         ts = np.asarray(batch["ts"], np.int64)
         batch, ts = self._route_late(side, batch, ts)
-        self._evict()
+        out: list[pa.Table] = self._evict()
         if batch.num_rows == 0:
-            return [], self.n_late
+            return self._divert(out), self.n_late
         keys = np.asarray(batch["key"], np.int64)
         seqs = np.asarray(batch["seq"], np.int64)
         opp = 1 - side
         hit = self._probe(opp, keys, seqs, ts)
-        out: list[pa.Table] = []
+        matched_new = np.zeros(keys.size, bool) if (side == 0 and self.outer) else None
         if hit is not None:
             p_idx, b_idx = hit
             if side == 0:  # probe rows are LEFT
@@ -151,9 +190,19 @@ class JoinStateActor(_StagedEmitterBase):
                 }
             )
             self.n_pairs += pairs.num_rows
-            out = [pairs]
-        self._insert(side, keys, seqs, ts)
+            out.append(pairs)
+            if side == 0 and self.outer:
+                matched_new[p_idx] = True
+            elif side == 1 and self.outer:
+                self._m0[b_idx] = True
+        self._insert(side, keys, seqs, ts, matched_new)
         return self._divert(out), self.n_late
+
+    def flush_outer(self) -> list[pa.Table]:
+        """End of both logs: advance to +inf and evict, emitting the
+        remaining unmatched left rows' null pairs (no-op in inner mode)."""
+        self.wm = 1 << 62
+        return self._divert(self._evict())
 
     def sink_flush(self) -> int:
         self._flush_sink()

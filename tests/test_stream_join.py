@@ -415,3 +415,38 @@ def test_temporal_join_disorder_within_lateness(ray_session, tmp_path):
     )
     assert res.n_late == 0
     assert _got_temporal(res) == _brute_temporal(base_d, base_e)
+
+
+def _brute_outer(lt: pa.Table, rt: pa.Table, band: int):
+    inner = _brute_pairs(lt, rt, band)
+    matched = {l for l, _ in inner}
+    nulls = [
+        (int(s), -1)
+        for s in np.asarray(lt["seq"], np.int64)
+        if int(s) not in matched
+    ]
+    return sorted(inner + nulls)
+
+
+def test_left_outer_join_matches_brute_and_nulls_fire_once(ray_session):
+    lt = _log(600, seed=3, jitter=2)
+    rt = _log(380, seed=4, jitter=2)
+    band = 9
+    exp = _brute_outer(lt, rt, band)
+    assert any(r == -1 for _, r in exp) and any(r != -1 for _, r in exp)
+    for n_actors, mb in ((1, 5000), (3, 117)):
+        res = run_streaming_join(
+            ray.data.from_arrow(lt),
+            ray.data.from_arrow(rt),
+            band=band,
+            allowed_lateness=8,
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+            mode="left_outer",
+        )
+        got = _got_pairs(res)
+        assert got == exp, f"actors={n_actors} mb={mb}"
+        # exactly-once: every left seq appears either matched or as one null
+        lseqs = [l for l, r in got if r == -1]
+        assert len(lseqs) == len(set(lseqs))
+        assert res.n_late == 0
