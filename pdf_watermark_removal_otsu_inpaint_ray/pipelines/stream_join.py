@@ -57,7 +57,8 @@ def run_streaming_join(
     already be initialised by the caller.  ``mode="left_outer"`` also
     emits (key, l_seq, l_ts, -1, -1) for every left row whose band closes
     without a match — the null row fires exactly once, when the watermark
-    proves no in-band partner can still arrive."""
+    proves no in-band partner can still arrive; ``mode="full_outer"``
+    additionally emits (key, -1, -1, r_seq, r_ts) for unmatched rights."""
     sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         JoinStateActor.remote(
@@ -112,8 +113,8 @@ def run_streaming_join(
 
     for tables, _ in ray.get(pending):
         pair_refs.extend(tables)
-    if mode == "left_outer":
-        # both logs ended: flush the remaining unmatched left rows
+    if mode != "inner":
+        # both logs ended: flush the remaining unmatched rows
         for flushed in ray.get([a.flush_outer.remote() for a in actors]):
             pair_refs.extend(flushed)
 

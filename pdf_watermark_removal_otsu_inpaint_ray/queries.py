@@ -1787,6 +1787,49 @@ def q_streaming_outer_join(sf_dir: str):
     return out.select(["key", "l_seq", "l_ts", "r_seq", "r_ts"])
 
 
+def q_streaming_full_outer_join(sf_dir: str):
+    """FULL OUTER streaming interval join (mode="full_outer"): both sides
+    carry matched bitmaps; unmatched views emit (l, -1, -1) and unmatched
+    purchases emit (-1, -1, r) at watermark-driven eviction."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_join import run_streaming_join
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def log_of(kind: str) -> pa.Table:
+        sel = ev.filter(pc.equal(ev["event_type"], kind))
+        return pa.table(
+            {
+                "key": sel["user_id"].cast(pa.int64()),
+                "seq": sel["event_id"].cast(pa.int64()),
+                "event_ts": sel["ts"].cast(pa.int64()),
+            }
+        )
+
+    res = run_streaming_join(
+        ray.data.from_arrow(log_of("view")),
+        ray.data.from_arrow(log_of("purchase")),
+        band=21_600_000_000,
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=256,
+        mode="full_outer",
+    )
+    out = res.output
+    if out is None:
+        return pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("key", "l_seq", "l_ts", "r_seq", "r_ts")
+            }
+        )
+    return out.select(["key", "l_seq", "l_ts", "r_seq", "r_ts"])
+
+
 def q_streaming_temporal_join(sf_dir: str):
     """Streaming TEMPORAL TABLE join (pipelines/stream_join.py::
     run_streaming_temporal_join): each purchase enriches with the user's
@@ -4186,6 +4229,7 @@ QUERIES = {
     "events_rate_limit": q_events_rate_limit,
     "streaming_stream_join": q_streaming_stream_join,
     "streaming_outer_join": q_streaming_outer_join,
+    "streaming_full_outer_join": q_streaming_full_outer_join,
     "streaming_temporal_join": q_streaming_temporal_join,
     "orders_pivot": q_orders_pivot,
     "priority_revenue": q_priority_revenue,
@@ -5154,6 +5198,17 @@ ORACLE_SQL = {
                CAST(COALESCE(epoch_us(r.ts), -1) AS BIGINT) AS r_ts
         FROM (SELECT * FROM events WHERE event_type = 'view') l
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id
+         AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 21600000000
+    """,
+    "streaming_full_outer_join": """
+        SELECT CAST(COALESCE(l.user_id, r.user_id) AS BIGINT) AS key,
+               CAST(COALESCE(l.event_id, -1) AS BIGINT) AS l_seq,
+               CAST(COALESCE(epoch_us(l.ts), -1) AS BIGINT) AS l_ts,
+               CAST(COALESCE(r.event_id, -1) AS BIGINT) AS r_seq,
+               CAST(COALESCE(epoch_us(r.ts), -1) AS BIGINT) AS r_ts
+        FROM (SELECT * FROM events WHERE event_type = 'view') l
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
           ON l.user_id = r.user_id
          AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 21600000000
     """,

@@ -56,9 +56,10 @@ class JoinStateActor(_StagedEmitterBase):
         self,
         *,
         band: int,
-        mode: str = "inner",  # "inner" | "left_outer": unmatched LEFT rows
-        # emit (key, l_seq, l_ts, -1, -1) when eviction proves no in-band
-        # partner can still arrive (watermark-triggered null emission)
+        mode: str = "inner",  # "inner" | "left_outer" | "full_outer":
+        # unmatched LEFT (and for full_outer also RIGHT) rows emit
+        # (key, l_seq, l_ts, -1, -1) / (key, -1, -1, r_seq, r_ts) when
+        # eviction proves no in-band partner can still arrive
         sink_dir: str | None = None,
         sink_partitions: int = 8,
         sink_stage_rows: int = 32768,
@@ -67,9 +68,10 @@ class JoinStateActor(_StagedEmitterBase):
         sink_epoch: int = 0,
     ):
         self.band = band
-        if mode not in ("inner", "left_outer"):
+        if mode not in ("inner", "left_outer", "full_outer"):
             raise ValueError(f"unknown join mode {mode!r}")
-        self.outer = mode == "left_outer"
+        self.outer = mode in ("left_outer", "full_outer")
+        self.outer_right = mode == "full_outer"
         self._init_staging(
             sink_dir=sink_dir,
             sink_partitions=sink_partitions,
@@ -82,7 +84,8 @@ class JoinStateActor(_StagedEmitterBase):
         self._k = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
         self._s = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
         self._t = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
-        self._m0 = np.zeros(0, bool)  # left rows' matched flags (outer mode)
+        self._m0 = np.zeros(0, bool)  # left rows' matched flags (outer modes)
+        self._m1 = np.zeros(0, bool)  # right rows' matched flags (full_outer)
         self.n_pairs = 0
 
     def _null_row_ids(self, l_seq: np.ndarray) -> np.ndarray:
@@ -96,27 +99,45 @@ class JoinStateActor(_StagedEmitterBase):
             if self._t[side].size:
                 alive = self._t[side] + self.band > self.wm
                 if not alive.all():
-                    if side == 0 and self.outer:
-                        # a dead left row's band is fully behind the
-                        # watermark: no non-late right row can match it
-                        # anymore — emit its null pair exactly once
-                        dead_unmatched = (~alive) & (~self._m0)
+                    emit_nulls = (side == 0 and self.outer) or (
+                        side == 1 and self.outer_right
+                    )
+                    if emit_nulls:
+                        # a dead row's band is fully behind the watermark:
+                        # no non-late opposite row can match it anymore —
+                        # emit its null pair exactly once
+                        flags = self._m0 if side == 0 else self._m1
+                        dead_unmatched = (~alive) & (~flags)
                         if dead_unmatched.any():
-                            l_seq = self._s[0][dead_unmatched]
-                            n = l_seq.size
+                            seq = self._s[side][dead_unmatched]
+                            n = seq.size
+                            neg = np.full(n, -1, np.int64)
+                            tsd = self._t[side][dead_unmatched]
+                            if side == 0:
+                                cols = (seq, tsd, neg, neg)
+                                ids = self._null_row_ids(seq)
+                            else:
+                                cols = (neg, neg, seq, tsd)
+                                # right-null ids use the mirrored sentinel
+                                ids = _pair_ids(
+                                    np.full(n, (1 << 31) - 2, np.int64), seq
+                                )
                             out.append(
                                 pa.table(
                                     {
-                                        "doc_id": pa.array(self._null_row_ids(l_seq), pa.int64()),
-                                        "key": pa.array(self._k[0][dead_unmatched], pa.int64()),
-                                        "l_seq": pa.array(l_seq, pa.int64()),
-                                        "l_ts": pa.array(self._t[0][dead_unmatched], pa.int64()),
-                                        "r_seq": pa.array(np.full(n, -1, np.int64), pa.int64()),
-                                        "r_ts": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                                        "doc_id": pa.array(ids, pa.int64()),
+                                        "key": pa.array(self._k[side][dead_unmatched], pa.int64()),
+                                        "l_seq": pa.array(cols[0], pa.int64()),
+                                        "l_ts": pa.array(cols[1], pa.int64()),
+                                        "r_seq": pa.array(cols[2], pa.int64()),
+                                        "r_ts": pa.array(cols[3], pa.int64()),
                                     }
                                 )
                             )
+                    if side == 0 and self.outer:
                         self._m0 = self._m0[alive]
+                    if side == 1 and self.outer_right:
+                        self._m1 = self._m1[alive]
                     self._k[side] = self._k[side][alive]
                     self._s[side] = self._s[side][alive]
                     self._t[side] = self._t[side][alive]
@@ -153,6 +174,10 @@ class JoinStateActor(_StagedEmitterBase):
             if matched is None:
                 matched = np.zeros(keys.size, bool)
             self._m0 = np.concatenate([self._m0, matched])[o]
+        if side == 1 and self.outer_right:
+            if matched is None:
+                matched = np.zeros(keys.size, bool)
+            self._m1 = np.concatenate([self._m1, matched])[o]
 
     def ingest(self, side: int, batch: pa.Table, watermark: int) -> tuple[list[pa.Table], int]:
         """Absorb one micro-batch of ``side`` (0 = left, 1 = right):
@@ -168,7 +193,8 @@ class JoinStateActor(_StagedEmitterBase):
         seqs = np.asarray(batch["seq"], np.int64)
         opp = 1 - side
         hit = self._probe(opp, keys, seqs, ts)
-        matched_new = np.zeros(keys.size, bool) if (side == 0 and self.outer) else None
+        track_new = (side == 0 and self.outer) or (side == 1 and self.outer_right)
+        matched_new = np.zeros(keys.size, bool) if track_new else None
         if hit is not None:
             p_idx, b_idx = hit
             if side == 0:  # probe rows are LEFT
@@ -191,10 +217,12 @@ class JoinStateActor(_StagedEmitterBase):
             )
             self.n_pairs += pairs.num_rows
             out.append(pairs)
-            if side == 0 and self.outer:
+            if matched_new is not None:
                 matched_new[p_idx] = True
-            elif side == 1 and self.outer:
+            if side == 1 and self.outer:
                 self._m0[b_idx] = True
+            if side == 0 and self.outer_right:
+                self._m1[b_idx] = True
         self._insert(side, keys, seqs, ts, matched_new)
         return self._divert(out), self.n_late
 

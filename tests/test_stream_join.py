@@ -450,3 +450,33 @@ def test_left_outer_join_matches_brute_and_nulls_fire_once(ray_session):
         lseqs = [l for l, r in got if r == -1]
         assert len(lseqs) == len(set(lseqs))
         assert res.n_late == 0
+
+
+def test_full_outer_join_matches_brute(ray_session):
+    lt = _log(500, seed=6, jitter=2, keys=30)
+    rt = _log(320, seed=7, jitter=2, keys=30)
+    band = 7
+    inner = _brute_pairs(lt, rt, band)
+    lm = {l for l, _ in inner}
+    rm = {r for _, r in inner}
+    exp = sorted(
+        inner
+        + [(int(s), -1) for s in np.asarray(lt["seq"], np.int64) if int(s) not in lm]
+        + [(-1, int(s)) for s in np.asarray(rt["seq"], np.int64) if int(s) not in rm]
+    )
+    for n_actors, mb in ((1, 5000), (3, 141)):
+        res = run_streaming_join(
+            ray.data.from_arrow(lt),
+            ray.data.from_arrow(rt),
+            band=band,
+            allowed_lateness=8,
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+            mode="full_outer",
+        )
+        got = _got_pairs(res)
+        assert got == exp, f"actors={n_actors} mb={mb}"
+        # exactly-once nulls on both sides
+        ln = [l for l, r in got if r == -1]
+        rn = [r for l, r in got if l == -1]
+        assert len(ln) == len(set(ln)) and len(rn) == len(set(rn))
