@@ -663,3 +663,172 @@ def grouped_time_weighted(
         .groupby("pk")
         .map_groups(twap_part, batch_format="pandas")
     )
+
+
+def grouped_rolling_median(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    tiebreak: str = "event_id",
+    value: str = "value_c",
+    window: int = 4,
+    out: str = "roll_med",
+    num_parts: int = 64,
+):
+    """Per-group rolling-window MEDIAN: for each row, the median of
+    ``value`` over the last ``window`` rows (current included) of its group
+    in (order, tiebreak) sequence — ``median(v) OVER (PARTITION BY g ORDER
+    BY o, t ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``, the robust
+    sibling of :func:`grouped_rolling_sum` (outlier-insensitive rolling
+    features).  Reference analog: the dynamic inpaint radius is a windowed
+    order statistic over region sizes (watermark_remover.py:278-297).
+
+    ``value`` must be int64 (pre-quantize floats upstream); the median is
+    emitted as float64 — int64→float64 is exact below 2^53, and the
+    even-count interpolation ``(a+b)/2`` is the identical IEEE operation
+    in numpy's median and the SQL twin, so results hash-match bitwise.
+
+    Distribution shape: one coarse hash partition on the group key, then
+    per partition ONE lexsort + ONE (rows × window) gather + masked
+    nanmedian — no per-row or per-group Python.  Window gather memory is
+    ``rows_in_partition × window × 8`` bytes, bounded by the partition
+    size (window is a small constant; a 1000-row window would want the
+    two-heap streaming form instead)."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group, num_parts)
+
+    def med_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    order: pd.Series(dtype=np.int64),
+                    tiebreak: pd.Series(dtype=np.int64),
+                    value: pd.Series(dtype=np.int64),
+                    out: pd.Series(dtype=np.float64),
+                }
+            )
+        gk = g[group].to_numpy()
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        v = g[value].to_numpy().astype(np.int64)
+        idx = np.lexsort((t, o, gk))
+        gk, o, t, v = gk[idx], o[idx], t[idx], v[idx]
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        run_start = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        pos = np.arange(n, dtype=np.int64)
+        # (n, window) gather of each row's window positions, clamped; a
+        # position before the group start is masked to NaN so nanmedian
+        # sees exactly the short head window SQL sees
+        win_pos = pos[:, None] - np.arange(window - 1, -1, -1)[None, :]
+        valid = win_pos >= run_start[gid][:, None]
+        vals = v[np.clip(win_pos, 0, n - 1)].astype(np.float64)
+        vals[~valid] = np.nan
+        med = np.nanmedian(vals, axis=1)
+        return pd.DataFrame(
+            {group: gk, order: o, tiebreak: t, value: v, out: med}
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(med_part, batch_format="pandas")
+    )
+
+
+def grouped_interval_agg(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    id_col: str = "event_id",
+    value: str = "value_c",
+    anchor: str = "is_anchor",
+    horizon: int = 6 * 3_600_000_000,
+    num_parts: int = 64,
+):
+    """Batch INTERVAL self-join aggregate: for every anchor row, the count
+    and exact int64 value sum of its group's rows with ``order`` in
+    ``(anchor_order, anchor_order + horizon]`` — the bounded-range join
+    ``a JOIN b ON b.g = a.g AND b.o > a.o AND b.o <= a.o + horizon``
+    collapsed to its aggregate, without materializing the pair blowup.
+    The batch twin of the streaming interval join
+    (pipelines/stream_join.py); reference analog: cross-page motif
+    windows accumulating spans within a page horizon (qr_detector.py
+    session chaining).
+
+    Distribution shape: one coarse hash partition on the group key
+    co-locates each group's anchors AND candidates, then per partition the
+    half-open range bounds for ALL anchors resolve with ONE combined
+    lexsort of (rows + 2·anchors) keys — the classic merge-rank sweep: a
+    probe at (g, o) with probe-sorts-BEFORE-rows-at-equal-keys yields
+    ``#rows < (g, o)`` from its sorted position, so ``hi − lo`` counts and
+    a prefix-sum difference sums the window exactly (int64, order-free).
+    No per-anchor loop, no pair materialization; memory is one sort of the
+    partition."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group, num_parts)
+
+    def sweep_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=np.int64),
+                "n_follow": pd.Series(dtype=np.int64),
+                "sum_value": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        gk = g[group].to_numpy().astype(np.int64)
+        o = g[order].to_numpy().astype(np.int64)
+        v = g[value].to_numpy().astype(np.int64)
+        aid = g[id_col].to_numpy().astype(np.int64)
+        is_a = g[anchor].to_numpy().astype(bool)
+        # rows sorted by (g, o): the sweep base + its exclusive prefix sums
+        ro = np.lexsort((o, gk))
+        rg, rt, rv = gk[ro], o[ro], v[ro]
+        cs = np.concatenate(([0], np.cumsum(rv)))
+        n = rg.size
+        a_g, a_t, a_id = gk[is_a], o[is_a], aid[is_a]
+        if a_g.size == 0:
+            return empty
+        # probes: (g, t) for lo (rows <= t excluded downstream via > bound:
+        # lo counts rows with key < (g, t]) and (g, t + horizon) for hi —
+        # both with probe-AFTER-rows-at-equal-key so ties resolve to the
+        # SQL's strict > lower / inclusive <= upper bounds
+        m = a_g.size
+        pg = np.concatenate([rg, a_g, a_g])
+        pt = np.concatenate([rt, a_t, a_t + horizon])
+        flag = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(2 * m, np.int8)]
+        )
+        so = np.lexsort((flag, pt, pg))
+        ranks = np.empty(so.size, np.int64)
+        ranks[so] = np.arange(so.size, dtype=np.int64)
+        probe_sorted = flag[so] == 1
+        probes_upto = np.cumsum(probe_sorted)  # inclusive
+        pr = ranks[n:]  # sorted positions of the 2m probes
+        rows_before = pr - (probes_upto[pr] - 1)
+        lo, hi = rows_before[:m], rows_before[m:]
+        return pd.DataFrame(
+            {
+                id_col: a_id,
+                "n_follow": (hi - lo).astype(np.int64),
+                "sum_value": (cs[hi] - cs[lo]).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(sweep_part, batch_format="pandas")
+    )

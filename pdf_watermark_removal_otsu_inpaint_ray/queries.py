@@ -4154,6 +4154,181 @@ def q_term_cooccurrence(sf_dir: str):
     return term_cooccurrence(_docs_ds(sf_dir), vocab_size=32)
 
 
+def q_events_rolling_median(sf_dir: str):
+    """Per-user rolling 4-row value MEDIAN (ROWS BETWEEN 3 PRECEDING
+    analog) — the robust rolling feature (functions/packing.py::
+    grouped_rolling_median): one coarse group-key partition, one lexsort +
+    one (rows x window) masked nanmedian per partition; values quantized
+    to integer cents so the medians (incl. the (a+b)/2 even-count
+    interpolation, identical IEEE ops both sides) hash-match the SQL
+    window twin bitwise."""
+    import ray.data
+
+    from .functions.packing import grouped_rolling_median
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["value"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "value_c": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_rolling_median(
+        ev, group="user_id", order="ts_us", tiebreak="event_id",
+        value="value_c", window=4,
+    )
+
+
+def q_events_interval_agg(sf_dir: str):
+    """Batch interval self-join aggregate (functions/packing.py::
+    grouped_interval_agg): for every 'purchase' event, the count and exact
+    cent sum of the SAME USER's events in the following 6 hours — the
+    bounded range join ``b.user = a.user AND b.ts > a.ts AND b.ts <= a.ts
+    + 6h`` collapsed to its aggregate without materializing pairs.  One
+    coarse user partition; per partition ONE combined lexsort merge-rank
+    sweep resolves all anchors' bounds (no per-anchor loop).  Batch twin
+    of the streaming interval join (pipelines/stream_join.py)."""
+    import ray.data
+
+    from .functions.packing import grouped_interval_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["value"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "value_c": pa.array(cents, pa.int64()),
+                "is_anchor": pc.equal(b["event_type"], "purchase").cast(pa.int8()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value", "event_type"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_interval_agg(
+        ev, group="user_id", order="ts_us", id_col="event_id",
+        value="value_c", anchor="is_anchor", horizon=6 * 3_600_000_000,
+    )
+
+
+def q_source_regression(sf_dir: str):
+    """Per-source OLS regression of whitespace word count on stored
+    document length — slope + intercept from the SAME exact integer moment
+    partials as q_source_corr (n, Σx, Σy, Σxx, Σxy per batch per source;
+    documents never shuffle).  The closed-form estimators are assembled in
+    float64 with the IDENTICAL expression the SQL twin evaluates over the
+    same exact int sums, so the doubles hash-match bitwise (the twin uses
+    the explicit closed form, not DuckDB's streaming regr_slope, exactly
+    to pin the arithmetic).  Zero-variance groups yield NULL."""
+    import ray.data
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["n_chars"], np.int64).astype(np.float64)
+        y = np.asarray(
+            pc.count_substring_regex(b["text"], r"\S+"), np.int64
+        ).astype(np.float64)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        codes = np.asarray(d.indices, np.int64)
+        k = len(d.dictionary)
+
+        def bc(w=None):
+            out = np.bincount(codes, weights=w, minlength=k)
+            return pa.array(out.astype(np.int64), pa.int64())
+
+        return pa.table(
+            {
+                "source": d.dictionary.cast(pa.string()),
+                "n": bc(),
+                "sx": bc(x),
+                "sy": bc(y),
+                "sxx": bc(x * x),
+                "sxy": bc(x * y),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["sum(n)"], np.float64)
+        sx = np.asarray(b["sum(sx)"], np.float64)
+        sy = np.asarray(b["sum(sy)"], np.float64)
+        sxx = np.asarray(b["sum(sxx)"], np.float64)
+        sxy = np.asarray(b["sum(sxy)"], np.float64)
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / den
+            intercept = (sy - slope * sx) / n
+        return pa.table(
+            {
+                "source": b["source"],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "slope": pa.array(slope, pa.float64(), mask=(den == 0)),
+                "intercept": pa.array(intercept, pa.float64(), mask=(den == 0)),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source", "n_chars"]
+    )
+    return (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n", "sx", "sy", "sxx", "sxy"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def q_streaming_window_quantiles(sf_dir: str):
+    """Streaming EXACT per-window value quantiles (pipelines/stream_topk.py
+    ::run_streaming_quantiles): p50/p90 of the whole-dollar value bin per
+    tumbling day, from sparse per-actor (window, bin)->count state — the
+    additive-histogram trick of the flagship's A1 lifted to event time:
+    rows route by BIN hash (each (window, bin) cell completes in one
+    actor), a closed window emits its local sparse histogram, and the
+    driver folds actors x bins cells (output scale) into the exact
+    quantile_disc answer (index ceil(q*n)-1 — DuckDB's rule) plus count."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_topk import run_streaming_quantiles
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet", columns=["value", "ts"])
+    src = pa.table(
+        {
+            "bin": pa.array(
+                np.floor(np.asarray(ev["value"], np.float64)).astype(np.int64),
+                pa.int64(),
+            ),
+            "event_ts": ev["ts"].cast(pa.int64()),
+        }
+    )
+    res = run_streaming_quantiles(
+        ray.data.from_arrow(src),
+        window_size=86_400_000_000,
+        probs=(0.5, 0.9),
+        allowed_lateness=1,
+        n_actors=3,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4291,6 +4466,10 @@ QUERIES = {
     "orders_by_status": q_orders_by_status,
     "lineitem_filtered_counts": q_lineitem_filtered_counts,
     "top_customers": q_top_customers,
+    "events_rolling_median": q_events_rolling_median,
+    "events_interval_agg": q_events_interval_agg,
+    "source_regression": q_source_regression,
+    "streaming_window_quantiles": q_streaming_window_quantiles,
 }
 
 _MOTIF_UNION = "\nUNION ALL\n".join(
@@ -5646,6 +5825,72 @@ ORACLE_SQL = {
         SELECT r.o_custkey, cu.c_name, CAST(r.n_orders AS BIGINT) AS n_orders
         FROM r JOIN customer cu ON cu.c_custkey = r.o_custkey
         WHERE rk <= 10
+    """,
+    "events_rolling_median": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+               CAST(median(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS roll_med
+        FROM events
+    """,
+    "events_interval_agg": """
+        SELECT CAST(a.event_id AS BIGINT) AS event_id,
+               CAST(count(b.event_id) AS BIGINT) AS n_follow,
+               CAST(coalesce(sum(CAST(floor(b.value * 100 + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS sum_value
+        FROM events a
+        LEFT JOIN events b
+          ON b.user_id = a.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 6 HOUR
+        WHERE a.event_type = 'purchase'
+        GROUP BY a.event_id
+    """,
+    "source_regression": """
+        WITH m AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(sum(w) AS BIGINT) AS sy,
+                   CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                        AS BIGINT) AS sxx,
+                   CAST(sum(CAST(n_chars AS BIGINT) * w) AS BIGINT) AS sxy
+            FROM (SELECT source, n_chars,
+                         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w
+                  FROM documents)
+            GROUP BY source
+        ),
+        f AS (
+            SELECT source, n,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+            FROM m
+        )
+        SELECT source, n,
+               CASE WHEN den = 0 THEN NULL ELSE num / den END AS slope,
+               CASE WHEN den = 0 THEN NULL
+                    ELSE (syd - (num / den) * sxd) / CAST(n AS DOUBLE)
+               END AS intercept
+        FROM f
+    """,
+    "streaming_window_quantiles": """
+        WITH b AS (
+            SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS window_id,
+                   CAST(floor(value) AS BIGINT) AS bin
+            FROM events
+        )
+        SELECT window_id,
+               CAST(quantile_disc(bin, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(bin, 0.9) AS BIGINT) AS p90,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY window_id
     """,
 }
 

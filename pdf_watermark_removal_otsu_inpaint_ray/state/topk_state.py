@@ -95,6 +95,29 @@ class TopkStateActor(_StagedEmitterBase):
             return []
         mask = self._swin <= w_closed
         out: list[pa.Table] = []
+        if mask.any() and self.emit == "hist":
+            # sparse LOCAL histogram of the closed windows: every
+            # (window, key=bin) -> count cell, verbatim — cells are
+            # disjoint across actors (bin-hash routing), so the driver
+            # fold is a concatenate + per-window quantile walk over
+            # actors x bins rows (output scale, never row scale)
+            out = [
+                pa.table(
+                    {
+                        "window_id": pa.array(self._swin[mask], pa.int64()),
+                        self.key_col: pa.array(self._skey[mask], pa.int64()),
+                        "cnt": pa.array(self._scnt[mask], pa.int64()),
+                    }
+                )
+            ]
+            inv = ~mask
+            self._swin, self._skey, self._scnt = (
+                self._swin[inv],
+                self._skey[inv],
+                self._scnt[inv],
+            )
+            self.finalized_win = max(self.finalized_win, int(w_closed))
+            return out
         if mask.any() and self.emit == "distinct":
             w = self._swin[mask]
             wu, nd = np.unique(w, return_counts=True)

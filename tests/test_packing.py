@@ -404,3 +404,94 @@ def test_grouped_time_weighted_matches_brute(ray_session):
     }
     assert got == exp
     assert 777 not in got  # single-event user excluded, like the SQL twin
+
+
+def test_grouped_rolling_median_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_rolling_median,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 400
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 15, n), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 40, n) * 10, pa.int64()),
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "value_c": pa.array(rng.integers(-500, 500, n), pa.int64()),
+        }
+    )
+    w = 4
+    out = (
+        grouped_rolling_median(
+            ray.data.from_arrow(tbl).repartition(4),
+            group="user_id", order="ts_us", tiebreak="event_id",
+            value="value_c", window=w,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts_us", "event_id"], ignore_index=True)
+    )
+    assert len(out) == n
+    rows = sorted(
+        zip(
+            np.asarray(tbl["user_id"]).tolist(),
+            np.asarray(tbl["ts_us"]).tolist(),
+            np.asarray(tbl["event_id"]).tolist(),
+            np.asarray(tbl["value_c"]).tolist(),
+        )
+    )
+    hist: dict = {}
+    expect = {}
+    for uu, tt, ee, vv in rows:
+        hist.setdefault(uu, []).append(vv)
+        expect[(uu, tt, ee)] = float(np.median(hist[uu][-w:]))
+    got = {
+        (r["user_id"], r["ts_us"], r["event_id"]): r["roll_med"]
+        for _, r in out.iterrows()
+    }
+    assert got == expect
+
+
+def test_grouped_interval_agg_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_interval_agg,
+    )
+
+    rng = np.random.default_rng(33)
+    n = 500
+    horizon = 25
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 200, n), pa.int64()),  # heavy ties
+            "event_id": pa.array(rng.permutation(n), pa.int64()),
+            "value_c": pa.array(rng.integers(-100, 100, n), pa.int64()),
+            "is_anchor": pa.array(
+                (rng.random(n) < 0.3).astype(np.int8), pa.int8()
+            ),
+        }
+    )
+    out = (
+        grouped_interval_agg(
+            ray.data.from_arrow(tbl).repartition(5),
+            group="user_id", order="ts_us", id_col="event_id",
+            value="value_c", anchor="is_anchor", horizon=horizon,
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    u = np.asarray(tbl["user_id"])
+    t = np.asarray(tbl["ts_us"])
+    e = np.asarray(tbl["event_id"])
+    v = np.asarray(tbl["value_c"])
+    a = np.asarray(tbl["is_anchor"]).astype(bool)
+    expect = {}
+    for i in np.nonzero(a)[0]:
+        m = (u == u[i]) & (t > t[i]) & (t <= t[i] + horizon)
+        expect[int(e[i])] = (int(m.sum()), int(v[m].sum()))
+    got = {
+        int(r["event_id"]): (int(r["n_follow"]), int(r["sum_value"]))
+        for _, r in out.iterrows()
+    }
+    assert len(got) == int(a.sum())
+    assert got == expect

@@ -172,3 +172,80 @@ def test_stream_topk_sliding_matches_brute(ray_session):
         }
         assert got == exp, f"actors={n_actors} mb={mb}"
         assert res.n_late == 0
+
+
+def test_stream_quantiles_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_topk import (
+        run_streaming_quantiles,
+    )
+
+    def _brute_q(tbl: pa.Table, probs=(0.5, 0.9)) -> dict:
+        import math
+
+        df = tbl.to_pandas()
+        df["window_id"] = df["event_ts"] // W
+        out = {}
+        for wid, sub in df.groupby("window_id"):
+            vals = np.sort(sub["bin"].to_numpy())
+            row = []
+            for q in probs:
+                row.append(int(vals[math.ceil(q * vals.size) - 1]))
+            out[int(wid)] = (*row, int(vals.size))
+        return out
+
+    rng = np.random.default_rng(44)
+    n = 4000
+    ts = np.sort(rng.integers(0, 20 * W, n)) + rng.integers(-40, 41, n)
+    tbl = pa.table(
+        {
+            "bin": pa.array(rng.integers(0, 300, n), pa.int64()),
+            "event_ts": pa.array(ts, pa.int64()),
+        }
+    )
+    exp = _brute_q(tbl)
+    for n_actors, mb in ((1, 4000), (3, 256), (5, 97)):
+        res = run_streaming_quantiles(
+            ray.data.from_arrow(tbl),
+            window_size=W,
+            probs=(0.5, 0.9),
+            allowed_lateness=80,
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+        )
+        got = {
+            int(r.window_id): (int(r.p50), int(r.p90), int(r.n))
+            for r in res.output.to_pandas().itertuples()
+        }
+        assert got == exp, f"actors={n_actors} mb={mb}"
+        assert res.n_late == 0
+
+
+def test_stream_quantiles_routes_late_rows(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_topk import (
+        run_streaming_quantiles,
+    )
+
+    # in-order stream, then one row far behind the final watermark: it must
+    # land in the late side output, not in any window histogram
+    n = 2000
+    rng = np.random.default_rng(7)
+    ts = np.sort(rng.integers(0, 10 * W, n))
+    bins = rng.integers(0, 50, n)
+    tbl = pa.table(
+        {
+            "bin": pa.array(np.concatenate([bins[:-1], [999]]), pa.int64()),
+            "event_ts": pa.array(np.concatenate([ts[:-1], [0]]), pa.int64()),
+        }
+    )
+    res = run_streaming_quantiles(
+        ray.data.from_arrow(tbl),
+        window_size=W,
+        probs=(0.5,),
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=128,
+    )
+    assert res.n_late >= 1
+    assert res.late is not None and 999 in np.asarray(res.late["bin"]).tolist()
+    # no window's quantile can be the late sentinel bin
+    assert not (np.asarray(res.output["p50"]) == 999).any()
