@@ -319,7 +319,9 @@ def main() -> None:
             "streaming_window_topk", "streaming_window_distinct", "pq_topk",
             "edit_distance_join", "cms_heavy_words", "jaccard_prefix_join",
             "knn_ivf_pq", "streaming_sliding_topk", "streaming_outer_join",
-            "streaming_full_outer_join",
+            "streaming_full_outer_join", "events_rolling_median",
+            "events_interval_agg", "source_regression",
+            "streaming_window_quantiles", "dedup_cc_distributed",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -202,3 +202,201 @@ def copurchase_pagerank(ds, *, iterations: int = 2, num_parts: int = 32) -> pa.T
             "rank_q": pa.array(r, pa.int64()),
         }
     )
+
+
+def connected_components_distributed(
+    pairs, *, num_parts: int = 32, max_iters: int = 30
+) -> pa.Table:
+    """Distributed connected components by iterative MIN-LABEL PROPAGATION
+    — the scale path :func:`..dedup.connected_components`'s docstring
+    promises for pair sets that outgrow the driver ("run iterative label
+    propagation as repeated repartition joins").  Input: an (a, b) pair
+    Dataset (or Table); output: one (doc_id, cluster_id, keep) row per
+    node, cluster_id = the component's minimum id, keep = 1 on the
+    canonical node — identical to the driver union-find.
+
+    Per iteration (all edge-scale, never driver-resident):
+      1. labels (id, lab) UNION the static bidirectional edge set (u, v),
+         both keyed by hash(id|u) into ``num_parts`` coarse partitions, so
+         every edge is co-located with its source's CURRENT label;
+      2. one vectorized ``map_groups`` per partition emits each edge's
+         candidate (v, lab(u)) plus the label pass-through (id, lab);
+      3. a second coarse partition on the TARGET id folds candidates with
+         one lexsort + run-boundary min per partition → new labels.
+    Labels only decrease, so ``sum(lab)`` (an int64 scalar partial per
+    batch, driver-folded at partition scale) is strictly monotone and
+    ``sum unchanged ⟺ converged`` — the termination probe costs one pass
+    of node-dimension rows, no driver label table.  Convergence needs
+    ≤ diameter(component) rounds; a graph with adversarially long chains
+    would want alternating large-star/small-star contraction (O(log n)
+    rounds) — documented, not implemented, because near-dup graphs are
+    clique-ish and shallow.
+
+    The per-iteration label Dataset is ``materialize()``d — node-scale,
+    NOT corpus-scale (ids only); at 10^11 nodes stage each generation to
+    Parquet instead (the same escape noted for the PageRank edge pin).
+
+    Reference analog: cross-page accumulation (T2) run to fixed point;
+    the min-id canonical-member rule mirrors the dedup keep-first
+    contract (cli.py dedup spans)."""
+    import pandas as pd
+
+    import ray.data
+
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        u = np.concatenate([a, bb])
+        v = np.concatenate([bb, a])
+        pk = (
+            (u.astype(np.uint64) * _MIX) >> np.uint64(40)
+        ).astype(np.int64) % num_parts
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "val": pa.array(v, pa.int64()),
+                "kind": pa.array(np.ones(u.size, np.int8), pa.int8()),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(b["key"], np.int64))
+        pk = (
+            (ids.astype(np.uint64) * _MIX) >> np.uint64(40)
+        ).astype(np.int64) % num_parts
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "val": pa.array(ids, pa.int64()),
+                "kind": pa.array(np.zeros(ids.size, np.int8), pa.int8()),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    def dedup_ids(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["key"].to_numpy().astype(np.int64))
+        pk = (
+            (ids.astype(np.uint64) * _MIX) >> np.uint64(40)
+        ).astype(np.int64) % num_parts
+        # emit an ARROW table: the per-iteration ``union`` with the arrow
+        # edge blocks requires homogeneous block types
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "val": pa.array(ids, pa.int64()),
+                "kind": pa.array(np.zeros(ids.size, np.int8), pa.int8()),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    labels = (
+        edges.map_batches(seed_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(dedup_ids, batch_format="pandas")
+        .materialize()
+    )
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key"].to_numpy().astype(np.int64)
+        v = g["val"].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        lmask = kind == 0
+        lk, lv = k[lmask], v[lmask]
+        o = np.argsort(lk)
+        lk, lv = lk[o], lv[o]
+        eu, ev = k[~lmask], v[~lmask]
+        pos = np.searchsorted(lk, eu)
+        # every edge source has a label in ITS OWN partition by
+        # construction (same hash); a miss is a partitioning bug
+        assert pos.size == 0 or (
+            (pos < lk.size).all() and (lk[np.minimum(pos, lk.size - 1)] == eu).all()
+        )
+        cand = lv[pos] if pos.size else lv[:0]
+        tgt = np.concatenate([lk, ev])
+        cnd = np.concatenate([lv, cand])
+        pk = (
+            (tgt.astype(np.uint64) * _MIX) >> np.uint64(40)
+        ).astype(np.int64) % num_parts
+        return pd.DataFrame({"target": tgt, "cand": cnd, "pk2": pk})
+
+    def minfold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["target"].to_numpy().astype(np.int64)
+        c = g["cand"].to_numpy().astype(np.int64)
+        o = np.lexsort((c, t))
+        t, c = t[o], c[o]
+        first = np.concatenate(([True], t[1:] != t[:-1]))
+        tk = t[first]
+        pk = (
+            (tk.astype(np.uint64) * _MIX) >> np.uint64(40)
+        ).astype(np.int64) % num_parts
+        return pa.table(
+            {
+                "key": pa.array(tk, pa.int64()),
+                "val": pa.array(c[first], pa.int64()),
+                "kind": pa.array(np.zeros(tk.size, np.int8), pa.int8()),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["val"], np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(v.sum())], pa.int64()),
+                "n": pa.array([v.size], pa.int64()),
+            }
+        )
+
+    def label_sum(lab_ds) -> tuple[int, int]:
+        p = lab_ds.map_batches(sum_partial, batch_format="pyarrow").to_pandas()
+        if "s" not in p.columns:  # zero blocks: empty pair set
+            return 0, 0
+        return int(p["s"].sum()), int(p["n"].sum())
+
+    prev_sum, n_nodes = label_sum(labels)
+    if n_nodes == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64()),
+            }
+        )
+    for _ in range(max_iters):
+        labels = (
+            labels.union(edges)
+            .groupby("pk")
+            .map_groups(spread, batch_format="pandas")
+            .groupby("pk2")
+            .map_groups(minfold, batch_format="pandas")
+            .materialize()
+        )
+        cur_sum, cur_n = label_sum(labels)
+        assert cur_n == n_nodes, (cur_n, n_nodes)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "(adversarially deep graph — use star contraction)"
+        )
+
+    out = labels.select_columns(["key", "val"]).to_pandas()
+    ids = out["key"].to_numpy().astype(np.int64)
+    lab = out["val"].to_numpy().astype(np.int64)
+    o = np.argsort(ids)
+    ids, lab = ids[o], lab[o]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(lab, pa.int64()),
+            "keep": pa.array((ids == lab).astype(np.int64), pa.int64()),
+        }
+    )

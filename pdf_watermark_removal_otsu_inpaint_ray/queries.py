@@ -4154,6 +4154,24 @@ def q_term_cooccurrence(sf_dir: str):
     return term_cooccurrence(_docs_ds(sf_dir), vocab_size=32)
 
 
+def q_dedup_cc_distributed(sf_dir: str):
+    """DISTRIBUTED connected components (functions/graph.py::
+    connected_components_distributed) over the exact edit-distance
+    near-dup graph — the scale path the driver union-find
+    (functions/dedup.py::connected_components) documents: iterative
+    min-label propagation as repeated coarse repartition joins (two
+    edge-scale shuffles per round, sum-of-labels convergence probe, no
+    driver label table).  The SQL twin computes the same components with
+    a recursive reachability CTE over the same levenshtein pair set, so
+    this one is closed-form oracle-checked end to end (unlike
+    `dedup_clusters`, whose LSH edges need a materialized golden)."""
+    from .functions.fuzzy import edit_distance_join
+    from .functions.graph import connected_components_distributed
+
+    pairs = edit_distance_join(_docs_ds(sf_dir), tau=80).select_columns(["a", "b"])
+    return connected_components_distributed(pairs)
+
+
 def q_events_rolling_median(sf_dir: str):
     """Per-user rolling 4-row value MEDIAN (ROWS BETWEEN 3 PRECEDING
     analog) — the robust rolling feature (functions/packing.py::
@@ -4470,6 +4488,7 @@ QUERIES = {
     "events_interval_agg": q_events_interval_agg,
     "source_regression": q_source_regression,
     "streaming_window_quantiles": q_streaming_window_quantiles,
+    "dedup_cc_distributed": q_dedup_cc_distributed,
 }
 
 _MOTIF_UNION = "\nUNION ALL\n".join(
@@ -5879,6 +5898,26 @@ ORACLE_SQL = {
                     ELSE (syd - (num / den) * sxd) / CAST(n AS DOUBLE)
                END AS intercept
         FROM f
+    """,
+    "dedup_cc_distributed": """
+        WITH RECURSIVE pairs AS (
+            SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b
+            FROM documents a JOIN documents b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 80
+            WHERE levenshtein(a.text, b.text) <= 80
+        ),
+        nodes AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION ALL SELECT b, a FROM pairs),
+        reach AS (
+            SELECT id, id AS lab FROM nodes
+            UNION
+            SELECT e.v AS id, r.lab FROM reach r JOIN edges e ON e.u = r.id
+        )
+        SELECT id AS doc_id, min(lab) AS cluster_id,
+               CAST(id = min(lab) AS BIGINT) AS keep
+        FROM reach GROUP BY id
     """,
     "streaming_window_quantiles": """
         WITH b AS (

@@ -552,3 +552,62 @@ def test_cms_partials_one_sided_property(texts):
         idx = _cms_indices(h)
         est = min(int(sk[r, idx[r, 0]]) for r in range(CMS_D))
         assert est >= c
+
+
+def test_connected_components_distributed_matches_union_find(ray_session):
+    """The label-propagation scale path must produce exactly the driver
+    union-find's (doc_id, cluster_id, keep) on random graphs — chains
+    (multi-round propagation), cliques, isolated pairs — and converge,
+    not just stop."""
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dedup import (
+        connected_components,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import (
+        connected_components_distributed,
+    )
+
+    import pandas as pd
+    import ray.data
+
+    rng = np.random.default_rng(55)
+    # long chains force > 1 propagation round; random extra edges add
+    # merges between chains; sparse ids exercise the hash partitioning
+    ids = rng.choice(np.arange(0, 100_000), size=120, replace=False)
+    a_parts, b_parts = [], []
+    for c in range(6):  # 6 chains of 20
+        chain = ids[c * 20 : (c + 1) * 20]
+        a_parts.append(chain[:-1])
+        b_parts.append(chain[1:])
+    extra = rng.choice(ids, size=(7, 2), replace=True)
+    a = np.concatenate(a_parts + [extra[:, 0]])
+    b = np.concatenate(b_parts + [extra[:, 1]])
+    keep = a != b
+    pairs = pa.table(
+        {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())}
+    )
+    exp = connected_components(pairs).to_pandas().sort_values("doc_id", ignore_index=True)
+    got = (
+        connected_components_distributed(
+            ray.data.from_arrow(pairs).repartition(5), num_parts=7
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_connected_components_distributed_empty(ray_session):
+    import pyarrow as pa
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import (
+        connected_components_distributed,
+    )
+
+    import ray.data
+
+    pairs = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = connected_components_distributed(ray.data.from_arrow(pairs))
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "cluster_id", "keep"]
