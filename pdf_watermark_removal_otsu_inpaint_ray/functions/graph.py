@@ -220,17 +220,24 @@ def connected_components_distributed(
          both keyed by hash(id|u) into ``num_parts`` coarse partitions, so
          every edge is co-located with its source's CURRENT label;
       2. one vectorized ``map_groups`` per partition emits each edge's
-         candidate (v, lab(u)) plus the label pass-through (id, lab);
+         candidate (v, lab(u)), the label pass-through (id, lab), and —
+         for every non-root — a GRANDPARENT REQUEST addressed to lab(id)
+         (encoded as a negative candidate, no extra column);
       3. a second coarse partition on the TARGET id folds candidates with
-         one lexsort + run-boundary min per partition → new labels.
-    Labels only decrease, so ``sum(lab)`` (an int64 scalar partial per
-    batch, driver-folded at partition scale) is strictly monotone and
-    ``sum unchanged ⟺ converged`` — the termination probe costs one pass
-    of node-dimension rows, no driver label table.  Convergence needs
-    ≤ diameter(component) rounds; a graph with adversarially long chains
-    would want alternating large-star/small-star contraction (O(log n)
-    rounds) — documented, not implemented, because near-dup graphs are
-    clique-ish and shallow.
+         one lexsort + run-boundary min per partition → new labels, and
+         answers each request with the target's NEW label — a (requester,
+         lab(lab(requester))) response row that joins the requester's fold
+         NEXT round.
+    The responses are pointer-halving (the MapReduce-CC trick of Rastogi
+    et al.'s Hash-to-Min family): label depth roughly halves per round, so
+    convergence needs ~log2(diameter) + 2 rounds, not diameter rounds —
+    measured 4 rounds where plain neighbor propagation took 10+ on the
+    sf0.1 near-dup chains.  Labels only decrease, so ``sum(lab)`` (an
+    int64 scalar partial per batch, driver-folded at partition scale) is
+    monotone, and ONE full unchanged round implies the labeling is flat
+    (every pending response was already ≥ its target's label) and
+    edge-constant — i.e. exactly the component minima — so ``sum
+    unchanged ⟺ converged`` remains a sound termination probe.
 
     The per-iteration label Dataset is ``materialize()``d — node-scale,
     NOT corpus-scale (ids only); at 10^11 nodes stage each generation to
@@ -263,7 +270,14 @@ def connected_components_distributed(
             }
         )
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # coalesce to num_parts blocks ONCE: the edge set is re-unioned every
+    # round, and a sliver-blocked upstream (e.g. a materialized join
+    # output) would otherwise re-pay per-block task overhead per round
+    edges = (
+        pairs.map_batches(to_edges, batch_format="pyarrow")
+        .repartition(num_parts)
+        .materialize()
+    )
 
     def seed_partial(b: pa.Table) -> pa.Table:
         ids = np.unique(np.asarray(b["key"], np.int64))
@@ -310,7 +324,8 @@ def connected_components_distributed(
         lk, lv = k[lmask], v[lmask]
         o = np.argsort(lk)
         lk, lv = lk[o], lv[o]
-        eu, ev = k[~lmask], v[~lmask]
+        emask = kind == 1
+        eu, ev = k[emask], v[emask]
         pos = np.searchsorted(lk, eu)
         # every edge source has a label in ITS OWN partition by
         # construction (same hash); a miss is a partitioning bug
@@ -318,8 +333,17 @@ def connected_components_distributed(
             (pos < lk.size).all() and (lk[np.minimum(pos, lk.size - 1)] == eu).all()
         )
         cand = lv[pos] if pos.size else lv[:0]
-        tgt = np.concatenate([lk, ev])
-        cnd = np.concatenate([lv, cand])
+        # kind-2 response rows: last round's lab(lab(id)) answers, applied
+        # as plain candidates at their requester's fold
+        rmask = kind == 2
+        rk, rv = k[rmask], v[rmask]
+        # grandparent requests: every non-root asks its label's partition
+        # for lab(lab(id)); encoded as a NEGATIVE candidate (-id - 1)
+        # addressed to target = lab(id) — ids are non-negative, so the
+        # sign bit is a free discriminator
+        qmask = lv != lk
+        tgt = np.concatenate([lk, ev, rk, lv[qmask]])
+        cnd = np.concatenate([lv, cand, rv, -lk[qmask] - 1])
         pk = (
             (tgt.astype(np.uint64) * _MIX) >> np.uint64(40)
         ).astype(np.int64) % num_parts
@@ -330,22 +354,44 @@ def connected_components_distributed(
         c = g["cand"].to_numpy().astype(np.int64)
         o = np.lexsort((c, t))
         t, c = t[o], c[o]
-        first = np.concatenate(([True], t[1:] != t[:-1]))
-        tk = t[first]
+        # requests sort FIRST within a target (negative); the new label of
+        # a target is its smallest NON-NEGATIVE candidate — every node
+        # always has one (its own pass-through)
+        req = c < 0
+        tr, requester = t[req], -c[req] - 1
+        t2, c2 = t[~req], c[~req]
+        first = np.concatenate(([True], t2[1:] != t2[:-1]))
+        tk, nv = t2[first], c2[first]
         pk = (
             (tk.astype(np.uint64) * _MIX) >> np.uint64(40)
         ).astype(np.int64) % num_parts
+        # answer each request with the target's NEW label; delivered to
+        # the requester's partition as a kind-2 candidate for next round
+        rpos = np.searchsorted(tk, tr)
+        assert rpos.size == 0 or (
+            (rpos < tk.size).all() and (tk[np.minimum(rpos, tk.size - 1)] == tr).all()
+        )
+        resp = nv[rpos] if rpos.size else nv[:0]
+        rpk = (
+            (requester.astype(np.uint64) * _MIX) >> np.uint64(40)
+        ).astype(np.int64) % num_parts
         return pa.table(
             {
-                "key": pa.array(tk, pa.int64()),
-                "val": pa.array(c[first], pa.int64()),
-                "kind": pa.array(np.zeros(tk.size, np.int8), pa.int8()),
-                "pk": pa.array(pk, pa.int64()),
+                "key": pa.array(np.concatenate([tk, requester]), pa.int64()),
+                "val": pa.array(np.concatenate([nv, resp]), pa.int64()),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(tk.size, np.int8), np.full(requester.size, 2, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "pk": pa.array(np.concatenate([pk, rpk]), pa.int64()),
             }
         )
 
     def sum_partial(b: pa.Table) -> pa.Table:
-        v = np.asarray(b["val"], np.int64)
+        kind = np.asarray(b["kind"], np.int64)
+        v = np.asarray(b["val"], np.int64)[kind == 0]
         return pa.table(
             {
                 "s": pa.array([int(v.sum())], pa.int64()),
@@ -368,7 +414,7 @@ def connected_components_distributed(
                 "keep": pa.array([], pa.int64()),
             }
         )
-    for _ in range(max_iters):
+    for _round in range(max_iters):
         labels = (
             labels.union(edges)
             .groupby("pk")
@@ -377,6 +423,10 @@ def connected_components_distributed(
             .map_groups(minfold, batch_format="pandas")
             .materialize()
         )
+        if _round == 0:
+            # round 0 always lowers some label when any pair exists (a != b
+            # by construction), so the probe pass is pure overhead here
+            continue
         cur_sum, cur_n = label_sum(labels)
         assert cur_n == n_nodes, (cur_n, n_nodes)
         if cur_sum == prev_sum:
@@ -388,7 +438,13 @@ def connected_components_distributed(
             "(adversarially deep graph — use star contraction)"
         )
 
-    out = labels.select_columns(["key", "val"]).to_pandas()
+    import pyarrow.compute as pc
+
+    def only_labels(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["kind"], 0)
+        return b.filter(m).select(["key", "val"])
+
+    out = labels.map_batches(only_labels, batch_format="pyarrow").to_pandas()
     ids = out["key"].to_numpy().astype(np.int64)
     lab = out["val"].to_numpy().astype(np.int64)
     o = np.argsort(ids)
