@@ -41,7 +41,9 @@ def run_streaming_join(
     left_source,
     right_source,
     *,
-    band: int,
+    band: int | None = None,
+    band_lo: int | None = None,
+    band_hi: int | None = None,
     left_cols: tuple[str, str, str] = ("key", "seq", "event_ts"),
     right_cols: tuple[str, str, str] = ("key", "seq", "event_ts"),
     allowed_lateness: int = 1,
@@ -52,9 +54,10 @@ def run_streaming_join(
     mode: str = "inner",
 ) -> StreamingResult:
     """Streaming interval equi-join of two logs: emit (key, l_seq, l_ts,
-    r_seq, r_ts) for every pair with equal keys and ``|l_ts - r_ts| <=
-    band``.  ``*_cols`` = (key, seq, ts) column names per side.  Ray must
-    already be initialised by the caller.  ``mode="left_outer"`` also
+    r_seq, r_ts) for every pair with equal keys and ``band_lo <= r_ts -
+    l_ts <= band_hi`` (``band`` = the symmetric ``|l_ts - r_ts| <= band``
+    shorthand).  ``*_cols`` = (key, seq, ts) column names per side.  Ray
+    must already be initialised by the caller.  ``mode="left_outer"`` also
     emits (key, l_seq, l_ts, -1, -1) for every left row whose band closes
     without a match — the null row fires exactly once, when the watermark
     proves no in-band partner can still arrive; ``mode="full_outer"``
@@ -63,6 +66,8 @@ def run_streaming_join(
     actors = [
         JoinStateActor.remote(
             band=band,
+            band_lo=band_lo,
+            band_hi=band_hi,
             mode=mode,
             sink_dir=out_dir,
             sink_partitions=num_partitions,
@@ -241,4 +246,74 @@ def run_streaming_temporal_join(
         late=late,
         n_late=sum(s["n_late"] for s in stats),
         actor_stats=stats,
+    )
+
+
+def run_streaming_timeouts(
+    anchor_source,
+    cancel_source,
+    *,
+    horizon: int,
+    anchor_cols: tuple[str, str, str] = ("key", "seq", "event_ts"),
+    cancel_cols: tuple[str, str, str] = ("key", "seq", "event_ts"),
+    allowed_lateness: int = 1,
+    n_actors: int = 4,
+    micro_batch_rows: int = 512,
+) -> StreamingResult:
+    """Streaming ABSENCE (timeout) detection — the negative CEP pattern:
+    emit (key, anchor_seq, anchor_ts) for every anchor event that is NOT
+    followed by a same-key cancel event within ``(anchor_ts, anchor_ts +
+    horizon]``; the alert fires exactly once, when the watermark passes
+    ``anchor_ts + horizon`` and proves no non-late cancel can still
+    arrive.  The "signup with no purchase in N days" / "order with no
+    payment" monitor.
+
+    Composition, not new state: this is the LEFT-OUTER streaming interval
+    join with the DIRECTED band (band_lo=1 — strictly after, integer
+    timestamps — band_hi=horizon), filtered to the null rows.  All the
+    join-state guarantees carry over verbatim: bounded buffers (one
+    horizon+lateness window per actor), late-row routing, and
+    emission-order independence (the alert set is a pure function of the
+    two logs).
+
+    Reference analog: the sticky-detection inverse — T1 latches the FIRST
+    match per key (detect.py sticky mode); this latches the proven
+    ABSENCE of a match per anchor."""
+    res = run_streaming_join(
+        anchor_source,
+        cancel_source,
+        band_lo=1,
+        band_hi=horizon,
+        left_cols=anchor_cols,
+        right_cols=cancel_cols,
+        allowed_lateness=allowed_lateness,
+        n_actors=n_actors,
+        micro_batch_rows=micro_batch_rows,
+        mode="left_outer",
+    )
+    if res.output is None:
+        out = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "anchor_seq": pa.array([], pa.int64()),
+                "anchor_ts": pa.array([], pa.int64()),
+            }
+        )
+    else:
+        import pyarrow.compute as pc
+
+        t = res.output
+        nulls = t.filter(pc.equal(t["r_seq"], -1))
+        out = pa.table(
+            {
+                "key": nulls["key"],
+                "anchor_seq": nulls["l_seq"],
+                "anchor_ts": nulls["l_ts"],
+            }
+        )
+    return StreamingResult(
+        output=out,
+        late=res.late,
+        n_late=res.n_late,
+        actor_stats=res.actor_stats,
     )

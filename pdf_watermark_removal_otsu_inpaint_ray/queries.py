@@ -4154,6 +4154,44 @@ def q_term_cooccurrence(sf_dir: str):
     return term_cooccurrence(_docs_ds(sf_dir), vocab_size=32)
 
 
+def q_streaming_timeouts(sf_dir: str):
+    """Streaming ABSENCE/timeout detection (pipelines/stream_join.py::
+    run_streaming_timeouts): every signup with NO same-user purchase in
+    the following 2 days, alerted exactly once when the watermark passes
+    signup_ts + horizon — the negative CEP pattern, composed as the
+    left-outer streaming interval join with a DIRECTED band (band_lo=1,
+    band_hi=horizon) filtered to its null rows.  SQL twin: NOT EXISTS
+    over the same directed window."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_join import run_streaming_timeouts
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def log_of(kind: str) -> pa.Table:
+        sel = ev.filter(pc.equal(ev["event_type"], kind))
+        return pa.table(
+            {
+                "key": sel["user_id"].cast(pa.int64()),
+                "seq": sel["event_id"].cast(pa.int64()),
+                "event_ts": sel["ts"].cast(pa.int64()),
+            }
+        )
+
+    res = run_streaming_timeouts(
+        ray.data.from_arrow(log_of("signup")),
+        ray.data.from_arrow(log_of("purchase")),
+        horizon=2 * 86_400_000_000,
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=256,
+    )
+    return res.output
+
+
 def q_dedup_cc_distributed(sf_dir: str):
     """DISTRIBUTED connected components (functions/graph.py::
     connected_components_distributed) over the exact edit-distance
@@ -4489,6 +4527,7 @@ QUERIES = {
     "source_regression": q_source_regression,
     "streaming_window_quantiles": q_streaming_window_quantiles,
     "dedup_cc_distributed": q_dedup_cc_distributed,
+    "streaming_timeouts": q_streaming_timeouts,
 }
 
 _MOTIF_UNION = "\nUNION ALL\n".join(
@@ -5898,6 +5937,17 @@ ORACLE_SQL = {
                     ELSE (syd - (num / den) * sxd) / CAST(n AS DOUBLE)
                END AS intercept
         FROM f
+    """,
+    "streaming_timeouts": """
+        SELECT CAST(a.user_id AS BIGINT) AS key,
+               CAST(a.event_id AS BIGINT) AS anchor_seq,
+               CAST(epoch_us(a.ts) AS BIGINT) AS anchor_ts
+        FROM events a
+        WHERE a.event_type = 'signup' AND NOT EXISTS (
+            SELECT 1 FROM events b
+            WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+              AND epoch_us(b.ts) - epoch_us(a.ts)
+                  BETWEEN 1 AND 172800000000)
     """,
     "dedup_cc_distributed": """
         WITH RECURSIVE pairs AS (

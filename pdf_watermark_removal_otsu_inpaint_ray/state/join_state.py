@@ -2,7 +2,9 @@
 the streaming tier — symmetric hash join with event-time band eviction).
 
 Semantics: emit every pair (l, r) with ``l.key == r.key`` and
-``|l.ts - r.ts| <= band`` (the Flink-style interval join).  Each arriving
+``band_lo <= r.ts - l.ts <= band_hi`` (``band`` is the symmetric
+``|l.ts - r.ts| <= band`` shorthand — the Flink-style interval join; a
+one-sided band expresses "followed within horizon").  Each arriving
 row probes the OPPOSITE side's buffer and then inserts into its own — a
 pair is emitted exactly once, when its second row arrives; the emitted
 pair SET is a pure function of the two logs (arrival interleaving only
@@ -55,11 +57,13 @@ class JoinStateActor(_StagedEmitterBase):
     def __init__(
         self,
         *,
-        band: int,
+        band: int | None = None,
         mode: str = "inner",  # "inner" | "left_outer" | "full_outer":
         # unmatched LEFT (and for full_outer also RIGHT) rows emit
         # (key, l_seq, l_ts, -1, -1) / (key, -1, -1, r_seq, r_ts) when
         # eviction proves no in-band partner can still arrive
+        band_lo: int | None = None,
+        band_hi: int | None = None,
         sink_dir: str | None = None,
         sink_partitions: int = 8,
         sink_stage_rows: int = 32768,
@@ -67,7 +71,17 @@ class JoinStateActor(_StagedEmitterBase):
         late_done: frozenset[int] = frozenset(),
         sink_epoch: int = 0,
     ):
-        self.band = band
+        # DIRECTED band: a pair is valid iff band_lo <= r.ts - l.ts <=
+        # band_hi.  ``band`` is the symmetric shorthand (lo = -band,
+        # hi = band — the Flink |l.ts - r.ts| <= band interval join);
+        # band_lo=1, band_hi=horizon is the one-sided "followed within
+        # horizon" form that absence/timeout detection filters on.
+        if band is not None:
+            band_lo = -band if band_lo is None else band_lo
+            band_hi = band if band_hi is None else band_hi
+        if band_lo is None or band_hi is None or band_lo > band_hi:
+            raise ValueError(f"invalid band ({band_lo}, {band_hi})")
+        self.band_lo, self.band_hi = int(band_lo), int(band_hi)
         if mode not in ("inner", "left_outer", "full_outer"):
             raise ValueError(f"unknown join mode {mode!r}")
         self.outer = mode in ("left_outer", "full_outer")
@@ -97,7 +111,14 @@ class JoinStateActor(_StagedEmitterBase):
         out: list[pa.Table] = []
         for side in (0, 1):
             if self._t[side].size:
-                alive = self._t[side] + self.band > self.wm
+                # a LEFT row can still pair with future (ts > wm) rights
+                # iff l.ts + band_hi > wm; a RIGHT row with future lefts
+                # iff r.ts - band_lo > wm (symmetric band: both reduce to
+                # ts + band > wm)
+                if side == 0:
+                    alive = self._t[side] + self.band_hi > self.wm
+                else:
+                    alive = self._t[side] - self.band_lo > self.wm
                 if not alive.all():
                     emit_nulls = (side == 0 and self.outer) or (
                         side == 1 and self.outer_right
@@ -159,7 +180,13 @@ class JoinStateActor(_StagedEmitterBase):
         starts = np.repeat(lo, cnt)
         offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         buf_idx = starts + offs
-        ok = np.abs(self._t[opp][buf_idx] - ts[probe_idx]) <= self.band
+        # directed band on r.ts - l.ts: probing LEFT rows (opp = right
+        # buffer) the delta is buf - probe; probing RIGHT it flips
+        if opp == 1:
+            delta = self._t[opp][buf_idx] - ts[probe_idx]
+        else:
+            delta = ts[probe_idx] - self._t[opp][buf_idx]
+        ok = (delta >= self.band_lo) & (delta <= self.band_hi)
         if not ok.any():
             return None
         return probe_idx[ok], buf_idx[ok]

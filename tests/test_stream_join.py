@@ -480,3 +480,81 @@ def test_full_outer_join_matches_brute(ray_session):
         ln = [l for l, r in got if r == -1]
         rn = [r for l, r in got if l == -1]
         assert len(ln) == len(set(ln)) and len(rn) == len(set(rn))
+
+
+def _brute_directed(lt, rt, lo, hi):
+    lk = np.asarray(lt["key"], np.int64)
+    rk = np.asarray(rt["key"], np.int64)
+    lts = np.asarray(lt["event_ts"], np.int64)
+    rts = np.asarray(rt["event_ts"], np.int64)
+    ls = np.asarray(lt["seq"], np.int64)
+    rs = np.asarray(rt["seq"], np.int64)
+    d = rts[None, :] - lts[:, None]
+    m = (lk[:, None] == rk[None, :]) & (d >= lo) & (d <= hi)
+    li, ri = np.nonzero(m)
+    return sorted(zip(ls[li].tolist(), rs[ri].tolist()))
+
+
+def test_directed_band_join_matches_brute(ray_session):
+    """band_lo/band_hi: the one-sided (r.ts after l.ts) interval join —
+    pair set equal to brute force, bounds inclusive at both edges, layout
+    invariant."""
+    import ray.data
+
+    lt, rt = _log(250, seed=7), _log(250, seed=8)
+    exp = _brute_directed(lt, rt, 1, 9)
+    for n_actors, mb in ((1, 4000), (3, 64)):
+        res = run_streaming_join(
+            ray.data.from_arrow(lt),
+            ray.data.from_arrow(rt),
+            band_lo=1,
+            band_hi=9,
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+        )
+        assert res.n_late == 0
+        assert _got_pairs(res) == exp, f"actors={n_actors}"
+    # directed: no pair may have r_ts <= l_ts
+    d = np.asarray(res.output["r_ts"], np.int64) - np.asarray(
+        res.output["l_ts"], np.int64
+    )
+    assert d.min() >= 1 and d.max() <= 9
+
+
+def test_streaming_timeouts_matches_brute(ray_session):
+    """Absence detection: alert exactly the anchors with no same-key
+    cancel in (ts, ts+h]; exactly once; invariant to actors/micro-batch."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_join import (
+        run_streaming_timeouts,
+    )
+
+    anchors, cancels = _log(300, seed=11), _log(220, seed=12)
+    h = 12
+    matched = {a for a, _ in _brute_directed(anchors, cancels, 1, h)}
+    exp = sorted(set(np.asarray(anchors["seq"], np.int64).tolist()) - matched)
+    for n_actors, mb in ((1, 4000), (3, 64)):
+        res = run_streaming_timeouts(
+            ray.data.from_arrow(anchors),
+            ray.data.from_arrow(cancels),
+            horizon=h,
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+        )
+        got = sorted(np.asarray(res.output["anchor_seq"], np.int64).tolist())
+        assert got == exp, f"actors={n_actors}"
+        assert res.n_late == 0
+    # alert payload carries the anchor's own key/ts
+    a_ts = {
+        int(s): int(t)
+        for s, t in zip(
+            np.asarray(anchors["seq"], np.int64),
+            np.asarray(anchors["event_ts"], np.int64),
+        )
+    }
+    for s, t in zip(
+        np.asarray(res.output["anchor_seq"], np.int64),
+        np.asarray(res.output["anchor_ts"], np.int64),
+    ):
+        assert a_ts[int(s)] == int(t)
