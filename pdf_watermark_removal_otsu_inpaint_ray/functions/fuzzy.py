@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _mix64, _text_hashes
 
@@ -261,6 +262,105 @@ def edit_distance_join(ds, *, tau: int = 80, num_parts: int = 128):
     return (
         ds.select_columns(["doc_id", "text", "source"])
         .map_batches(fan_out, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
+def prefix_dup(ds, *, num_parts: int = 64):
+    """Exact PREFIX-duplicate join: every ordered pair (a, b) where a's
+    text is a PROPER prefix of b's text — the truncated-duplicate detector
+    (a crawl re-fetch cut mid-document, a chunk of a later full document);
+    exact dedup misses these because the hashes differ.
+
+    Distribution shape: one coarse partition on the FIRST CHARACTER — a
+    proper prefix (len >= 1) shares its first character with every string
+    it prefixes, so all pairs are partition-local by construction (at
+    scale, extend the key to the first 2 chars plus a broadcast side pass
+    for 1-char docs; alphabet skew is the documented trade).  Within a
+    partition: ONE pandas sort, the (n x maxlen) uint8 byte matrix of
+    adjacent rows compared in ONE cumprod pass (adjacent LCP lengths —
+    strings sort lexicographically, so a prefixes b iff every adjacent
+    LCP strictly between them is >= len(a)), then an output-scale frontier
+    sweep that extends each candidate run one step per round (rounds =
+    longest prefix family, each round fully vectorized).  No text ever
+    compares against a non-adjacent text except through the LCP algebra.
+
+    Empty texts are excluded (an empty string is a degenerate prefix of
+    everything AND cannot be routed by first char); the corpus has none —
+    documented, asserted.
+
+    Reference analog: the dedup-spans keep-first contract (cli.py) applied
+    to the containment case the reference's exact matcher cannot see."""
+    import pandas as pd
+
+    from ..sinks.exactly_once import hash_partition_ids
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        txt = b["text"].combine_chunks()
+        first = pc.utf8_slice_codeunits(txt, 0, 1)
+        assert pc.min(pc.utf8_length(txt)).as_py() is None or pc.min(
+            pc.utf8_length(txt)
+        ).as_py() >= 1, "prefix_dup: empty texts unsupported"
+        pk = hash_partition_ids(first, num_parts)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "text": txt,
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["text", "doc_id"], kind="stable", ignore_index=True)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        texts = g["text"].to_numpy()
+        bs = [t.encode("utf-8") for t in texts]
+        lens = np.array([len(x) for x in bs], np.int64)
+        n = len(bs)
+        maxlen = int(lens.max())
+        mat = np.zeros((n, maxlen), np.uint8)
+        flat = np.frombuffer(b"".join(bs), np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        cols = np.arange(maxlen)
+        mask = cols[None, :] < lens[:, None]
+        mat[mask] = flat  # row-major fill matches the concatenated order
+        # adjacent LCPs: equality cumprod along the byte axis
+        eq = (mat[1:] == mat[:-1]).cumprod(axis=1).sum(axis=1)
+        lcp = np.minimum(eq, np.minimum(lens[1:], lens[:-1]))
+        # frontier sweep: candidate (i, j) survives while the running min
+        # of adjacent LCPs over (i, j] stays >= len(i); emit when ALSO
+        # len(j) > len(i) (proper prefix).  Each round extends j by one;
+        # round count = longest prefix-family run, volume = output scale.
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        i = np.arange(n - 1)
+        j = i + 1
+        ok = lcp[i] >= lens[i]
+        i, j = i[ok], j[ok]
+        while i.size:
+            hit = lens[j] > lens[i]
+            if hit.any():
+                out_a.append(ids[i[hit]])
+                out_b.append(ids[j[hit]])
+            nxt = j + 1 < n
+            i, j = i[nxt], j[nxt] + 1
+            if i.size:
+                ok = lcp[j - 1] >= lens[i]
+                i, j = i[ok], j[ok]
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
         .groupby("pk")
         .map_groups(sweep, batch_format="pandas")
     )

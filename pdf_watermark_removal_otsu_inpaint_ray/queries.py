@@ -4154,6 +4154,17 @@ def q_term_cooccurrence(sf_dir: str):
     return term_cooccurrence(_docs_ds(sf_dir), vocab_size=32)
 
 
+def q_prefix_dup(sf_dir: str):
+    """Proper-prefix duplicate pairs (functions/fuzzy.py::prefix_dup) —
+    the truncated-duplicate detector exact dedup cannot see: one
+    first-character partition co-locates every prefix family, one sorted
+    adjacent-LCP pass + output-scale frontier sweep per partition; the
+    SQL twin is the quadratic substr equi-check."""
+    from .functions.fuzzy import prefix_dup
+
+    return prefix_dup(_docs_ds(sf_dir))
+
+
 def q_streaming_timeouts(sf_dir: str):
     """Streaming ABSENCE/timeout detection (pipelines/stream_join.py::
     run_streaming_timeouts): every signup with NO same-user purchase in
@@ -4528,6 +4539,7 @@ QUERIES = {
     "streaming_window_quantiles": q_streaming_window_quantiles,
     "dedup_cc_distributed": q_dedup_cc_distributed,
     "streaming_timeouts": q_streaming_timeouts,
+    "prefix_dup": q_prefix_dup,
 }
 
 _MOTIF_UNION = "\nUNION ALL\n".join(
@@ -5937,6 +5949,13 @@ ORACLE_SQL = {
                     ELSE (syd - (num / den) * sxd) / CAST(n AS DOUBLE)
                END AS intercept
         FROM f
+    """,
+    "prefix_dup": """
+        SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b
+        FROM documents a JOIN documents b
+          ON a.doc_id != b.doc_id
+         AND len(a.text) < len(b.text)
+         AND substr(b.text, 1, len(a.text)) = a.text
     """,
     "streaming_timeouts": """
         SELECT CAST(a.user_id AS BIGINT) AS key,

@@ -192,3 +192,37 @@ def test_jaccard_prefix_join_matches_brute_near_threshold(ray_session):
         got = set(zip(res["a"].astype(int), res["b"].astype(int)))
         assert got == exp, f"nblocks={nblocks}"
         assert (res["jacc"] >= 0.5).all()
+
+
+def test_prefix_dup_matches_brute(ray_session):
+    """Planted prefix families + random noise: the distributed sorted-run
+    sweep finds exactly the proper-prefix pairs, including chains
+    (a < ab < abc), equal-text non-pairs, and cross-family separation."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.fuzzy import prefix_dup
+
+    rng = np.random.default_rng(77)
+    words = ["alpha", "beta", "gamma", "delta", "kappa", "zeta"]
+    texts = []
+    # prefix chains: w, w+x, w+x+y (every shorter is a prefix of every longer)
+    for w in words[:3]:
+        texts += [w, w + " one", w + " one two"]
+    # equal texts (NOT prefix pairs of each other)
+    texts += ["same doc", "same doc"]
+    # noise
+    for _ in range(40):
+        texts.append(" ".join(rng.choice(words, size=rng.integers(2, 6))))
+    ids = np.arange(len(texts), dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    exp = sorted(
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(texts))
+        for j in range(len(texts))
+        if i != j
+        and len(texts[i]) < len(texts[j])
+        and texts[j].startswith(texts[i])
+    )
+    out = prefix_dup(ray.data.from_arrow(tbl).repartition(4), num_parts=8).to_pandas()
+    got = sorted(zip(out["a"].astype(int), out["b"].astype(int)))
+    assert got == exp
+    assert len(exp) >= 9  # the planted chains alone contribute 3 per family
