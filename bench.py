@@ -322,7 +322,7 @@ def main() -> None:
             "streaming_full_outer_join", "events_rolling_median",
             "events_interval_agg", "source_regression",
             "streaming_window_quantiles", "dedup_cc_distributed",
-            "streaming_timeouts", "prefix_dup",
+            "streaming_timeouts", "prefix_dup", "cdc_chunks",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -648,3 +648,172 @@ def term_cooccurrence(ds, *, vocab_size: int = 64):
             else pa.array([], pa.int64()),
         }
     )
+
+
+# --- content-defined chunking (FastCDC/Gear-style, §2.7 storage dedup) -----
+
+_CDC_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_CDC_POLY = np.uint64(0x100000001B3)  # FNV-64 prime, chunk-hash base
+_CDC_WIN = 64  # effective gear window: contributions shift out after 64 bytes
+
+
+def _gear_table() -> np.ndarray:
+    """256-entry uint64 gear table: splitmix64((v + 1) * golden-gamma) —
+    the public-PRNG spec constant shared with the pure-Python oracle twin
+    (same independence level as the minhash seed derivation)."""
+    from .dedup import _mix64
+
+    v = np.arange(256, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return _mix64((v + np.uint64(1)) * _CDC_GOLD)
+
+
+_GEAR = _gear_table()
+
+
+def cdc_chunks_batch(
+    b: pa.Table,
+    *,
+    avg_bits: int = 6,
+    min_len: int = 16,
+    max_len: int = 192,
+) -> pa.Table:
+    """Content-defined chunking over the utf-8 BYTES of ``text`` — the
+    storage-dedup primitive (a shifted/partially-edited re-crawl keeps
+    identical chunk hashes outside the edit, which fixed-stride
+    ``chunk_documents_batch`` cannot): gear rolling hash ``h_i =
+    Σ_{t<64} gear[b_{i-t}] << t`` (mod 2^64, window never crossing the
+    doc start), a CUT after byte ``i`` when the chunk is >= min_len and
+    ``h_i & (2^avg_bits - 1) == 0`` (expected chunk ~2^avg_bits bytes),
+    a FORCED cut at max_len, and the remainder as the final chunk.  Cut
+    candidates at the doc's last byte are moot (the chunk ends there
+    regardless).  Emits (doc_id, chunk_idx, start, length, chunk_hash);
+    chunk_hash = mix64(FNV-polynomial(bytes) ^ length).
+
+    Fully vectorized: the batch's texts concatenate into ONE byte array;
+    the gear hash is 64 shifted-gather adds with a doc-boundary mask; the
+    min/max greedy resolves ALL docs simultaneously in rounds of one
+    ``searchsorted`` each (rounds = max chunks per doc); chunk hashes are
+    one power-table gather + ``np.add.reduceat``.  Stateless map_batches
+    body — no shuffle; the chunk table is the input to a downstream
+    exact-dedup groupby on chunk_hash.
+
+    Reference analog: M8's span segmentation (watermark_remover.py
+    component splitting) driven by content instead of mask geometry."""
+    from .dedup import _mix64, _pow_table_64
+
+    n_docs = b.num_rows
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "length": pa.array([], pa.int64()),
+            "chunk_hash": pa.array([], pa.int64()),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    txt = b["text"].combine_chunks()
+    raw = txt.to_pylist()
+    ids = np.asarray(b["doc_id"], np.int64)
+    bs = [t.encode("utf-8") for t in raw]
+    lens = np.array([len(x) for x in bs], np.int64)
+    keep = lens > 0
+    if not keep.all():
+        bs = [x for x, k in zip(bs, keep) if k]
+        ids, lens = ids[keep], lens[keep]
+    if not bs:
+        return empty
+    flat = np.frombuffer(b"".join(bs), np.uint8)
+    n = flat.size
+    starts = np.concatenate(([0], np.cumsum(lens)))  # doc byte offsets
+    doc_of = np.repeat(np.arange(lens.size), lens)
+    doc_start = starts[doc_of]
+    pos = np.arange(n, dtype=np.int64)
+    # gear rolling hash, windowed at the doc start
+    g = _GEAR[flat]
+    h = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for t in range(_CDC_WIN):
+            if t >= n:
+                break
+            contrib = g[: n - t] << np.uint64(t)
+            valid = (pos[t:] - t) >= doc_start[t:]
+            h[t:] += np.where(valid, contrib, np.uint64(0))
+    mask = np.uint64((1 << avg_bits) - 1)
+    is_cand = (h & mask) == np.uint64(0)
+    # a cut at the doc's final byte is moot — the chunk ends there anyway
+    is_cand &= pos < (doc_start + lens[doc_of] - 1)
+    cand = pos[is_cand]  # globally sorted absolute positions
+
+    # simultaneous greedy over all docs: per round, each active doc takes
+    # the first candidate in [cur+min_len-1, cur+max_len-1], else a forced
+    # max_len cut, else its final chunk
+    d_idx = np.arange(lens.size)
+    cur = starts[:-1].copy()
+    ends = starts[1:]
+    cidx = np.zeros(lens.size, np.int64)
+    out_doc: list[np.ndarray] = []
+    out_ci: list[np.ndarray] = []
+    out_st: list[np.ndarray] = []
+    out_ln: list[np.ndarray] = []
+    while d_idx.size:
+        lo = cur + min_len - 1
+        hi = np.minimum(cur + max_len - 1, ends[d_idx] - 2)
+        ci = np.searchsorted(cand, lo)
+        c = np.where(ci < cand.size, cand[np.minimum(ci, cand.size - 1)], 1 << 62)
+        has = c <= hi
+        forced = (~has) & (ends[d_idx] - cur > max_len)
+        cut_end = np.where(has, c, cur + max_len - 1)  # inclusive cut byte
+        done = (~has) & (~forced)
+        emit = has | forced
+        if emit.any():
+            st = cur[emit]
+            en = cut_end[emit] + 1
+            out_doc.append(d_idx[emit])
+            out_ci.append(cidx[d_idx[emit]])
+            out_st.append(st)
+            out_ln.append(en - st)
+            cidx[d_idx[emit]] += 1
+        if done.any():
+            st = cur[done]
+            en = ends[d_idx[done]]
+            out_doc.append(d_idx[done])
+            out_ci.append(cidx[d_idx[done]])
+            out_st.append(st)
+            out_ln.append(en - st)
+        cur = np.where(emit, cut_end + 1, cur)[emit]
+        d_idx = d_idx[emit]
+    doc_i = np.concatenate(out_doc)
+    ci_arr = np.concatenate(out_ci)
+    st_arr = np.concatenate(out_st)  # absolute byte offsets
+    ln_arr = np.concatenate(out_ln)
+    # chunk hashes: FNV polynomial over each chunk's bytes via one power
+    # gather + reduceat on the (chunk-sorted) flat byte array
+    order = np.argsort(st_arr, kind="stable")  # segments in flat order
+    doc_i, ci_arr, st_arr, ln_arr = (
+        doc_i[order], ci_arr[order], st_arr[order], ln_arr[order]
+    )
+    maxlen = int(ln_arr.max())
+    powt = _pow_table_64(_CDC_POLY, maxlen, f"cdc{maxlen}")
+    seg_of = np.repeat(np.arange(st_arr.size), ln_arr)
+    seg_end = (st_arr + ln_arr)[seg_of]
+    expo = seg_end - 1 - pos  # position's exponent inside its chunk
+    with np.errstate(over="ignore"):
+        term = flat.astype(np.uint64) * powt[expo]
+    seg_starts = np.concatenate(([0], np.cumsum(ln_arr[:-1])))
+    sums = np.add.reduceat(term, seg_starts) if term.size else term
+    with np.errstate(over="ignore"):
+        ch = _mix64(sums ^ ln_arr.astype(np.uint64))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[doc_i], pa.int64()),
+            "chunk_idx": pa.array(ci_arr, pa.int64()),
+            "start": pa.array(st_arr - starts[doc_i], pa.int64()),
+            "length": pa.array(ln_arr, pa.int64()),
+            "chunk_hash": pa.array(
+                (ch & np.uint64((1 << 63) - 1)).astype(np.int64), pa.int64()
+            ),
+        }
+    )

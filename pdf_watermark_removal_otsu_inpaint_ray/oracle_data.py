@@ -54,6 +54,7 @@ GOLDEN_QUERIES = (
     "cms_heavy_words",
     "jaccard_prefix_join",
     "knn_ivf_pq",
+    "cdc_chunks",
 )
 
 
@@ -1144,3 +1145,76 @@ def _golden_ivf_pq(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["knn_ivf_pq"] = _golden_ivf_pq
+
+
+def _golden_cdc_chunks(sf_dir: str) -> pa.Table:
+    """Independent content-defined-chunking twin: per-document sequential
+    code — plain per-doc gear hash (no cross-doc flat array, no boundary
+    masks), a bisect-based sequential greedy (no simultaneous frontier
+    rounds), and Horner-form FNV chunk hashes (the engine gathers a power
+    table + reduceat) — sharing ONLY the spec constants (gear table
+    derivation, avg_bits=6/min 16/max 192, mix64 finish).  Bugs in the
+    engine's vectorization machinery (doc-boundary window mask, frontier
+    bookkeeping, exponent algebra) are visible to the hash compare."""
+    import bisect
+
+    docs = _docs_table(sf_dir)
+    gear = [
+        _py_mix64(((v + 1) * 0x9E3779B97F4A7C15) & _M64) for v in range(256)
+    ]
+    gear_np = np.array(gear, np.uint64)
+    avg_mask, min_len, max_len = (1 << 6) - 1, 16, 192
+    P = 0x100000001B3
+    rows = {"doc_id": [], "chunk_idx": [], "start": [], "length": [], "chunk_hash": []}
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        bsx = text.encode("utf-8")
+        L = len(bsx)
+        if L == 0:
+            continue
+        arr = np.frombuffer(bsx, np.uint8)
+        g = gear_np[arr]
+        h = np.zeros(L, np.uint64)
+        with np.errstate(over="ignore"):
+            for t in range(min(64, L)):
+                h[t:] += g[: L - t] << np.uint64(t)
+        cand = [
+            int(i)
+            for i in np.nonzero((h & np.uint64(avg_mask)) == 0)[0]
+            if i < L - 1
+        ]
+        cur, ci = 0, 0
+        bounds = []
+        while True:
+            lo, hi = cur + min_len - 1, min(cur + max_len - 1, L - 2)
+            k = bisect.bisect_left(cand, lo)
+            if k < len(cand) and cand[k] <= hi:
+                cut = cand[k]
+            elif L - cur > max_len:
+                cut = cur + max_len - 1
+            else:
+                bounds.append((cur, L))
+                break
+            bounds.append((cur, cut + 1))
+            cur = cut + 1
+        for ci, (st, en) in enumerate(bounds):
+            hh = 0
+            for bb in bsx[st:en]:
+                hh = (hh * P + bb) & _M64
+            hh = _py_mix64(hh ^ (en - st)) & ((1 << 63) - 1)
+            rows["doc_id"].append(int(doc_id))
+            rows["chunk_idx"].append(ci)
+            rows["start"].append(st)
+            rows["length"].append(en - st)
+            rows["chunk_hash"].append(hh)
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "chunk_idx": pa.array(rows["chunk_idx"], pa.int64()),
+            "start": pa.array(rows["start"], pa.int64()),
+            "length": pa.array(rows["length"], pa.int64()),
+            "chunk_hash": pa.array(rows["chunk_hash"], pa.int64()),
+        }
+    )
+
+
+_COMPUTE["cdc_chunks"] = _golden_cdc_chunks

@@ -4154,6 +4154,20 @@ def q_term_cooccurrence(sf_dir: str):
     return term_cooccurrence(_docs_ds(sf_dir), vocab_size=32)
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (functions/text.py::cdc_chunks_batch):
+    gear-hash boundaries (avg 64 B, min 16, max 192) over utf-8 bytes —
+    the storage-dedup primitive fixed-stride chunking cannot give (an
+    edit shifts all downstream fixed-stride chunks but leaves CDC chunk
+    hashes identical outside the edit).  Stateless map_batches, no
+    shuffle; checked against an independently-implemented per-document
+    sequential golden (shared spec constants only)."""
+    _with_golden("cdc_chunks", sf_dir)
+    from .functions.text import cdc_chunks_batch
+
+    return _docs_ds(sf_dir).map_batches(cdc_chunks_batch, batch_format="pyarrow")
+
+
 def q_prefix_dup(sf_dir: str):
     """Proper-prefix duplicate pairs (functions/fuzzy.py::prefix_dup) —
     the truncated-duplicate detector exact dedup cannot see: one
@@ -4540,6 +4554,7 @@ QUERIES = {
     "dedup_cc_distributed": q_dedup_cc_distributed,
     "streaming_timeouts": q_streaming_timeouts,
     "prefix_dup": q_prefix_dup,
+    "cdc_chunks": q_cdc_chunks,
 }
 
 _MOTIF_UNION = "\nUNION ALL\n".join(
