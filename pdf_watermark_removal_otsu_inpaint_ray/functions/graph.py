@@ -208,204 +208,206 @@ def connected_components_distributed(
     pairs, *, num_parts: int = 32, max_iters: int = 30
 ) -> pa.Table:
     """Distributed connected components by iterative MIN-LABEL PROPAGATION
-    — the scale path :func:`..dedup.connected_components`'s docstring
-    promises for pair sets that outgrow the driver ("run iterative label
-    propagation as repeated repartition joins").  Input: an (a, b) pair
-    Dataset (or Table); output: one (doc_id, cluster_id, keep) row per
-    node, cluster_id = the component's minimum id, keep = 1 on the
-    canonical node — identical to the driver union-find.
+    with POINTER-HALVING — the scale path
+    :func:`..dedup.connected_components`'s docstring promises for pair
+    sets that outgrow the driver.  Input: an (a, b) pair Dataset (or
+    Table); output: one (doc_id, cluster_id, keep) row per node,
+    cluster_id = the component's minimum id, keep = 1 on the canonical
+    node — identical to the driver union-find.
 
-    Per iteration (all edge-scale, never driver-resident):
-      1. labels (id, lab) UNION the static bidirectional edge set (u, v),
-         both keyed by hash(id|u) into ``num_parts`` coarse partitions, so
-         every edge is co-located with its source's CURRENT label;
-      2. one vectorized ``map_groups`` per partition emits each edge's
-         candidate (v, lab(u)), the label pass-through (id, lab), and —
-         for every non-root — a GRANDPARENT REQUEST addressed to lab(id)
-         (encoded as a negative candidate, no extra column);
-      3. a second coarse partition on the TARGET id folds candidates with
-         one lexsort + run-boundary min per partition → new labels, and
-         answers each request with the target's NEW label — a (requester,
-         lab(lab(requester))) response row that joins the requester's fold
-         NEXT round.
-    The responses are pointer-halving (the MapReduce-CC trick of Rastogi
-    et al.'s Hash-to-Min family): label depth roughly halves per round, so
-    convergence needs ~log2(diameter) + 2 rounds, not diameter rounds —
-    measured 4 rounds where plain neighbor propagation took 10+ on the
-    sf0.1 near-dup chains.  Labels only decrease, so ``sum(lab)`` (an
-    int64 scalar partial per batch, driver-folded at partition scale) is
-    monotone, and ONE full unchanged round implies the labeling is flat
-    (every pending response was already ≥ its target's label) and
-    edge-constant — i.e. exactly the component minima — so ``sum
-    unchanged ⟺ converged`` remains a sound termination probe.
+    Execution is a RAW-RAY HASH EXCHANGE, not a Dataset groupby: labels
+    and (bidirectional) edges live as one Arrow table per hash(id)
+    partition in the object store; each round is ``num_parts`` spread
+    tasks (vectorized: edge candidates (v, lab(u)), label pass-through,
+    and a grandparent request per non-root) each returning one message
+    table PER DESTINATION partition, then ``num_parts`` merge tasks
+    folding messages with one lexsort + run-boundary min and answering
+    each request with the target's NEW label (the pointer-halving
+    response that lands next round — Hash-to-Min-family, so rounds ≈
+    log2(diameter), measured 4 where plain propagation took 10+).  The
+    driver moves only OBJECT REFS plus one (sum, count) scalar pair per
+    partition per round: labels monotonically decrease, and ONE full
+    unchanged round forces a flat, edge-constant labeling (any pending
+    grandparent response would have fired a change), so ``sum unchanged
+    ⟺ converged`` — the termination probe is free, riding the merge
+    tasks' return.  This is the operator the Dataset API cannot express
+    without paying a sort-based groupby per round (measured ~3.5 s of
+    fixed exchange latency per round at sf0.1 vs ~0.3 s for the direct
+    exchange); partitioning is explicit and documented: hash(id) %
+    num_parts, identical for labels, edge sources, and message targets.
 
-    The per-iteration label Dataset is ``materialize()``d — node-scale,
-    NOT corpus-scale (ids only); at 10^11 nodes stage each generation to
-    Parquet instead (the same escape noted for the PageRank edge pin).
+    Memory: edges pin one bidirectional pair set in the object store
+    (same assumption as the PageRank edge materialization; at 10^11
+    edges stage shards to Parquet), labels are node-scale.
 
     Reference analog: cross-page accumulation (T2) run to fixed point;
     the min-id canonical-member rule mirrors the dedup keep-first
     contract (cli.py dedup spans)."""
-    import pandas as pd
-
+    import ray
     import ray.data
 
     if isinstance(pairs, pa.Table):
         pairs = ray.data.from_arrow(pairs)
 
-    def to_edges(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["a"], np.int64)
-        bb = np.asarray(b["b"], np.int64)
-        u = np.concatenate([a, bb])
-        v = np.concatenate([bb, a])
-        pk = (
-            (u.astype(np.uint64) * _MIX) >> np.uint64(40)
-        ).astype(np.int64) % num_parts
-        return pa.table(
-            {
-                "key": pa.array(u, pa.int64()),
-                "val": pa.array(v, pa.int64()),
-                "kind": pa.array(np.ones(u.size, np.int8), pa.int8()),
-                "pk": pa.array(pk, pa.int64()),
-            }
-        )
+    P = int(num_parts)
 
-    # coalesce to num_parts blocks ONCE: the edge set is re-unioned every
-    # round, and a sliver-blocked upstream (e.g. a materialized join
-    # output) would otherwise re-pay per-block task overhead per round
-    edges = (
-        pairs.map_batches(to_edges, batch_format="pyarrow")
-        .repartition(num_parts)
-        .materialize()
-    )
-
-    def seed_partial(b: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(b["key"], np.int64))
-        pk = (
+    def _pk_of(ids: np.ndarray) -> np.ndarray:
+        return (
             (ids.astype(np.uint64) * _MIX) >> np.uint64(40)
-        ).astype(np.int64) % num_parts
-        return pa.table(
-            {
-                "key": pa.array(ids, pa.int64()),
-                "val": pa.array(ids, pa.int64()),
-                "kind": pa.array(np.zeros(ids.size, np.int8), pa.int8()),
-                "pk": pa.array(pk, pa.int64()),
-            }
+        ).astype(np.int64) % P
+
+    @ray.remote
+    def split_edges(tbl: pa.Table):
+        """pairs block → one (u, v) edge table per destination partition
+        (both directions), plus the block's sorted unique node ids."""
+        if not isinstance(tbl, pa.Table):
+            # to_arrow_refs passes pandas blocks through unconverted
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+        if "a" not in tbl.column_names or tbl.num_rows == 0:
+            # a zero-row block can arrive schema-less; emit typed empties
+            a = np.zeros(0, np.int64)
+            b = np.zeros(0, np.int64)
+        else:
+            a = np.asarray(tbl["a"], np.int64)
+            b = np.asarray(tbl["b"], np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        pk = _pk_of(u)
+        out = []
+        for q in range(P):
+            m = pk == q
+            out.append(
+                pa.table(
+                    {"u": pa.array(u[m], pa.int64()), "v": pa.array(v[m], pa.int64())}
+                )
+            )
+        out.append(np.unique(u))
+        return tuple(out)
+
+    @ray.remote
+    def concat_edges(*tbls):
+        t = pa.concat_tables(tbls)
+        return t.combine_chunks()
+
+    @ray.remote
+    def seed_labels(q: int, *node_arrays):
+        ids = np.unique(np.concatenate(node_arrays)) if node_arrays else np.zeros(0, np.int64)
+        ids = ids[_pk_of(ids) == q]
+        return (
+            pa.table(
+                {"id": pa.array(ids, pa.int64()), "lab": pa.array(ids, pa.int64())}
+            ),
+            int(ids.sum()),
+            int(ids.size),
         )
 
-    def dedup_ids(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["key"].to_numpy().astype(np.int64))
-        pk = (
-            (ids.astype(np.uint64) * _MIX) >> np.uint64(40)
-        ).astype(np.int64) % num_parts
-        # emit an ARROW table: the per-iteration ``union`` with the arrow
-        # edge blocks requires homogeneous block types
-        return pa.table(
-            {
-                "key": pa.array(ids, pa.int64()),
-                "val": pa.array(ids, pa.int64()),
-                "kind": pa.array(np.zeros(ids.size, np.int8), pa.int8()),
-                "pk": pa.array(pk, pa.int64()),
-            }
-        )
-
-    labels = (
-        edges.map_batches(seed_partial, batch_format="pyarrow")
-        .groupby("pk")
-        .map_groups(dedup_ids, batch_format="pandas")
-        .materialize()
-    )
-
-    def spread(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["key"].to_numpy().astype(np.int64)
-        v = g["val"].to_numpy().astype(np.int64)
-        kind = g["kind"].to_numpy().astype(np.int64)
-        lmask = kind == 0
-        lk, lv = k[lmask], v[lmask]
+    @ray.remote
+    def spread(labels: pa.Table, edges: pa.Table, extra: pa.Table | None):
+        """One partition's round: emit per-destination (target, cand)
+        message tables.  ``extra`` = last round's grandparent responses
+        addressed to this partition (plain candidates)."""
+        lk = np.asarray(labels["id"], np.int64)
+        lv = np.asarray(labels["lab"], np.int64)
         o = np.argsort(lk)
         lk, lv = lk[o], lv[o]
-        emask = kind == 1
-        eu, ev = k[emask], v[emask]
+        eu = np.asarray(edges["u"], np.int64)
+        ev = np.asarray(edges["v"], np.int64)
         pos = np.searchsorted(lk, eu)
-        # every edge source has a label in ITS OWN partition by
-        # construction (same hash); a miss is a partitioning bug
         assert pos.size == 0 or (
             (pos < lk.size).all() and (lk[np.minimum(pos, lk.size - 1)] == eu).all()
         )
         cand = lv[pos] if pos.size else lv[:0]
-        # kind-2 response rows: last round's lab(lab(id)) answers, applied
-        # as plain candidates at their requester's fold
-        rmask = kind == 2
-        rk, rv = k[rmask], v[rmask]
-        # grandparent requests: every non-root asks its label's partition
-        # for lab(lab(id)); encoded as a NEGATIVE candidate (-id - 1)
-        # addressed to target = lab(id) — ids are non-negative, so the
-        # sign bit is a free discriminator
-        qmask = lv != lk
-        tgt = np.concatenate([lk, ev, rk, lv[qmask]])
-        cnd = np.concatenate([lv, cand, rv, -lk[qmask] - 1])
-        pk = (
-            (tgt.astype(np.uint64) * _MIX) >> np.uint64(40)
-        ).astype(np.int64) % num_parts
-        return pd.DataFrame({"target": tgt, "cand": cnd, "pk2": pk})
+        qmask = lv != lk  # non-roots request lab(lab(id))
+        parts = [
+            np.concatenate([lk, ev, lv[qmask]]),
+            np.concatenate([lv, cand, -lk[qmask] - 1]),
+        ]
+        if extra is not None and extra.num_rows:
+            parts[0] = np.concatenate([parts[0], np.asarray(extra["target"], np.int64)])
+            parts[1] = np.concatenate([parts[1], np.asarray(extra["cand"], np.int64)])
+        tgt, cnd = parts
+        pk = _pk_of(tgt)
+        out = []
+        for q in range(P):
+            m = pk == q
+            out.append(
+                pa.table(
+                    {
+                        "target": pa.array(tgt[m], pa.int64()),
+                        "cand": pa.array(cnd[m], pa.int64()),
+                    }
+                )
+            )
+        return tuple(out)
 
-    def minfold(g: pd.DataFrame) -> pd.DataFrame:
-        t = g["target"].to_numpy().astype(np.int64)
-        c = g["cand"].to_numpy().astype(np.int64)
-        o = np.lexsort((c, t))
-        t, c = t[o], c[o]
-        # requests sort FIRST within a target (negative); the new label of
-        # a target is its smallest NON-NEGATIVE candidate — every node
-        # always has one (its own pass-through)
+    @ray.remote
+    def merge(*msgs):
+        """Fold one partition's incoming messages: min per target over
+        non-negative candidates; answer requests (negative candidates)
+        with the target's NEW label, routed per destination partition.
+        Returns (labels, per-dest response tables..., label_sum, n)."""
+        t = pa.concat_tables(msgs)
+        tg = np.asarray(t["target"], np.int64)
+        c = np.asarray(t["cand"], np.int64)
+        o = np.lexsort((c, tg))
+        tg, c = tg[o], c[o]
         req = c < 0
-        tr, requester = t[req], -c[req] - 1
-        t2, c2 = t[~req], c[~req]
-        first = np.concatenate(([True], t2[1:] != t2[:-1]))
-        tk, nv = t2[first], c2[first]
-        pk = (
-            (tk.astype(np.uint64) * _MIX) >> np.uint64(40)
-        ).astype(np.int64) % num_parts
-        # answer each request with the target's NEW label; delivered to
-        # the requester's partition as a kind-2 candidate for next round
+        tr, requester = tg[req], -c[req] - 1
+        t2, c2 = tg[~req], c[~req]
+        if t2.size:
+            first = np.concatenate(([True], t2[1:] != t2[:-1]))
+            tk, nv = t2[first], c2[first]
+        else:  # a partition with no resident nodes this round
+            tk, nv = t2, c2
         rpos = np.searchsorted(tk, tr)
         assert rpos.size == 0 or (
             (rpos < tk.size).all() and (tk[np.minimum(rpos, tk.size - 1)] == tr).all()
         )
         resp = nv[rpos] if rpos.size else nv[:0]
-        rpk = (
-            (requester.astype(np.uint64) * _MIX) >> np.uint64(40)
-        ).astype(np.int64) % num_parts
+        rpk = _pk_of(requester)
+        out = [
+            pa.table(
+                {"id": pa.array(tk, pa.int64()), "lab": pa.array(nv, pa.int64())}
+            )
+        ]
+        for q in range(P):
+            m = rpk == q
+            out.append(
+                pa.table(
+                    {
+                        "target": pa.array(requester[m], pa.int64()),
+                        "cand": pa.array(resp[m], pa.int64()),
+                    }
+                )
+            )
+        out.append(int(nv.sum()))
+        out.append(int(nv.size))
+        return tuple(out)
+
+    # phase 0: hash-partition the bidirectional edge set + seed labels
+    block_refs = pairs.map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).to_arrow_refs()
+    if not block_refs:
         return pa.table(
             {
-                "key": pa.array(np.concatenate([tk, requester]), pa.int64()),
-                "val": pa.array(np.concatenate([nv, resp]), pa.int64()),
-                "kind": pa.array(
-                    np.concatenate(
-                        [np.zeros(tk.size, np.int8), np.full(requester.size, 2, np.int8)]
-                    ),
-                    pa.int8(),
-                ),
-                "pk": pa.array(np.concatenate([pk, rpk]), pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64()),
             }
         )
-
-    def sum_partial(b: pa.Table) -> pa.Table:
-        kind = np.asarray(b["kind"], np.int64)
-        v = np.asarray(b["val"], np.int64)[kind == 0]
-        return pa.table(
-            {
-                "s": pa.array([int(v.sum())], pa.int64()),
-                "n": pa.array([v.size], pa.int64()),
-            }
-        )
-
-    def label_sum(lab_ds) -> tuple[int, int]:
-        p = lab_ds.map_batches(sum_partial, batch_format="pyarrow").to_pandas()
-        if "s" not in p.columns:  # zero blocks: empty pair set
-            return 0, 0
-        return int(p["s"].sum()), int(p["n"].sum())
-
-    prev_sum, n_nodes = label_sum(labels)
+    splits = [
+        split_edges.options(num_returns=P + 1).remote(ref) for ref in block_refs
+    ]
+    edges_p = [concat_edges.remote(*[sp[q] for sp in splits]) for q in range(P)]
+    seeds = [
+        seed_labels.options(num_returns=3).remote(q, *[sp[P] for sp in splits])
+        for q in range(P)
+    ]
+    labels_p = [s3[0] for s3 in seeds]
+    sums = ray.get([s3[1] for s3 in seeds])
+    counts = ray.get([s3[2] for s3 in seeds])
+    prev_sum, n_nodes = sum(sums), sum(counts)
     if n_nodes == 0:
         return pa.table(
             {
@@ -414,22 +416,29 @@ def connected_components_distributed(
                 "keep": pa.array([], pa.int64()),
             }
         )
+
+    extra_p: list = [None] * P
     for _round in range(max_iters):
-        labels = (
-            labels.union(edges)
-            .groupby("pk")
-            .map_groups(spread, batch_format="pandas")
-            .groupby("pk2")
-            .map_groups(minfold, batch_format="pandas")
-            .materialize()
-        )
-        if _round == 0:
-            # round 0 always lowers some label when any pair exists (a != b
-            # by construction), so the probe pass is pure overhead here
-            continue
-        cur_sum, cur_n = label_sum(labels)
+        sp = [
+            spread.options(num_returns=P).remote(labels_p[q], edges_p[q], extra_p[q])
+            for q in range(P)
+        ]
+        if P == 1:
+            sp = [[r] for r in sp]  # num_returns=1 yields a bare ref
+        mg = [
+            merge.options(num_returns=P + 3).remote(*[sp[src][q] for src in range(P)])
+            for q in range(P)
+        ]
+        labels_p = [m[0] for m in mg]
+        extra_p = [
+            concat_edges.remote(*[mg[src][1 + q] for src in range(P)])
+            for q in range(P)
+        ]
+        cur = ray.get([m[P + 1] for m in mg])
+        cnt = ray.get([m[P + 2] for m in mg])
+        cur_sum, cur_n = sum(cur), sum(cnt)
         assert cur_n == n_nodes, (cur_n, n_nodes)
-        if cur_sum == prev_sum:
+        if _round > 0 and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:
@@ -438,15 +447,9 @@ def connected_components_distributed(
             "(adversarially deep graph — use star contraction)"
         )
 
-    import pyarrow.compute as pc
-
-    def only_labels(b: pa.Table) -> pa.Table:
-        m = pc.equal(b["kind"], 0)
-        return b.filter(m).select(["key", "val"])
-
-    out = labels.map_batches(only_labels, batch_format="pyarrow").to_pandas()
-    ids = out["key"].to_numpy().astype(np.int64)
-    lab = out["val"].to_numpy().astype(np.int64)
+    out = pa.concat_tables(ray.get(labels_p))
+    ids = np.asarray(out["id"], np.int64)
+    lab = np.asarray(out["lab"], np.int64)
     o = np.argsort(ids)
     ids, lab = ids[o], lab[o]
     return pa.table(
