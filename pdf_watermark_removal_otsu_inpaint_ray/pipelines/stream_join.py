@@ -24,7 +24,13 @@ import ray
 from ..state.dedup_state import _splitmix_route
 from ..state.join_state import JoinStateActor, TemporalJoinActor
 from ..state.watermark_tracker import WatermarkTracker
-from .streaming import StreamingResult, _arrival_batches, _finalize_sink, _sink_done_sets
+from .streaming import (
+    StreamingResult,
+    _arrival_batches,
+    _finalize_sink,
+    _resolve_parquet_paths,
+    _sink_done_sets,
+)
 
 
 def _normalize(batch: pa.Table, key: str, seq: str, ts: str) -> pa.Table:
@@ -52,6 +58,8 @@ def run_streaming_join(
     out_dir: str | None = None,
     num_partitions: int = 8,
     mode: str = "inner",
+    checkpoint_every: int | None = None,
+    _stop_after_batches: int | None = None,
 ) -> StreamingResult:
     """Streaming interval equi-join of two logs: emit (key, l_seq, l_ts,
     r_seq, r_ts) for every pair with equal keys and ``band_lo <= r_ts -
@@ -61,8 +69,77 @@ def run_streaming_join(
     emits (key, l_seq, l_ts, -1, -1) for every left row whose band closes
     without a match — the null row fires exactly once, when the watermark
     proves no in-band partner can still arrive; ``mode="full_outer"``
-    additionally emits (key, -1, -1, r_seq, r_ts) for unmatched rights."""
-    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    additionally emits (key, -1, -1, r_seq, r_ts) for unmatched rights.
+
+    ``checkpoint_every`` (sink mode only): every N consumed micro-batches
+    (across both logs), drain in-flight ingests, snapshot the join buffers
+    + matched bitmaps + staged-file manifest, and publish an atomic
+    checkpoint under ``out_dir/_checkpoints`` (pipelines/checkpoint.py —
+    the same contract as the keyed-window engine).  When a checkpoint
+    exists under ``out_dir``, a rerun RESUMES: actor buffers restore, the
+    staged log truncates to the snapshot manifest, and the first
+    ``batch_index`` micro-batches of the SAME round-robin interleaving
+    skip (the re-read of both logs is the lineage; only the tail
+    replays).  The sink's doc_id dedup then commits byte-identical to an
+    uninterrupted run."""
+    from .checkpoint import (
+        clear_checkpoints,
+        latest_checkpoint,
+        staged_file_manifest,
+        truncate_staged,
+        write_checkpoint,
+    )
+
+    if checkpoint_every is not None and out_dir is None:
+        raise ValueError("checkpoint_every requires sink mode (out_dir)")
+
+    cfg_fp = f"band({band},{band_lo},{band_hi}):mode={mode}:p={num_partitions}"
+
+    def _src_fp(src) -> str:
+        if not isinstance(src, str):
+            return "dataset"  # in-memory Dataset: no stable file identity
+        import os as _os
+
+        return "|".join(
+            f"{p}:{_os.path.getsize(p)}" for p in _resolve_parquet_paths(src)
+        )
+
+    src_fp = _src_fp(left_source) + "//" + _src_fp(right_source)
+
+    resume_ckpt = latest_checkpoint(out_dir) if out_dir is not None else None
+    skip_batches = 0
+    restored_wm = -(1 << 62)
+    ck_blobs = None
+    if resume_ckpt is not None:
+        skip_batches, ck_meta, ck_blobs = resume_ckpt
+        if (
+            int(ck_meta["n_actors"]) != n_actors
+            or int(ck_meta["micro_batch_rows"]) != micro_batch_rows
+        ):
+            raise RuntimeError(
+                "checkpoint was taken with different n_actors/"
+                "micro_batch_rows; resuming would desynchronize routing "
+                "and batch numbering"
+            )
+        if ck_meta.get("cfg_fp") != cfg_fp or ck_meta.get("src_fp") != src_fp:
+            raise RuntimeError(
+                "checkpoint was taken under a different join config or "
+                "source set; delete the sink dir to start fresh"
+            )
+        import os as _os
+
+        from ..sinks.exactly_once import adopt_epoch, committed_partitions, late_dir
+
+        _os.makedirs(out_dir, exist_ok=True)
+        sink_epoch = int(ck_meta["epoch"])
+        adopt_epoch(out_dir, sink_epoch)
+        adopt_epoch(late_dir(out_dir), sink_epoch)
+        truncate_staged(out_dir, ck_meta["staged_files"])
+        sink_done = frozenset(committed_partitions(out_dir))
+        late_done = frozenset(committed_partitions(late_dir(out_dir)))
+        restored_wm = int(ck_meta["wm"])
+    else:
+        sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
     actors = [
         JoinStateActor.remote(
             band=band,
@@ -77,12 +154,15 @@ def run_streaming_join(
         )
         for _ in range(n_actors)
     ]
+    if ck_blobs is not None:
+        ray.get([a.restore_state.remote(b) for a, b in zip(actors, ck_blobs)])
     tracker = WatermarkTracker.remote(2, allowed_lateness)
 
     pair_refs: list = []
     pending: list = []
-    wm = -(1 << 62)
+    wm = restored_wm
     batch_idx = 0
+    consumed = 0
     iters = [
         _arrival_batches(left_source, micro_batch_rows),
         _arrival_batches(right_source, micro_batch_rows),
@@ -99,6 +179,13 @@ def run_streaming_join(
                 alive[side] = False
                 tracker.close_partition.remote(side)
                 continue
+            if consumed < skip_batches:
+                # already absorbed into the restored state — the re-read of
+                # both logs IS the lineage; only the tail replays (the
+                # round-robin interleaving is deterministic, so batch
+                # numbering lines up with the checkpointed run)
+                consumed += 1
+                continue
             batch = _normalize(raw, *cols[side])
             ts = np.asarray(batch["ts"], np.int64)
             if batch_idx % 4 == 0:
@@ -111,10 +198,37 @@ def run_streaming_join(
                     continue
                 pending.append(actors[a].ingest.remote(side, batch.take(idx), wm))
             tracker.update.remote(side, int(ts.max()))
+            consumed += 1
             if len(pending) >= n_actors * 4:
                 done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
                 for tables, _ in ray.get(done):
                     pair_refs.extend(tables)
+            if (
+                checkpoint_every is not None
+                and consumed > skip_batches
+                and consumed % checkpoint_every == 0
+            ):
+                # barrier: every sent ingest absorbed before the snapshot
+                for tables, _ in ray.get(pending):
+                    pair_refs.extend(tables)
+                pending = []
+                blobs = ray.get([a.checkpoint_state.remote() for a in actors])
+                write_checkpoint(
+                    out_dir,
+                    consumed,
+                    blobs,
+                    {
+                        "epoch": sink_epoch,
+                        "wm": wm,
+                        "n_actors": n_actors,
+                        "micro_batch_rows": micro_batch_rows,
+                        "cfg_fp": cfg_fp,
+                        "src_fp": src_fp,
+                        "staged_files": staged_file_manifest(out_dir),
+                    },
+                )
+            if _stop_after_batches is not None and consumed >= _stop_after_batches:
+                raise RuntimeError(f"injected stop after {consumed} batches")
 
     for tables, _ in ray.get(pending):
         pair_refs.extend(tables)
@@ -130,7 +244,10 @@ def run_streaming_join(
     late = pa.concat_tables(late_tables) if late_tables else None
 
     if out_dir is not None:
-        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+        res = _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+        # a successful finalize makes the checkpoints dead weight
+        clear_checkpoints(out_dir)
+        return res
 
     out = (
         pa.concat_tables(pair_refs).sort_by(

@@ -264,6 +264,24 @@ class JoinStateActor(_StagedEmitterBase):
         self._flush_late()
         return self.n_pairs
 
+    # mutable state snapshot/restore (pipelines/checkpoint.py contract:
+    # flush stage buffers durable FIRST so manifest + blob = complete state)
+    _CKPT_FIELDS = ("_k", "_s", "_t", "_m0", "_m1", "n_pairs", "n_late",
+                    "wm", "_late_mem")
+
+    def checkpoint_state(self) -> bytes:
+        import pickle
+
+        self._flush_sink()
+        self._flush_late()
+        return pickle.dumps({k: getattr(self, k) for k in self._CKPT_FIELDS})
+
+    def restore_state(self, blob: bytes) -> None:
+        import pickle
+
+        for k, v in pickle.loads(blob).items():
+            setattr(self, k, v)
+
     def state_stats(self) -> dict:
         return {
             "n_pairs": self.n_pairs,

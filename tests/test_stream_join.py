@@ -558,3 +558,77 @@ def test_streaming_timeouts_matches_brute(ray_session):
         np.asarray(res.output["anchor_ts"], np.int64),
     ):
         assert a_ts[int(s)] == int(t)
+
+
+def test_join_checkpoint_kill_and_replay_byte_identical(ray_session, tmp_path):
+    """Checkpointed sink-mode join: kill mid-stream after a checkpoint,
+    resume, and the final committed layout is byte-identical to an
+    uninterrupted run — incl. the left-outer null rows (matched bitmaps
+    ride the snapshot) and late-row side effects."""
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.checkpoint import (
+        latest_checkpoint,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    lt, rt = _log(300, seed=21), _log(260, seed=22)
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(lt, lp)
+    pq.write_table(rt, rp)
+    kw = dict(band=6, n_actors=2, micro_batch_rows=64, mode="left_outer")
+
+    clean_dir = str(tmp_path / "clean")
+    run_streaming_join(lp, rp, out_dir=clean_dir, **kw)
+    want = (
+        read_output(clean_dir)
+        .to_pandas()
+        .sort_values(["l_seq", "r_seq"], ignore_index=True)
+    )
+
+    ck_dir = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming_join(
+            lp, rp, out_dir=ck_dir, checkpoint_every=3,
+            _stop_after_batches=7, **kw,
+        )
+    ck = latest_checkpoint(ck_dir)
+    assert ck is not None and ck[0] == 6  # snapshot at batch 6 survived
+    # resume: restores buffers + bitmaps, skips 6 batches, replays the tail
+    run_streaming_join(lp, rp, out_dir=ck_dir, checkpoint_every=3, **kw)
+    got = (
+        read_output(ck_dir)
+        .to_pandas()
+        .sort_values(["l_seq", "r_seq"], ignore_index=True)
+    )
+    assert got.equals(want)
+    assert latest_checkpoint(ck_dir) is None  # cleared on success
+
+
+def test_join_checkpoint_rejects_mismatched_resume(ray_session, tmp_path):
+    import pytest
+
+    lt, rt = _log(120, seed=31), _log(120, seed=32)
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(lt, lp)
+    pq.write_table(rt, rp)
+    out = str(tmp_path / "sink")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming_join(
+            lp, rp, band=6, n_actors=2, micro_batch_rows=32,
+            out_dir=out, checkpoint_every=2, _stop_after_batches=4,
+        )
+    # different band → different join semantics → refuse
+    with pytest.raises(RuntimeError, match="different join config"):
+        run_streaming_join(
+            lp, rp, band=9, n_actors=2, micro_batch_rows=32,
+            out_dir=out, checkpoint_every=2,
+        )
+    # different actor count → routing desync → refuse
+    with pytest.raises(RuntimeError, match="n_actors"):
+        run_streaming_join(
+            lp, rp, band=6, n_actors=3, micro_batch_rows=32,
+            out_dir=out, checkpoint_every=2,
+        )
