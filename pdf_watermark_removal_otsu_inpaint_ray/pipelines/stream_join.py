@@ -43,6 +43,71 @@ def _normalize(batch: pa.Table, key: str, seq: str, ts: str) -> pa.Table:
     )
 
 
+def _join_src_fp(src) -> str:
+    """Stable source identity for checkpoint validation: file set + sizes
+    for path sources, the opaque sentinel for in-memory Datasets."""
+    if not isinstance(src, str):
+        return "dataset"
+    import os as _os
+
+    return "|".join(
+        f"{p}:{_os.path.getsize(p)}" for p in _resolve_parquet_paths(src)
+    )
+
+
+def _ckpt_resume_or_fresh(
+    out_dir: str | None,
+    *,
+    cfg_fp: str,
+    src_fp: str,
+    n_actors: int,
+    micro_batch_rows: int,
+):
+    """Adopt the latest checkpoint under ``out_dir`` (validating that the
+    resume's routing/config/source match the snapshot's) or start fresh.
+    Returns (skip_batches, actor_blobs | None, restored_wm, sink_done,
+    late_done, sink_epoch) — the shared resume protocol of every two-log
+    streaming consumer (interval join, temporal join)."""
+    from ..sinks.exactly_once import adopt_epoch, committed_partitions, late_dir
+    from .checkpoint import latest_checkpoint, truncate_staged
+
+    resume_ckpt = latest_checkpoint(out_dir) if out_dir is not None else None
+    if resume_ckpt is None:
+        sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+        return 0, None, -(1 << 62), sink_done, late_done, sink_epoch
+    skip_batches, ck_meta, ck_blobs = resume_ckpt
+    if (
+        int(ck_meta["n_actors"]) != n_actors
+        or int(ck_meta["micro_batch_rows"]) != micro_batch_rows
+    ):
+        raise RuntimeError(
+            "checkpoint was taken with different n_actors/micro_batch_rows; "
+            "resuming would desynchronize routing and batch numbering"
+        )
+    if ck_meta.get("cfg_fp") != cfg_fp or ck_meta.get("src_fp") != src_fp:
+        raise RuntimeError(
+            "checkpoint was taken under a different join config or source "
+            "set; delete the sink dir to start fresh"
+        )
+    import os as _os
+
+    _os.makedirs(out_dir, exist_ok=True)
+    sink_epoch = int(ck_meta["epoch"])
+    adopt_epoch(out_dir, sink_epoch)
+    adopt_epoch(late_dir(out_dir), sink_epoch)
+    truncate_staged(out_dir, ck_meta["staged_files"])
+    sink_done = frozenset(committed_partitions(out_dir))
+    late_done = frozenset(committed_partitions(late_dir(out_dir)))
+    return (
+        skip_batches,
+        ck_blobs,
+        int(ck_meta["wm"]),
+        sink_done,
+        late_done,
+        sink_epoch,
+    )
+
+
 def run_streaming_join(
     left_source,
     right_source,
@@ -82,64 +147,27 @@ def run_streaming_join(
     skip (the re-read of both logs is the lineage; only the tail
     replays).  The sink's doc_id dedup then commits byte-identical to an
     uninterrupted run."""
-    from .checkpoint import (
-        clear_checkpoints,
-        latest_checkpoint,
-        staged_file_manifest,
-        truncate_staged,
-        write_checkpoint,
-    )
+    from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
     if checkpoint_every is not None and out_dir is None:
         raise ValueError("checkpoint_every requires sink mode (out_dir)")
 
     cfg_fp = f"band({band},{band_lo},{band_hi}):mode={mode}:p={num_partitions}"
-
-    def _src_fp(src) -> str:
-        if not isinstance(src, str):
-            return "dataset"  # in-memory Dataset: no stable file identity
-        import os as _os
-
-        return "|".join(
-            f"{p}:{_os.path.getsize(p)}" for p in _resolve_parquet_paths(src)
-        )
-
-    src_fp = _src_fp(left_source) + "//" + _src_fp(right_source)
-
-    resume_ckpt = latest_checkpoint(out_dir) if out_dir is not None else None
-    skip_batches = 0
-    restored_wm = -(1 << 62)
-    ck_blobs = None
-    if resume_ckpt is not None:
-        skip_batches, ck_meta, ck_blobs = resume_ckpt
-        if (
-            int(ck_meta["n_actors"]) != n_actors
-            or int(ck_meta["micro_batch_rows"]) != micro_batch_rows
-        ):
-            raise RuntimeError(
-                "checkpoint was taken with different n_actors/"
-                "micro_batch_rows; resuming would desynchronize routing "
-                "and batch numbering"
-            )
-        if ck_meta.get("cfg_fp") != cfg_fp or ck_meta.get("src_fp") != src_fp:
-            raise RuntimeError(
-                "checkpoint was taken under a different join config or "
-                "source set; delete the sink dir to start fresh"
-            )
-        import os as _os
-
-        from ..sinks.exactly_once import adopt_epoch, committed_partitions, late_dir
-
-        _os.makedirs(out_dir, exist_ok=True)
-        sink_epoch = int(ck_meta["epoch"])
-        adopt_epoch(out_dir, sink_epoch)
-        adopt_epoch(late_dir(out_dir), sink_epoch)
-        truncate_staged(out_dir, ck_meta["staged_files"])
-        sink_done = frozenset(committed_partitions(out_dir))
-        late_done = frozenset(committed_partitions(late_dir(out_dir)))
-        restored_wm = int(ck_meta["wm"])
-    else:
-        sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    src_fp = _join_src_fp(left_source) + "//" + _join_src_fp(right_source)
+    (
+        skip_batches,
+        ck_blobs,
+        restored_wm,
+        sink_done,
+        late_done,
+        sink_epoch,
+    ) = _ckpt_resume_or_fresh(
+        out_dir,
+        cfg_fp=cfg_fp,
+        src_fp=src_fp,
+        n_actors=n_actors,
+        micro_batch_rows=micro_batch_rows,
+    )
     actors = [
         JoinStateActor.remote(
             band=band,
@@ -275,6 +303,8 @@ def run_streaming_temporal_join(
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
     num_partitions: int = 8,
+    checkpoint_every: int | None = None,
+    _stop_after_batches: int | None = None,
 ) -> StreamingResult:
     """Streaming TEMPORAL TABLE join (Flink-style versioned-dimension
     enrichment): every event row emits exactly once with (key, e_seq,
@@ -287,8 +317,32 @@ def run_streaming_temporal_join(
     partition, late rows route to the side output.  Events buffer in the
     actors until the watermark passes their timestamp (dimension history
     then provably complete — see TemporalJoinActor); a final ``drain``
-    flushes the tail once both logs end."""
-    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    flushes the tail once both logs end.
+
+    ``checkpoint_every`` / resume: the same snapshot contract as
+    :func:`run_streaming_join` (dimension + pending-event buffers pickle;
+    staged manifest truncates; the deterministic round-robin interleaving
+    makes the skipped prefix line up)."""
+    from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
+
+    if checkpoint_every is not None and out_dir is None:
+        raise ValueError("checkpoint_every requires sink mode (out_dir)")
+    cfg_fp = f"temporal:p={num_partitions}"
+    src_fp = _join_src_fp(dim_source) + "//" + _join_src_fp(event_source)
+    (
+        skip_batches,
+        ck_blobs,
+        restored_wm,
+        sink_done,
+        late_done,
+        sink_epoch,
+    ) = _ckpt_resume_or_fresh(
+        out_dir,
+        cfg_fp=cfg_fp,
+        src_fp=src_fp,
+        n_actors=n_actors,
+        micro_batch_rows=micro_batch_rows,
+    )
     actors = [
         TemporalJoinActor.remote(
             sink_dir=out_dir,
@@ -299,12 +353,15 @@ def run_streaming_temporal_join(
         )
         for _ in range(n_actors)
     ]
+    if ck_blobs is not None:
+        ray.get([a.restore_state.remote(b) for a, b in zip(actors, ck_blobs)])
     tracker = WatermarkTracker.remote(2, allowed_lateness)
 
     out_refs: list = []
     pending: list = []
-    wm = -(1 << 62)
+    wm = restored_wm
     batch_idx = 0
+    consumed = 0
     iters = [
         _arrival_batches(dim_source, micro_batch_rows),
         _arrival_batches(event_source, micro_batch_rows),
@@ -321,6 +378,9 @@ def run_streaming_temporal_join(
                 alive[side] = False
                 tracker.close_partition.remote(side)
                 continue
+            if consumed < skip_batches:
+                consumed += 1
+                continue
             batch = _normalize(raw, *cols[side])
             ts = np.asarray(batch["ts"], np.int64)
             if batch_idx % 4 == 0:
@@ -333,10 +393,36 @@ def run_streaming_temporal_join(
                     continue
                 pending.append(actors[a].ingest.remote(side, batch.take(idx), wm))
             tracker.update.remote(side, int(ts.max()))
+            consumed += 1
             if len(pending) >= n_actors * 4:
                 done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
                 for tables, _ in ray.get(done):
                     out_refs.extend(tables)
+            if (
+                checkpoint_every is not None
+                and consumed > skip_batches
+                and consumed % checkpoint_every == 0
+            ):
+                for tables, _ in ray.get(pending):
+                    out_refs.extend(tables)
+                pending = []
+                blobs = ray.get([a.checkpoint_state.remote() for a in actors])
+                write_checkpoint(
+                    out_dir,
+                    consumed,
+                    blobs,
+                    {
+                        "epoch": sink_epoch,
+                        "wm": wm,
+                        "n_actors": n_actors,
+                        "micro_batch_rows": micro_batch_rows,
+                        "cfg_fp": cfg_fp,
+                        "src_fp": src_fp,
+                        "staged_files": staged_file_manifest(out_dir),
+                    },
+                )
+            if _stop_after_batches is not None and consumed >= _stop_after_batches:
+                raise RuntimeError(f"injected stop after {consumed} batches")
 
     for tables, _ in ray.get(pending):
         out_refs.extend(tables)
@@ -351,7 +437,9 @@ def run_streaming_temporal_join(
     late = pa.concat_tables(late_tables) if late_tables else None
 
     if out_dir is not None:
-        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+        res = _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+        clear_checkpoints(out_dir)
+        return res
 
     out = (
         pa.concat_tables(out_refs).sort_by([("e_seq", "ascending")])

@@ -456,6 +456,24 @@ class TemporalJoinActor(_StagedEmitterBase):
         out = self._finalize(1 << 62)
         return self._divert([out] if out is not None else [])
 
+    # same checkpoint contract as JoinStateActor: stage buffers flush
+    # durable first, then every mutable field pickles
+    _CKPT_FIELDS = ("_dk", "_ds", "_dt", "_ek", "_es", "_et",
+                    "n_emitted", "n_late", "wm", "_late_mem")
+
+    def checkpoint_state(self) -> bytes:
+        import pickle
+
+        self._flush_sink()
+        self._flush_late()
+        return pickle.dumps({k: getattr(self, k) for k in self._CKPT_FIELDS})
+
+    def restore_state(self, blob: bytes) -> None:
+        import pickle
+
+        for k, v in pickle.loads(blob).items():
+            setattr(self, k, v)
+
     def sink_flush(self) -> int:
         self._flush_sink()
         self._flush_late()

@@ -632,3 +632,41 @@ def test_join_checkpoint_rejects_mismatched_resume(ray_session, tmp_path):
             lp, rp, band=6, n_actors=3, micro_batch_rows=32,
             out_dir=out, checkpoint_every=2,
         )
+
+
+def test_temporal_join_checkpoint_kill_and_replay(ray_session, tmp_path):
+    """Checkpointed sink-mode temporal join: kill after a checkpoint,
+    resume, byte-identical commit (dimension history + pending-event
+    buffers ride the snapshot)."""
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.checkpoint import (
+        latest_checkpoint,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    dim, ev = _log(160, seed=41, keys=9), _log(300, seed=42, keys=9)
+    dp, ep = str(tmp_path / "d.parquet"), str(tmp_path / "e.parquet")
+    pq.write_table(dim, dp)
+    pq.write_table(ev, ep)
+    kw = dict(n_actors=2, micro_batch_rows=64)
+
+    clean_dir = str(tmp_path / "clean")
+    run_streaming_temporal_join(dp, ep, out_dir=clean_dir, **kw)
+    want = (
+        read_output(clean_dir).to_pandas().sort_values("e_seq", ignore_index=True)
+    )
+
+    ck_dir = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming_temporal_join(
+            dp, ep, out_dir=ck_dir, checkpoint_every=3,
+            _stop_after_batches=7, **kw,
+        )
+    assert latest_checkpoint(ck_dir) is not None
+    run_streaming_temporal_join(dp, ep, out_dir=ck_dir, checkpoint_every=3, **kw)
+    got = read_output(ck_dir).to_pandas().sort_values("e_seq", ignore_index=True)
+    assert got.equals(want)
+    assert latest_checkpoint(ck_dir) is None
