@@ -26,7 +26,8 @@ import ray
 
 from ..state.dedup_state import DedupStateActor, _splitmix_route
 from ..state.watermark_tracker import WatermarkTracker
-from .streaming import StreamingResult, _arrival_batches, _finalize_sink, _sink_done_sets
+from .stream_join import _ckpt_resume_or_fresh, _join_src_fp
+from .streaming import StreamingResult, _arrival_batches, _finalize_sink, _sink_done_sets  # noqa: F401 (_sink_done_sets used via the shared resume helper)
 
 
 def run_streaming_dedup(
@@ -41,12 +42,38 @@ def run_streaming_dedup(
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
     num_partitions: int = 8,
+    checkpoint_every: int | None = None,
+    _stop_after_batches: int | None = None,
 ) -> StreamingResult:
     """Run streaming dedup over a Parquet path / Dataset.  Ray must already
     be initialised by the caller.  ``horizon``: event-time TTL of a kept
     identity (None = suppress duplicates forever; state then grows with
-    distinct identities, the inherent exact-dedup bound)."""
-    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    distinct identities, the inherent exact-dedup bound).
+
+    ``checkpoint_every`` / resume: the shared two-log snapshot contract
+    (pipelines/stream_join.py::_ckpt_resume_or_fresh) applied to the
+    single-log consumer — identity state + pending buffers pickle, staged
+    manifest truncates, the skipped prefix is the log re-read."""
+    from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
+
+    if checkpoint_every is not None and out_dir is None:
+        raise ValueError("checkpoint_every requires sink mode (out_dir)")
+    cfg_fp = f"dedup:h={horizon}:p={num_partitions}"
+    src_fp = _join_src_fp(source)
+    (
+        skip_batches,
+        ck_blobs,
+        restored_wm,
+        sink_done,
+        late_done,
+        sink_epoch,
+    ) = _ckpt_resume_or_fresh(
+        out_dir,
+        cfg_fp=cfg_fp,
+        src_fp=src_fp,
+        n_actors=n_actors,
+        micro_batch_rows=micro_batch_rows,
+    )
     actors = [
         DedupStateActor.remote(
             horizon=horizon,
@@ -61,13 +88,19 @@ def run_streaming_dedup(
         )
         for _ in range(n_actors)
     ]
+    if ck_blobs is not None:
+        ray.get([a.restore_state.remote(b) for a, b in zip(actors, ck_blobs)])
     tracker = WatermarkTracker.remote(1, allowed_lateness)
 
     kept_refs: list = []
     pending: list = []
-    wm = -(1 << 62)
+    wm = restored_wm
     batch_idx = 0
+    consumed = 0
     for batch in _arrival_batches(source, micro_batch_rows):
+        if consumed < skip_batches:
+            consumed += 1
+            continue
         ts = np.asarray(batch[ts_col], dtype=np.int64)
         # watermark refreshed every few batches — monotone lower bound of
         # the true one (staleness delays sweeps, never corrupts them)
@@ -81,10 +114,36 @@ def run_streaming_dedup(
                 continue
             pending.append(actors[a].ingest.remote(batch.take(idx), wm))
         tracker.update.remote(0, int(ts.max()))
+        consumed += 1
         if len(pending) >= n_actors * 4:
             done, pending = pending[: n_actors * 2], pending[n_actors * 2 :]
             for tables, _, _ in ray.get(done):
                 kept_refs.extend(tables)
+        if (
+            checkpoint_every is not None
+            and consumed > skip_batches
+            and consumed % checkpoint_every == 0
+        ):
+            for tables, _, _ in ray.get(pending):
+                kept_refs.extend(tables)
+            pending = []
+            blobs = ray.get([a.checkpoint_state.remote() for a in actors])
+            write_checkpoint(
+                out_dir,
+                consumed,
+                blobs,
+                {
+                    "epoch": sink_epoch,
+                    "wm": wm,
+                    "n_actors": n_actors,
+                    "micro_batch_rows": micro_batch_rows,
+                    "cfg_fp": cfg_fp,
+                    "src_fp": src_fp,
+                    "staged_files": staged_file_manifest(out_dir),
+                },
+            )
+        if _stop_after_batches is not None and consumed >= _stop_after_batches:
+            raise RuntimeError(f"injected stop after {consumed} batches")
 
     for tables, _, _ in ray.get(pending):
         kept_refs.extend(tables)
@@ -98,7 +157,9 @@ def run_streaming_dedup(
     late = pa.concat_tables(late_tables) if late_tables else None
 
     if out_dir is not None:
-        return _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+        res = _finalize_sink(actors, stats, late, out_dir, sink_epoch)
+        clear_checkpoints(out_dir)
+        return res
 
     out = (
         pa.concat_tables(kept_refs).sort_by(seq_col) if kept_refs else None

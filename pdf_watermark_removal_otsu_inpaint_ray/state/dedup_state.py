@@ -235,6 +235,24 @@ class DedupStateActor(_StagedEmitterBase):
         """End of stream: sweep everything still pending."""
         return self._divert(self._sweep(1 << 62))
 
+    # same checkpoint contract as the join/keyed actors: stage buffers
+    # flush durable first, then every mutable field pickles
+    _CKPT_FIELDS = ("_sid", "_sts", "_pending", "finalized_upto",
+                    "n_kept", "n_dup", "n_late", "wm", "_late_mem")
+
+    def checkpoint_state(self) -> bytes:
+        import pickle
+
+        self._flush_sink()
+        self._flush_late()
+        return pickle.dumps({k: getattr(self, k) for k in self._CKPT_FIELDS})
+
+    def restore_state(self, blob: bytes) -> None:
+        import pickle
+
+        for k, v in pickle.loads(blob).items():
+            setattr(self, k, v)
+
     def state_stats(self) -> dict:
         return {
             "n_kept": self.n_kept,

@@ -158,3 +158,38 @@ def test_dedup_sink_mode_equals_driver_mode(ray_session, tmp_path):
     cols = sorted(c for c in got.columns if c != "part")
     want = driver.output.select(cols).to_pandas()
     assert got[cols].equals(want)
+
+
+def test_dedup_checkpoint_kill_and_replay(ray_session, tmp_path):
+    """Checkpointed sink-mode streaming dedup: kill after a checkpoint,
+    resume, byte-identical commit (identity state + pending undecided
+    rows ride the snapshot, so no duplicate is re-admitted and no kept
+    row is lost)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.checkpoint import (
+        latest_checkpoint,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    tbl = _replay_stream(400)
+    path = str(tmp_path / "log.parquet")
+    pq.write_table(tbl, path)
+    kw = dict(horizon=8, allowed_lateness=24, n_actors=2, micro_batch_rows=64)
+
+    clean_dir = str(tmp_path / "clean")
+    run_streaming_dedup(path, out_dir=clean_dir, **kw)
+    want = (
+        read_output(clean_dir).to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+
+    ck_dir = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming_dedup(
+            path, out_dir=ck_dir, checkpoint_every=3, _stop_after_batches=7, **kw
+        )
+    assert latest_checkpoint(ck_dir) is not None
+    run_streaming_dedup(path, out_dir=ck_dir, checkpoint_every=3, **kw)
+    got = read_output(ck_dir).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert got.equals(want)
+    assert latest_checkpoint(ck_dir) is None
