@@ -124,6 +124,8 @@ def run_streaming_join(
     num_partitions: int = 8,
     mode: str = "inner",
     checkpoint_every: int | None = None,
+    hot_keys: tuple = (),
+    n_salt: int = 1,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
     """Streaming interval equi-join of two logs: emit (key, l_seq, l_ts,
@@ -146,13 +148,42 @@ def run_streaming_join(
     ``batch_index`` micro-batches of the SAME round-robin interleaving
     skip (the re-read of both logs is the lineage; only the tail
     replays).  The sink's doc_id dedup then commits byte-identical to an
-    uninterrupted run."""
+    uninterrupted run.
+
+    ``hot_keys`` + ``n_salt``: HOT-KEY SALTING for skewed logs — a hot
+    key's LEFT rows split across ``n_salt`` consecutive actor slots by a
+    deterministic hash of their seq, and its RIGHT rows REPLICATE to all
+    ``n_salt`` slots (pairs form across sides, so exactly one side may
+    split — the asymmetric-replication rule of every salted join; cf. the
+    batch ``salted_skew_join``).  Each left row lives in exactly ONE
+    actor, so every pair still emits exactly once and left-outer nulls
+    still fire exactly once; ``full_outer`` is rejected with salting
+    (replicated rights would emit their null S times).  Right-side late
+    rows count once per REPLICA in the side output (documented).
+    Requires ``n_salt <= n_actors`` (consecutive slots must be distinct
+    actors, or two replicas of one right row would meet and double-pair).
+    """
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
     if checkpoint_every is not None and out_dir is None:
         raise ValueError("checkpoint_every requires sink mode (out_dir)")
 
-    cfg_fp = f"band({band},{band_lo},{band_hi}):mode={mode}:p={num_partitions}"
+    if n_salt > 1:
+        if mode == "full_outer":
+            raise ValueError("hot-key salting cannot run full_outer "
+                             "(replicated rights would null-emit per replica)")
+        if n_salt > n_actors:
+            raise ValueError("n_salt must be <= n_actors (salt slots must "
+                             "be distinct actors)")
+    hot = (
+        np.array(sorted(int(k) for k in hot_keys), np.int64)
+        if hot_keys and n_salt > 1
+        else None
+    )
+    cfg_fp = (
+        f"band({band},{band_lo},{band_hi}):mode={mode}:p={num_partitions}"
+        f":salt={n_salt}:hot={','.join(str(int(k)) for k in sorted(hot_keys))}"
+    )
     src_fp = _join_src_fp(left_source) + "//" + _join_src_fp(right_source)
     (
         skip_batches,
@@ -219,9 +250,38 @@ def run_streaming_join(
             if batch_idx % 4 == 0:
                 wm = max(wm, ray.get(tracker.watermark.remote()))
             batch_idx += 1
-            route = _splitmix_route(np.asarray(batch["key"], np.int64), n_actors)
-            for a in range(n_actors):
-                idx = np.nonzero(route == a)[0]
+            keys = np.asarray(batch["key"], np.int64)
+            base = _splitmix_route(keys, n_actors)
+            if hot is None:
+                plan = [
+                    (a, np.nonzero(base == a)[0]) for a in range(n_actors)
+                ]
+            else:
+                is_hot = np.isin(keys, hot)
+                plan = [
+                    (a, np.nonzero((~is_hot) & (base == a))[0])
+                    for a in range(n_actors)
+                ]
+                hidx = np.nonzero(is_hot)[0]
+                if hidx.size:
+                    if side == 0:
+                        # left rows SPLIT: salt by seq hash → one slot each
+                        salt = _splitmix_route(
+                            np.asarray(batch["seq"], np.int64)[hidx], n_salt
+                        )
+                        act = (base[hidx] + salt) % n_actors
+                        plan += [
+                            (int(a), hidx[act == a]) for a in np.unique(act)
+                        ]
+                    else:
+                        # right rows REPLICATE to every salt slot
+                        for j in range(n_salt):
+                            act = (base[hidx] + j) % n_actors
+                            plan += [
+                                (int(a), hidx[act == a])
+                                for a in np.unique(act)
+                            ]
+            for a, idx in plan:
                 if idx.size == 0:
                     continue
                 pending.append(actors[a].ingest.remote(side, batch.take(idx), wm))

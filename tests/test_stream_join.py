@@ -670,3 +670,82 @@ def test_temporal_join_checkpoint_kill_and_replay(ray_session, tmp_path):
     got = read_output(ck_dir).to_pandas().sort_values("e_seq", ignore_index=True)
     assert got.equals(want)
     assert latest_checkpoint(ck_dir) is None
+
+
+def test_salted_join_matches_unsalted_on_hot_key(ray_session):
+    """Hot-key salting: one key carries half the stream; the salted run's
+    pair set and left-outer nulls equal the unsalted run's, and the hot
+    key's left rows actually spread across multiple actors."""
+    import ray.data
+
+    rng = np.random.default_rng(61)
+    n = 600
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 40, n)).astype(np.int64)
+    ts = np.sort(rng.integers(0, 2000, n))
+
+    def mk(seed_off):
+        return pa.table(
+            {
+                "key": pa.array(np.roll(keys, seed_off), pa.int64()),
+                "seq": pa.array(np.arange(n) + seed_off * 100000, pa.int64()),
+                "event_ts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    lt, rt = mk(0), mk(1)
+    plain = run_streaming_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        band=5, n_actors=4, micro_batch_rows=128, mode="left_outer",
+    )
+    salted = run_streaming_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        band=5, n_actors=4, micro_batch_rows=128, mode="left_outer",
+        hot_keys=(7,), n_salt=3,
+    )
+    assert _got_pairs(salted) == _got_pairs(plain)
+    assert salted.n_late == plain.n_late == 0
+    # spread probe: an ALL-hot-key stream pins every pair to ONE actor
+    # unsalted, but salting must distribute the pair work across slots
+    allhot = pa.table(
+        {
+            "key": pa.array(np.full(200, 7), pa.int64()),
+            "seq": pa.array(np.arange(200), pa.int64()),
+            "event_ts": pa.array(np.arange(200) * 2, pa.int64()),
+        }
+    )
+    sp = run_streaming_join(
+        ray.data.from_arrow(allhot), ray.data.from_arrow(allhot),
+        band=3, n_actors=3, micro_batch_rows=64,
+        hot_keys=(7,), n_salt=3,
+    )
+    up = run_streaming_join(
+        ray.data.from_arrow(allhot), ray.data.from_arrow(allhot),
+        band=3, n_actors=3, micro_batch_rows=64,
+    )
+    assert _got_pairs(sp) == _got_pairs(up)
+    busy = [s["n_pairs"] for s in sp.actor_stats]
+    assert sum(1 for x in busy if x > 0) >= 2, busy
+    assert sum(1 for x in (s["n_pairs"] for s in up.actor_stats) if x > 0) == 1
+
+
+def test_salted_join_rejects_invalid_configs(ray_session):
+    import pytest
+    import ray.data
+
+    t = pa.table(
+        {
+            "key": pa.array([1, 1], pa.int64()),
+            "seq": pa.array([0, 1], pa.int64()),
+            "event_ts": pa.array([0, 1], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="full_outer"):
+        run_streaming_join(
+            ray.data.from_arrow(t), ray.data.from_arrow(t),
+            band=1, mode="full_outer", hot_keys=(1,), n_salt=2, n_actors=4,
+        )
+    with pytest.raises(ValueError, match="n_salt"):
+        run_streaming_join(
+            ray.data.from_arrow(t), ray.data.from_arrow(t),
+            band=1, hot_keys=(1,), n_salt=8, n_actors=4,
+        )
