@@ -524,6 +524,8 @@ def run_streaming_timeouts(
     allowed_lateness: int = 1,
     n_actors: int = 4,
     micro_batch_rows: int = 512,
+    hot_keys: tuple = (),
+    n_salt: int = 1,
 ) -> StreamingResult:
     """Streaming ABSENCE (timeout) detection — the negative CEP pattern:
     emit (key, anchor_seq, anchor_ts) for every anchor event that is NOT
@@ -555,6 +557,8 @@ def run_streaming_timeouts(
         n_actors=n_actors,
         micro_batch_rows=micro_batch_rows,
         mode="left_outer",
+        hot_keys=hot_keys,
+        n_salt=n_salt,
     )
     if res.output is None:
         out = pa.table(

@@ -749,3 +749,39 @@ def test_salted_join_rejects_invalid_configs(ray_session):
             ray.data.from_arrow(t), ray.data.from_arrow(t),
             band=1, hot_keys=(1,), n_salt=8, n_actors=4,
         )
+
+
+def test_salted_timeouts_match_unsalted(ray_session):
+    """Absence detection under hot-key salting: identical alert set."""
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_join import (
+        run_streaming_timeouts,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 400
+    keys = np.where(rng.random(n) < 0.6, 3, rng.integers(0, 20, n)).astype(np.int64)
+    ts = np.sort(rng.integers(0, 1500, n))
+
+    def mk(off):
+        return pa.table(
+            {
+                "key": pa.array(np.roll(keys, off), pa.int64()),
+                "seq": pa.array(np.arange(n) + off * 100000, pa.int64()),
+                "event_ts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    a, c = mk(0), mk(3)
+    kw = dict(horizon=9, n_actors=4, micro_batch_rows=128)
+    plain = run_streaming_timeouts(
+        ray.data.from_arrow(a), ray.data.from_arrow(c), **kw
+    )
+    salted = run_streaming_timeouts(
+        ray.data.from_arrow(a), ray.data.from_arrow(c),
+        hot_keys=(3,), n_salt=3, **kw,
+    )
+    want = sorted(np.asarray(plain.output["anchor_seq"], np.int64).tolist())
+    got = sorted(np.asarray(salted.output["anchor_seq"], np.int64).tolist())
+    assert got == want and len(want) > 0
