@@ -715,17 +715,20 @@ def cdc_chunks_batch(
     if n_docs == 0:
         return empty
     txt = b["text"].combine_chunks()
-    raw = txt.to_pylist()
     ids = np.asarray(b["doc_id"], np.int64)
-    bs = [t.encode("utf-8") for t in raw]
-    lens = np.array([len(x) for x in bs], np.int64)
-    keep = lens > 0
-    if not keep.all():
-        bs = [x for x, k in zip(bs, keep) if k]
-        ids, lens = ids[keep], lens[keep]
-    if not bs:
+    # zero-copy utf-8 bytes straight from the Arrow buffers (offsets are
+    # int32 for string, int64 for large_string) — no Python-level encode
+    odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+    offs = np.frombuffer(txt.buffers()[1], odt)[
+        txt.offset : txt.offset + len(txt) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(txt.buffers()[2], np.uint8)
+    flat = data[offs[0] : offs[-1]]
+    all_lens = np.diff(offs)
+    keep = all_lens > 0
+    ids, lens = ids[keep], all_lens[keep]
+    if lens.size == 0:
         return empty
-    flat = np.frombuffer(b"".join(bs), np.uint8)
     n = flat.size
     starts = np.concatenate(([0], np.cumsum(lens)))  # doc byte offsets
     doc_of = np.repeat(np.arange(lens.size), lens)
