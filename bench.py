@@ -323,6 +323,7 @@ def main() -> None:
             "events_interval_agg", "source_regression",
             "streaming_window_quantiles", "dedup_cc_distributed",
             "streaming_timeouts", "prefix_dup", "cdc_chunks",
+            "streaming_sliding_quantiles",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -224,6 +224,7 @@ def run_streaming_quantiles(
     allowed_lateness: int = 32,
     n_actors: int = 4,
     micro_batch_rows: int = 512,
+    slide: int | None = None,
 ) -> StreamingResult:
     """Streaming EXACT per-window quantiles of a bounded-domain integer
     value (``key_col`` is the value BIN) — the additive-histogram trick:
@@ -235,7 +236,10 @@ def run_streaming_quantiles(
     row count.  Per-window driver traffic is the number of DISTINCT bins
     (bounded by the value domain), never the row count — the same partial
     shape as the flagship's 256-bin A1 histograms, lifted to event time
-    with watermark-driven close."""
+    with watermark-driven close.  ``slide`` < window_size runs SLIDING
+    windows (each row joins its ws/slide overlapping windows inside the
+    actor — the same state-expansion the sliding top-k documents;
+    window_id = start // slide)."""
     import math
 
     from ..state.topk_state import TopkStateActor
@@ -243,7 +247,7 @@ def run_streaming_quantiles(
     actors = [
         TopkStateActor.remote(
             window_size=window_size, k=1, key_col=key_col, ts_col=ts_col,
-            emit="hist",
+            emit="hist", slide=slide,
         )
         for _ in range(n_actors)
     ]

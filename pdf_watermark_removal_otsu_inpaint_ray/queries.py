@@ -4217,6 +4217,39 @@ def q_streaming_timeouts(sf_dir: str):
     return res.output
 
 
+def q_streaming_sliding_quantiles(sf_dir: str):
+    """SLIDING-window streaming exact quantiles: p50/p90 of the dollar
+    bin per 2-day window advancing by 1 day — each row's histogram cell
+    joins its 2 overlapping windows inside the bin-routed actor (the
+    documented sliding state expansion), close at watermark, same
+    output-scale quantile_disc fold."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_topk import run_streaming_quantiles
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet", columns=["value", "ts"])
+    src = pa.table(
+        {
+            "bin": pa.array(
+                np.floor(np.asarray(ev["value"], np.float64)).astype(np.int64),
+                pa.int64(),
+            ),
+            "event_ts": ev["ts"].cast(pa.int64()),
+        }
+    )
+    res = run_streaming_quantiles(
+        ray.data.from_arrow(src),
+        window_size=2 * 86_400_000_000,
+        slide=86_400_000_000,
+        probs=(0.5, 0.9),
+        allowed_lateness=1,
+        n_actors=3,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_dedup_cc_distributed(sf_dir: str):
     """DISTRIBUTED connected components (functions/graph.py::
     connected_components_distributed) over the exact edit-distance
@@ -4555,6 +4588,7 @@ QUERIES = {
     "streaming_timeouts": q_streaming_timeouts,
     "prefix_dup": q_prefix_dup,
     "cdc_chunks": q_cdc_chunks,
+    "streaming_sliding_quantiles": q_streaming_sliding_quantiles,
 }
 
 _MOTIF_UNION = "\nUNION ALL\n".join(
@@ -5982,6 +6016,18 @@ ORACLE_SQL = {
             WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
               AND epoch_us(b.ts) - epoch_us(a.ts)
                   BETWEEN 1 AND 172800000000)
+    """,
+    "streaming_sliding_quantiles": """
+        WITH x AS (
+            SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 - v.o AS window_id,
+                   CAST(floor(value) AS BIGINT) AS bin
+            FROM events, (VALUES (0), (1)) v(o)
+        )
+        SELECT window_id,
+               CAST(quantile_disc(bin, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(bin, 0.9) AS BIGINT) AS p90,
+               CAST(count(*) AS BIGINT) AS n
+        FROM x GROUP BY window_id
     """,
     "dedup_cc_distributed": """
         WITH RECURSIVE pairs AS (

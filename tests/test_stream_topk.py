@@ -249,3 +249,53 @@ def test_stream_quantiles_routes_late_rows(ray_session):
     assert res.late is not None and 999 in np.asarray(res.late["bin"]).tolist()
     # no window's quantile can be the late sentinel bin
     assert not (np.asarray(res.output["p50"]) == 999).any()
+
+
+def test_stream_sliding_quantiles_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_topk import (
+        run_streaming_quantiles,
+    )
+
+    ws, slide = 3 * W, W
+    rng = np.random.default_rng(83)
+    n = 3000
+    ts = np.sort(rng.integers(0, 15 * W, n)) + rng.integers(-30, 31, n)
+    bins = rng.integers(0, 200, n)
+    tbl = pa.table(
+        {
+            "bin": pa.array(bins, pa.int64()),
+            "event_ts": pa.array(ts, pa.int64()),
+        }
+    )
+
+    import math
+
+    exp: dict = {}
+    per_w: dict = {}
+    k = ws // slide
+    for b, t in zip(bins.tolist(), ts.tolist()):
+        for o in range(k):
+            per_w.setdefault(t // slide - o, []).append(b)
+    for w, vals in per_w.items():
+        v = np.sort(np.array(vals))
+        exp[int(w)] = (
+            int(v[math.ceil(0.5 * v.size) - 1]),
+            int(v[math.ceil(0.9 * v.size) - 1]),
+            int(v.size),
+        )
+    for n_actors, mb in ((1, 4000), (3, 193)):
+        res = run_streaming_quantiles(
+            ray.data.from_arrow(tbl),
+            window_size=ws,
+            slide=slide,
+            probs=(0.5, 0.9),
+            allowed_lateness=70,
+            n_actors=n_actors,
+            micro_batch_rows=mb,
+        )
+        got = {
+            int(r.window_id): (int(r.p50), int(r.p90), int(r.n))
+            for r in res.output.to_pandas().itertuples()
+        }
+        assert got == exp, f"actors={n_actors}"
+        assert res.n_late == 0
