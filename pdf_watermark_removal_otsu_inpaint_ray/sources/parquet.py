@@ -29,6 +29,10 @@ def _ensure_event_ts(batch: pa.Table) -> pa.Table:
     """
     if "event_ts" in batch.column_names:
         return batch
+    if "doc_id" not in batch.column_names:
+        # a stream with neither column names its own time axis (the CEP
+        # consumers pass ts_col explicitly) — nothing to derive
+        return batch
     import pyarrow.compute as pc
 
     ext = pc.extract_regex(
