@@ -323,7 +323,8 @@ def main() -> None:
             "events_interval_agg", "source_regression",
             "streaming_window_quantiles", "dedup_cc_distributed",
             "streaming_timeouts", "prefix_dup", "cdc_chunks",
-            "streaming_sliding_quantiles",
+            "streaming_sliding_quantiles", "streaming_funnel",
+            "streaming_latest_state",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)
