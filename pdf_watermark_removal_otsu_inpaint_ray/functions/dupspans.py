@@ -129,3 +129,197 @@ def cross_doc_dup_stats(ds, *, n: int = 3, num_parts: int = 64):
         .groupby("pk2")
         .map_groups(per_doc_partition, batch_format="pandas")
     )
+
+
+# -- maximal duplicated character spans (the Lee et al. REMOVE step) --------
+
+
+def _window_grams(b: pa.Table, L: int):
+    """All L-byte windows of the batch's texts as an (n_windows, L) uint8
+    matrix (zero-copy stride view over the Arrow data buffer) plus each
+    window's kept-doc ordinal and 0-based start position, and the kept doc
+    ids.  ASCII corpus contract: positions are BYTE offsets (== char
+    offsets for the synthetic corpus; the SQL twin's substr() counts
+    chars)."""
+    txt = b["text"].combine_chunks()
+    ids = np.asarray(b["doc_id"], np.int64)
+    odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+    offs = np.frombuffer(txt.buffers()[1], odt)[
+        txt.offset : txt.offset + len(txt) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(txt.buffers()[2], np.uint8)
+    flat = np.ascontiguousarray(data[offs[0] : offs[-1]])
+    lens = np.diff(offs)
+    keep = lens >= L
+    doc_starts = np.concatenate(([0], np.cumsum(lens)))
+    if not keep.any():
+        z = np.zeros(0, np.int64)
+        return np.zeros((0, L), np.uint8), z, z, ids[keep]
+    n_win = np.where(keep, lens - L + 1, 0)
+    doc_of = np.repeat(np.arange(lens.size), n_win)
+    pos_in_doc = np.arange(int(n_win.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_win)[:-1])), n_win
+    )
+    abs_start = doc_starts[doc_of] + pos_in_doc
+    win = np.lib.stride_tricks.sliding_window_view(flat, L)[abs_start]
+    kept_ord = np.cumsum(keep) - 1  # doc ordinal within the kept-doc space
+    return win, kept_ord[doc_of], pos_in_doc, ids[keep]
+
+
+def _fixed_bin(mat: np.ndarray, L: int) -> pa.Array:
+    """(n, L) uint8 matrix -> FixedSizeBinary(L) array, one buffer copy."""
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(L), mat.shape[0], [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())]
+    )
+
+
+def _fsb_view(col: pa.ChunkedArray | pa.Array, L: int) -> np.ndarray:
+    """FixedSizeBinary(L) column -> (n, L) uint8 view (offset-aware)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    data = np.frombuffer(arr.buffers()[1], np.uint8)
+    return data[arr.offset * L : (arr.offset + len(arr)) * L].reshape(-1, L)
+
+
+def duplicated_char_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: int = 2):
+    """Maximal cross-document duplicated character spans — the REMOVE step
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022).  ``cross_doc_dup_stats`` computes the per-doc
+    statistic; this emits the actual ``(doc_id, span_start, span_end,
+    span_len)`` intervals a curation pipeline cuts out.
+
+    A position ``p`` is *duplicated* when the window ``text[p:p+L]``
+    occurs in >= ``min_docs`` distinct documents corpus-wide;
+    overlapping-or-touching duplicated windows (start gap <= L) merge
+    into one maximal span.
+
+    Distribution shape (the 100-TB path):
+
+    1. per-batch combiner: every window of the batch from ONE zero-copy
+       stride view; batch-local distinct ``(gram, doc)`` pairs via a void
+       lexsort — the shuffle carries distinct pairs (L+8 bytes each),
+       never one row per character position;
+    2. coarse ``groupby(hash(gram) % num_parts)``: the hash only ROUTES;
+       within a partition grams compare by exact bytes (sort + run
+       sweep), so the duplicated decision is collision-free.  Grams
+       reaching ``min_docs`` distinct docs emit once;
+    3. the duplicated-gram set (output-scale: bounded by the corpus'
+       shared content, not its size) is collected, sorted, broadcast once
+       via ``ray.put``; at extreme duplication volume swap the broadcast
+       for a semi-join on the gram bytes (same partitioning — documented
+       escape hatch, same trade as the LSH candidate set);
+    4. final ``map_batches``: membership via ``searchsorted`` against the
+       broadcast set; island merge needs NO sort (window positions are
+       generated in doc order) — one boolean gap test per batch.
+
+    Reference analog: M8's span segmentation (watermark_remover.py
+    component splits), driven by corpus-level content repetition instead
+    of mask geometry.
+    """
+    import ray
+
+    from .dedup import _mix64
+
+    if L % 8 != 0:
+        raise ValueError("L must be a multiple of 8 (uint64 routing hash)")
+    gdt = np.dtype((np.void, L))
+
+    def gram_doc_pairs(b: pa.Table) -> pa.Table:
+        win, doc_ord, _pos, ids = _window_grams(b, L)
+        if win.shape[0] == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.binary(L)),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pk": pa.array([], pa.int64()),
+                }
+            )
+        v = np.ascontiguousarray(win).view(gdt).ravel()
+        order = np.lexsort((doc_ord, v))
+        vs, do = v[order], doc_ord[order]
+        first = np.concatenate(([True], (vs[1:] != vs[:-1]) | (do[1:] != do[:-1])))
+        grams = np.ascontiguousarray(vs[first]).view(np.uint8).reshape(-1, L)
+        # routing key: mix of the gram's uint64 words (identity stays bytes)
+        words = grams.view(np.uint64).reshape(grams.shape[0], -1)
+        pk = (
+            _mix64(words.sum(axis=1, dtype=np.uint64)) % np.uint64(num_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "gram": _fixed_bin(grams, L),
+                "doc_id": pa.array(ids[do[first]], pa.int64()),
+                "pk": pa.array(pk, pa.int64()),
+            }
+        )
+
+    def dup_grams_in_partition(g: pa.Table) -> pa.Table:
+        raw = _fsb_view(g["gram"], L)
+        v = np.ascontiguousarray(raw).view(gdt).ravel()
+        d = np.asarray(g["doc_id"], np.int64)
+        order = np.lexsort((d, v))
+        vs, ds_ = v[order], d[order]
+        new_gram = np.concatenate(([True], vs[1:] != vs[:-1]))
+        new_pair = np.concatenate(
+            ([True], (vs[1:] != vs[:-1]) | (ds_[1:] != ds_[:-1]))
+        )
+        run_start = np.nonzero(new_gram)[0]
+        n_docs = np.add.reduceat(new_pair.astype(np.int64), run_start)
+        sel = np.ascontiguousarray(vs[run_start[n_docs >= min_docs]])
+        return pa.table(
+            {"gram": _fixed_bin(sel.view(np.uint8).reshape(-1, L), L)}
+        )
+
+    pairs = ds.map_batches(gram_doc_pairs, batch_format="pyarrow")
+    dup = (
+        pairs.groupby("pk")
+        .map_groups(dup_grams_in_partition, batch_format="pyarrow")
+    )
+    # output-scale collect of the duplicated-gram set, sorted once
+    tabs = ray.get(dup.to_arrow_refs())
+    mats = [_fsb_view(t["gram"], L) for t in tabs if t.num_rows]
+    if mats:
+        dup_sorted = np.sort(
+            np.ascontiguousarray(np.concatenate(mats)).view(gdt).ravel()
+        )
+    else:
+        dup_sorted = np.zeros(0, gdt)
+    dup_ref = ray.put(dup_sorted)
+
+    def mark_spans(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "span_start": pa.array([], pa.int64()),
+                "span_end": pa.array([], pa.int64()),
+                "span_len": pa.array([], pa.int64()),
+            }
+        )
+        dup_set = ray.get(dup_ref)
+        if dup_set.size == 0:
+            return empty
+        win, doc_ord, pos, ids = _window_grams(b, L)
+        if win.shape[0] == 0:
+            return empty
+        v = np.ascontiguousarray(win).view(gdt).ravel()
+        loc = np.searchsorted(dup_set, v)
+        hit = (loc < dup_set.size) & (dup_set[np.minimum(loc, dup_set.size - 1)] == v)
+        if not hit.any():
+            return empty
+        do, p = doc_ord[hit], pos[hit]
+        # windows are generated in (doc, pos) order: islands need no sort
+        brk = np.concatenate(
+            ([True], (do[1:] != do[:-1]) | (p[1:] - p[:-1] > L))
+        )
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], do.size) - 1
+        span_start = p[starts]
+        span_end = p[ends] + L
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[do[starts]], pa.int64()),
+                "span_start": pa.array(span_start, pa.int64()),
+                "span_end": pa.array(span_end, pa.int64()),
+                "span_len": pa.array(span_end - span_start, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mark_spans, batch_format="pyarrow")

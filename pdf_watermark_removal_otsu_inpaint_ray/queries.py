@@ -1123,6 +1123,25 @@ def q_dup_ngrams(sf_dir: str):
     return cross_doc_dup_stats(_docs_ds(sf_dir), n=3, num_parts=64)
 
 
+def q_dup_spans(sf_dir: str):
+    """Maximal cross-document duplicated character spans — the REMOVE step
+    of Lee et al. exact-substring dedup (functions/dupspans.py::
+    duplicated_char_spans): a position is duplicated when its 24-byte
+    window occurs in >= 2 distinct docs; touching windows merge into
+    maximal (doc_id, span_start, span_end, span_len) intervals.  Shuffle
+    carries distinct (gram, doc) pairs (hash ROUTES, bytes DECIDE —
+    collision-free); the duplicated-gram set broadcasts once; the island
+    merge is sort-free (windows generate in doc order)."""
+    from .functions.dupspans import duplicated_char_spans
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return duplicated_char_spans(docs, L=24, num_parts=64)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher/MassiveText repetition counters per doc (top-bigram share,
     duplicate trigrams) — stateless vectorized map_batches
@@ -4565,6 +4584,7 @@ QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "cms_heavy_words": q_cms_heavy_words,
     "dup_ngrams": q_dup_ngrams,
+    "dup_spans": q_dup_spans,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,
     "tumbling_distinct_users": q_tumbling_distinct_users,
@@ -5780,6 +5800,40 @@ ORACLE_SQL = {
                CAST(coalesce(h.n_tok, 0) AS BIGINT) AS n_tok,
                CAST(coalesce(h.logp_milli, 0) AS BIGINT) AS logp_milli
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    "dup_spans": r"""
+        WITH pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,
+                   substr(text, CAST(i AS INT), 24) AS gram
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, n_chars - 23)) AS i
+                  FROM documents WHERE n_chars >= 24)
+        ),
+        dup AS (
+            SELECT gram FROM pos GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        marked AS (
+            SELECT doc_id, p FROM pos
+            WHERE gram IN (SELECT gram FROM dup)
+        ),
+        isl AS (
+            SELECT doc_id, p,
+                CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                          <= 24
+                     THEN 0 ELSE 1 END AS brk
+            FROM marked
+        ),
+        grp AS (
+            SELECT doc_id, p,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+            FROM isl
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) + 24 AS BIGINT) AS span_end,
+               CAST(max(p) + 24 - min(p) AS BIGINT) AS span_len
+        FROM grp GROUP BY doc_id, g
     """,
     "dup_ngrams": r"""
         WITH toks AS (

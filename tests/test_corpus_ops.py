@@ -1088,3 +1088,106 @@ def test_copurchase_pagerank_planted_graph(ray_session):
         assert got == exp, f"parts={parts}"
     assert got[4] == 150_000  # isolated node: base rank, no contributions
     assert got[2] > got[1]  # hub outranks the single-order part
+
+
+# -- duplicated character spans (Lee et al. remove step) ------------------
+
+
+def _brute_spans(docs, L, min_docs=2):
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for d, t in enumerate(docs):
+        for p in range(len(t) - L + 1):
+            where[t[p : p + L]].add(d)
+    dup = {g for g, s in where.items() if len(s) >= min_docs}
+    spans = []
+    for d, t in enumerate(docs):
+        marked = [p for p in range(len(t) - L + 1) if t[p : p + L] in dup]
+        if not marked:
+            continue
+        start = prev = marked[0]
+        for p in marked[1:]:
+            if p - prev > L:
+                spans.append((d, start, prev + L, prev + L - start))
+                start = p
+            prev = p
+        spans.append((d, start, prev + L, prev + L - start))
+    return sorted(spans)
+
+
+def test_dup_spans_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dupspans import (
+        duplicated_char_spans,
+    )
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    shared = "the quick brown fox jumps over the lazy dog once more"
+    docs = []
+    for i in range(90):
+        body = " ".join(rng.choice(words, 25))
+        if i % 3 == 0:  # planted cross-doc duplicate at a random offset
+            k = int(rng.integers(0, len(body) - 1))
+            body = body[:k] + " " + shared + " " + body[k:]
+        docs.append(body)
+    docs.append("tiny")  # shorter than L: contributes no window
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    got = duplicated_char_spans(
+        ray.data.from_arrow(tbl).repartition(5), L=24, num_parts=8
+    ).to_pandas()
+    got_t = sorted(
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d in zip(
+            got.doc_id, got.span_start, got.span_end, got.span_len
+        )
+    )
+    assert got_t == _brute_spans(docs, 24)
+    # every planted doc carries at least one span covering the shared text
+    planted = {d for d in range(90) if d % 3 == 0}
+    assert planted <= set(got.doc_id)
+
+
+def test_dup_spans_no_duplicates_empty(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dupspans import (
+        duplicated_char_spans,
+    )
+
+    # truly window-distinct texts: independent random letter soup per doc
+    rng = np.random.default_rng(5)
+    alpha = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", np.uint8)
+    docs = [
+        bytes(alpha[rng.integers(0, 26, 60)]).decode() for _ in range(40)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    out = duplicated_char_spans(
+        ray.data.from_arrow(tbl), L=24, num_parts=4
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_dup_spans_within_doc_repeat_not_marked(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dupspans import (
+        duplicated_char_spans,
+    )
+
+    # the repeated block lives in ONE doc only -> min_docs=2 never fires
+    block = "abcdefghijklmnopqrstuvwxyz012345"
+    docs = ["PAD " + block + " MID " + block + " END", "totally different body here"]
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array(docs)}
+    )
+    out = duplicated_char_spans(
+        ray.data.from_arrow(tbl), L=24, num_parts=4
+    ).to_pandas()
+    assert len(out) == 0
