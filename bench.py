@@ -324,7 +324,7 @@ def main() -> None:
             "streaming_window_quantiles", "dedup_cc_distributed",
             "streaming_timeouts", "prefix_dup", "cdc_chunks",
             "streaming_sliding_quantiles", "streaming_funnel",
-            "streaming_latest_state", "dup_spans",
+            "streaming_latest_state", "dup_spans", "part_triangles",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

@@ -459,3 +459,305 @@ def connected_components_distributed(
             "keep": pa.array((ids == lab).astype(np.int64), pa.int64()),
         }
     )
+
+
+# -- triangle counting ------------------------------------------------------
+
+
+def copurchase_edges(ds, *, num_parts: int = 32):
+    """Distinct undirected co-purchase edges ``(a, b)`` with ``a < b`` from
+    a (l_orderkey, l_partkey) line-item Dataset: two parts are adjacent
+    when some order contains both.  Same order-partitioned size-class
+    build as ``copurchase_pagerank`` (one fancy-index per order-size k),
+    then a coarse pair-key combine dedupes globally — the shuffle carries
+    distinct int64 pairs only."""
+    import pandas as pd
+
+    def prep(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"], np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(ok, pa.int64()),
+                "partkey": b["l_partkey"].cast(pa.int64()),
+                "pk": pa.array(ok % num_parts, pa.int64()),
+            }
+        )
+
+    _E = {
+        "a": pd.Series(dtype=np.int64),
+        "b": pd.Series(dtype=np.int64),
+        "pk2": pd.Series(dtype=np.int64),
+    }
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_E)
+        ok = g["orderkey"].to_numpy()
+        pk = g["partkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.nonzero(np.concatenate(([True], ok[1:] != ok[:-1])))[0]
+        sizes = np.diff(np.append(starts, ok.size))
+        out_a, out_b = [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            sel = starts[sizes == k]
+            mat = pk[(sel[:, None] + np.arange(k)[None, :])]
+            ii, jj = np.triu_indices(int(k), 1)  # rows sorted: mat[:,i]<=mat[:,j]
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if not out_a:
+            return pd.DataFrame(_E)
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if a.size == 0:
+            return pd.DataFrame(_E)
+        o2 = np.lexsort((b, a))
+        a, b = a[o2], b[o2]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        a, b = a[new], b[new]
+        pk2 = (
+            ((a.astype(np.uint64) * _MIX + b.astype(np.uint64)) * _MIX)
+            >> np.uint64(33)
+        ) % np.uint64(num_parts)
+        return pd.DataFrame({"a": a, "b": b, "pk2": pk2.astype(np.int64)})
+
+    def edge_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy().astype(np.int64)
+        b = g["b"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        return pd.DataFrame({"a": a[new], "b": b[new]})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(order_pairs, batch_format="pandas")
+        .groupby("pk2")
+        .map_groups(edge_dedup, batch_format="pandas")
+    )
+
+
+def triangle_stats(edges, *, num_parts: int = 32) -> pa.Table:
+    """Exact triangle count + global-clustering ingredients over a
+    distinct undirected edge Dataset (``a < b`` int64 rows).  Returns ONE
+    row ``(n_edges, n_wedges, n_triangles)``: edge count, path-of-length-2
+    count ``sum_v C(deg(v), 2)``, and the exact triangle count.
+
+    The degree-ordered wedge algorithm (Cohen's MapReduce formulation /
+    the compact-forward scheme):
+
+    1. degrees by a coarse ``groupby(node % P)`` count (edge list emits
+       both endpoints as int64 rows); ``n_edges`` and ``n_wedges`` are
+       closed forms over the degree partition — no extra pass;
+    2. the degree vector (NODE-scale — the graph's dimension side) is
+       collected once and broadcast via ``ray.put``; each edge orients
+       LOW-rank → HIGH-rank by the packed ``(deg << 34) | id`` total
+       order — every node's out-degree is O(sqrt(m)), which bounds wedge
+       generation even on hub-heavy graphs (the reason plain
+       id-orientation is wrong at scale).  At billion-node scale swap the
+       broadcast for a union+repartition degree attach (the closure
+       sweep's idiom) — the other phases are unchanged;
+    3. wedges per source from its out-neighbor pairs (size-class
+       fancy-index, id-canonicalized), combined per partition;
+    4. closure = wedges and edges tagged into ONE coarse pair-hash
+       ``groupby`` (the engine's repartition-join sweep — the native
+       Dataset.join builds schema-less empty partitions for lazily-typed
+       inputs, measured); with this orientation each triangle closes at
+       exactly ONE source (its rank-lowest vertex), so the matched-wedge
+       total IS the triangle count (no /3).
+
+    Driver traffic: the three scalars.  Reference analog: the motif
+    co-occurrence accumulation (cross-page repeated structure,
+    watermark_remover.py), lifted from pairs to closed triples.
+    """
+    import pandas as pd
+
+    import ray
+
+    from .dedup import _collect_arrow
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        n = np.concatenate([a, bb])
+        return pa.table(
+            {"node": pa.array(n, pa.int64()),
+             "pk": pa.array(n % num_parts, pa.int64())}
+        )
+
+    def count_deg(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["node"].to_numpy().astype(np.int64)
+        n.sort()
+        st = np.nonzero(np.concatenate(([True], n[1:] != n[:-1])))[0]
+        d = np.diff(np.append(st, n.size)).astype(np.int64)
+        return pd.DataFrame({"node": n[st], "deg": d})
+
+    deg = edges.map_batches(endpoints, batch_format="pyarrow") \
+               .groupby("pk").map_groups(count_deg, batch_format="pandas") \
+               .materialize()
+
+    # n_edges / n_wedges are degree closed forms (small per-block sums)
+    tot = deg.map_batches(
+        lambda b: pa.table(
+            {
+                "s_deg": pa.array(
+                    [int(np.asarray(b["deg"], np.int64).sum())], pa.int64()
+                ),
+                "s_wedge": pa.array(
+                    [int((lambda d: (d * (d - 1) // 2).sum())(
+                        np.asarray(b["deg"], np.int64)))], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_edges = int(tot["s_deg"].sum()) // 2
+    n_wedges = int(tot["s_wedge"].sum())
+
+    # degree lookup: the vector is NODE-scale (the graph's dimension
+    # side, e.g. the part key space), collected once and broadcast via
+    # ray.put — the engine's small-side rule.  At billion-node scale swap
+    # this for the union+repartition attach (same idiom as the closure
+    # sweep below); the wedge/closure phases are unchanged by that swap.
+    deg_tbl = _collect_arrow(
+        deg, pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    )
+    d_nodes = np.asarray(deg_tbl["node"], np.int64)
+    d_deg = np.asarray(deg_tbl["deg"], np.int64)
+    o = np.argsort(d_nodes)
+    deg_ref = ray.put((d_nodes[o], d_deg[o]))
+
+    def orient(b: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, bb)]
+        ra = (da.astype(np.uint64) << np.uint64(34)) | a.astype(np.uint64)
+        rb = (db.astype(np.uint64) << np.uint64(34)) | bb.astype(np.uint64)
+        low_first = ra < rb
+        src = np.where(low_first, a, bb)
+        dst = np.where(low_first, bb, a)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "pk": pa.array(src % num_parts, pa.int64()),
+            }
+        )
+
+    _W_SENTINEL = {
+        "wa": np.array([-1], np.int64),
+        "wb": np.array([-1], np.int64),
+        "w": np.array([0], np.int64),
+    }
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy().astype(np.int64)
+        d = g["dst"].to_numpy().astype(np.int64)
+        o = np.lexsort((d, s))
+        s, d = s[o], d[o]
+        st = np.nonzero(np.concatenate(([True], s[1:] != s[:-1])))[0]
+        sizes = np.diff(np.append(st, s.size))
+        out_a, out_b = [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            sel = st[sizes == k]
+            mat = d[(sel[:, None] + np.arange(k)[None, :])]
+            ii, jj = np.triu_indices(int(k), 1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if not out_a:
+            return pd.DataFrame(_W_SENTINEL)
+        x = np.concatenate(out_a)
+        y = np.concatenate(out_b)
+        a = np.minimum(x, y)  # id-canonical closure key (edge list is a<b)
+        b_ = np.maximum(x, y)
+        o2 = np.lexsort((b_, a))
+        a, b_ = a[o2], b_[o2]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])))
+        stw = np.nonzero(new)[0]
+        w = np.diff(np.append(stw, a.size)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "wa": np.append(a[stw], -1),
+                "wb": np.append(b_[stw], -1),
+                "w": np.append(w, 0),
+            }
+        )
+
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        wa = np.asarray(b["wa"], np.int64)
+        wb = np.asarray(b["wb"], np.int64)
+        jk = (
+            ((wa.astype(np.uint64) * _MIX + wb.astype(np.uint64)) * _MIX)
+            >> np.uint64(33)
+        ) % np.uint64(num_parts)
+        return pa.table(
+            {
+                "ja": pa.array(wa, pa.int64()),
+                "jb": pa.array(wb, pa.int64()),
+                "w": b["w"],
+                "is_edge": pa.array(np.zeros(wa.size, np.int64), pa.int64()),
+                "jk": pa.array(jk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        jk = (
+            ((a.astype(np.uint64) * _MIX + bb.astype(np.uint64)) * _MIX)
+            >> np.uint64(33)
+        ) % np.uint64(num_parts)
+        return pa.table(
+            {
+                "ja": pa.array(a, pa.int64()),
+                "jb": pa.array(bb, pa.int64()),
+                "w": pa.array(np.zeros(a.size, np.int64), pa.int64()),
+                "is_edge": pa.array(np.ones(a.size, np.int64), pa.int64()),
+                "jk": pa.array(jk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def closure_sum(g: pd.DataFrame) -> pd.DataFrame:
+        # repartition-join sweep (the engine's house join shape): both
+        # sides of one pair-hash partition in one frame; a wedge's count
+        # contributes iff its (ja, jb) also appears as an edge row
+        ja = g["ja"].to_numpy().astype(np.int64)
+        jb = g["jb"].to_numpy().astype(np.int64)
+        w = g["w"].to_numpy().astype(np.int64)
+        is_e = g["is_edge"].to_numpy().astype(bool)
+        ek = np.unique(ja[is_e] * np.int64(1 << 32) + jb[is_e])
+        wk = ja[~is_e] * np.int64(1 << 32) + jb[~is_e]
+        loc = np.searchsorted(ek, wk)
+        hit = (loc < ek.size) & (ek[np.minimum(loc, max(ek.size - 1, 0))] == wk) if ek.size else np.zeros(wk.size, bool)
+        return pd.DataFrame({"t": np.array([int(w[~is_e][hit].sum())], np.int64)})
+
+    wedge_ds = (
+        edges.map_batches(orient, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(tag_wedge, batch_format="pyarrow")
+    )
+    edge_tagged = edges.map_batches(tag_edge, batch_format="pyarrow")
+    closed = (
+        wedge_ds.union(edge_tagged)
+        .groupby("jk")
+        .map_groups(closure_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    n_tri = int(closed["t"].sum())
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )

@@ -3990,6 +3990,24 @@ def q_part_pagerank(sf_dir: str):
     return copurchase_pagerank(ds, iterations=2)
 
 
+def q_part_triangles(sf_dir: str):
+    """Exact triangle count over the part co-purchase graph
+    (functions/graph.py::triangle_stats): degree-ordered wedge algorithm
+    — coarse degree count, two native hash joins to rank endpoints,
+    LOW→HIGH orientation bounding every out-degree at O(sqrt(m)),
+    size-class wedge fan-out, one closure join.  Output is one row
+    (n_edges, n_wedges, n_triangles); only the three scalars reach the
+    driver."""
+    import ray.data
+
+    from .functions.graph import copurchase_edges, triangle_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return triangle_stats(copurchase_edges(ds))
+
+
 def q_events_twap(sf_dir: str):
     """Per-user time-weighted value aggregate (functions/packing.py::
     grouped_time_weighted): each event's cent value held until the user's
@@ -4620,6 +4638,7 @@ QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "part_pagerank": q_part_pagerank,
+    "part_triangles": q_part_triangles,
     "events_twap": q_events_twap,
     "streaming_window_topk": q_streaming_window_topk,
     "streaming_window_distinct": q_streaming_window_distinct,
@@ -4971,6 +4990,28 @@ ORACLE_SQL = {
                   PARTITION BY window_id ORDER BY cnt DESC, user_id) AS rnk
               FROM c)
         WHERE rnk <= 5
+    """,
+    "part_triangles": """
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        ),
+        deg AS (
+            SELECT n, count(*) AS d
+            FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+            GROUP BY n
+        ),
+        tri AS (
+            SELECT count(*) AS c
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        )
+        SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT sum(d*(d-1)//2) FROM deg) AS BIGINT) AS n_wedges,
+               CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
     """,
     "part_pagerank": """
         WITH e AS (

@@ -611,3 +611,68 @@ def test_connected_components_distributed_empty(ray_session):
     out = connected_components_distributed(ray.data.from_arrow(pairs))
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "cluster_id", "keep"]
+
+
+def test_triangle_stats_matches_brute(ray_session):
+    """Degree-ordered distributed triangle counting == brute adjacency
+    intersection on a random graph (plus the degree closed forms)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import (
+        triangle_stats,
+    )
+
+    rng = np.random.default_rng(2)
+    edges = set()
+    while len(edges) < 300:
+        u, v = (int(x) for x in rng.integers(0, 70, 2))
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    E = sorted(edges)
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in E for c in adj[a] & adj[b] if c > b)
+    wed = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+
+    tbl = pa.table(
+        {
+            "a": pa.array([a for a, _ in E], pa.int64()),
+            "b": pa.array([b for _, b in E], pa.int64()),
+        }
+    )
+    out = triangle_stats(
+        ray.data.from_arrow(tbl).repartition(4), num_parts=8
+    ).to_pandas()
+    assert out.iloc[0].to_dict() == {
+        "n_edges": len(E),
+        "n_wedges": wed,
+        "n_triangles": tri,
+    }
+
+
+def test_triangle_stats_known_shapes(ray_session):
+    """K4 has 4 triangles; a star has none (wedges but no closures)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import (
+        triangle_stats,
+    )
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    star = [(0, k) for k in range(1, 6)]
+    for E, want_tri, want_wed in ((k4, 4, 12), (star, 0, 10)):
+        tbl = pa.table(
+            {
+                "a": pa.array([a for a, _ in E], pa.int64()),
+                "b": pa.array([b for _, b in E], pa.int64()),
+            }
+        )
+        out = triangle_stats(ray.data.from_arrow(tbl), num_parts=4).to_pandas()
+        row = out.iloc[0].to_dict()
+        assert row["n_triangles"] == want_tri
+        assert row["n_wedges"] == want_wed
+        assert row["n_edges"] == len(E)
