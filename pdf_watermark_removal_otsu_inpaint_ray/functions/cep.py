@@ -46,6 +46,7 @@ def funnel(
     tiebreak: str = "event_id",
     type_col: str = "event_type",
     steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    within: int | None = None,
     num_parts: int = 64,
 ):
     """Per-group ordered funnel → one row per distinct group key:
@@ -54,6 +55,11 @@ def funnel(
     (-1 when the stage is never reached) and ``stage`` counts completed
     steps.  Groups with no step events still emit a row (stage 0), so the
     SQL twin is DISTINCT keys LEFT-JOINed through the staged mins.
+
+    ``within`` adds the MATCH_RECOGNIZE time constraint: stage k (k >= 1)
+    only matches rows with ``ts <= ts_<steps[k-1]> + within`` — the
+    staged-min band semantics (the stage min over the bounded window; a
+    timed-out key simply never reaches stage k, it does not restart).
 
     No sort at all: each stage is one boolean mask + ``np.minimum.at``
     segment-min per partition, chained through the previous stage's
@@ -80,9 +86,15 @@ def funnel(
         prev = np.full(n_g, np.int64(-(1 << 62)))  # stage 0: no threshold
         stage = np.zeros(n_g, np.int64)
         firsts = []
-        for s in steps:
+        for s_idx, s in enumerate(steps):
             res = np.full(n_g, _I64_MAX)
             cand = (typ == s) & (o > prev[codes])
+            if within is not None and s_idx > 0:
+                # band upper bound; unreached groups carry I64_MAX — clamp
+                # so the addition cannot overflow (they fail o > prev anyway)
+                ub = prev[codes]
+                upper = np.where(ub >= _I64_MAX - within, _I64_MAX, ub + within)
+                cand &= o <= upper
             if cand.any():
                 np.minimum.at(res, codes[cand], o[cand])
             reached = res != _I64_MAX

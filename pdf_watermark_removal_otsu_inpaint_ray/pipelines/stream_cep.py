@@ -36,6 +36,7 @@ def run_streaming_funnel(
     source,
     *,
     steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    within: int | None = None,
     group_col: str = "user_id",
     ts_col: str = "ts_us",
     seq_col: str = "event_id",
@@ -57,7 +58,7 @@ def run_streaming_funnel(
 
     if checkpoint_every is not None and out_dir is None:
         raise ValueError("checkpoint_every requires sink mode (out_dir)")
-    cfg_fp = f"funnel:{','.join(steps)}:p={num_partitions}"
+    cfg_fp = f"funnel:{','.join(steps)}:w={within}:p={num_partitions}"
     src_fp = _join_src_fp(source)
     (
         skip_batches,
@@ -76,6 +77,7 @@ def run_streaming_funnel(
     actors = [
         FunnelStateActor.remote(
             steps=steps,
+            within=within,
             group_col=group_col,
             ts_col=ts_col,
             seq_col=seq_col,

@@ -1681,6 +1681,58 @@ def q_events_funnel(sf_dir: str):
     )
 
 
+def q_events_funnel_within(sf_dir: str):
+    """Timed CEP funnel (functions/cep.py::funnel with within=1 day): the
+    staged-min chain under the MATCH_RECOGNIZE time constraint — stage k
+    only matches inside (ts_{k-1}, ts_{k-1} + 86400 s]; a timed-out user
+    never reaches stage k (staged-min band semantics, no restart)."""
+    from .functions.cep import funnel
+
+    return funnel(
+        _events_cep_prep(sf_dir),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        type_col="event_type",
+        steps=("signup", "view", "purchase"),
+        within=86_400_000_000,
+    )
+
+
+def q_streaming_funnel_within(sf_dir: str):
+    """The timed funnel as LIVE keyed state (pipelines/stream_cep.py with
+    within): identical band semantics maintained through the watermark-
+    driven chain — same staged-min monotonicity proof (the upper bound
+    only filters candidates; a row finalized before its key reached stage
+    k-1 fails the LOWER bound a fortiori).  Shares the batch operator's
+    SQL twin — one definition, two execution tiers."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_cep import run_streaming_funnel
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "ts_us": ev["ts"].cast(pa.int64()),
+            "event_id": ev["event_id"].cast(pa.int64()),
+            "event_type": ev["event_type"],
+        }
+    )
+    res = run_streaming_funnel(
+        ray.data.from_arrow(src),
+        steps=("signup", "view", "purchase"),
+        within=86_400_000_000,
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_events_pattern(sf_dir: str):
     """CEP immediate follow-by (functions/cep.py::match_next): view events
     whose NEXT event for the user is a purchase within 1 h — the strictest
@@ -4625,6 +4677,8 @@ QUERIES = {
     "doc_pair_cosine": q_doc_pair_cosine,
     "bpe_token_counts": q_bpe_token_counts,
     "events_funnel": q_events_funnel,
+    "events_funnel_within": q_events_funnel_within,
+    "streaming_funnel_within": q_streaming_funnel_within,
     "events_pattern": q_events_pattern,
     "events_transitions": q_events_transitions,
     "events_rate_limit": q_events_rate_limit,
@@ -5574,6 +5628,37 @@ ORACLE_SQL = {
         LEFT JOIN s2 ON u.user_id = s2.user_id
         LEFT JOIN s3 ON u.user_id = s3.user_id
     """,
+    "events_funnel_within": """
+        WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id
+                   FROM events),
+        s1 AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+                      min(CAST(epoch_us(ts) AS BIGINT)) AS t
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                      min(CAST(epoch_us(e.ts) AS BIGINT)) AS t
+               FROM events e JOIN s1 ON CAST(e.user_id AS BIGINT) = s1.user_id
+               WHERE e.event_type = 'view'
+                 AND CAST(epoch_us(e.ts) AS BIGINT) > s1.t
+                 AND CAST(epoch_us(e.ts) AS BIGINT) <= s1.t + 86400000000
+               GROUP BY 1),
+        s3 AS (SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                      min(CAST(epoch_us(e.ts) AS BIGINT)) AS t
+               FROM events e JOIN s2 ON CAST(e.user_id AS BIGINT) = s2.user_id
+               WHERE e.event_type = 'purchase'
+                 AND CAST(epoch_us(e.ts) AS BIGINT) > s2.t
+                 AND CAST(epoch_us(e.ts) AS BIGINT) <= s2.t + 86400000000
+               GROUP BY 1)
+        SELECT u.user_id,
+               CAST(coalesce(s1.t, -1) AS BIGINT) AS ts_signup,
+               CAST(coalesce(s2.t, -1) AS BIGINT) AS ts_view,
+               CAST(coalesce(s3.t, -1) AS BIGINT) AS ts_purchase,
+               CAST((s1.t IS NOT NULL)::INT + (s2.t IS NOT NULL)::INT
+                    + (s3.t IS NOT NULL)::INT AS BIGINT) AS stage
+        FROM u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
     "events_pattern": """
         WITH s AS (
             SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -6244,6 +6329,7 @@ ORACLE_SQL["events_asof_join_broadcast"] = ORACLE_SQL["events_asof_join"]
 # stream_upsert.run_streaming_latest ≡ packing.grouped_latest) — one oracle,
 # two execution tiers (the judge-visible proof the live-state chain is exact).
 ORACLE_SQL["streaming_funnel"] = ORACLE_SQL["events_funnel"]
+ORACLE_SQL["streaming_funnel_within"] = ORACLE_SQL["events_funnel_within"]
 ORACLE_SQL["streaming_latest_state"] = ORACLE_SQL["events_latest_state"]
 
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are

@@ -50,6 +50,7 @@ class FunnelStateActor(_StagedEmitterBase):
         self,
         *,
         steps: tuple[str, ...],
+        within: int | None = None,
         group_col: str = "user_id",
         ts_col: str = "ts_us",
         seq_col: str = "event_id",
@@ -62,6 +63,7 @@ class FunnelStateActor(_StagedEmitterBase):
         sink_epoch: int = 0,
     ):
         self.steps = tuple(steps)
+        self.within = within
         self.group_col, self.ts_col = group_col, ts_col
         self.seq_col, self.type_col = seq_col, type_col
         self._init_staging(
@@ -132,6 +134,14 @@ class FunnelStateActor(_StagedEmitterBase):
         for s, name in enumerate(self.steps):
             col = self._kth[:, s]
             cand = np.asarray(pc.equal(typ, name)) & (rts > prev[kidx])
+            if self.within is not None and s > 0:
+                # band upper bound (the batch kernel's rule); unreached
+                # keys carry I64_MAX — clamp so the add cannot overflow
+                ub = prev[kidx]
+                upper = np.where(
+                    ub >= _I64_MAX - self.within, _I64_MAX, ub + self.within
+                )
+                cand &= rts <= upper
             if cand.any():
                 np.minimum.at(col, kidx[cand], rts[cand])
             # unreached keys carry I64_MAX: later stages can never fire

@@ -291,3 +291,57 @@ def test_latest_sink_mode_equals_driver_mode(ray_session, tmp_path):
     want = driver.output.to_pandas()
     want = want.sort_values("user_id", ignore_index=True)[cols]
     assert got[cols].equals(want)
+
+
+# -- within (per-step timeout) ------------------------------------------
+
+
+def test_funnel_within_matches_batch_twin(ray_session):
+    tbl = _event_stream(50, 12)
+    W = 40  # tight band on the 0..500 ts space: many keys time out
+    want = funnel(
+        ray.data.from_arrow(tbl),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        type_col="event_type",
+        steps=STEPS,
+        within=W,
+    ).to_pandas().sort_values("user_id", ignore_index=True)[
+        ["user_id", *(f"ts_{s}" for s in STEPS), "stage"]
+    ]
+    res = run_streaming_funnel(
+        ray.data.from_arrow(tbl),
+        steps=STEPS,
+        within=W,
+        allowed_lateness=16,
+        n_actors=3,
+        micro_batch_rows=64,
+    )
+    got = res.output.to_pandas()[["user_id", *(f"ts_{s}" for s in STEPS), "stage"]]
+    assert got.equals(want)
+    # the band must actually bite vs the unbounded funnel on this stream
+    unbounded = run_streaming_funnel(
+        ray.data.from_arrow(tbl), steps=STEPS, allowed_lateness=16, n_actors=3
+    )
+    assert got.stage.sum() < unbounded.output.to_pandas().stage.sum()
+
+
+def test_funnel_within_timeout_semantics(ray_session):
+    # view lands outside signup+W -> never matches; purchase inside its
+    # band but the chain is stuck at stage 1 (no restart semantics)
+    tbl = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts_us": pa.array([10, 100, 120], pa.int64()),
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "event_type": pa.array(["signup", "view", "purchase"]),
+        }
+    )
+    res = run_streaming_funnel(
+        ray.data.from_arrow(tbl), steps=STEPS, within=50, n_actors=1
+    )
+    row = res.output.to_pandas().iloc[0]
+    assert (row.ts_signup, row.ts_view, row.ts_purchase, row.stage) == (
+        10, -1, -1, 1,
+    )
