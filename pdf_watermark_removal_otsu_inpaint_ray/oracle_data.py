@@ -55,6 +55,7 @@ GOLDEN_QUERIES = (
     "jaccard_prefix_join",
     "knn_ivf_pq",
     "cdc_chunks",
+    "streaming_near_dup",
 )
 
 
@@ -697,11 +698,62 @@ def _golden_streaming_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def _golden_streaming_near_dup(sf_dir: str) -> pa.Table:
+    """Fully independent serial twin of the streaming near-dup admission
+    rule: pure-Python signatures, banding, the ``(hash >> 4) * 16 + band``
+    bucket packing, and the sequential walk in (event_ts, doc_id) order —
+    no imports from functions.dedup or state.neardup_state.  A doc is
+    dropped iff some earlier KEPT doc shares a bucket and their 64-row
+    signatures agree on >= 32 rows; zero-shingle docs are always kept."""
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = [int(d) for d in docs["doc_id"].to_pylist()]
+    texts = docs["text"].to_pylist()
+    a_c, b_c = _py_minhash_ab(64)
+    rows = sorted(zip(ids, texts), key=lambda r: (r[0] // 8, r[0]))
+    buckets: dict[int, list[int]] = {}
+    kept_sigs: list[list] = []
+    kept = []
+    for d, t in rows:
+        grams = sorted(set(_py_gram_hashes(t)))
+        if not grams:
+            kept.append(d)
+            continue
+        sig = _py_minhash_sig(grams, a_c, b_c)
+        keys = [
+            ((bh >> 4) * 16 + band) & ((1 << 64) - 1)
+            for band, bh in enumerate(_py_band_hashes(sig, 16, 4))
+        ]
+        cand: set[int] = set()
+        for k in keys:
+            cand.update(buckets.get(k, ()))
+        dup = any(
+            sum(1 for x, y in zip(kept_sigs[j], sig) if x == y) >= 32
+            for j in cand
+        )
+        if dup:
+            continue
+        kept.append(d)
+        kept_sigs.append(sig)
+        me = len(kept_sigs) - 1
+        for k in keys:
+            buckets.setdefault(k, []).append(me)
+    kept.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array(kept, pa.int64()),
+            "event_ts": pa.array([d // 8 for d in kept], pa.int64()),
+        }
+    )
+
+
 _COMPUTE = {
     "inpaint_global": _golden_inpaint_global,
     "inpaint_tumbling": _golden_inpaint_tumbling,
     "streaming_inpaint": _golden_streaming_inpaint,
     "streaming_dedup": _golden_streaming_dedup,
+    "streaming_near_dup": _golden_streaming_near_dup,
     "auto_tuned_inpaint": _golden_auto_tuned,
     "minhash_lsh": _golden_minhash_lsh,
     "simhash": _golden_simhash,

@@ -4339,6 +4339,45 @@ def q_streaming_sliding_quantiles(sf_dir: str):
     return res.output
 
 
+def q_streaming_near_dup(sf_dir: str):
+    """Streaming NEAR-duplicate suppression (pipelines/stream_neardup.py):
+    MinHash-LSH as live keyed state — documents stream in doc_id order at
+    event_ts = doc_id // 8 and a doc is admitted only if no previously
+    KEPT doc shares an LSH band with >= 32/64 signature-row agreement
+    (the online admission dual of the batch ``minhash_lsh`` pair finder).
+    Payloads never ride the driver (doc-owner custody); band owners hold
+    the kept-doc index; the epoch barrier makes the kept set independent
+    of actor count / micro-batch size / epoch cadence.  Oracle: fully
+    independent pure-Python signatures + banding + the sequential
+    admission walk (oracle_data._golden_streaming_near_dup)."""
+    _with_golden("streaming_near_dup", sf_dir)
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_neardup import run_streaming_neardup
+
+    docs = pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    d = np.asarray(docs["doc_id"], np.int64)
+    stream = pa.table(
+        {
+            "doc_id": docs["doc_id"].cast(pa.int64()),
+            "text": docs["text"],
+            "event_ts": pa.array(d // 8, pa.int64()),
+        }
+    )
+    res = run_streaming_neardup(
+        ray.data.from_arrow(stream),
+        min_agree=32,
+        allowed_lateness=4,
+        n_actors=2,
+        micro_batch_rows=128,
+    )
+    out = res.output
+    return out.select(["doc_id", "event_ts"])
+
+
 def q_streaming_funnel(sf_dir: str):
     """Streaming CEP staged funnel (pipelines/stream_cep.py::
     run_streaming_funnel): the batch `events_funnel` chain — per user the
@@ -4752,6 +4791,7 @@ QUERIES = {
     "source_regression": q_source_regression,
     "streaming_window_quantiles": q_streaming_window_quantiles,
     "streaming_funnel": q_streaming_funnel,
+    "streaming_near_dup": q_streaming_near_dup,
     "streaming_latest_state": q_streaming_latest_state,
     "dedup_cc_distributed": q_dedup_cc_distributed,
     "streaming_timeouts": q_streaming_timeouts,
