@@ -832,3 +832,65 @@ def grouped_interval_agg(
         .groupby("pk")
         .map_groups(sweep_part, batch_format="pandas")
     )
+
+
+def grouped_interval_coverage(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    hold: int = 3_600_000_000,
+    num_parts: int = 64,
+):
+    """Per-group interval-UNION coverage: each row opens ``[ts, ts+hold)``;
+    emit ``(group, covered_us, n_islands)`` — the union length of all the
+    group's intervals and the number of disjoint runs (uptime/presence
+    accounting; the dual of gap sessionization).  Integer-exact: with
+    sorted timestamps an island breaks exactly when ``ts - prev_ts >=
+    hold``, and each island covers ``last - first + hold``.
+
+    One coarse group-key partition, one lexsort + boolean-diff sweep per
+    partition — no per-group callback, no pair materialization (the SQL
+    twin's gaps-and-islands window chain as one vectorized pass).
+    Reference analog: the sticky-window persistence span of the detection
+    chain (watermark_detector.py cross-page runs) measured per key.
+    """
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group, num_parts)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    "covered_us": pd.Series(dtype=np.int64),
+                    "n_islands": pd.Series(dtype=np.int64),
+                }
+            )
+        k = g[group].to_numpy().astype(np.int64)
+        t = g[order].to_numpy().astype(np.int64)
+        o = np.lexsort((t, k))
+        k, t = k[o], t[o]
+        new_grp = np.concatenate(([True], k[1:] != k[:-1]))
+        brk = np.concatenate(([True], (t[1:] - t[:-1]) >= hold)) | new_grp
+        st = np.nonzero(brk)[0]
+        en = np.append(st[1:], k.size) - 1
+        island_len = t[en] - t[st] + hold  # [first, last + hold)
+        gs = np.nonzero(new_grp)[0]
+        # islands belong to the group of their start row
+        isl_grp = np.searchsorted(gs, st, side="right") - 1
+        n_groups = gs.size
+        covered = np.zeros(n_groups, np.int64)
+        np.add.at(covered, isl_grp, island_len)
+        counts = np.bincount(isl_grp, minlength=n_groups).astype(np.int64)
+        return pd.DataFrame(
+            {group: k[gs], "covered_us": covered, "n_islands": counts}
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -4060,6 +4060,29 @@ def q_part_triangles(sf_dir: str):
     return triangle_stats(copurchase_edges(ds))
 
 
+def q_events_coverage(sf_dir: str):
+    """Per-user interval-union coverage (functions/packing.py::
+    grouped_interval_coverage): each event holds presence for 1 h; emit
+    the union length + disjoint-run count per user — integer-exact
+    gaps-and-islands as one lexsort sweep per coarse partition."""
+    from .functions.packing import grouped_interval_coverage
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_interval_coverage(ev, hold=3_600_000_000)
+
+
 def q_events_twap(sf_dir: str):
     """Per-user time-weighted value aggregate (functions/packing.py::
     grouped_time_weighted): each event's cent value held until the user's
@@ -4732,6 +4755,7 @@ QUERIES = {
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "part_pagerank": q_part_pagerank,
     "part_triangles": q_part_triangles,
+    "events_coverage": q_events_coverage,
     "events_twap": q_events_twap,
     "streaming_window_topk": q_streaming_window_topk,
     "streaming_window_distinct": q_streaming_window_distinct,
@@ -5084,6 +5108,32 @@ ORACLE_SQL = {
                   PARTITION BY window_id ORDER BY cnt DESC, user_id) AS rnk
               FROM c)
         WHERE rnk <= 5
+    """,
+    "events_coverage": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS t
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, t,
+                CASE WHEN lag(t) OVER w IS NULL THEN 1
+                     WHEN t - lag(t) OVER w >= 3600000000 THEN 1
+                     ELSE 0 END AS brk
+            FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        ),
+        g AS (
+            SELECT user_id, t,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS isl
+            FROM m
+        ),
+        i AS (
+            SELECT user_id, isl, max(t) - min(t) + 3600000000 AS len
+            FROM g GROUP BY user_id, isl
+        )
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_us,
+               CAST(count(*) AS BIGINT) AS n_islands
+        FROM i GROUP BY user_id
     """,
     "part_triangles": """
         WITH e AS (

@@ -495,3 +495,55 @@ def test_grouped_interval_agg_matches_brute(ray_session):
     }
     assert len(got) == int(a.sum())
     assert got == expect
+
+
+def test_interval_coverage_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_interval_coverage,
+    )
+
+    rng = np.random.default_rng(9)
+    n, H = 400, 10
+    users = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 300, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+        }
+    )
+    got = (
+        grouped_interval_coverage(
+            ray.data.from_arrow(tbl).repartition(4), hold=H, num_parts=8
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    want = {}
+    for u in np.unique(users):
+        t = np.sort(ts[users == u])
+        covered = islands = 0
+        start = prev = int(t[0])
+        for x in t[1:].tolist():
+            if x - prev >= H:
+                covered += prev + H - start
+                islands += 1
+                start = x
+            prev = x
+        covered += prev + H - start
+        islands += 1
+        want[int(u)] = (covered, islands)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert (r.covered_us, r.n_islands) == want[int(r.user_id)]
+    # duplicate-ts tie: one island, hold-length coverage
+    tied = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts_us": pa.array([5, 5, 5], pa.int64()),
+        }
+    )
+    one = grouped_interval_coverage(
+        ray.data.from_arrow(tied), hold=H, num_parts=2
+    ).to_pandas()
+    assert (int(one.covered_us[0]), int(one.n_islands[0])) == (H, 1)
