@@ -326,7 +326,7 @@ def main() -> None:
             "streaming_sliding_quantiles", "streaming_funnel",
             "streaming_latest_state", "dup_spans", "part_triangles",
             "events_funnel_within", "streaming_funnel_within",
-            "streaming_near_dup", "events_coverage",
+            "streaming_near_dup", "events_coverage", "part_truss_support",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

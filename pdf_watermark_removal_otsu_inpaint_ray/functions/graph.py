@@ -761,3 +761,265 @@ def triangle_stats(edges, *, num_parts: int = 32) -> pa.Table:
             "n_triangles": pa.array([n_tri], pa.int64()),
         }
     )
+
+
+def triangle_support_hist(edges, *, num_parts: int = 32) -> pa.Table:
+    """Per-edge triangle-SUPPORT distribution over a distinct undirected
+    edge Dataset (``a < b`` int64 rows): support(e) = number of triangles
+    containing e — the k-truss signal (an edge survives the k-truss iff
+    support >= k-2).  Returns ``(support, n_edges)`` rows including the
+    support-0 bucket, smallest output that still fixes the whole
+    distribution (and the SQL twin's shape).
+
+    Two-pass shape on top of the ``triangle_stats`` machinery — per-edge
+    credits need each triangle's SOURCE vertex, which the deduped wedge
+    stream deliberately drops, and keeping it would undo the dedup (the
+    wedge stream is the O(m^1.5) part).  Instead:
+
+    1. pass 1 = exactly ``triangle_stats``'s closure, but returning the
+       MATCHED far-edge pair set (edge-scale, not wedge-scale);
+    2. the matched set broadcasts once (``ray.put``; 16 B per closing
+       pair) and a second wedge generation keeps only wedges whose far
+       edge is in the set — those ARE the triangles — emitting 3
+       id-canonical edge credits each (output-scale: 3 × triangles);
+    3. one coarse pair-hash count per edge, one tiny support histogram,
+       support-0 backfilled from the degree-pass edge count.
+
+    Wedge compute runs twice; nothing wedge-scale is ever shuffled or
+    broadcast — the 100-TB trade, same reasoning as the IVF re-scan.
+    """
+    import pandas as pd
+
+    import ray
+
+    from .dedup import _collect_arrow
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        n = np.concatenate([a, bb])
+        return pa.table(
+            {"node": pa.array(n, pa.int64()),
+             "pk": pa.array(n % num_parts, pa.int64())}
+        )
+
+    def count_deg(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["node"].to_numpy().astype(np.int64)
+        n.sort()
+        st = np.nonzero(np.concatenate(([True], n[1:] != n[:-1])))[0]
+        d = np.diff(np.append(st, n.size)).astype(np.int64)
+        return pd.DataFrame({"node": n[st], "deg": d})
+
+    deg = edges.map_batches(endpoints, batch_format="pyarrow") \
+               .groupby("pk").map_groups(count_deg, batch_format="pandas") \
+               .materialize()
+    deg_tbl = _collect_arrow(
+        deg, pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    )
+    d_nodes = np.asarray(deg_tbl["node"], np.int64)
+    d_deg = np.asarray(deg_tbl["deg"], np.int64)
+    o = np.argsort(d_nodes)
+    deg_ref = ray.put((d_nodes[o], d_deg[o]))
+    n_edges_total = int(d_deg.sum()) // 2
+
+    def orient(b: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, bb)]
+        ra = (da.astype(np.uint64) << np.uint64(34)) | a.astype(np.uint64)
+        rb = (db.astype(np.uint64) << np.uint64(34)) | bb.astype(np.uint64)
+        low_first = ra < rb
+        src = np.where(low_first, a, bb)
+        dst = np.where(low_first, bb, a)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "pk": pa.array(src % num_parts, pa.int64()),
+            }
+        )
+
+    def _src_wedges(g: pd.DataFrame):
+        """(src, far-lo, far-hi) wedge triples of one src partition."""
+        s = g["src"].to_numpy().astype(np.int64)
+        d = g["dst"].to_numpy().astype(np.int64)
+        o2 = np.lexsort((d, s))
+        s, d = s[o2], d[o2]
+        st = np.nonzero(np.concatenate(([True], s[1:] != s[:-1])))[0]
+        sizes = np.diff(np.append(st, s.size))
+        out_s, out_a, out_b = [], [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            sel = st[sizes == k]
+            mat = d[(sel[:, None] + np.arange(k)[None, :])]
+            ii, jj = np.triu_indices(int(k), 1)
+            out_s.append(np.repeat(s[sel], ii.size))
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        if not out_s:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        x = np.concatenate(out_a)
+        y = np.concatenate(out_b)
+        return (
+            np.concatenate(out_s),
+            np.minimum(x, y),
+            np.maximum(x, y),
+        )
+
+    # pass 1: matched far-edge pairs (dedup wedges per partition, then the
+    # union + pair-hash closure sweep — triangle_stats' shape, pair output)
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        _, a, b_ = _src_wedges(g)
+        if a.size == 0:
+            return pd.DataFrame(
+                {
+                    "ja": np.array([-1], np.int64),
+                    "jb": np.array([-1], np.int64),
+                    "is_edge": np.array([0], np.int64),
+                }
+            )
+        o2 = np.lexsort((b_, a))
+        a, b_ = a[o2], b_[o2]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])))
+        return pd.DataFrame(
+            {
+                "ja": a[new],
+                "jb": b_[new],
+                "is_edge": np.zeros(int(new.sum()), np.int64),
+            }
+        )
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        return pa.table(
+            {
+                "ja": pa.array(a, pa.int64()),
+                "jb": pa.array(bb, pa.int64()),
+                "is_edge": pa.array(np.ones(a.size, np.int64), pa.int64()),
+            }
+        )
+
+    def add_jk(b: pa.Table) -> pa.Table:
+        ja = np.asarray(b["ja"], np.int64)
+        jb = np.asarray(b["jb"], np.int64)
+        jk = (
+            ((ja.astype(np.uint64) * _MIX + jb.astype(np.uint64)) * _MIX)
+            >> np.uint64(33)
+        ) % np.uint64(num_parts)
+        return b.append_column("jk", pa.array(jk.astype(np.int64), pa.int64()))
+
+    def matched_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ja = g["ja"].to_numpy().astype(np.int64)
+        jb = g["jb"].to_numpy().astype(np.int64)
+        is_e = g["is_edge"].to_numpy().astype(bool)
+        key = ja * np.int64(1 << 32) + jb
+        ek = np.unique(key[is_e])
+        wk = key[~is_e]
+        if ek.size == 0 or wk.size == 0:
+            return pd.DataFrame(
+                {"ma": pd.Series(dtype=np.int64), "mb": pd.Series(dtype=np.int64)}
+            )
+        loc = np.searchsorted(ek, wk)
+        hit = (loc < ek.size) & (ek[np.minimum(loc, ek.size - 1)] == wk)
+        return pd.DataFrame({"ma": ja[~is_e][hit], "mb": jb[~is_e][hit]})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+    wedge_pair_ds = (
+        oriented.groupby("pk").map_groups(wedge_pairs, batch_format="pandas")
+        .map_batches(add_jk, batch_format="pyarrow")
+    )
+    edge_tagged = edges.map_batches(tag_edge, batch_format="pyarrow").map_batches(
+        add_jk, batch_format="pyarrow"
+    )
+    matched = (
+        wedge_pair_ds.union(edge_tagged)
+        .groupby("jk")
+        .map_groups(matched_pairs, batch_format="pandas")
+    )
+    m_tbl = _collect_arrow(
+        matched, pa.schema([("ma", pa.int64()), ("mb", pa.int64())])
+    )
+    mkey = np.sort(
+        np.asarray(m_tbl["ma"], np.int64) * np.int64(1 << 32)
+        + np.asarray(m_tbl["mb"], np.int64)
+    )
+    mref = ray.put(mkey)
+
+    # pass 2: regenerate wedges, keep triangles, credit all three edges
+    def credits(g: pd.DataFrame) -> pd.DataFrame:
+        mk = ray.get(mref)
+        s, a, b_ = _src_wedges(g)
+        if a.size == 0 or mk.size == 0:
+            return pd.DataFrame(
+                {"ca": pd.Series(dtype=np.int64), "cb": pd.Series(dtype=np.int64),
+                 "w": pd.Series(dtype=np.int64), "ck": pd.Series(dtype=np.int64)}
+            )
+        key = a * np.int64(1 << 32) + b_
+        loc = np.searchsorted(mk, key)
+        tri = (loc < mk.size) & (mk[np.minimum(loc, mk.size - 1)] == key)
+        if not tri.any():
+            return pd.DataFrame(
+                {"ca": pd.Series(dtype=np.int64), "cb": pd.Series(dtype=np.int64),
+                 "w": pd.Series(dtype=np.int64), "ck": pd.Series(dtype=np.int64)}
+            )
+        s, a, b_ = s[tri], a[tri], b_[tri]
+        ca = np.concatenate([a, np.minimum(s, a), np.minimum(s, b_)])
+        cb = np.concatenate([b_, np.maximum(s, a), np.maximum(s, b_)])
+        # combine per partition before the shuffle (3x triangles -> edges)
+        o3 = np.lexsort((cb, ca))
+        ca, cb = ca[o3], cb[o3]
+        new = np.concatenate(([True], (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])))
+        stc = np.nonzero(new)[0]
+        w = np.diff(np.append(stc, ca.size)).astype(np.int64)
+        ca, cb = ca[stc], cb[stc]
+        ck = (
+            ((ca.astype(np.uint64) * _MIX + cb.astype(np.uint64)) * _MIX)
+            >> np.uint64(33)
+        ) % np.uint64(num_parts)
+        return pd.DataFrame({"ca": ca, "cb": cb, "w": w, "ck": ck.astype(np.int64)})
+
+    def support_partial(g: pd.DataFrame) -> pd.DataFrame:
+        ca = g["ca"].to_numpy().astype(np.int64)
+        cb = g["cb"].to_numpy().astype(np.int64)
+        w = g["w"].to_numpy().astype(np.int64)
+        o4 = np.lexsort((cb, ca))
+        ca, cb, w = ca[o4], cb[o4], w[o4]
+        new = np.concatenate(([True], (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])))
+        stc = np.nonzero(new)[0]
+        sup = np.add.reduceat(w, stc)
+        vals, cnts = np.unique(sup, return_counts=True)
+        return pd.DataFrame(
+            {"support": vals, "n_edges": cnts.astype(np.int64)}
+        )
+
+    hist = (
+        oriented.groupby("pk").map_groups(credits, batch_format="pandas")
+        .groupby("ck")
+        .map_groups(support_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(hist) == 0 or "support" not in hist.columns:
+        # triangle-free graph: every map_groups block is empty (and
+        # empty blocks drop their schema) — the whole mass is support 0
+        return pa.table(
+            {
+                "support": pa.array([0], pa.int64()),
+                "n_edges": pa.array([n_edges_total], pa.int64()),
+            }
+        )
+    agg = hist.groupby("support", sort=True)["n_edges"].sum().reset_index()
+    credited = int(agg["n_edges"].sum())
+    rows = list(zip(agg["support"].tolist(), agg["n_edges"].tolist()))
+    if n_edges_total - credited > 0:
+        rows = [(0, n_edges_total - credited)] + rows
+    return pa.table(
+        {
+            "support": pa.array([r[0] for r in rows], pa.int64()),
+            "n_edges": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

@@ -4060,6 +4060,23 @@ def q_part_triangles(sf_dir: str):
     return triangle_stats(copurchase_edges(ds))
 
 
+def q_part_truss_support(sf_dir: str):
+    """Per-edge triangle-support distribution over the co-purchase graph
+    (functions/graph.py::triangle_support_hist) — the k-truss signal.
+    Two passes: the triangle_stats closure returns the MATCHED far-edge
+    set (edge-scale), which broadcasts once; a second wedge generation
+    keeps exactly the triangles and credits all three edges (output-scale
+    shuffle only — nothing wedge-scale moves)."""
+    import ray.data
+
+    from .functions.graph import copurchase_edges, triangle_support_hist
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return triangle_support_hist(copurchase_edges(ds))
+
+
 def q_events_coverage(sf_dir: str):
     """Per-user interval-union coverage (functions/packing.py::
     grouped_interval_coverage): each event holds presence for 1 h; emit
@@ -4755,6 +4772,7 @@ QUERIES = {
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "part_pagerank": q_part_pagerank,
     "part_triangles": q_part_triangles,
+    "part_truss_support": q_part_truss_support,
     "events_coverage": q_events_coverage,
     "events_twap": q_events_twap,
     "streaming_window_topk": q_streaming_window_topk,
@@ -5156,6 +5174,37 @@ ORACLE_SQL = {
         SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
                CAST((SELECT sum(d*(d-1)//2) FROM deg) AS BIGINT) AS n_wedges,
                CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
+    """,
+    "part_truss_support": """
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        sup AS (
+            SELECT a, b, count(*) AS s FROM (
+                SELECT x AS a, y AS b FROM tri
+                UNION ALL SELECT x AS a, z AS b FROM tri
+                UNION ALL SELECT y AS a, z AS b FROM tri
+            ) GROUP BY a, b
+        ),
+        hist AS (
+            SELECT s AS support, count(*) AS n_edges FROM sup GROUP BY s
+            UNION ALL
+            SELECT 0 AS support,
+                   (SELECT count(*) FROM e) - (SELECT count(*) FROM sup)
+                   AS n_edges
+        )
+        SELECT CAST(support AS BIGINT) AS support,
+               CAST(n_edges AS BIGINT) AS n_edges
+        FROM hist WHERE n_edges > 0
     """,
     "part_pagerank": """
         WITH e AS (

@@ -676,3 +676,55 @@ def test_triangle_stats_known_shapes(ray_session):
         assert row["n_triangles"] == want_tri
         assert row["n_wedges"] == want_wed
         assert row["n_edges"] == len(E)
+
+
+def test_triangle_support_hist_matches_brute(ray_session):
+    """Two-pass per-edge support distribution == brute adjacency count
+    (every triangle credits all three of its edges; support-0 backfill)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import (
+        triangle_support_hist,
+    )
+
+    rng = np.random.default_rng(6)
+    edges = set()
+    while len(edges) < 260:
+        u, v = (int(x) for x in rng.integers(0, 55, 2))
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    E = sorted(edges)
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sup = Counter({e: 0 for e in E})
+    for a, b in E:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                for e in ((a, b), tuple(sorted((a, c))), tuple(sorted((b, c)))):
+                    sup[e] += 1
+    want = dict(Counter(sup.values()))
+    tbl = pa.table(
+        {
+            "a": pa.array([a for a, _ in E], pa.int64()),
+            "b": pa.array([b for _, b in E], pa.int64()),
+        }
+    )
+    out = triangle_support_hist(
+        ray.data.from_arrow(tbl).repartition(4), num_parts=8
+    ).to_pandas()
+    got = {int(r.support): int(r.n_edges) for _, r in out.iterrows()}
+    assert got == want
+    # a triangle-free star: single support-0 bucket
+    star = pa.table(
+        {
+            "a": pa.array([0] * 5, pa.int64()),
+            "b": pa.array(list(range(1, 6)), pa.int64()),
+        }
+    )
+    o2 = triangle_support_hist(ray.data.from_arrow(star), num_parts=4).to_pandas()
+    assert {int(r.support): int(r.n_edges) for _, r in o2.iterrows()} == {0: 5}
