@@ -1123,6 +1123,17 @@ def q_dup_ngrams(sf_dir: str):
     return cross_doc_dup_stats(_docs_ds(sf_dir), n=3, num_parts=64)
 
 
+def q_vocab_growth(sf_dir: str):
+    """Per-source vocabulary-growth curve (functions/text.py::
+    vocab_growth): new-word count + running vocabulary per 50-doc bucket
+    — the Heaps'-law saturation diagnostic.  Global first-occurrence per
+    (source, word) through ONE coarse hash shuffle; the cumulative fold
+    runs over the output-scale curve."""
+    from .functions.text import vocab_growth
+
+    return vocab_growth(_docs_ds(sf_dir), bucket_docs=50)
+
+
 def q_dup_spans(sf_dir: str):
     """Maximal cross-document duplicated character spans — the REMOVE step
     of Lee et al. exact-substring dedup (functions/dupspans.py::
@@ -4734,6 +4745,7 @@ QUERIES = {
     "cms_heavy_words": q_cms_heavy_words,
     "dup_ngrams": q_dup_ngrams,
     "dup_spans": q_dup_spans,
+    "vocab_growth": q_vocab_growth,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,
     "tumbling_distinct_users": q_tumbling_distinct_users,
@@ -6065,6 +6077,27 @@ ORACLE_SQL = {
                CAST(coalesce(h.n_tok, 0) AS BIGINT) AS n_tok,
                CAST(coalesce(h.logp_milli, 0) AS BIGINT) AS logp_milli
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    "vocab_growth": r"""
+        WITH words AS (
+            SELECT source, doc_id,
+                   unnest(regexp_extract_all(lower(text), '\S+')) AS w
+            FROM documents
+        ),
+        firsts AS (
+            SELECT source, w, min(doc_id) AS first_doc
+            FROM words GROUP BY source, w
+        ),
+        curve AS (
+            SELECT source, first_doc // 50 AS bucket,
+                   count(*) AS vocab_new
+            FROM firsts GROUP BY source, bucket
+        )
+        SELECT source, CAST(bucket AS BIGINT) AS bucket,
+               CAST(vocab_new AS BIGINT) AS vocab_new,
+               CAST(sum(vocab_new) OVER (PARTITION BY source ORDER BY bucket)
+                    AS BIGINT) AS vocab_cum
+        FROM curve
     """,
     "dup_spans": r"""
         WITH pos AS (

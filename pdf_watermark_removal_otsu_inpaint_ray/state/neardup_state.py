@@ -245,8 +245,10 @@ class NearDupWorker(_StagedEmitterBase):
                 ent = self._bands.get(bk)
                 if ent is None:
                     continue
-                mat = ent[2]
-                if ((mat == sigs[i]).sum(axis=1) >= self.min_agree).any():
+                if ent[3] is None or ent[3].shape[0] != len(ent[2]):
+                    ent[3] = np.vstack(ent[2])  # lazy stack, reused until
+                    # the next insert invalidates it (amortized O(1) append)
+                if ((ent[3] == sigs[i]).sum(axis=1) >= self.min_agree).any():
                     dup[i] = True
                     break
         return dup
@@ -264,12 +266,13 @@ class NearDupWorker(_StagedEmitterBase):
                     self._bands[bk] = [
                         [int(ids[i])],
                         [int(ts[i])],
-                        sigs[i][None, :].copy(),
+                        [sigs[i].copy()],
+                        None,  # lazy stacked matrix cache
                     ]
                 else:
                     ent[0].append(int(ids[i]))
                     ent[1].append(int(ts[i]))
-                    ent[2] = np.concatenate([ent[2], sigs[i][None, :]])
+                    ent[2].append(sigs[i].copy())
                 self.n_band_entries += 1
         return self.n_band_entries
 
