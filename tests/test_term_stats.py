@@ -92,3 +92,42 @@ def test_doc_top_term_matches_brute_ranking(ray_session):
     # the tf-tie row must have picked the RARER term
     row4 = expect[4]
     assert row4[0] == "mat" and df["mat"] < df["the"]
+
+
+def test_vocab_growth_matches_brute(ray_session):
+    from collections import defaultdict
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.text import vocab_growth
+
+    rng = np.random.default_rng(8)
+    words = [f"tok{i}" for i in range(120)]
+    n, B = 300, 10
+    srcs = [f"s{i % 3}" for i in range(n)]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(srcs),
+        }
+    )
+    got = vocab_growth(
+        ray.data.from_arrow(tbl).repartition(5), bucket_docs=B, num_parts=8
+    ).to_pandas()
+    first = {}
+    for d, (s, t) in enumerate(zip(srcs, texts)):
+        for w in t.lower().split():
+            k = (s, w)
+            if k not in first:
+                first[k] = d
+    want = defaultdict(int)
+    for (s, _w), d in first.items():
+        want[(s, d // B)] += 1
+    got_d = {
+        (r.source, int(r.bucket)): int(r.vocab_new) for _, r in got.iterrows()
+    }
+    assert got_d == dict(want)
+    # cumulative is the per-source running sum, ordered by bucket
+    for s in set(srcs):
+        sub = got[got.source == s].sort_values("bucket")
+        assert (sub.vocab_new.cumsum() == sub.vocab_cum).all()
