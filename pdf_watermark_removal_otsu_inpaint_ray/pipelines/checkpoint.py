@@ -129,7 +129,9 @@ def latest_checkpoint(out_dir: str) -> tuple[int, dict, list[bytes]] | None:
         with open(mpath) as f:
             meta = json.load(f)
         blobs = []
-        for j in range(int(meta["n_actors"])):
+        # n_blobs covers consumers that snapshot EXTRA driver-side state
+        # (e.g. the near-dup metadata buffer) beyond the actor blobs
+        for j in range(int(meta.get("n_blobs", meta["n_actors"]))):
             with open(os.path.join(d, f"actor-{j}.bin"), "rb") as f:
                 blobs.append(f.read())
         best = (int(meta["batch_index"]), meta, blobs)

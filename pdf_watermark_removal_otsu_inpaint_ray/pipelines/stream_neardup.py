@@ -40,7 +40,8 @@ from ..state.neardup_state import (
     doc_signature_bands,
 )
 from ..state.watermark_tracker import WatermarkTracker
-from .streaming import StreamingResult, _arrival_batches, _finalize_sink, _sink_done_sets
+from .stream_join import _ckpt_resume_or_fresh, _join_src_fp
+from .streaming import StreamingResult, _arrival_batches, _finalize_sink
 
 
 def _resolve_intra_epoch(
@@ -106,13 +107,39 @@ def run_streaming_neardup(
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
     num_partitions: int = 8,
+    checkpoint_every: int | None = None,
+    _stop_after_batches: int | None = None,
 ) -> StreamingResult:
     """Run streaming near-dup suppression over a Parquet path / Dataset
     with (doc_id, text, event_ts) rows.  Ray must already be initialised
     by the caller.  Emits the KEPT rows — byte-equal to
     ``serial_neardup_mask`` over the same rows whenever no row goes
-    late."""
-    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    late.  ``checkpoint_every``: the shared two-log snapshot protocol —
+    actor blobs carry payload custody + the band index; ONE extra blob
+    carries the driver's undecided metadata buffer (bounded by the
+    lateness window) + watermark scalars."""
+    import pickle
+
+    from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
+
+    if checkpoint_every is not None and out_dir is None:
+        raise ValueError("checkpoint_every requires sink mode (out_dir)")
+    cfg_fp = f"neardup:m={min_agree}:p={num_partitions}"
+    src_fp = _join_src_fp(source)
+    (
+        skip_batches,
+        ck_blobs,
+        _restored_wm,
+        sink_done,
+        late_done,
+        sink_epoch,
+    ) = _ckpt_resume_or_fresh(
+        out_dir,
+        cfg_fp=cfg_fp,
+        src_fp=src_fp,
+        n_actors=n_actors,
+        micro_batch_rows=micro_batch_rows,
+    )
     workers = [
         NearDupWorker.remote(
             min_agree=min_agree,
@@ -131,6 +158,16 @@ def run_streaming_neardup(
     decided_upto = int(wm)
     batch_idx = 0
     n_late = 0
+    if ck_blobs is not None:
+        # last blob is the driver snapshot; the rest restore the workers
+        drv = pickle.loads(ck_blobs[-1])
+        meta = drv["meta"]
+        wm = np.int64(drv["wm"])
+        decided_upto = int(drv["decided_upto"])
+        batch_idx = int(drv["batch_idx"])
+        ray.get(
+            [w.restore_state.remote(b) for w, b in zip(workers, ck_blobs[:-1])]
+        )
 
     def run_epoch(cur_wm: int) -> None:
         nonlocal meta, decided_upto, n_late
@@ -221,7 +258,12 @@ def run_streaming_neardup(
         )
         decided_upto = max(decided_upto, cur_wm)
 
+    consumed = 0
     for batch in _arrival_batches(source, micro_batch_rows):
+        if consumed < skip_batches:
+            consumed += 1
+            continue
+        consumed += 1
         ts_b = np.asarray(batch["event_ts"], np.int64)
         ids_b = np.asarray(batch["doc_id"], np.int64)
         sig, keys, has = doc_signature_bands(batch)
@@ -264,6 +306,39 @@ def run_streaming_neardup(
             if new_wm > wm:
                 wm = new_wm
                 run_epoch(int(wm))
+        if (
+            checkpoint_every is not None
+            and consumed > skip_batches
+            and consumed % checkpoint_every == 0
+        ):
+            blobs = ray.get([w.checkpoint_state.remote() for w in workers])
+            blobs.append(
+                pickle.dumps(
+                    {
+                        "meta": meta,
+                        "wm": int(wm),
+                        "decided_upto": decided_upto,
+                        "batch_idx": batch_idx,
+                    }
+                )
+            )
+            write_checkpoint(
+                out_dir,
+                consumed,
+                blobs,
+                {
+                    "epoch": sink_epoch,
+                    "wm": int(wm),
+                    "n_blobs": n_actors + 1,
+                    "n_actors": n_actors,
+                    "micro_batch_rows": micro_batch_rows,
+                    "cfg_fp": cfg_fp,
+                    "src_fp": src_fp,
+                    "staged_files": staged_file_manifest(out_dir),
+                },
+            )
+        if _stop_after_batches is not None and consumed >= _stop_after_batches:
+            raise RuntimeError(f"injected stop after {consumed} batches")
 
     run_epoch(1 << 62)
     stats = ray.get([w.state_stats.remote() for w in workers])
@@ -273,7 +348,9 @@ def run_streaming_neardup(
     late = pa.concat_tables(late_tables) if late_tables else None
 
     if out_dir is not None:
-        return _finalize_sink(workers, stats, late, out_dir, sink_epoch)
+        res = _finalize_sink(workers, stats, late, out_dir, sink_epoch)
+        clear_checkpoints(out_dir)
+        return res
 
     out_tables: list[pa.Table] = []
     for flushed in ray.get([w.flush.remote() for w in workers]):

@@ -276,6 +276,26 @@ class NearDupWorker(_StagedEmitterBase):
                 self.n_band_entries += 1
         return self.n_band_entries
 
+    # -- checkpoint (shared contract with the other streaming actors) -------
+
+    _CKPT_FIELDS = ("_pending", "_out", "n_kept", "n_dup", "_bands",
+                    "n_band_entries", "n_late", "wm", "_late_mem")
+
+    def checkpoint_state(self) -> bytes:
+        import pickle
+
+        self._flush_sink()
+        self._flush_late()
+        for ent in self._bands.values():
+            ent[3] = None  # drop the lazy stacked caches from the snapshot
+        return pickle.dumps({k: getattr(self, k) for k in self._CKPT_FIELDS})
+
+    def restore_state(self, blob: bytes) -> None:
+        import pickle
+
+        for k, v in pickle.loads(blob).items():
+            setattr(self, k, v)
+
     def state_stats(self) -> dict:
         return {
             "n_kept": self.n_kept,

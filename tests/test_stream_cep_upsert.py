@@ -345,3 +345,40 @@ def test_funnel_within_timeout_semantics(ray_session):
     assert (row.ts_signup, row.ts_view, row.ts_purchase, row.stage) == (
         10, -1, -1, 1,
     )
+
+
+def test_latest_checkpoint_kill_and_replay(ray_session, tmp_path):
+    """Kill after a checkpoint, resume, byte-identical materialized state
+    (live state + delta buffer ride the actor snapshots)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.checkpoint import (
+        latest_checkpoint,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    tbl = _event_stream(60, 10)
+    path = str(tmp_path / "log.parquet")
+    pq.write_table(tbl, path)
+    kw = dict(n_actors=2, micro_batch_rows=64, compact_rows=128)
+
+    clean_dir = str(tmp_path / "clean")
+    run_streaming_latest(path, out_dir=clean_dir, **kw)
+    want = (
+        read_output(clean_dir)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+    ck_dir = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming_latest(
+            path, out_dir=ck_dir, checkpoint_every=2, _stop_after_batches=5, **kw
+        )
+    assert latest_checkpoint(ck_dir) is not None
+    run_streaming_latest(path, out_dir=ck_dir, checkpoint_every=2, **kw)
+    got = (
+        read_output(ck_dir).to_pandas().sort_values("user_id", ignore_index=True)
+    )
+    assert got.equals(want)
+    assert latest_checkpoint(ck_dir) is None

@@ -138,3 +138,42 @@ def test_neardup_sink_mode_equals_driver_mode(ray_session, tmp_path):
     cols = sorted(c for c in got.columns if c != "part")
     want = driver.output.to_pandas().sort_values("doc_id", ignore_index=True)
     assert got[cols].equals(want[cols])
+
+
+def test_neardup_checkpoint_kill_and_replay(ray_session, tmp_path):
+    """Kill after a checkpoint, resume, byte-identical commit (payload
+    custody + band index ride the actor snapshots; the driver's undecided
+    metadata buffer rides one extra blob)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.checkpoint import (
+        latest_checkpoint,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    tbl = _dup_stream(300, 60)
+    path = str(tmp_path / "log.parquet")
+    pq.write_table(tbl, path)
+    kw = dict(allowed_lateness=8, n_actors=2, micro_batch_rows=32)
+
+    clean_dir = str(tmp_path / "clean")
+    run_streaming_neardup(path, out_dir=clean_dir, **kw)
+    want = (
+        read_output(clean_dir)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    ck_dir = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming_neardup(
+            path, out_dir=ck_dir, checkpoint_every=3, _stop_after_batches=7, **kw
+        )
+    assert latest_checkpoint(ck_dir) is not None
+    run_streaming_neardup(path, out_dir=ck_dir, checkpoint_every=3, **kw)
+    got = read_output(ck_dir).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert got.equals(want)
+    assert latest_checkpoint(ck_dir) is None
