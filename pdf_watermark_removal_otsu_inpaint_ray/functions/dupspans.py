@@ -323,3 +323,81 @@ def duplicated_char_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: int
         )
 
     return ds.map_batches(mark_spans, batch_format="pyarrow")
+
+
+def strip_duplicated_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: int = 2):
+    """REWRITE step of exact-substring dedup: cut every maximal duplicated
+    span (:func:`duplicated_char_spans`) out of its document — returns
+    ``(doc_id, clean_text, n_removed)`` for EVERY input doc (untouched
+    docs pass through with ``n_removed = 0``).
+
+    The span set is OUTPUT-scale (bounded by the corpus' shared content,
+    exactly like the duplicated-gram set it derives from), so it is
+    collected once and broadcast via ``ray.put``; the cut itself is one
+    ``map_batches`` pass — per batch, span coverage unions via a +1/-1
+    diff + cumsum over the flat byte buffer and the surviving bytes
+    rebuild the string column ZERO-COPY through
+    ``StringArray.from_buffers`` (no per-doc Python string assembly).
+    """
+    import ray
+
+    spans = duplicated_char_spans(ds, L=L, num_parts=num_parts, min_docs=min_docs)
+    tabs = [t for t in ray.get(spans.to_arrow_refs()) if t.num_rows]
+    if tabs:
+        sp = pa.concat_tables(tabs)
+        sdoc = np.asarray(sp["doc_id"], np.int64)
+        sst = np.asarray(sp["span_start"], np.int64)
+        sen = np.asarray(sp["span_end"], np.int64)
+        o = np.lexsort((sst, sdoc))
+        sdoc, sst, sen = sdoc[o], sst[o], sen[o]
+    else:
+        sdoc = sst = sen = np.zeros(0, np.int64)
+    span_ref = ray.put((sdoc, sst, sen))
+
+    def cut(b: pa.Table) -> pa.Table:
+        sd, ss, se = ray.get(span_ref)
+        txt = b["text"].combine_chunks()
+        ids = np.asarray(b["doc_id"], np.int64)
+        odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+        offs = np.frombuffer(txt.buffers()[1], odt)[
+            txt.offset : txt.offset + len(txt) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(txt.buffers()[2], np.uint8)
+        flat = data[offs[0] : offs[-1]]
+        lens = np.diff(offs)
+        doc_starts = np.concatenate(([0], np.cumsum(lens)))
+        # this batch's spans, mapped to absolute flat offsets
+        lo = np.searchsorted(sd, ids, side="left")
+        hi = np.searchsorted(sd, ids, side="right")
+        n_sp = hi - lo
+        rows = np.repeat(np.arange(ids.size), n_sp)
+        idx = np.concatenate(
+            [np.arange(l, h) for l, h in zip(lo, hi)]
+        ) if rows.size else np.zeros(0, np.int64)
+        cover = np.zeros(flat.size + 1, np.int64)
+        if rows.size:
+            abs_s = doc_starts[rows] + ss[idx]
+            abs_e = doc_starts[rows] + se[idx]
+            np.add.at(cover, abs_s, 1)
+            np.add.at(cover, abs_e, -1)
+        covered = np.cumsum(cover[:-1]) > 0
+        keep = ~covered
+        new_flat = np.ascontiguousarray(flat[keep])
+        # prefix-sum segment count (reduceat mishandles zero-length docs)
+        cs = np.concatenate(([0], np.cumsum(keep)))
+        kept_per_doc = cs[doc_starts[1:]] - cs[doc_starts[:-1]]
+        new_offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        clean = pa.StringArray.from_buffers(
+            ids.size,
+            pa.py_buffer(new_offs.tobytes()),
+            pa.py_buffer(new_flat.tobytes()),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": clean,
+                "n_removed": pa.array(lens - kept_per_doc, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(cut, batch_format="pyarrow")

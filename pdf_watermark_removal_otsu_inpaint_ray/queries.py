@@ -1123,6 +1123,22 @@ def q_dup_ngrams(sf_dir: str):
     return cross_doc_dup_stats(_docs_ds(sf_dir), n=3, num_parts=64)
 
 
+def q_strip_dup_spans(sf_dir: str):
+    """Exact-substring-dedup REWRITE (functions/dupspans.py::
+    strip_duplicated_spans): every maximal duplicated span cut from its
+    doc — (doc_id, clean_text, n_removed) for all docs.  The output-scale
+    span set broadcasts once; the cut is one map_batches pass with the
+    surviving bytes rebuilt zero-copy via StringArray.from_buffers."""
+    from .functions.dupspans import strip_duplicated_spans
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return strip_duplicated_spans(docs, L=24, num_parts=64)
+
+
 def q_vocab_growth(sf_dir: str):
     """Per-source vocabulary-growth curve (functions/text.py::
     vocab_growth): new-word count + running vocabulary per 50-doc bucket
@@ -4753,6 +4769,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "dup_spans": q_dup_spans,
     "vocab_growth": q_vocab_growth,
+    "strip_dup_spans": q_strip_dup_spans,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,
     "tumbling_distinct_users": q_tumbling_distinct_users,
@@ -6105,6 +6122,68 @@ ORACLE_SQL = {
                CAST(sum(vocab_new) OVER (PARTITION BY source ORDER BY bucket)
                     AS BIGINT) AS vocab_cum
         FROM curve
+    """,
+    "strip_dup_spans": r"""
+        WITH pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,
+                   substr(text, CAST(i AS INT), 24) AS gram
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, n_chars - 23)) AS i
+                  FROM documents WHERE n_chars >= 24)
+        ),
+        dup AS (
+            SELECT gram FROM pos GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        marked AS (
+            SELECT doc_id, p FROM pos
+            WHERE gram IN (SELECT gram FROM dup)
+        ),
+        isl AS (
+            SELECT doc_id, p,
+                CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                          <= 24
+                     THEN 0 ELSE 1 END AS brk
+            FROM marked
+        ),
+        grp AS (
+            SELECT doc_id, p,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, min(p) AS s, max(p) + 24 AS e
+            FROM grp GROUP BY doc_id, g
+        ),
+        segs AS (
+            SELECT doc_id,
+                   coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s),
+                            0) AS gs,
+                   s AS ge
+            FROM spans
+            UNION ALL
+            SELECT sp.doc_id, max(sp.e) AS gs, any_value(d.n_chars) AS ge
+            FROM spans sp JOIN documents d USING (doc_id)
+            GROUP BY sp.doc_id
+        ),
+        clean AS (
+            SELECT s.doc_id,
+                   string_agg(substr(d.text, CAST(s.gs + 1 AS INT),
+                                     CAST(s.ge - s.gs AS INT)),
+                              '' ORDER BY s.gs) AS clean_text
+            FROM segs s JOIN documents d USING (doc_id)
+            WHERE s.ge > s.gs GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN sp.doc_id IS NULL THEN d.text
+                    ELSE coalesce(c.clean_text, '') END AS clean_text,
+               CAST(d.n_chars - length(
+                   CASE WHEN sp.doc_id IS NULL THEN d.text
+                        ELSE coalesce(c.clean_text, '') END) AS BIGINT)
+                   AS n_removed
+        FROM documents d
+        LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+        LEFT JOIN clean c ON c.doc_id = d.doc_id
     """,
     "dup_spans": r"""
         WITH pos AS (

@@ -1191,3 +1191,57 @@ def test_dup_spans_within_doc_repeat_not_marked(ray_session):
         ray.data.from_arrow(tbl), L=24, num_parts=4
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_strip_dup_spans_matches_brute(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dupspans import (
+        strip_duplicated_spans,
+    )
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    shared = "the quick brown fox jumps over the lazy dog one more time"
+    docs = []
+    for i in range(80):
+        body = " ".join(rng.choice(words, 26))
+        if i % 3 == 0:
+            k = int(rng.integers(0, len(body) - 1))
+            body = body[:k] + " " + shared + " " + body[k:]
+        docs.append(body)
+    docs.append("xy")  # shorter than L: passes through untouched
+    L = 24
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    got = (
+        strip_duplicated_spans(
+            ray.data.from_arrow(tbl).repartition(4), L=L, num_parts=8
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for d, t in enumerate(docs):
+        for p in range(len(t) - L + 1):
+            where[t[p : p + L]].add(d)
+    dup = {g for g, s in where.items() if len(s) >= 2}
+
+    def clean(t):
+        cov = np.zeros(len(t) + 1, np.int64)
+        for p in range(max(len(t) - L + 1, 0)):
+            if t[p : p + L] in dup:
+                cov[p] += 1
+                cov[p + L] -= 1
+        keep = np.cumsum(cov[:-1]) == 0
+        return "".join(c for c, k in zip(t, keep) if k)
+
+    want = [clean(t) for t in docs]
+    assert list(got.clean_text) == want
+    assert list(got.n_removed) == [len(t) - len(w) for t, w in zip(docs, want)]
+    assert got.n_removed.sum() > 0  # the cut actually removed content
+    assert got.clean_text.iloc[-1] == "xy"
