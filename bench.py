@@ -327,7 +327,7 @@ def main() -> None:
             "streaming_latest_state", "dup_spans", "part_triangles",
             "events_funnel_within", "streaming_funnel_within",
             "streaming_near_dup", "events_coverage", "part_truss_support",
-            "vocab_growth", "strip_dup_spans",
+            "vocab_growth", "strip_dup_spans", "streaming_rate_limit",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

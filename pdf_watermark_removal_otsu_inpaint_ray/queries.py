@@ -1795,6 +1795,38 @@ def q_events_rate_limit(sf_dir: str):
     )
 
 
+def q_streaming_rate_limit(sf_dir: str):
+    """The per-(user, hour) throttle as LIVE keyed state
+    (pipelines/stream_cep.py::run_streaming_rate_limit): first 2 events
+    per user per tumbling hour admitted in event time; closed windows
+    evict at watermark passage (state is O(active windows)).  Shares the
+    batch operator's row_number SQL twin — one definition, two tiers."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_cep import run_streaming_rate_limit
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "ts_us": ev["ts"].cast(pa.int64()),
+            "event_id": ev["event_id"].cast(pa.int64()),
+        }
+    )
+    res = run_streaming_rate_limit(
+        ray.data.from_arrow(src),
+        window_us=3_600_000_000,
+        k=2,
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_streaming_stream_join(sf_dir: str):
     """TWO-LOG streaming stateful join (pipelines/stream_join.py): the
     events log split into a view log and a purchase log, joined per user
@@ -4797,6 +4829,7 @@ QUERIES = {
     "events_pattern": q_events_pattern,
     "events_transitions": q_events_transitions,
     "events_rate_limit": q_events_rate_limit,
+    "streaming_rate_limit": q_streaming_rate_limit,
     "streaming_stream_join": q_streaming_stream_join,
     "streaming_outer_join": q_streaming_outer_join,
     "streaming_full_outer_join": q_streaming_full_outer_join,
@@ -6588,6 +6621,7 @@ ORACLE_SQL["events_asof_join_broadcast"] = ORACLE_SQL["events_asof_join"]
 # two execution tiers (the judge-visible proof the live-state chain is exact).
 ORACLE_SQL["streaming_funnel"] = ORACLE_SQL["events_funnel"]
 ORACLE_SQL["streaming_funnel_within"] = ORACLE_SQL["events_funnel_within"]
+ORACLE_SQL["streaming_rate_limit"] = ORACLE_SQL["events_rate_limit"]
 ORACLE_SQL["streaming_latest_state"] = ORACLE_SQL["events_latest_state"]
 
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are

@@ -236,7 +236,14 @@ class NearDupWorker(_StagedEmitterBase):
         self, qids: np.ndarray, keys: np.ndarray, sigs: np.ndarray
     ) -> np.ndarray:
         """Per query doc: does any kept doc in THIS owner's band slice
-        agree on >= min_agree signature rows?  Returns bool per qid."""
+        agree on >= min_agree signature rows?  Returns bool per qid.
+
+        The outer loops are per-DOC dict probes (16 per doc) — metadata
+        scale, not corpus scale; the signature comparison per bucket is
+        one vectorized matrix equality.  A hot bucket (boilerplate that
+        keeps being kept) grows its member matrix — the lazy stacked
+        cache amortizes the stacking, and at pathological bucket sizes
+        the sig-owner indirection (module docstring) shards members."""
         dup = np.zeros(qids.size, dtype=bool)
         for i in range(qids.size):
             for bk in keys[i].tolist():

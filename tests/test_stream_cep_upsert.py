@@ -382,3 +382,124 @@ def test_latest_checkpoint_kill_and_replay(ray_session, tmp_path):
     )
     assert got.equals(want)
     assert latest_checkpoint(ck_dir) is None
+
+
+# -- streaming rate limit -----------------------------------------------
+
+
+def _rl_stream(n=800, keys=30, W=100, disorder=6, seed=5):
+    rng = np.random.default_rng(seed)
+    key = rng.integers(0, keys, n).astype(np.int64)
+    ts = rng.integers(0, 1000, n).astype(np.int64)
+    arr = np.argsort(ts + rng.integers(0, disorder, n), kind="stable")
+    return pa.table(
+        {
+            "user_id": pa.array(key[arr], pa.int64()),
+            "ts_us": pa.array(ts[arr], pa.int64()),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)[arr], pa.int64()),
+        }
+    )
+
+
+def _batch_rate_limit(tbl, W=100, k=2):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.cep import rate_limit
+
+    out = rate_limit(
+        ray.data.from_arrow(tbl),
+        group="user_id",
+        order="ts_us",
+        tiebreak="event_id",
+        window_us=W,
+        k=k,
+    ).to_pandas()
+    return out.sort_values("event_id", ignore_index=True)[
+        ["user_id", "window_id", "ts_us", "event_id", "rn"]
+    ]
+
+
+def test_rate_limit_matches_batch_twin_and_layouts(ray_session):
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_cep import (
+        run_streaming_rate_limit,
+    )
+
+    tbl = _rl_stream()
+    want = _batch_rate_limit(tbl)
+    for na, mb in ((1, 1024), (4, 17)):
+        res = run_streaming_rate_limit(
+            ray.data.from_arrow(tbl), window_us=100, k=2,
+            allowed_lateness=8, n_actors=na, micro_batch_rows=mb,
+        )
+        assert res.n_late == 0
+        got = res.output.to_pandas().sort_values(
+            "event_id", ignore_index=True
+        )[["user_id", "window_id", "ts_us", "event_id", "rn"]]
+        assert got.equals(want), (na, mb)
+    # conservation + closed-window eviction
+    assert sum(
+        s["n_kept"] + s["n_capped"] for s in res.actor_stats
+    ) == tbl.num_rows
+    for s in res.actor_stats:
+        assert s["state_windows"] == 0  # all windows closed at flush
+
+
+def test_rate_limit_cross_sweep_rank_continuity(ray_session):
+    # 5 same-key same-window rows arriving across many tiny batches:
+    # ranks must continue across sweeps (3rd+ rows capped, never re-ranked)
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_cep import (
+        run_streaming_rate_limit,
+    )
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([7] * 5, pa.int64()),
+            "ts_us": pa.array([10, 20, 30, 40, 50], pa.int64()),
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    res = run_streaming_rate_limit(
+        ray.data.from_arrow(tbl), window_us=1000, k=2,
+        allowed_lateness=0, n_actors=1, micro_batch_rows=1,
+    )
+    got = res.output.to_pandas()
+    assert got.event_id.tolist() == [0, 1]
+    assert got.rn.tolist() == [1, 2]
+    assert res.actor_stats[0]["n_capped"] == 3
+
+
+def test_rate_limit_checkpoint_kill_and_replay(ray_session, tmp_path):
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.checkpoint import (
+        latest_checkpoint,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.stream_cep import (
+        run_streaming_rate_limit,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    tbl = _rl_stream(600)
+    path = str(tmp_path / "log.parquet")
+    pq.write_table(tbl, path)
+    kw = dict(window_us=100, k=2, allowed_lateness=8, n_actors=2,
+              micro_batch_rows=32)
+
+    clean_dir = str(tmp_path / "clean")
+    run_streaming_rate_limit(path, out_dir=clean_dir, **kw)
+    want = (
+        read_output(clean_dir)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+    ck_dir = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming_rate_limit(
+            path, out_dir=ck_dir, checkpoint_every=3, _stop_after_batches=8, **kw
+        )
+    assert latest_checkpoint(ck_dir) is not None
+    run_streaming_rate_limit(path, out_dir=ck_dir, checkpoint_every=3, **kw)
+    got = (
+        read_output(ck_dir).to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    assert got.equals(want)
+    assert latest_checkpoint(ck_dir) is None
