@@ -894,3 +894,205 @@ def grouped_interval_coverage(
         .groupby("pk")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def grouped_range_frame_sum(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    tiebreak: str = "event_id",
+    value: str = "value_c",
+    span: int = 600_000_000,
+    out: str = "range_sum",
+):
+    """Per-group time-RANGE windowed sum: for each row, the sum of ``value``
+    over the group's rows whose ``order`` lies in ``[o_i - span, o_i]`` —
+    ``sum(v) OVER (PARTITION BY g ORDER BY o RANGE BETWEEN span PRECEDING
+    AND CURRENT ROW)``.  Unlike the ROWS frame (:func:`grouped_rolling_sum`)
+    the frame is value-based: ORDER-BY peers (equal ``order`` in a group)
+    all share one frame that includes every peer — exactly the SQL RANGE
+    semantics, which is why ``tiebreak`` shapes output identity but never
+    the frame.
+
+    ``value`` must be int64 (pre-quantize floats upstream).  Same
+    distribution shape as :func:`grouped_lag`: one coarse hash partition on
+    the group key, then per partition ONE lexsort + composite-key double
+    ``searchsorted`` + prefix-sum difference — frames never cross partitions
+    because whole groups are co-located.  The composite key packs (group
+    ordinal, order-offset) into one int64 so BOTH frame edges of every row
+    across ALL groups resolve in two vectorized binary searches; when the
+    packed range would overflow int64 (adversarial order spread × group
+    count) the kernel falls back to per-group slice searches — same result,
+    bounded loop over groups, never over rows.
+
+    Reference analog: the sliding event-time accumulation window of the
+    detection chain (watermark_detector.py sticky windows) generalized to an
+    arbitrary per-row trailing time frame.
+    """
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def frame_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    order: pd.Series(dtype=np.int64),
+                    tiebreak: pd.Series(dtype=np.int64),
+                    value: pd.Series(dtype=np.int64),
+                    out: pd.Series(dtype=np.int64),
+                }
+            )
+        gk = g[group].to_numpy().astype(np.int64)
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        v = g[value].to_numpy().astype(np.int64)
+        idx = np.lexsort((t, o, gk))
+        gk, o, t, v = gk[idx], o[idx], t[idx], v[idx]
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        gid = np.cumsum(first) - 1
+        cs = np.concatenate(([0], np.cumsum(v)))
+        o_rel = o - int(o.min())
+        stride = int(o_rel.max()) + span + 2
+        n_groups = int(gid[-1]) + 1
+        if n_groups * stride < (1 << 62):
+            comp = gid * stride + o_rel
+            lo = np.searchsorted(comp, comp - span, side="left")
+            hi = np.searchsorted(comp, comp, side="right")
+        else:  # pragma: no cover - adversarial spread; per-group slices
+            run_start = np.nonzero(first)[0]
+            run_end = np.append(run_start[1:], n)
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for s, e in zip(run_start, run_end):
+                seg = o[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - span, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        frame = cs[hi] - cs[lo]
+        return pd.DataFrame(
+            {group: gk, order: o, tiebreak: t, value: v, out: frame.astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(frame_part, batch_format="pandas")
+    )
+
+
+def grouped_resample_ffill(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    tiebreak: str = "event_id",
+    value: str = "value_c",
+    step: int = 3_600_000_000,
+):
+    """Per-group regular-grid resample with forward fill: emit one row per
+    grid point ``grid_ts = step * k`` for ``k`` in ``[ceil(min_o/step),
+    floor(max_o/step)]`` within each group, carrying the group's last
+    observed ``value`` at-or-before the grid point — the time-series
+    gap-fill / downsample primitive (``generate_series`` + ASOF join in the
+    SQL twin).  Observations are first collapsed to latest-per-(group,
+    order) by ``tiebreak`` so the carried value is deterministic when two
+    events share a timestamp; every grid point is >= the group's first
+    observation, so the fill never needs a null branch.
+
+    One coarse hash partition on the group key, then per partition one
+    lexsort + run sweep + ONE vectorized ``searchsorted`` of all grid
+    points against the composite (group ordinal, order) key — no per-group
+    callback, no per-row loop.  Output cardinality is data-dependent
+    (span/step per group); at 100 TB pick ``step`` so the grid stays
+    O(input) — the kernel's memory is O(rows + grid points) per partition.
+
+    Reference analog: the fixed-cadence page-sampling stride of the
+    reference's preview/debug chain (``--preview-every N``), applied
+    per-key with carry-forward semantics.
+    """
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def resample_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    "grid_ts": pd.Series(dtype=np.int64),
+                    value: pd.Series(dtype=np.int64),
+                }
+            )
+        gk = g[group].to_numpy().astype(np.int64)
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        v = g[value].to_numpy().astype(np.int64)
+        idx = np.lexsort((t, o, gk))
+        gk, o, v = gk[idx], o[idx], v[idx]
+        # collapse ties: keep the LAST row (max tiebreak) per (group, order)
+        keep = np.empty(len(gk), bool)
+        keep[-1] = True
+        keep[:-1] = (gk[1:] != gk[:-1]) | (o[1:] != o[:-1])
+        gk, o, v = gk[keep], o[keep], v[keep]
+        n = gk.size
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        run_start = np.nonzero(first)[0]
+        run_end = np.append(run_start[1:], n)
+        lo_k = -(-o[run_start] // step)  # ceil div
+        hi_k = o[run_end - 1] // step
+        counts = np.maximum(hi_k - lo_k + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    "grid_ts": pd.Series(dtype=np.int64),
+                    value: pd.Series(dtype=np.int64),
+                }
+            )
+        # flat grid: for group j, counts[j] points lo_k[j]..hi_k[j] (×step)
+        grp_of = np.repeat(np.arange(run_start.size, dtype=np.int64), counts)
+        off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        k_flat = (
+            np.arange(total, dtype=np.int64) - off[grp_of] + lo_k[grp_of]
+        )
+        grid_ts = k_flat * step
+        # composite key: group ordinal × stride + order offset; one global
+        # searchsorted finds each grid point's carry row (last obs <= grid).
+        # Every grid point lies inside its group's [min_o, max_o], so one
+        # stride bound covers both key kinds.
+        base = int(o.min())
+        stride = int(o.max()) - base + 2
+        gid = np.cumsum(first) - 1
+        if run_start.size * stride < (1 << 62):
+            comp_obs = gid * stride + (o - base)
+            comp_grid = grp_of * stride + (grid_ts - base)
+            pos = np.searchsorted(comp_obs, comp_grid, side="right") - 1
+        else:  # pragma: no cover - adversarial spread; per-group slices
+            pos = np.empty(total, np.int64)
+            g_off = np.concatenate(([0], np.cumsum(counts)))
+            for j, (s, e) in enumerate(zip(run_start, run_end)):
+                sl = slice(g_off[j], g_off[j + 1])
+                pos[sl] = s + np.searchsorted(o[s:e], grid_ts[sl], side="right") - 1
+        return pd.DataFrame(
+            {
+                group: gk[run_start][grp_of],
+                "grid_ts": grid_ts,
+                value: v[pos],
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(resample_part, batch_format="pandas")
+    )

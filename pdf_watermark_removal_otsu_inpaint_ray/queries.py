@@ -1252,6 +1252,76 @@ def q_events_rolling_sum(sf_dir: str):
     )
 
 
+def q_events_range_frame(sf_dir: str):
+    """Per-user time-RANGE windowed sum over a trailing 2-day frame
+    (``RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW`` analog) —
+    one coarse group-key partition, one lexsort + composite-key double
+    searchsorted + prefix-sum difference per partition
+    (functions/packing.py::grouped_range_frame_sum); peers at equal ts
+    share one frame exactly as SQL RANGE does.  Values quantized to
+    integer cents so the sums hash-match the SQL twin."""
+    import ray.data
+
+    from .functions.packing import grouped_range_frame_sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["value"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "value_c": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_range_frame_sum(
+        ev, group="user_id", order="ts_us", tiebreak="event_id",
+        value="value_c", span=172_800_000_000,
+    )
+
+
+def q_events_resample(sf_dir: str):
+    """Per-user daily-grid resample with forward fill (generate_series +
+    ASOF-join analog): one grid row per day inside each user's observed
+    span carrying the last event value at-or-before the grid point —
+    functions/packing.py::grouped_resample_ffill, one coarse group-key
+    partition, one lexsort + run sweep + one global composite-key
+    searchsorted per partition.  Ties at equal ts collapse to the max
+    event_id first so the carried value is deterministic in both tiers."""
+    import ray.data
+
+    from .functions.packing import grouped_resample_ffill
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b["value"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "value_c": pa.array(cents, pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_resample_ffill(
+        ev, group="user_id", order="ts_us", tiebreak="event_id",
+        value="value_c", step=86_400_000_000,
+    )
+
+
 def q_events_ntile(sf_dir: str):
     """Per-user NTILE(4) bucket by (ts, event_id) order — the equal-count
     quantile labeler (functions/packing.py::grouped_ntile): one coarse
@@ -4807,6 +4877,8 @@ QUERIES = {
     "tumbling_distinct_users": q_tumbling_distinct_users,
     "pack_bins": q_pack_bins,
     "events_rolling_sum": q_events_rolling_sum,
+    "events_range_frame": q_events_range_frame,
+    "events_resample": q_events_resample,
     "events_lag_delta": q_events_lag_delta,
     "events_ntile": q_events_ntile,
     "events_sessionize": q_events_sessionize,
@@ -5686,6 +5758,50 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "events_range_frame": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+            FROM events
+        )
+        SELECT user_id, ts_us, event_id, value_c,
+               CAST(sum(value_c) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS range_sum
+        FROM s
+    """,
+    "events_resample": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+            FROM events
+        ),
+        latest AS (
+            SELECT user_id, ts_us, value_c FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+                FROM s) WHERE rn = 1
+        ),
+        b AS (
+            SELECT user_id,
+                   (min(ts_us) + 86400000000 - 1) // 86400000000 AS lo_k,
+                   max(ts_us) // 86400000000 AS hi_k
+            FROM s GROUP BY user_id
+        ),
+        g AS (
+            SELECT user_id,
+                   unnest(generate_series(lo_k, hi_k)) * 86400000000 AS grid_ts
+            FROM b WHERE hi_k >= lo_k
+        )
+        SELECT g.user_id, CAST(g.grid_ts AS BIGINT) AS grid_ts, l.value_c
+        FROM g ASOF JOIN latest l
+          ON g.user_id = l.user_id AND g.grid_ts >= l.ts_us
     """,
     "events_rolling_sum": """
         SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -547,3 +547,108 @@ def test_interval_coverage_matches_brute(ray_session):
         ray.data.from_arrow(tied), hold=H, num_parts=2
     ).to_pandas()
     assert (int(one.covered_us[0]), int(one.n_islands[0])) == (H, 1)
+
+
+def test_grouped_range_frame_sum_matches_brute(ray_session):
+    """RANGE-frame sum vs an O(n²) serial twin — heavy ties (peers must
+    share one frame INCLUDING later-tiebreak peers), negative values,
+    multiple groups, partition-count invariance."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_range_frame_sum,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 400
+    g = rng.integers(0, 9, n).astype(np.int64)
+    o = (rng.integers(0, 60, n) * 10).astype(np.int64)  # many exact ties
+    t = rng.permutation(n).astype(np.int64)
+    v = rng.integers(-40, 40, n).astype(np.int64)
+    span = 170
+    tbl = pa.table(
+        {
+            "g": pa.array(g), "o": pa.array(o),
+            "t": pa.array(t), "v": pa.array(v),
+        }
+    )
+    want = {}
+    for i in range(n):
+        s = int(
+            v[(g == g[i]) & (o >= o[i] - span) & (o <= o[i])].sum()
+        )
+        want[(int(g[i]), int(o[i]), int(t[i]))] = s
+    for parts in (3, 8):
+        got = (
+            grouped_range_frame_sum(
+                ray.data.from_arrow(tbl).repartition(parts),
+                group="g", order="o", tiebreak="t", value="v", span=span,
+            )
+            .to_pandas()
+        )
+        assert len(got) == n
+        for _, r in got.iterrows():
+            assert r["range_sum"] == want[(r["g"], r["o"], r["t"])]
+
+
+def test_grouped_resample_ffill_matches_brute(ray_session):
+    """Grid resample vs a serial twin — tie collapse to max tiebreak,
+    groups narrower than one step (empty grid), grid points landing
+    exactly on observations, partition-count invariance."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_resample_ffill,
+    )
+
+    rng = np.random.default_rng(32)
+    n = 300
+    g = rng.integers(0, 8, n).astype(np.int64)
+    o = rng.integers(0, 1000, n).astype(np.int64)
+    t = rng.permutation(n).astype(np.int64)
+    v = rng.integers(-99, 99, n).astype(np.int64)
+    step = 100
+    tbl = pa.table(
+        {
+            "g": pa.array(g), "o": pa.array(o),
+            "t": pa.array(t), "v": pa.array(v),
+        }
+    )
+    # serial twin: latest-per-(g,o) by tiebreak, then carry-forward scan
+    want = {}
+    for gg in np.unique(g):
+        rows = sorted(
+            [(int(o[i]), int(t[i]), int(v[i])) for i in np.nonzero(g == gg)[0]]
+        )
+        latest = {}
+        for oo, _, vv in rows:  # sorted by (o, t): later tiebreak wins
+            latest[oo] = vv
+        obs = sorted(latest)
+        lo = -(-obs[0] // step)
+        hi = obs[-1] // step
+        for k in range(lo, hi + 1):
+            grid = k * step
+            carry = max(x for x in obs if x <= grid)
+            want[(int(gg), grid)] = latest[carry]
+    for parts in (3, 7):
+        got = (
+            grouped_resample_ffill(
+                ray.data.from_arrow(tbl).repartition(parts),
+                group="g", order="o", tiebreak="t", value="v", step=step,
+            )
+            .to_pandas()
+        )
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            assert r["v"] == want[(r["g"], r["grid_ts"])], (r["g"], r["grid_ts"])
+    # single-observation group: grid only if the obs lies on a step multiple
+    one = grouped_resample_ffill(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "g": pa.array([5, 6], pa.int64()),
+                    "o": pa.array([200, 321], pa.int64()),
+                    "t": pa.array([0, 1], pa.int64()),
+                    "v": pa.array([7, 8], pa.int64()),
+                }
+            )
+        ),
+        group="g", order="o", tiebreak="t", value="v", step=100,
+    ).to_pandas()
+    assert len(one) == 1 and int(one["g"][0]) == 5 and int(one["v"][0]) == 7
