@@ -321,3 +321,129 @@ def sample_per_group(ds, *, group: str = "source", key: str = "doc_id", k: int =
         group=group, score="neg_hv", tie=key, k=k, num_parts=num_parts,
     )
     return trimmed.drop_columns(["neg_hv"])
+
+
+def dsir_weights(docs_ds, *, target_sources: tuple[str, ...], quant: float = 1_000_000.0):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the summed unigram log-likelihood ratio of a TARGET domain vs the whole
+    corpus — the targeted-sampling primitive ("upweight docs that look like
+    the target distribution").  Returns a Dataset of
+    ``(doc_id, n_words, weight_q)`` with ``weight_q = Σ_tokens
+    floor(quant * [ln((cnt_T(w)+1)/(n_T+V)) - ln((cnt_A(w)+1)/(n_A+V))] +
+    0.5)`` — per-WORD integer quantization before the per-doc sum, so the
+    weight is an order-free exact integer that hash-matches the SQL twin.
+
+    Two streaming passes, no corpus-scale shuffle (the bm25_topk shape):
+
+    1. **Unigram counts**: per-batch partials ``(word, cnt_all, cnt_t)``
+       via one dictionary-encode + two bincounts (combiner-before-shuffle:
+       the shuffle carries one row per (batch, distinct word)), summed by
+       a vocab-keyed groupby.  The folded vocab table rides to the driver
+       — VOCAB-scale, not corpus-scale.  At unbounded vocab (real web
+       text) DSIR's own answer bounds this: hash words into 2^20 buckets
+       first and the table is fixed-size; the scoring scan is unchanged.
+    2. **Scoring scan**: per-word log-ratios are computed once driver-side
+       with ``math.log`` (libm — bit-identical to DuckDB ``ln``; np.log's
+       SIMD path can differ in the last ulp), broadcast as a plain dict
+       closure (small side travels once per actor, never per batch), and
+       each batch resolves weights with one dictionary-encode + int64
+       gather + one weighted bincount — no token leaves its batch.
+
+    Reference analog: the per-page dominant-color ranking scan
+    (watermark_detector.py:168-189) is the same corpus-statistic-then-
+    score-scan shape; the quantized contributions mirror the engine's
+    inpaint strength quantization.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from .text import _words_with_rows
+
+    tgt_set = pa.array(list(target_sources), pa.string())
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        rows, codes, vocab = _words_with_rows(batch["text"])
+        if rows.size == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "cnt_all": pa.array([], pa.int64()),
+                    "cnt_t": pa.array([], pa.int64()),
+                }
+            )
+        nv = len(vocab)
+        in_t = np.asarray(pc.is_in(batch["source"], value_set=tgt_set))
+        cnt_all = np.bincount(codes, minlength=nv)
+        cnt_t = np.bincount(codes[in_t[rows]], minlength=nv)
+        return pa.table(
+            {
+                "word": vocab.cast(pa.string()),
+                "cnt_all": pa.array(cnt_all, pa.int64()),
+                "cnt_t": pa.array(cnt_t, pa.int64()),
+            }
+        )
+
+    vocab_rows = (
+        docs_ds.select_columns(["text", "source"])
+        .map_batches(count_partials, batch_format="pyarrow")
+        .groupby("word")
+        .sum(["cnt_all", "cnt_t"])
+        .take_all()
+    )
+    n_all = sum(int(r["sum(cnt_all)"]) for r in vocab_rows)
+    n_t = sum(int(r["sum(cnt_t)"]) for r in vocab_rows)
+    v = len(vocab_rows)
+    den_t = float(n_t + v)
+    den_all = float(n_all + v)
+    # vocab-scale loop, driver-side, libm log — NOT the hot path
+    r_q = {
+        r["word"]: int(
+            math.floor(
+                (
+                    math.log((int(r["sum(cnt_t)"]) + 1) / den_t)
+                    - math.log((int(r["sum(cnt_all)"]) + 1) / den_all)
+                )
+                * quant
+                + 0.5
+            )
+        )
+        for r in vocab_rows
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        rows, codes, vocab = _words_with_rows(batch["text"])
+        ids = np.asarray(batch["doc_id"], np.int64)
+        if rows.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "weight_q": pa.array([], pa.int64()),
+                }
+            )
+        n = batch.num_rows
+        # batch-local vocab (bounded, already deduped) → per-code ratio
+        rq_arr = np.fromiter(
+            (r_q[w] for w in vocab.to_pylist()), np.int64, len(vocab)
+        )
+        # weighted bincount: integer contributions ≪ 2^53 → float64 exact
+        weight = np.bincount(
+            rows, weights=rq_arr[codes].astype(np.float64), minlength=n
+        )
+        n_words = np.bincount(rows, minlength=n)
+        hit = n_words > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[hit], pa.int64()),
+                "n_words": pa.array(n_words[hit], pa.int64()),
+                "weight_q": pa.array(
+                    np.round(weight[hit]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

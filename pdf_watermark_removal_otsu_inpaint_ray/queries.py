@@ -1614,6 +1614,21 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs_ds(sf_dir), ("spark", "stream", "dup"), k=20)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (functions/selection.py::dsir_weights) for
+    target = sources src0..src4 vs the whole corpus: one combiner-first
+    unigram-count pass (vocab-keyed groupby of per-batch partials), a
+    vocab-scale driver fold with libm log-ratios, then one scoring scan
+    with per-word 1e-6-quantized integer contributions (order-free sums →
+    exact SQL hash match)."""
+    from .functions.selection import dsir_weights
+
+    return dsir_weights(
+        _docs_ds(sf_dir),
+        target_sources=("src0", "src1", "src2", "src3", "src4"),
+    )
+
+
 def q_events_latest_state(sf_dir: str):
     """CDC log compaction (functions/packing.py::grouped_latest): each
     user's latest event row by (ts, event_id) — the merge-on-read /
@@ -4890,6 +4905,7 @@ QUERIES = {
     "events_percent_rank": q_events_percent_rank,
     "lineitem_unpivot_stats": q_lineitem_unpivot_stats,
     "events_latest_state": q_events_latest_state,
+    "dsir_weights": q_dsir_weights,
     "events_rolling_outlier": q_events_rolling_outlier,
     "events_json_props": q_events_json_props,
     "bm25_topk": q_bm25_topk,
@@ -5758,6 +5774,38 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "dsir_weights": """
+        WITH w AS (
+            SELECT doc_id, source,
+                   unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+            FROM documents
+        ),
+        c AS (
+            SELECT word,
+                   count(*) AS cnt_all,
+                   count(*) FILTER (
+                       WHERE source IN ('src0','src1','src2','src3','src4')
+                   ) AS cnt_t
+            FROM w GROUP BY word
+        ),
+        tot AS (
+            SELECT sum(cnt_all) AS n_all, sum(cnt_t) AS n_t, count(*) AS v
+            FROM c
+        ),
+        r AS (
+            SELECT word,
+                   CAST(floor(
+                       (ln((cnt_t + 1) / CAST(n_t + v AS DOUBLE))
+                        - ln((cnt_all + 1) / CAST(n_all + v AS DOUBLE)))
+                       * 1000000 + 0.5) AS BIGINT) AS r_q
+            FROM c, tot
+        )
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(r.r_q) AS BIGINT) AS weight_q
+        FROM w JOIN r USING (word)
+        GROUP BY w.doc_id
     """,
     "events_range_frame": """
         WITH s AS (

