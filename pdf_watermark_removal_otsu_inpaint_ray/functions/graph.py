@@ -1023,3 +1023,87 @@ def triangle_support_hist(edges, *, num_parts: int = 32) -> pa.Table:
             "n_edges": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+def bfs_hops(edges, *, seed_mod: int = 97, max_depth: int = 4) -> pa.Table:
+    """Multi-source BFS hop distances over a distinct undirected edge
+    Dataset (``a < b`` int64 rows): seeds are the nodes with ``node %
+    seed_mod == 0``; returns one ``(partkey, hops)`` row per node reached
+    within ``max_depth`` hops, ``hops`` = the minimum hop count (seeds at
+    0) — the reachability / neighborhood-expansion primitive (recursive
+    CTE twin in SQL).
+
+    Level-synchronous frontier expansion with NODE-scale driver state
+    (the same small-side rule as triangle_stats' degree vector: the
+    frontier and distance map live on the graph's dimension side, ~the
+    part key space, NOT the edge side).  Per round the sorted frontier
+    broadcasts once via ``ray.put`` and ONE ``map_batches`` pass over the
+    MATERIALIZED edge blocks emits each block's unique frontier
+    neighbors (two sorted-membership tests, both edge directions, one
+    per-block ``np.unique`` combiner) — no shuffle at all, ``max_depth``
+    streaming passes total.  At billion-node scale swap the driver fold
+    for the union+repartition min-label attach (the
+    connected_components_distributed exchange with a round cap) — the
+    per-round edge pass is unchanged.
+
+    Reference analog: the cross-page propagation of sticky detections
+    (watermark_detector.py persistence) run a bounded number of steps
+    from a seeded page set.
+    """
+    import ray
+
+    from .dedup import _collect_arrow
+
+    edges = edges.materialize()  # one edge pass per BFS round reuses it
+
+    def uniq_nodes(b: pa.Table) -> pa.Table:
+        n = np.unique(
+            np.concatenate(
+                [np.asarray(b["a"], np.int64), np.asarray(b["b"], np.int64)]
+            )
+        )
+        return pa.table({"node": pa.array(n, pa.int64())})
+
+    node_tbl = _collect_arrow(
+        edges.map_batches(uniq_nodes, batch_format="pyarrow"),
+        pa.schema([("node", pa.int64())]),
+    )
+    nodes = np.unique(np.asarray(node_tbl["node"], np.int64))
+    dist = np.full(nodes.size, -1, np.int64)
+    seed_mask = nodes % seed_mod == 0
+    dist[seed_mask] = 0
+    frontier = nodes[seed_mask]
+
+    for r in range(max_depth):
+        if frontier.size == 0:
+            break
+        f_ref = ray.put(np.sort(frontier))
+
+        def nbrs(b: pa.Table, _ref=f_ref) -> pa.Table:
+            f = ray.get(_ref)
+            a = np.asarray(b["a"], np.int64)
+            bb = np.asarray(b["b"], np.int64)
+            pos_a = np.searchsorted(f, a)
+            in_a = (pos_a < f.size) & (f[np.minimum(pos_a, f.size - 1)] == a)
+            pos_b = np.searchsorted(f, bb)
+            in_b = (pos_b < f.size) & (f[np.minimum(pos_b, f.size - 1)] == bb)
+            out = np.unique(np.concatenate([bb[in_a], a[in_b]]))
+            return pa.table({"node": pa.array(out, pa.int64())})
+
+        reached_tbl = _collect_arrow(
+            edges.map_batches(nbrs, batch_format="pyarrow"),
+            pa.schema([("node", pa.int64())]),
+        )
+        reached = np.unique(np.asarray(reached_tbl["node"], np.int64))
+        idx = np.searchsorted(nodes, reached)
+        new = dist[idx] < 0
+        dist[idx[new]] = r + 1
+        frontier = reached[new]
+
+    hit = dist >= 0
+    return pa.table(
+        {
+            "partkey": pa.array(nodes[hit], pa.int64()),
+            "hops": pa.array(dist[hit], pa.int64()),
+        }
+    )

@@ -4209,6 +4209,24 @@ def q_part_triangles(sf_dir: str):
     return triangle_stats(copurchase_edges(ds).materialize())
 
 
+def q_part_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances over the part co-purchase graph
+    (functions/graph.py::bfs_hops): seeds = partkeys divisible by 97,
+    depth ≤ 4.  Level-synchronous frontier expansion — per round the
+    node-scale sorted frontier broadcasts once via ray.put and ONE
+    map_batches pass over the materialized edge blocks emits unique
+    frontier neighbors; no shuffle, max_depth streaming passes.
+    Recursive-CTE twin."""
+    import ray.data
+
+    from .functions.graph import bfs_hops, copurchase_edges
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return bfs_hops(copurchase_edges(ds), seed_mod=97, max_depth=4)
+
+
 def q_part_truss_support(sf_dir: str):
     """Per-edge triangle-support distribution over the co-purchase graph
     (functions/graph.py::triangle_support_hist) — the k-truss signal.
@@ -4930,6 +4948,7 @@ QUERIES = {
     "part_pagerank": q_part_pagerank,
     "part_triangles": q_part_triangles,
     "part_truss_support": q_part_truss_support,
+    "part_bfs_hops": q_part_bfs_hops,
     "events_coverage": q_events_coverage,
     "events_twap": q_events_twap,
     "streaming_window_topk": q_streaming_window_topk,
@@ -5362,6 +5381,27 @@ ORACLE_SQL = {
         SELECT CAST(support AS BIGINT) AS support,
                CAST(n_edges AS BIGINT) AS n_edges
         FROM hist WHERE n_edges > 0
+    """,
+    "part_bfs_hops": """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        ),
+        ee AS (
+            SELECT a AS u, b AS v FROM e
+            UNION ALL SELECT b AS u, a AS v FROM e
+        ),
+        walk(n, hops) AS (
+            SELECT DISTINCT u AS n, 0 AS hops FROM ee WHERE u % 97 = 0
+            UNION
+            SELECT ee.v, w.hops + 1
+            FROM walk w JOIN ee ON ee.u = w.n
+            WHERE w.hops < 4
+        )
+        SELECT CAST(n AS BIGINT) AS partkey, CAST(min(hops) AS BIGINT) AS hops
+        FROM walk GROUP BY n
     """,
     "part_pagerank": """
         WITH e AS (

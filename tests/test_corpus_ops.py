@@ -1245,3 +1245,33 @@ def test_strip_dup_spans_matches_brute(ray_session):
     assert list(got.n_removed) == [len(t) - len(w) for t, w in zip(docs, want)]
     assert got.n_removed.sum() > 0  # the cut actually removed content
     assert got.clean_text.iloc[-1] == "xy"
+
+
+def test_bfs_hops_planted_path_and_components(ray_session):
+    """Planted topology: a path from a seed (hops = position, cut off at
+    max_depth), a cycle reached from both sides (min-hop wins), and a
+    disconnected component with no seed (absent from output)."""
+    import ray
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import bfs_hops
+
+    # seed node 0 (0 % 97 == 0); path 0-1-2-3-4-5-6, cycle 0-10-11-12-0,
+    # island 20-21 (no seed, unreachable)
+    E = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (0, 10), (10, 11), (11, 12), (0, 12), (20, 21)]
+    tbl = pa.table(
+        {
+            "a": pa.array([min(a, b) for a, b in E], pa.int64()),
+            "b": pa.array([max(a, b) for a, b in E], pa.int64()),
+        }
+    )
+    for parts in (1, 3):
+        out = bfs_hops(
+            ray.data.from_arrow(tbl).repartition(parts),
+            seed_mod=97, max_depth=4,
+        ).to_pandas()
+        got = dict(zip(out["partkey"], out["hops"]))
+        assert got == {
+            0: 0, 1: 1, 2: 2, 3: 3, 4: 4,   # path cut at depth 4 (5, 6 out)
+            10: 1, 12: 1, 11: 2,              # cycle: min hops from both arms
+        }
