@@ -4661,6 +4661,35 @@ def q_streaming_latest_state(sf_dir: str):
     return res.output
 
 
+def q_streaming_coverage(sf_dir: str):
+    """Streaming per-key interval-union coverage (pipelines/
+    stream_coverage.py::run_streaming_coverage): the batch gaps-and-
+    islands operator `events_coverage` maintained as live keyed state —
+    uptime accounting over an unbounded stream.  Interval union is a
+    commutative idempotent monoid, so no watermark and no late path;
+    state is the merged island set per key (never the log), each
+    micro-batch collapses to per-key islands before buffering, and
+    compaction is one band-offset cummax sweep over state+deltas.  Same
+    gaps-and-islands SQL twin as the batch query — one definition, two
+    execution tiers."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_coverage import run_streaming_coverage
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "ts_us": ev["ts"].cast(pa.int64()),
+        }
+    )
+    res = run_streaming_coverage(
+        ray.data.from_arrow(src), n_actors=3, micro_batch_rows=512
+    )
+    return res.output
+
+
 def q_dedup_cc_distributed(sf_dir: str):
     """DISTRIBUTED connected components (functions/graph.py::
     connected_components_distributed) over the exact edit-distance
@@ -5011,6 +5040,7 @@ QUERIES = {
     "streaming_funnel": q_streaming_funnel,
     "streaming_near_dup": q_streaming_near_dup,
     "streaming_latest_state": q_streaming_latest_state,
+    "streaming_coverage": q_streaming_coverage,
     "dedup_cc_distributed": q_dedup_cc_distributed,
     "streaming_timeouts": q_streaming_timeouts,
     "prefix_dup": q_prefix_dup,
@@ -6827,6 +6857,7 @@ ORACLE_SQL["streaming_funnel"] = ORACLE_SQL["events_funnel"]
 ORACLE_SQL["streaming_funnel_within"] = ORACLE_SQL["events_funnel_within"]
 ORACLE_SQL["streaming_rate_limit"] = ORACLE_SQL["events_rate_limit"]
 ORACLE_SQL["streaming_latest_state"] = ORACLE_SQL["events_latest_state"]
+ORACLE_SQL["streaming_coverage"] = ORACLE_SQL["events_coverage"]
 
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are
 # checked against the MATERIALIZED single-process golden oracle: the query
