@@ -328,6 +328,9 @@ def main() -> None:
             "events_funnel_within", "streaming_funnel_within",
             "streaming_near_dup", "events_coverage", "part_truss_support",
             "vocab_growth", "strip_dup_spans", "streaming_rate_limit",
+            "events_range_frame", "events_resample", "dsir_weights",
+            "part_bfs_hops", "streaming_coverage", "source_token_moments",
+            "zipf_slope",
         ):
             t0 = time.perf_counter()
             r = QUERIES[name](SF_DIR)

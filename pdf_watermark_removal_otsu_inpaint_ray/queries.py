@@ -132,6 +132,50 @@ def q_gray_histogram(sf_dir: str):
     )
 
 
+def q_source_token_moments(sf_dir: str):
+    """Exact per-source token-distribution moments (mean/variance/skew/
+    kurtosis power sums): the gray-histogram partial (256-bin per-batch
+    bincount — the A1 combiner) collapsed to SIX int64s per (batch,
+    source) BEFORE the shuffle — s_k = Σ cnt_g · g^k over the 256 bins,
+    exact integer arithmetic end to end (the bounded-domain trick: a
+    histogram is a sufficient statistic for every moment, so the shuffle
+    carries 6 ints instead of 256 bins or the token stream).  Final
+    moments are the SQL twin's power sums, bit-equal."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        src = np.asarray(b["source"])
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        from .stages.kernels import batch_histograms
+
+        H = batch_histograms(fb, s_inv.astype(np.int64), s_u.size, DEFAULT_CONFIG)
+        g = np.arange(256, dtype=np.int64)
+        return pa.table(
+            {
+                "source": pa.array(s_u, pa.string()),
+                "n": pa.array(H.sum(axis=1).astype(np.int64), pa.int64()),
+                "s1": pa.array(H @ g, pa.int64()),
+                "s2": pa.array(H @ (g * g), pa.int64()),
+                "s3": pa.array(H @ (g * g * g), pa.int64()),
+                "s4": pa.array(H @ (g * g * g * g), pa.int64()),
+            }
+        )
+
+    return (
+        _seq_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"),
+            Sum("s4", alias_name="s4"),
+        )
+    )
+
+
 def q_band_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -4441,6 +4485,130 @@ def q_source_token_entropy(sf_dir: str):
     )
 
 
+def q_zipf_slope(sf_dir: str):
+    """Per-source Zipf rank-frequency slope — the corpus-health power-law
+    diagnostic (log-log OLS of term frequency on frequency rank; healthy
+    natural text slopes ≈ −1, collapsed or templated sources flatten or
+    steepen).  Output per source: ``(n_terms, slope_num, slope_den)``
+    with slope = slope_num / slope_den, both exact BIGINTs from
+    1e-4-quantized ln(rank)/ln(freq) contributions (quantize-then-sum,
+    the entropy/bm25 precedent; ties rank (cnt DESC, word ASC) so both
+    tiers agree).
+
+    Distribution: per-batch (source, word, cnt) combiner partials (one
+    dictionary-encode + one packed unique per batch — token instances
+    never leave their batch), one vocab-keyed groupby sum, then ONE
+    coarse source-hash partition resolves ranks and the four OLS power
+    sums vectorized per partition; the shuffle after the vocab fold
+    carries one row per (source, term).  ln values come from a
+    ``math.log`` table over the partition's unique ranks/counts (libm ==
+    DuckDB ln; vocab-scale, not token-scale).  Scale caveat: the int64
+    OLS sums hold to ~1e7 terms per source at this quantization; past
+    that, split high/low sums (the SQL twin already rides HUGEINT)."""
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401  (house import parity)
+
+    from .functions.text import _words_with_rows
+
+    def tf_partials(b: pa.Table) -> pa.Table:
+        rows, codes, vocab = _words_with_rows(b["text"])
+        if rows.size == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        src = np.asarray(b["source"])
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        nv = len(vocab)
+        pair, cnt = np.unique(
+            s_inv[rows].astype(np.int64) * nv + codes, return_counts=True
+        )
+        return pa.table(
+            {
+                "source": pa.array(s_u[pair // nv], pa.string()),
+                "word": vocab.take(pa.array(pair % nv, pa.int64())).cast(
+                    pa.string()
+                ),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    Q = 10000.0
+
+    def ols_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series(dtype=object),
+                    "n_terms": pd.Series(dtype=np.int64),
+                    "slope_num": pd.Series(dtype=np.int64),
+                    "slope_den": pd.Series(dtype=np.int64),
+                }
+            )
+        g = g.sort_values(
+            ["source", "cnt", "word"], ascending=[True, False, True],
+            ignore_index=True,
+        )
+        src = g["source"].to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = src[1:] != src[:-1]
+        run_start = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        rank = np.arange(len(g), dtype=np.int64) - run_start[gid] + 1
+        # libm log tables over the partition's UNIQUE ranks and counts
+        ur = np.unique(rank)
+        lr = np.fromiter(
+            (math.floor(math.log(float(r)) * Q + 0.5) for r in ur),
+            np.int64, ur.size,
+        )
+        uc = np.unique(cnt)
+        lc = np.fromiter(
+            (math.floor(math.log(float(c)) * Q + 0.5) for c in uc),
+            np.int64, uc.size,
+        )
+        xq = lr[np.searchsorted(ur, rank)]
+        yq = lc[np.searchsorted(uc, cnt)]
+        n_grp = run_start.size
+        n = np.bincount(gid, minlength=n_grp).astype(np.int64)
+        sx = np.bincount(gid, weights=xq, minlength=n_grp).astype(np.int64)
+        sy = np.bincount(gid, weights=yq, minlength=n_grp).astype(np.int64)
+        sxy = np.bincount(gid, weights=xq * yq, minlength=n_grp).astype(np.int64)
+        sxx = np.bincount(gid, weights=xq * xq, minlength=n_grp).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "source": src[run_start],
+                "n_terms": n,
+                "slope_num": n * sxy - sx * sy,
+                "slope_den": n * sxx - sx * sx,
+            }
+        )
+
+    from .functions.packing import _add_group_pk
+
+    return (
+        _docs_ds(sf_dir)
+        .select_columns(["text", "source"])
+        .map_batches(tf_partials, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .sum("cnt")
+        .map_batches(
+            lambda b: _add_group_pk(
+                b.rename_columns(["source", "word", "cnt"]), "source"
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pk")
+        .map_groups(ols_part, batch_format="pandas")
+    )
+
+
 def q_term_cooccurrence(sf_dir: str):
     """Head-vocabulary term co-occurrence (functions/text.py::
     term_cooccurrence): docs containing both terms, for the 32 highest-df
@@ -4989,6 +5157,8 @@ QUERIES = {
     "source_corr": q_source_corr,
     "source_mad": q_source_mad,
     "source_token_entropy": q_source_token_entropy,
+    "source_token_moments": q_source_token_moments,
+    "zipf_slope": q_zipf_slope,
     "term_cooccurrence": q_term_cooccurrence,
     "pca_embeddings": q_pca_embeddings,
     "regex_scrub": q_regex_scrub,
@@ -5084,6 +5254,16 @@ ORACLE_SQL = {
                CAST(count(*) FILTER (WHERE g <= 140) AS BIGINT) AS n_content,
                CAST(count(*) FILTER (WHERE g > 250) AS BIGINT) AS n_background,
                CAST(count(*) AS BIGINT) AS n_total
+        FROM (SELECT source, unnest({_TOKENIZE_SQL}) % 256 AS g FROM documents)
+        GROUP BY source
+    """,
+    "source_token_moments": f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(g) AS BIGINT) AS s1,
+               CAST(sum(g * g) AS BIGINT) AS s2,
+               CAST(sum(g * g * g) AS BIGINT) AS s3,
+               CAST(sum(g * g * g * g) AS BIGINT) AS s4
         FROM (SELECT source, unnest({_TOKENIZE_SQL}) % 256 AS g FROM documents)
         GROUP BY source
     """,
@@ -5844,6 +6024,36 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "zipf_slope": """
+        WITH tf AS (
+            SELECT source, word, count(*) AS cnt
+            FROM (SELECT source,
+                         unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+                  FROM documents)
+            GROUP BY source, word
+        ),
+        rk AS (
+            SELECT source, cnt,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY cnt DESC, word) AS rnk
+            FROM tf
+        ),
+        q AS (
+            SELECT source,
+                   CAST(floor(ln(CAST(rnk AS DOUBLE)) * 10000 + 0.5)
+                        AS BIGINT) AS xq,
+                   CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000 + 0.5)
+                        AS BIGINT) AS yq
+            FROM rk
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(count(*) * sum(xq * yq) - sum(xq) * sum(yq)
+                    AS BIGINT) AS slope_num,
+               CAST(count(*) * sum(xq * xq) - sum(xq) * sum(xq)
+                    AS BIGINT) AS slope_den
+        FROM q GROUP BY source
     """,
     "dsir_weights": """
         WITH w AS (
