@@ -328,7 +328,7 @@ def main() -> None:
             "events_funnel_within", "streaming_funnel_within",
             "streaming_near_dup", "events_coverage", "part_truss_support",
             "vocab_growth", "strip_dup_spans", "streaming_rate_limit",
-            "events_range_frame", "events_resample", "dsir_weights",
+            "events_range_frame", "events_resample", "dsir_weights", "pack_examples",
             "part_bfs_hops", "streaming_coverage", "source_token_moments",
             "zipf_slope",
         ):

@@ -1096,3 +1096,213 @@ def grouped_resample_ffill(
         .groupby("pk")
         .map_groups(resample_part, batch_format="pandas")
     )
+
+
+def pack_examples(
+    seq_ds,
+    *,
+    length: int = 512,
+    order: str = "event_ts",
+    bucket_bits: int = 12,
+    num_parts: int = 32,
+):
+    """Fixed-length training-example packing stats: lay every document's
+    tokens end-to-end in ``order`` sequence, cut the stream into
+    ``length``-token examples, and emit one row per example —
+    ``(example_id, n_tok, tok_sum, first_tok, last_tok, n_docs)`` — the
+    concat-and-chunk step every LLM pre-training pipeline runs before the
+    data loader (boundary-exact: first/last token and contributing-doc
+    count pin the packed layout, not just the totals).
+
+    Three passes on the :func:`pack_sequences` scan skeleton:
+
+    1. **Offset partials**: per-batch (bucket, Σ n_tok) rows (bucket =
+       ``order >> bucket_bits``) → tiny groupby → driver exclusive scan →
+       bucket bases broadcast via ``ray.put`` (bucket-scale, never
+       doc-scale).
+    2. **Pack partials**: ONE ``groupby(bucket)`` co-locates each
+       bucket's docs (the single token-scale shuffle); per bucket one
+       argsort + flat-gather lays tokens contiguously, global positions
+       come from base + within-bucket prefix, and one run sweep over
+       ``pos // length`` emits per-(bucket, example) partials — count,
+       int64 token sum (reduceat), boundary tokens with their positions,
+       and the distinct-doc count (doc-change flags reduceat).  Examples
+       spanning bucket boundaries simply emit partials from both sides.
+    3. **Fold**: coarse example-hash partition merges partials per
+       example — sums add, boundary tokens resolve by min/max position.
+       Example-scale rows only.
+
+    Reference analog: the fixed-page batching of the sequential renderer
+    (cli.py page loop) recast as a deterministic distributed scan.
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..stages.kernels import flatten_list_column
+
+    # ---- pass 1: bucket bases -------------------------------------------
+    def count_partials(b: pa.Table) -> pa.Table:
+        o = np.asarray(b[order], np.int64)
+        n = np.asarray(b["n_tok"], np.int64)
+        bucket = o >> bucket_bits
+        ub, inv = np.unique(bucket, return_inverse=True)
+        s = np.bincount(inv, weights=n, minlength=ub.size).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(ub, pa.int64()), "s": pa.array(s, pa.int64())}
+        )
+
+    sums = (
+        seq_ds.select_columns([order, "n_tok"])
+        .map_batches(count_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("s")
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    total = sums["sum(s)"].to_numpy().astype(np.int64)
+    bases = dict(
+        zip(
+            sums["bucket"].to_numpy().tolist(),
+            (np.cumsum(total) - total).tolist(),
+        )
+    )
+    base_ref = ray.put(bases)
+
+    # ---- pass 2: per-bucket pack partials -------------------------------
+    def add_bucket(b: pa.Table) -> pa.Table:
+        o = np.asarray(b[order], np.int64)
+        return pa.table(
+            {
+                order: pa.array(o, pa.int64()),
+                "tokens": b["tokens"],
+                "n_tok": b["n_tok"].cast(pa.int64()),
+                "bucket": pa.array(o >> bucket_bits, pa.int64()),
+            }
+        )
+
+    _P_EMPTY = {
+        "example_id": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64()),
+        "tok_sum": pa.array([], pa.int64()),
+        "min_pos": pa.array([], pa.int64()),
+        "first_tok": pa.array([], pa.int64()),
+        "max_pos": pa.array([], pa.int64()),
+        "last_tok": pa.array([], pa.int64()),
+        "n_docs": pa.array([], pa.int64()),
+    }
+
+    def pack_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_P_EMPTY)
+        o = np.asarray(t[order], np.int64)
+        fb = flatten_list_column(t["tokens"])
+        flat = np.asarray(fb.values, np.int64)
+        offs = np.asarray(fb.offsets, np.int64)
+        lens = np.diff(offs)
+        srt = np.argsort(o, kind="stable")
+        lens_s = lens[srt]
+        tot = int(lens_s.sum())
+        if tot == 0:
+            return pa.table(_P_EMPTY)
+        # flat gather laying the bucket's tokens contiguously in doc order
+        run0 = np.cumsum(lens_s) - lens_s
+        gidx = (
+            np.repeat(offs[srt], lens_s)
+            + np.arange(tot, dtype=np.int64)
+            - np.repeat(run0, lens_s)
+        )
+        toks = flat[gidx]
+        base = ray.get(base_ref)[int(o[srt[0]] >> bucket_bits)]
+        intra = base + np.cumsum(lens_s) - lens_s
+        pos = (
+            np.repeat(intra, lens_s)
+            + np.arange(tot, dtype=np.int64)
+            - np.repeat(run0, lens_s)
+        )
+        eid = pos // length
+        doc_change = np.empty(tot, np.int64)
+        doc_change[0] = 1
+        di = np.repeat(np.arange(lens_s.size, dtype=np.int64), lens_s)
+        doc_change[1:] = (di[1:] != di[:-1]).astype(np.int64)
+        first = np.empty(tot, bool)
+        first[0] = True
+        first[1:] = eid[1:] != eid[:-1]
+        rs = np.nonzero(first)[0]
+        re_ = np.append(rs[1:], tot) - 1
+        doc_change[rs] = 1
+        return pa.table(
+            {
+                "example_id": pa.array(eid[rs], pa.int64()),
+                "cnt": pa.array((re_ - rs + 1).astype(np.int64), pa.int64()),
+                "tok_sum": pa.array(np.add.reduceat(toks, rs), pa.int64()),
+                "min_pos": pa.array(pos[rs], pa.int64()),
+                "first_tok": pa.array(toks[rs], pa.int64()),
+                "max_pos": pa.array(pos[re_], pa.int64()),
+                "last_tok": pa.array(toks[re_], pa.int64()),
+                "n_docs": pa.array(np.add.reduceat(doc_change, rs), pa.int64()),
+            }
+        )
+
+    partials = (
+        seq_ds.select_columns([order, "tokens", "n_tok"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack_partials, batch_format="pyarrow")
+    )
+
+    # ---- pass 3: fold per example (coarse example-hash partition) -------
+    def add_pk(b: pa.Table) -> pa.Table:
+        e = np.asarray(b["example_id"], np.int64)
+        pk = (
+            (e.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(40)
+        ).astype(np.int64) % num_parts
+        return b.append_column("pk", pa.array(pk, pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype=np.int64)
+                    for c in (
+                        "example_id", "n_tok", "tok_sum", "first_tok",
+                        "last_tok", "n_docs",
+                    )
+                }
+            )
+        e = g["example_id"].to_numpy().astype(np.int64)
+        mp = g["min_pos"].to_numpy().astype(np.int64)
+        o = np.lexsort((mp, e))
+        e = e[o]
+        first = np.empty(e.size, bool)
+        first[0] = True
+        first[1:] = e[1:] != e[:-1]
+        rs = np.nonzero(first)[0]
+        re_ = np.append(rs[1:], e.size) - 1
+        gid = np.cumsum(first) - 1
+        n_grp = rs.size
+        cnt = np.bincount(gid, weights=g["cnt"].to_numpy()[o], minlength=n_grp)
+        ts = np.bincount(gid, weights=g["tok_sum"].to_numpy()[o], minlength=n_grp)
+        nd = np.bincount(gid, weights=g["n_docs"].to_numpy()[o], minlength=n_grp)
+        ft = g["first_tok"].to_numpy()[o][rs]  # min min_pos first per run
+        # last_tok: resolve by max max_pos within each run
+        xp = g["max_pos"].to_numpy().astype(np.int64)
+        o2 = np.lexsort((xp, g["example_id"].to_numpy().astype(np.int64)))
+        lt = g["last_tok"].to_numpy()[o2][re_]
+        return pd.DataFrame(
+            {
+                "example_id": e[rs],
+                "n_tok": cnt.astype(np.int64),
+                "tok_sum": ts.astype(np.int64),
+                "first_tok": ft.astype(np.int64),
+                "last_tok": lt.astype(np.int64),
+                "n_docs": nd.astype(np.int64),
+            }
+        )
+
+    return (
+        partials.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(fold, batch_format="pandas")
+    )

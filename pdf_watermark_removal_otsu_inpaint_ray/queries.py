@@ -1263,6 +1263,19 @@ def q_pack_bins(sf_dir: str):
     )
 
 
+def q_pack_examples(sf_dir: str):
+    """Fixed-length training-example packing stats (functions/packing.py::
+    pack_examples): documents laid end-to-end in doc order and cut into
+    512-token examples, one boundary-exact row per example (count, token
+    sum, first/last token, contributing docs).  Bucket-base driver scan +
+    one token-scale co-location shuffle + example-scale fold — the
+    concat-and-chunk step of an LLM pre-training pipeline as a
+    deterministic distributed scan."""
+    from .functions.packing import pack_examples
+
+    return pack_examples(_seq_ds(sf_dir), length=512, order="event_ts")
+
+
 def q_events_rolling_sum(sf_dir: str):
     """Per-user rolling 3-row value sum (ROWS BETWEEN 2 PRECEDING analog)
     — one coarse group-key partition, one lexsort + prefix-sum-difference
@@ -5106,6 +5119,7 @@ QUERIES = {
     "stratified_split": q_stratified_split,
     "tumbling_distinct_users": q_tumbling_distinct_users,
     "pack_bins": q_pack_bins,
+    "pack_examples": q_pack_examples,
     "events_rolling_sum": q_events_rolling_sum,
     "events_range_frame": q_events_range_frame,
     "events_resample": q_events_resample,
@@ -6024,6 +6038,32 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "pack_examples": f"""
+        WITH low AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
+        n AS (SELECT doc_id, len(toks) AS n FROM low),
+        o AS (
+            SELECT doc_id,
+                   sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                       AS off
+            FROM n
+        ),
+        f AS (
+            SELECT doc_id, unnest(toks) AS t,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM low
+        ),
+        p AS (
+            SELECT f.doc_id, CAST(f.t AS BIGINT) AS t, o.off + f.i - 1 AS pos
+            FROM f JOIN o USING (doc_id)
+        )
+        SELECT CAST(pos // 512 AS BIGINT) AS example_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(t) AS BIGINT) AS tok_sum,
+               CAST(arg_min(t, pos) AS BIGINT) AS first_tok,
+               CAST(arg_max(t, pos) AS BIGINT) AS last_tok,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM p GROUP BY 1
     """,
     "zipf_slope": """
         WITH tf AS (

@@ -652,3 +652,58 @@ def test_grouped_resample_ffill_matches_brute(ray_session):
         group="g", order="o", tiebreak="t", value="v", step=100,
     ).to_pandas()
     assert len(one) == 1 and int(one["g"][0]) == 5 and int(one["v"][0]) == 7
+
+
+def test_pack_examples_matches_serial(ray_session):
+    """pack_examples vs a serial concat-and-chunk twin — empty docs,
+    examples spanning bucket boundaries (tiny bucket_bits), a final
+    partial example, layout invariance across partition counts."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        pack_examples,
+    )
+
+    rng = np.random.default_rng(17)
+    n_docs = 120
+    lens = rng.integers(0, 40, n_docs)
+    lens[5] = 0  # explicit empty docs
+    lens[50] = 0
+    toks = [rng.integers(1, 250, ln).astype(np.int32) for ln in lens]
+    order = np.arange(n_docs, dtype=np.int64) * 3 + 7  # sparse order keys
+    tbl = pa.table(
+        {
+            "event_ts": pa.array(order, pa.int64()),
+            "tokens": pa.array([t.tolist() for t in toks],
+                               pa.list_(pa.int32())),
+            "n_tok": pa.array(lens.astype(np.int32), pa.int32()),
+        }
+    )
+    L = 64
+    flat = np.concatenate([t for t in toks]) if toks else np.zeros(0, np.int32)
+    docof = np.concatenate(
+        [np.full(ln, i, np.int64) for i, ln in enumerate(lens)]
+    )
+    want = {}
+    for e in range(-(-flat.size // L)):
+        seg = flat[e * L : (e + 1) * L].astype(np.int64)
+        dseg = docof[e * L : (e + 1) * L]
+        want[e] = (
+            seg.size, int(seg.sum()), int(seg[0]), int(seg[-1]),
+            int(np.unique(dseg).size),
+        )
+    for parts, bb in ((2, 12), (5, 4), (3, 2)):
+        out = (
+            pack_examples(
+                ray.data.from_arrow(tbl).repartition(parts),
+                length=L, order="event_ts", bucket_bits=bb,
+            )
+            .to_pandas()
+            .sort_values("example_id", ignore_index=True)
+        )
+        got = {
+            int(r["example_id"]): (
+                int(r["n_tok"]), int(r["tok_sum"]), int(r["first_tok"]),
+                int(r["last_tok"]), int(r["n_docs"]),
+            )
+            for _, r in out.iterrows()
+        }
+        assert got == want, (parts, bb)
