@@ -4842,6 +4842,33 @@ def q_streaming_latest_state(sf_dir: str):
     return res.output
 
 
+def q_streaming_pack(sf_dir: str):
+    """Streaming per-source example packing (pipelines/stream_pack.py::
+    run_streaming_pack): fixed-length training examples emitted
+    continuously as the doc-ordered token stream arrives — the
+    pack_examples concat-and-chunk lifted to live keyed state, keyed by
+    source.  State per actor is only the CARRY (< L tokens per source);
+    completed examples stream back as they close.  Order-sensitive
+    consumer: per-source FIFO delivery (actor tasks from one caller run
+    in submission order) makes the result byte-equal to the per-source
+    batch chunker — the shared SQL twin."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_pack import run_streaming_pack
+    from .synth import tokenize_documents_batch
+
+    docs = pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).sort_by("doc_id")
+    seq = tokenize_documents_batch(docs)
+    res = run_streaming_pack(
+        ray.data.from_arrow(seq), length=512, n_actors=3,
+        micro_batch_rows=256,
+    )
+    return res.output
+
+
 def q_streaming_coverage(sf_dir: str):
     """Streaming per-key interval-union coverage (pipelines/
     stream_coverage.py::run_streaming_coverage): the batch gaps-and-
@@ -5225,6 +5252,7 @@ QUERIES = {
     "streaming_near_dup": q_streaming_near_dup,
     "streaming_latest_state": q_streaming_latest_state,
     "streaming_coverage": q_streaming_coverage,
+    "streaming_pack": q_streaming_pack,
     "dedup_cc_distributed": q_dedup_cc_distributed,
     "streaming_timeouts": q_streaming_timeouts,
     "prefix_dup": q_prefix_dup,
@@ -6038,6 +6066,36 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "streaming_pack": f"""
+        WITH low AS (
+            SELECT doc_id, source, {_TOKENIZE_SQL} AS toks FROM documents
+        ),
+        n AS (SELECT doc_id, source, len(toks) AS n FROM low),
+        o AS (
+            SELECT doc_id,
+                   sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n AS off
+            FROM n
+        ),
+        f AS (
+            SELECT doc_id, source, unnest(toks) AS t,
+                   unnest(generate_series(1, len(toks))) AS i
+            FROM low
+        ),
+        p AS (
+            SELECT f.source, f.doc_id, CAST(f.t AS BIGINT) AS t,
+                   o.off + f.i - 1 AS pos
+            FROM f JOIN o USING (doc_id)
+        )
+        SELECT source,
+               CAST(pos // 512 AS BIGINT) AS example_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(t) AS BIGINT) AS tok_sum,
+               CAST(arg_min(t, pos) AS BIGINT) AS first_tok,
+               CAST(arg_max(t, pos) AS BIGINT) AS last_tok,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM p GROUP BY source, 2
     """,
     "pack_examples": f"""
         WITH low AS (SELECT doc_id, {_TOKENIZE_SQL} AS toks FROM documents),
