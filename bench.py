@@ -329,7 +329,7 @@ def main() -> None:
             "streaming_near_dup", "events_coverage", "part_truss_support",
             "vocab_growth", "strip_dup_spans", "streaming_rate_limit",
             "events_range_frame", "events_resample", "dsir_weights", "pack_examples",
-            "part_bfs_hops", "streaming_coverage", "streaming_pack", "source_token_moments",
+            "part_bfs_hops", "part_kcore", "streaming_coverage", "streaming_pack", "source_token_moments",
             "zipf_slope",
         ):
             t0 = time.perf_counter()

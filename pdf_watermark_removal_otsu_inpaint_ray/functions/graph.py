@@ -1107,3 +1107,203 @@ def bfs_hops(edges, *, seed_mod: int = 97, max_depth: int = 4) -> pa.Table:
             "hops": pa.array(dist[hit], pa.int64()),
         }
     )
+
+
+def copurchase_edges_min_weight(ds, *, min_weight: int = 2, num_parts: int = 32):
+    """Weight-thresholded distinct undirected co-purchase edges: keep
+    ``(a, b)`` (``a < b``) only when at least ``min_weight`` DISTINCT
+    orders contain both parts — the noise-pruned backbone graph (a single
+    co-purchase is coincidence; repeated co-purchase is signal).
+
+    Same order-partitioned size-class build as :func:`copurchase_edges`,
+    but multiplicity-preserving: pairs dedupe per ORDER (packed-key
+    ``np.unique``), then one lexsort + run sweep counts per-partition
+    multiplicities, and a coarse pair-key groupby sums counts globally
+    before the threshold filter — the shuffle carries (pair, count) int64
+    rows, never the per-order pair stream."""
+    import pandas as pd
+
+    def prep(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"], np.int64)
+        return pa.table(
+            {
+                "orderkey": pa.array(ok, pa.int64()),
+                "partkey": b["l_partkey"].cast(pa.int64()),
+                "pk": pa.array(ok % num_parts, pa.int64()),
+            }
+        )
+
+    _E = {
+        "a": pd.Series(dtype=np.int64),
+        "b": pd.Series(dtype=np.int64),
+        "w": pd.Series(dtype=np.int64),
+        "pk2": pd.Series(dtype=np.int64),
+    }
+
+    def order_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_E)
+        ok = g["orderkey"].to_numpy()
+        pk = g["partkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.nonzero(np.concatenate(([True], ok[1:] != ok[:-1])))[0]
+        sizes = np.diff(np.append(starts, ok.size))
+        oid_all, a_all, b_all = [], [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            sel = starts[sizes == k]
+            mat = pk[(sel[:, None] + np.arange(k)[None, :])]
+            ii, jj = np.triu_indices(int(k), 1)
+            a_all.append(mat[:, ii].ravel())
+            b_all.append(mat[:, jj].ravel())
+            oid_all.append(
+                np.repeat(np.arange(sel.size, dtype=np.int64), ii.size)
+                # distinct base per size-class so order ids never collide
+                + (int(k) << 40)
+            )
+        if not a_all:
+            return pd.DataFrame(_E)
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        oid = np.concatenate(oid_all)
+        keep = a != b
+        a, b, oid = a[keep], b[keep], oid[keep]
+        if a.size == 0:
+            return pd.DataFrame(_E)
+        # per-ORDER dedup, then per-partition multiplicity count: one
+        # lexsort (a, b, oid) + two run sweeps
+        o2 = np.lexsort((oid, b, a))
+        a, b, oid = a[o2], b[o2], oid[o2]
+        new_pair = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+        )
+        new_occ = new_pair | np.concatenate(([True], oid[1:] != oid[:-1]))
+        a, b = a[new_occ], b[new_occ]
+        np_ = new_pair[new_occ]
+        st = np.nonzero(np_)[0]
+        w = np.diff(np.append(st, a.size)).astype(np.int64)
+        a, b = a[st], b[st]
+        pk2 = (
+            ((a.astype(np.uint64) * _MIX + b.astype(np.uint64)) * _MIX)
+            >> np.uint64(33)
+        ) % np.uint64(num_parts)
+        return pd.DataFrame({"a": a, "b": b, "w": w, "pk2": pk2.astype(np.int64)})
+
+    def weight_fold(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a"].to_numpy().astype(np.int64)
+        b = g["b"].to_numpy().astype(np.int64)
+        w = g["w"].to_numpy().astype(np.int64)
+        o = np.lexsort((b, a))
+        a, b, w = a[o], b[o], w[o]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        st = np.nonzero(new)[0]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=w, minlength=st.size).astype(np.int64)
+        keep = tot >= min_weight
+        return pd.DataFrame({"a": a[st][keep], "b": b[st][keep]})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(order_pair_counts, batch_format="pandas")
+        .groupby("pk2")
+        .map_groups(weight_fold, batch_format="pandas")
+    )
+
+
+def k_core(edges, *, k: int = 3, max_iters: int = 100) -> pa.Table:
+    """k-core of a distinct undirected edge Dataset (``a < b`` int64
+    rows): iteratively peel nodes of degree < ``k`` until the fixpoint;
+    returns ``(partkey, deg)`` for the surviving nodes with their degree
+    INSIDE the core — the graph-densification filter (community cores,
+    spam fringes drop out).
+
+    Level-synchronous peel with NODE-scale driver state (the bfs_hops
+    shape): per round the sorted alive set broadcasts once via
+    ``ray.put`` and ONE ``map_batches`` pass over the MATERIALIZED edge
+    blocks emits per-block (node, deg) partials over both-endpoint-alive
+    edges; the driver folds node-scale partials and drops low-degree
+    nodes.  No shuffle; rounds = peel depth (bounded by the degeneracy
+    ordering, `max_iters` guards adversarial chains).  At billion-node
+    scale swap the driver fold for the exchange idiom
+    (connected_components_distributed) — the edge pass is unchanged.
+
+    Reference analog: the iterative low-support pruning of the sticky
+    detection table (watermark_detector.py min-hits threshold) run to a
+    fixpoint over the co-occurrence graph."""
+    import ray
+
+    from .dedup import _collect_arrow
+
+    edges = edges.materialize()
+
+    def uniq_nodes(b: pa.Table) -> pa.Table:
+        n = np.unique(
+            np.concatenate(
+                [np.asarray(b["a"], np.int64), np.asarray(b["b"], np.int64)]
+            )
+        )
+        return pa.table({"node": pa.array(n, pa.int64())})
+
+    node_tbl = _collect_arrow(
+        edges.map_batches(uniq_nodes, batch_format="pyarrow"),
+        pa.schema([("node", pa.int64())]),
+    )
+    alive = np.unique(np.asarray(node_tbl["node"], np.int64))
+    deg = np.zeros(0, np.int64)
+
+    for _ in range(max_iters):
+        if alive.size == 0:
+            break
+        a_ref = ray.put(alive)
+
+        def degs(b: pa.Table, _ref=a_ref) -> pa.Table:
+            al = ray.get(_ref)
+            a = np.asarray(b["a"], np.int64)
+            bb = np.asarray(b["b"], np.int64)
+            pa_ = np.searchsorted(al, a)
+            in_a = (pa_ < al.size) & (al[np.minimum(pa_, al.size - 1)] == a)
+            pb = np.searchsorted(al, bb)
+            in_b = (pb < al.size) & (al[np.minimum(pb, al.size - 1)] == bb)
+            m = in_a & in_b
+            ends = np.concatenate([a[m], bb[m]])
+            if ends.size == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "d": pa.array([], pa.int64())}
+                )
+            u, c = np.unique(ends, return_counts=True)
+            return pa.table(
+                {"node": pa.array(u, pa.int64()),
+                 "d": pa.array(c.astype(np.int64), pa.int64())}
+            )
+
+        part = _collect_arrow(
+            edges.map_batches(degs, batch_format="pyarrow"),
+            pa.schema([("node", pa.int64()), ("d", pa.int64())]),
+        )
+        nd = np.asarray(part["node"], np.int64)
+        dv = np.asarray(part["d"], np.int64)
+        deg = np.zeros(alive.size, np.int64)
+        if nd.size:
+            np.add.at(deg, np.searchsorted(alive, nd), dv)
+        keep = deg >= k
+        if keep.all():
+            break
+        alive = alive[keep]
+    else:
+        raise RuntimeError(f"k-core peel did not converge in {max_iters} rounds")
+
+    if alive.size == 0:
+        return pa.table(
+            {"partkey": pa.array([], pa.int64()),
+             "deg": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "partkey": pa.array(alive, pa.int64()),
+            "deg": pa.array(deg[deg >= k], pa.int64()),
+        }
+    )

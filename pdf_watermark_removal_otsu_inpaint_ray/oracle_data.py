@@ -56,6 +56,7 @@ GOLDEN_QUERIES = (
     "knn_ivf_pq",
     "cdc_chunks",
     "streaming_near_dup",
+    "part_kcore",
 )
 
 
@@ -772,7 +773,7 @@ _COMPUTE = {
 
 # bump when any golden-relevant definition changes (hash kernels, detection
 # rules) so stale materialized goldens in a reused /tmp are invalidated
-_ORACLE_VERSION = "r3-phash-3"
+_ORACLE_VERSION = "r3-kcore-1"
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -780,7 +781,8 @@ def _source_fingerprint(sf_dir: str) -> str:
     testdata at the same path must invalidate the cached golden (the same
     content-sensitive rule as the IVF layout cache in queries.py)."""
     parts = []
-    for f in ("documents.parquet", "embeddings.parquet"):
+    # lineitem feeds the graph goldens (part_kcore); the others read docs/embs
+    for f in ("documents.parquet", "embeddings.parquet", "lineitem.parquet"):
         p = os.path.join(sf_dir, f)
         try:
             st = os.stat(p)
@@ -1270,3 +1272,59 @@ def _golden_cdc_chunks(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["cdc_chunks"] = _golden_cdc_chunks
+
+
+def _golden_part_kcore(sf_dir: str) -> pa.Table:
+    """Independent k-core twin: the weight>=2 co-purchase edge list comes
+    from a DuckDB aggregation (no engine edge-build code), and the peel is
+    the textbook serial loop — recompute alive-subgraph degrees, drop
+    < k, repeat to fixpoint.  Shares NOTHING with functions/graph.py's
+    level-synchronous broadcast peel beyond the problem statement."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'lineitem.parquet')}')"
+    )
+    e = con.execute(
+        """
+        SELECT a, b FROM (
+            SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+                   count(DISTINCT l1.l_orderkey) AS w
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2
+        ) WHERE w >= 2
+        """
+    ).fetchnumpy()
+    a = e["a"].astype(np.int64)
+    b = e["b"].astype(np.int64)
+    k = 3
+    alive = np.unique(np.concatenate([a, b]))
+    while alive.size:
+        ia = np.isin(a, alive)
+        ib = np.isin(b, alive)
+        m = ia & ib
+        ends = np.concatenate([a[m], b[m]])
+        deg = np.zeros(alive.size, np.int64)
+        if ends.size:
+            np.add.at(deg, np.searchsorted(alive, ends), 1)
+        keep = deg >= k
+        if keep.all():
+            break
+        alive = alive[keep]
+    if alive.size == 0:
+        return pa.table(
+            {"partkey": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "partkey": pa.array(alive, pa.int64()),
+            "deg": pa.array(deg[keep], pa.int64()),
+        }
+    )
+
+
+_COMPUTE["part_kcore"] = _golden_part_kcore

@@ -4284,6 +4284,27 @@ def q_part_bfs_hops(sf_dir: str):
     return bfs_hops(copurchase_edges(ds), seed_mod=97, max_depth=4)
 
 
+def q_part_kcore(sf_dir: str):
+    """k-core (k=3) of the weight-thresholded co-purchase backbone graph
+    (functions/graph.py::k_core over copurchase_edges_min_weight):
+    iterative low-degree peel to the fixpoint, level-synchronous — per
+    round the node-scale alive set broadcasts via ray.put and one
+    map_batches pass over the materialized edge blocks folds
+    both-endpoint-alive degree partials; no shuffle after the edge
+    build.  Checked against a fully independent serial peel golden
+    (oracle_data.py::_golden_part_kcore — DuckDB edge list + textbook
+    loop, no engine code shared)."""
+    import ray.data
+
+    from .functions.graph import copurchase_edges_min_weight, k_core
+
+    _with_golden("part_kcore", sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return k_core(copurchase_edges_min_weight(ds, min_weight=2), k=3)
+
+
 def q_part_truss_support(sf_dir: str):
     """Per-edge triangle-support distribution over the co-purchase graph
     (functions/graph.py::triangle_support_hist) — the k-truss signal.
@@ -5187,6 +5208,7 @@ QUERIES = {
     "part_triangles": q_part_triangles,
     "part_truss_support": q_part_truss_support,
     "part_bfs_hops": q_part_bfs_hops,
+    "part_kcore": q_part_kcore,
     "events_coverage": q_events_coverage,
     "events_twap": q_events_twap,
     "streaming_window_topk": q_streaming_window_topk,

@@ -1275,3 +1275,51 @@ def test_bfs_hops_planted_path_and_components(ray_session):
             0: 0, 1: 1, 2: 2, 3: 3, 4: 4,   # path cut at depth 4 (5, 6 out)
             10: 1, 12: 1, 11: 2,              # cycle: min hops from both arms
         }
+
+
+def test_kcore_planted_peel_and_weighted_edges(ray_session):
+    """k_core peels a pendant chain hanging off a clique layer by layer
+    (multi-round convergence) and keeps the clique; the weighted edge
+    builder thresholds on DISTINCT orders (a part repeated inside one
+    order contributes once)."""
+    import ray
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import (
+        copurchase_edges_min_weight, k_core,
+    )
+
+    # K5 on nodes 0-4, chain 4-10-11-12 (chain peels at k=3, clique stays)
+    E = (
+        [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        + [(4, 10), (10, 11), (11, 12)]
+    )
+    tbl = pa.table(
+        {
+            "a": pa.array([a for a, b in E], pa.int64()),
+            "b": pa.array([b for a, b in E], pa.int64()),
+        }
+    )
+    out = k_core(ray.data.from_arrow(tbl).repartition(3), k=3).to_pandas()
+    got = dict(zip(out["partkey"], out["deg"]))
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    # empty core: k above the clique degree
+    empty = k_core(ray.data.from_arrow(tbl), k=6).to_pandas()
+    assert len(empty) == 0
+
+    # weighted edges: order 1 holds parts (7,8,8) -> pair (7,8) once;
+    # order 2 holds (7,8) -> second distinct order; order 3 holds (7,9)
+    # twice within the SAME order -> still weight 1, pruned at >=2
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 3, 3, 3, 3], pa.int64()),
+            "l_partkey": pa.array([7, 8, 8, 7, 8, 7, 9, 7, 9], pa.int64()),
+        }
+    )
+    for parts in (1, 3):
+        e = (
+            copurchase_edges_min_weight(
+                ray.data.from_arrow(li).repartition(parts), min_weight=2
+            )
+            .to_pandas()
+        )
+        assert list(map(tuple, e.to_numpy())) == [(7, 8)], parts
