@@ -176,6 +176,55 @@ def q_source_token_moments(sf_dir: str):
     )
 
 
+def q_gray_equalize(sf_dir: str):
+    """Per-source histogram EQUALIZATION of the gray-token distribution —
+    the reference's contrast-enhancement step (cv2.equalizeHist analog)
+    lifted to the token stream: each source's 256-bin histogram defines
+    the classical remap ``g' = round((cdf(g) - cdf_min) / (n - cdf_min) *
+    255)``, and every document reports its remapped token sum.  Two
+    passes, LUT-shaped like the learned detector: the A1 histogram
+    partials fold to a sources × 256 table (fixed key space), the driver
+    builds the integer remap LUT exactly as the SQL twin's window-cumsum
+    does (pure integer arithmetic — no float drift), broadcasts it as a
+    closure dict, and one scan gathers ``lut[source][g]`` per batch with
+    a vectorized bincount-weighted per-doc sum.  Degenerate single-bin
+    sources (cdf_min == n) map to 0, both tiers."""
+    counts = q_gray_histogram(sf_dir).to_pandas()  # sources × 256 rows
+    luts: dict[str, np.ndarray] = {}
+    for src, g in counts.groupby("source"):
+        hist = np.zeros(256, np.int64)
+        hist[g["gray"].to_numpy()] = g["cnt"].to_numpy()
+        cdf = np.cumsum(hist)
+        n = int(cdf[-1])
+        nz = np.nonzero(hist)[0]
+        cdf_min = int(cdf[nz[0]]) if nz.size else 0
+        den = n - cdf_min
+        if den <= 0:  # single occupied bin: everything remaps to 0
+            luts[src] = np.zeros(256, np.int64)
+        else:
+            # floor((x*255 + den/2) / den) == round-half-up, pure ints
+            luts[src] = (255 * (cdf - cdf_min) * 2 + den) // (2 * den)
+
+    def remap(b: pa.Table) -> pa.Table:
+        fb = flatten_list_column(b["tokens"])
+        src = np.asarray(b["source"])
+        g = np.asarray(fb.values, np.int64) % 256
+        s_u, s_inv = np.unique(src, return_inverse=True)
+        # stacked per-source LUT matrix → one 2-D gather for the batch
+        M = np.stack([luts[s] for s in s_u]) if s_u.size else np.zeros((1, 256), np.int64)
+        out = M[np.repeat(s_inv, fb.lens), g]
+        sums = np.bincount(fb.seg, weights=out, minlength=fb.n_rows)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tok": pa.array(fb.lens.astype(np.int64), pa.int64()),
+                "eq_sum": pa.array(np.round(sums).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _seq_ds(sf_dir).map_batches(remap, batch_format="pyarrow")
+
+
 def q_band_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -5120,6 +5169,7 @@ QUERIES = {
     "seq_ingest": q_seq_ingest,
     "gray_histogram": q_gray_histogram,
     "band_counts": q_band_counts,
+    "gray_equalize": q_gray_equalize,
     "wm_detect_global": q_wm_detect_global,
     "dominant_tokens": q_dominant_tokens,
     "flag_coverage": q_flag_coverage,
@@ -5330,6 +5380,44 @@ ORACLE_SQL = {
                CAST(sum(g * g * g * g) AS BIGINT) AS s4
         FROM (SELECT source, unnest({_TOKENIZE_SQL}) % 256 AS g FROM documents)
         GROUP BY source
+    """,
+    "gray_equalize": f"""
+        WITH g AS (
+            SELECT {_DOCID_SQL} AS doc_id, source,
+                   unnest({_TOKENIZE_SQL}) % 256 AS g
+            FROM documents
+        ),
+        h AS (SELECT source, g, count(*) AS cnt FROM g GROUP BY source, g),
+        c AS (
+            SELECT source, g,
+                   sum(cnt) OVER (PARTITION BY source ORDER BY g) AS cdf,
+                   sum(cnt) OVER (PARTITION BY source) AS n
+            FROM h
+        ),
+        c2 AS (
+            SELECT source, g, cdf, n,
+                   first_value(cdf) OVER (PARTITION BY source ORDER BY g)
+                       AS cdf_min
+            FROM c
+        ),
+        lut AS (
+            SELECT source, g,
+                   CASE WHEN n - cdf_min <= 0 THEN 0
+                        ELSE (255 * (cdf - cdf_min) * 2 + (n - cdf_min))
+                             // (2 * (n - cdf_min))
+                   END AS v
+            FROM c2
+        ),
+        agg AS (
+            SELECT gg.doc_id, count(*) AS n_tok, sum(lut.v) AS eq_sum
+            FROM g gg JOIN lut ON lut.source = gg.source AND lut.g = gg.g
+            GROUP BY gg.doc_id
+        )
+        SELECT lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS doc_id,
+               CAST(coalesce(agg.n_tok, 0) AS BIGINT) AS n_tok,
+               CAST(coalesce(agg.eq_sum, 0) AS BIGINT) AS eq_sum
+        FROM documents d
+        LEFT JOIN agg ON agg.doc_id = lpad(CAST(d.doc_id AS VARCHAR), 12, '0')
     """,
     "wm_detect_global": f"""
         WITH g AS (SELECT source, unnest({_TOKENIZE_SQL}) % 256 AS gray FROM documents),
