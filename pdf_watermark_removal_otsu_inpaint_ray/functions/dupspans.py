@@ -401,3 +401,73 @@ def strip_duplicated_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: in
         )
 
     return ds.map_batches(cut, batch_format="pyarrow")
+
+
+def doc_novelty(ds, *, n: int = 3, num_parts: int = 64):
+    """Per-document NOVELTY: of the doc's DISTINCT word n-grams, how many
+    first appear in this document (corpus order = doc_id) — the
+    "new content contributed per document" curation signal, the per-doc
+    dual of the Heaps-law vocab_growth curve and the complement of the
+    Lee-et-al dup fraction: a crawl snapshot that re-serves old content
+    scores ~0 novelty even when no single gram is frequent enough to trip
+    the dup filter.
+
+    Returns ``(doc_id, n_distinct_grams, n_novel)`` int64 rows; docs with
+    fewer than ``n`` words emit no row (no full gram — the SQL twin's
+    GROUP BY).  Same 100-TB shape as :func:`cross_doc_dup_stats`: distinct
+    (gram-hash, doc) combiner per batch, coarse gram-hash partition where
+    each gram's run resolves its MIN doc (one lexsort by (gram, doc) —
+    first row of the run IS the first-occurrence doc), per-doc partial
+    fold; both shuffles carry int64 triples, never text.  Gram identity is
+    the 63-bit hash (collision odds ~1e-9; the dup-stats caveat).
+
+    Reference analog: the first-appearance page of a persistent motif in
+    the cross-page accumulation chain (watermark_detector.py sticky
+    windows), generalized to n-gram first occurrence."""
+    import pandas as pd
+
+    def partials(b: pa.Table) -> pa.Table:
+        gh, doc, _cnt = _gram_doc_counts(b, n)
+        return pa.table(
+            {
+                "gh": pa.array(gh, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "pk": pa.array(gh % num_parts, pa.int64()),
+            }
+        )
+
+    def per_gram_partition(g: pd.DataFrame) -> pd.DataFrame:
+        gh = g["gh"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, gh))
+        gh_s, doc_s = gh[order], doc[order]
+        first = np.concatenate(([True], gh_s[1:] != gh_s[:-1]))
+        # distinct (gram, doc) rows arrive from the combiner; the run's
+        # first row (min doc) is the gram's first-occurrence document
+        novel = first.astype(np.int64)
+        out = (
+            pd.DataFrame(
+                {"doc_id": doc_s, "n_distinct_grams": 1, "n_novel": novel}
+            )
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+        out["pk2"] = out["doc_id"].to_numpy() % num_parts
+        return out
+
+    def per_doc_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g[["doc_id", "n_distinct_grams", "n_novel"]]
+            .groupby("doc_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(per_gram_partition, batch_format="pandas")
+        .groupby("pk2")
+        .map_groups(per_doc_partition, batch_format="pandas")
+    )

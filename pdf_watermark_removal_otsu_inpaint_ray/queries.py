@@ -1184,6 +1184,18 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs_ds(sf_dir))
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Per-doc add-one-smoothed bigram log-probability (functions/lm.py::
+    bigram_logprob) — the second-order CCNet perplexity proxy: three
+    combiner-first streaming passes (unigram vocab fold, distinct-pair
+    bigram fold, broadcast-LUT scoring scan), milli-nat quantization per
+    pair before the sum, dense-index pair keys (no collision beyond the
+    63-bit word hash)."""
+    from .functions.lm import bigram_logprob
+
+    return bigram_logprob(_docs_ds(sf_dir))
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """Exact corpus top-20 tokens via a Misra-Gries candidate pass + exact
     recount of the fixed-size candidate set (functions/sketch.py::
@@ -1230,6 +1242,17 @@ def q_strip_dup_spans(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return strip_duplicated_spans(docs, L=24, num_parts=64)
+
+
+def q_doc_novelty(sf_dir: str):
+    """Per-document novelty (functions/dupspans.py::doc_novelty): of the
+    doc's distinct word 3-grams, how many first appear in this document —
+    distinct (gram-hash, doc) combiner, coarse gram-hash partition
+    resolving each gram's min doc with one lexsort, per-doc fold; int64
+    triples through both shuffles, never text."""
+    from .functions.dupspans import doc_novelty
+
+    return doc_novelty(_docs_ds(sf_dir), n=3)
 
 
 def q_vocab_growth(sf_dir: str):
@@ -2517,6 +2540,110 @@ def q_orders_cube(sf_dir: str):
         ignore_index=True,
     )
     return out.astype({"n_orders": np.int64, "sum_cents": np.int64})
+
+
+def q_orders_backlog(sf_dir: str):
+    """Open-order backlog curve: for every day with activity, how many
+    orders are OPEN (placed, not yet fully shipped — order date through
+    max lineitem ship date).  The operational time-series the reference's
+    run summary (progress over pages) generalizes to intervals.
+
+    100-TB shape: ONE repartition join hop (the nation_revenue pattern) —
+    lineitem pre-aggregates max-ship-day per (pk, orderkey) inside each
+    batch (combiner: the shuffle carries per-orderkey partials, never
+    line items), orders ships (orderkey, start_day); the coarse
+    ``groupby(pk)`` resolves each order's close day and emits ±1
+    day-delta partials aggregated within the partition; a day-keyed
+    groupby folds deltas and the driver finishes with one cumsum over
+    the DAY-scale curve (the bm25-stats fold rule: day cardinality is
+    output-scale, a Dataset sort would pay a full exchange for ~2.4k
+    rows)."""
+    import pandas as pd
+    import ray.data
+
+    num_parts = 64
+    DAY = 86_400_000_000
+
+    def li_partials(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"], np.int64)
+        ship = np.asarray(b["l_shipdate"].cast(pa.int64())) // DAY
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(uk.size, -1, np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "close_day": pa.array(mx, pa.int64()),
+                "start_day": pa.array(np.full(uk.size, -1, np.int64), pa.int64()),
+                "pk": pa.array(uk % num_parts, pa.int64()),
+            }
+        )
+
+    def ord_rows(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["o_orderkey"], np.int64)
+        start = np.asarray(b["o_orderdate"].cast(pa.int64())) // DAY
+        return pa.table(
+            {
+                "key": pa.array(ok, pa.int64()),
+                "close_day": pa.array(np.full(ok.size, -1, np.int64), pa.int64()),
+                "start_day": pa.array(start, pa.int64()),
+                "pk": pa.array(ok % num_parts, pa.int64()),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy().astype(np.int64)
+        close = g["close_day"].to_numpy().astype(np.int64)
+        start = g["start_day"].to_numpy().astype(np.int64)
+        m_li = close >= 0
+        k_li, c_li = key[m_li], close[m_li]
+        if k_li.size == 0:
+            return pd.DataFrame(
+                {"day": pd.Series(dtype=np.int64),
+                 "delta": pd.Series(dtype=np.int64)}
+            )
+        o = np.argsort(k_li, kind="stable")
+        k_li, c_li = k_li[o], c_li[o]
+        first = np.concatenate(([True], k_li[1:] != k_li[:-1]))
+        uk = k_li[first]
+        cmax = np.maximum.reduceat(c_li, np.nonzero(first)[0])
+        k_or, s_or = key[~m_li], start[~m_li]
+        pos = np.searchsorted(uk, k_or)
+        hit = (pos < uk.size) & (uk[np.minimum(pos, uk.size - 1)] == k_or)
+        days = np.concatenate([s_or[hit], cmax[pos[hit]] + 1])
+        deltas = np.concatenate(
+            [np.ones(int(hit.sum()), np.int64), -np.ones(int(hit.sum()), np.int64)]
+        )
+        ud, inv = np.unique(days, return_inverse=True)
+        dsum = np.bincount(inv, weights=deltas, minlength=ud.size).astype(np.int64)
+        # zero-net days STAY: the SQL twin emits a (delta 0 → flat) row
+        # for any day with endpoint activity, so dropping them here would
+        # lose rows the oracle keeps
+        return pd.DataFrame({"day": ud, "delta": dsum})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partials, batch_format="pyarrow")
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    deltas = (
+        li.union(od)
+        .groupby("pk")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby("day")
+        .sum("delta")
+        .to_pandas()  # DAY-scale (~2.4k rows at any sf)
+        .sort_values("day", ignore_index=True)
+    )
+    day = deltas["day"].to_numpy().astype(np.int64)
+    run = np.cumsum(deltas["sum(delta)"].to_numpy().astype(np.int64))
+    return pa.table(
+        {
+            "day": pa.array(day, pa.int64()),
+            "n_open": pa.array(run, pa.int64()),
+        }
+    )
 
 
 def q_orders_pivot(sf_dir: str):
@@ -5207,11 +5334,13 @@ QUERIES = {
     "redact_grams": q_redact_grams,
     "collapse_repeats": q_collapse_repeats,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "cms_heavy_words": q_cms_heavy_words,
     "dup_ngrams": q_dup_ngrams,
     "dup_spans": q_dup_spans,
     "vocab_growth": q_vocab_growth,
+    "doc_novelty": q_doc_novelty,
     "strip_dup_spans": q_strip_dup_spans,
     "repetition_stats": q_repetition_stats,
     "stratified_split": q_stratified_split,
@@ -5250,6 +5379,7 @@ QUERIES = {
     "streaming_full_outer_join": q_streaming_full_outer_join,
     "streaming_temporal_join": q_streaming_temporal_join,
     "orders_pivot": q_orders_pivot,
+    "orders_backlog": q_orders_backlog,
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
     "small_qty_revenue": q_small_qty_revenue,
@@ -5743,6 +5873,28 @@ ORACLE_SQL = {
         SELECT CAST(support AS BIGINT) AS support,
                CAST(n_edges AS BIGINT) AS n_edges
         FROM hist WHERE n_edges > 0
+    """,
+    "orders_backlog": """
+        WITH close AS (
+            SELECT l_orderkey AS o_orderkey,
+                   max(CAST(epoch_us(l_shipdate) AS BIGINT)) // 86400000000
+                       AS close_d
+            FROM lineitem GROUP BY 1
+        ),
+        iv AS (
+            SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS s,
+                   close.close_d AS e
+            FROM orders JOIN close USING (o_orderkey)
+        ),
+        d AS (
+            SELECT s AS day, 1 AS delta FROM iv
+            UNION ALL
+            SELECT e + 1, -1 FROM iv
+        ),
+        agg AS (SELECT day, sum(delta) AS delta FROM d GROUP BY day)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+        FROM agg
     """,
     "part_bfs_hops": """
         WITH RECURSIVE e AS (
@@ -6786,6 +6938,54 @@ ORACLE_SQL = {
                CAST(coalesce(h.n_tok, 0) AS BIGINT) AS n_tok,
                CAST(coalesce(h.logp_milli, 0) AS BIGINT) AS logp_milli
         FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    "bigram_logprob": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+            FROM documents
+        ),
+        w AS (SELECT doc_id, unnest(ws) AS wd FROM toks),
+        vt AS (SELECT count(DISTINCT wd) AS v FROM w),
+        bg AS (
+            SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+            FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        n1 AS (SELECT w1, sum(c) AS n FROM bc GROUP BY 1),
+        r AS (
+            SELECT w1, w2,
+                   CAST(floor(ln((c + 1) / CAST(n + v AS DOUBLE)) * 1000
+                              + 0.5) AS BIGINT) AS q
+            FROM bc JOIN n1 USING (w1), vt
+        ),
+        hits AS (
+            SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(r.q) AS BIGINT) AS logp_milli
+            FROM bg JOIN r ON r.w1 = bg.w1 AND r.w2 = bg.w2
+            GROUP BY bg.doc_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(h.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(h.logp_milli, 0) AS BIGINT) AS logp_milli
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    "doc_novelty": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+            FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+        ),
+        firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT CAST(grams.doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(sum(CASE WHEN firsts.first_doc = grams.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM grams JOIN firsts USING (g)
+        GROUP BY grams.doc_id
     """,
     "vocab_growth": r"""
         WITH words AS (
