@@ -1306,3 +1306,81 @@ def pack_examples(
         .groupby("pk")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def grouped_attribution(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    tiebreak: str = "event_id",
+    type_col: str = "event_type",
+    touch: str = "click",
+    convert: str = "purchase",
+    window: int = 604_800_000_000,
+):
+    """Last-touch attribution: for every CONVERSION row, the most recent
+    TOUCH row of the same group at-or-before it (by ``(order, tiebreak)``
+    sequence) and within ``window`` — the marketing / retrieval-credit
+    primitive (``last_value(touch_id IGNORE NULLS) OVER (...)`` gated by
+    the window in the SQL twin).  Emits ``(group, conversion id, order,
+    touch id | null)``.
+
+    Same distribution shape as :func:`grouped_lag`: one coarse hash
+    partition on the group key, then per partition one lexsort + ONE
+    running ``np.maximum.accumulate`` over touch positions (a cummax
+    never decreases, so a position carried over from the previous group
+    run sorts BELOW the current run's start and is rejected by one
+    compare — no per-group reset pass) + a vectorized window gate."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def attrib_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    "conv_id": pd.Series(dtype=np.int64),
+                    order: pd.Series(dtype=np.int64),
+                    "touch_id": pd.Series(dtype="Int64"),
+                }
+            )
+        gk = g[group].to_numpy().astype(np.int64)
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        ty = g[type_col].to_numpy()
+        idx = np.lexsort((t, o, gk))
+        gk, o, t, ty = gk[idx], o[idx], t[idx], ty[idx]
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        run_start = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        pos = np.arange(n, dtype=np.int64)
+        is_touch = ty == touch
+        cm = np.maximum.accumulate(np.where(is_touch, pos, -1))
+        conv = np.nonzero(ty == convert)[0]
+        p = cm[conv]
+        valid = (p >= run_start[gid[conv]]) & (p >= 0)
+        valid &= np.where(valid, o[np.maximum(p, 0)] >= o[conv] - window, False)
+        touch_id = pd.array(
+            np.where(valid, t[np.maximum(p, 0)], 0), dtype="Int64"
+        )
+        touch_id[~valid] = pd.NA
+        return pd.DataFrame(
+            {
+                group: gk[conv],
+                "conv_id": t[conv],
+                order: o[conv],
+                "touch_id": touch_id,
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(attrib_part, batch_format="pandas")
+    )

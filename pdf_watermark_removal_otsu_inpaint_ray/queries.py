@@ -1758,6 +1758,33 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution (functions/packing.py::grouped_attribution):
+    every purchase credited to the user's most recent click at-or-before
+    it within 7 days — one coarse group partition, one lexsort + running
+    cummax over touch positions + vectorized window gate per partition;
+    the IGNORE-NULLS last_value window twin."""
+    import ray.data
+
+    from .functions.packing import grouped_attribution
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_attribution(ev)
+
+
 def q_events_latest_state(sf_dir: str):
     """CDC log compaction (functions/packing.py::grouped_latest): each
     user's latest event row by (ts, event_id) — the merge-on-read /
@@ -5361,6 +5388,7 @@ QUERIES = {
     "events_percent_rank": q_events_percent_rank,
     "lineitem_unpivot_stats": q_lineitem_unpivot_stats,
     "events_latest_state": q_events_latest_state,
+    "events_attribution": q_events_attribution,
     "dsir_weights": q_dsir_weights,
     "events_rolling_outlier": q_events_rolling_outlier,
     "events_json_props": q_events_json_props,
@@ -6414,6 +6442,35 @@ ORACLE_SQL = {
                CAST(count(*) * sum(xq * xq) - sum(xq) * sum(xq)
                     AS BIGINT) AS slope_den
         FROM q GROUP BY source
+    """,
+    "events_attribution": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   event_type
+            FROM events
+        ),
+        w AS (
+            SELECT *,
+                last_value(CASE WHEN event_type = 'click' THEN event_id END
+                           IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS lc,
+                last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                           IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS lct
+            FROM s
+        )
+        SELECT user_id,
+               event_id AS conv_id,
+               ts_us,
+               CAST(CASE WHEN lct >= ts_us - 604800000000 THEN lc END
+                    AS BIGINT) AS touch_id
+        FROM w WHERE event_type = 'purchase'
     """,
     "dsir_weights": """
         WITH w AS (
