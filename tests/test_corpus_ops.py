@@ -1323,3 +1323,71 @@ def test_kcore_planted_peel_and_weighted_edges(ray_session):
             .to_pandas()
         )
         assert list(map(tuple, e.to_numpy())) == [(7, 8)], parts
+
+
+def test_doc_novelty_matches_brute(ray_session):
+    """Novelty vs a serial first-occurrence twin: later re-serve of old
+    content scores 0; first doc scores all its distinct grams."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.dupspans import (
+        doc_novelty,
+    )
+
+    texts = [
+        "a b c d e",        # doc 0: grams abc bcd cde — all novel
+        "a b c x y z",      # doc 1: abc old; bcx cxy xyz novel
+        "a b c d e",        # doc 2: exact re-serve — 0 novel
+        "p q",              # doc 3: too short — no row
+        "x y z p q r",      # doc 4: xyz old; yzp zpq pqr novel
+    ]
+    tbl = _docs(texts, [10, 11, 12, 13, 14])
+    want = {10: (3, 3), 11: (4, 3), 12: (3, 0), 14: (4, 3)}
+    for parts in (1, 4):
+        out = (
+            doc_novelty(ray.data.from_arrow(tbl).repartition(parts), n=3)
+            .to_pandas()
+        )
+        got = {
+            int(r["doc_id"]): (int(r["n_distinct_grams"]), int(r["n_novel"]))
+            for _, r in out.iterrows()
+        }
+        assert got == want, parts
+
+
+def test_bigram_logprob_matches_brute(ray_session):
+    """Bigram scorer vs a serial dict twin (math.log quantization — any
+    np.log/libm divergence at a quantization boundary fails here)."""
+    import math
+    from collections import Counter
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.lm import (
+        bigram_logprob,
+    )
+
+    texts = ["a b a b c", "b c a", "a", "", "c c c a b"]
+    tbl = _docs(texts, [0, 1, 2, 3, 4])
+    words = [t.split() for t in texts]
+    V = len({w for ws in words for w in ws})
+    bc = Counter()
+    for ws in words:
+        bc.update(zip(ws, ws[1:]))
+    n1 = Counter()
+    for (w1, _), c in bc.items():
+        n1[w1] += c
+    q = {
+        p: math.floor(math.log((c + 1) / float(n1[p[0]] + V)) * 1000 + 0.5)
+        for p, c in bc.items()
+    }
+    want = {}
+    for d, ws in enumerate(words):
+        pairs = list(zip(ws, ws[1:]))
+        want[d] = (len(pairs), sum(q[p] for p in pairs))
+    for parts in (1, 3):
+        out = (
+            bigram_logprob(ray.data.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+        )
+        got = {
+            int(r["doc_id"]): (int(r["n_bigrams"]), int(r["logp_milli"]))
+            for _, r in out.iterrows()
+        }
+        assert got == want, parts
