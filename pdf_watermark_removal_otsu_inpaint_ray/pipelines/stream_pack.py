@@ -36,6 +36,8 @@ def run_streaming_pack(
     source_col: str = "source",
     n_actors: int = 4,
     micro_batch_rows: int = 512,
+    out_dir: str | None = None,
+    num_partitions: int = 8,
     ckpt_dir: str | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
@@ -43,15 +45,49 @@ def run_streaming_pack(
     """Run the streaming packer over a Parquet path / Dataset of
     sequences (``source``, ``tokens`` list<int32>).  Ray must already be
     initialised.  Output is ``(source, example_id, n_tok, tok_sum,
-    first_tok, last_tok, n_docs)``."""
-    from .checkpoint import clear_checkpoints, latest_checkpoint, write_checkpoint
+    first_tok, last_tok, n_docs)``.
 
-    if checkpoint_every is not None and ckpt_dir is None:
-        raise ValueError("checkpoint_every requires ckpt_dir")
-    cfg_fp = f"pack:{source_col}:L={length}"
+    ``out_dir`` switches to SINK-DIRECT mode: at 10^12-token scale the
+    example stream is tokens/L rows — NOT driver-sized — so each actor
+    stages completed examples straight into the exactly-once layout
+    (stamped with a (source, example) partition key) and the driver
+    commits manifests only; checkpoints then ride the shared two-log
+    protocol (staged-file manifest truncation on resume) instead of the
+    driver-buffer blob."""
+    from .checkpoint import (
+        clear_checkpoints,
+        latest_checkpoint,
+        staged_file_manifest,
+        write_checkpoint,
+    )
+    from .stream_join import _ckpt_resume_or_fresh, _join_src_fp
+
+    if checkpoint_every is not None and ckpt_dir is None and out_dir is None:
+        raise ValueError("checkpoint_every requires ckpt_dir or out_dir")
+    if ckpt_dir is not None and out_dir is not None:
+        raise ValueError("pass ckpt_dir only in driver-collected mode")
+    cfg_fp = f"pack:{source_col}:L={length}:p={num_partitions}"
 
     skip_batches, ck_blobs = 0, None
-    if ckpt_dir is not None:
+    sink_done: frozenset[int] = frozenset()
+    late_done: frozenset[int] = frozenset()
+    sink_epoch = 0
+    if out_dir is not None:
+        (
+            skip_batches,
+            ck_blobs,
+            _restored_wm,
+            sink_done,
+            late_done,
+            sink_epoch,
+        ) = _ckpt_resume_or_fresh(
+            out_dir,
+            cfg_fp=cfg_fp,
+            src_fp=_join_src_fp(source),
+            n_actors=n_actors,
+            micro_batch_rows=micro_batch_rows,
+        )
+    elif ckpt_dir is not None:
         ck = latest_checkpoint(ckpt_dir)
         if ck is not None:
             skip_batches, ck_meta, ck_blobs = ck
@@ -69,7 +105,17 @@ def run_streaming_pack(
                     "delete the ckpt dir to start fresh"
                 )
 
-    actors = [PackStateActor.remote(length=length) for _ in range(n_actors)]
+    actors = [
+        PackStateActor.remote(
+            length=length,
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            late_done=late_done,
+            sink_epoch=sink_epoch,
+        )
+        for _ in range(n_actors)
+    ]
     out_tables: list[pa.Table] = []
     if ck_blobs is not None:
         ray.get(
@@ -109,24 +155,42 @@ def run_streaming_pack(
             for tables in ray.get(pending):
                 out_tables.extend(tables)
             pending = []
-            import pickle
-
             blobs = ray.get([a.checkpoint_state.remote() for a in actors])
-            blobs.append(pickle.dumps(out_tables))
-            write_checkpoint(
-                ckpt_dir,
-                consumed,
-                blobs,
-                {
-                    "epoch": 0,
-                    "wm": 0,
-                    "n_actors": n_actors,
-                    "n_blobs": n_actors + 1,
-                    "micro_batch_rows": micro_batch_rows,
-                    "cfg_fp": cfg_fp,
-                    "staged_files": {},
-                },
-            )
+            if out_dir is not None:
+                # sink mode: staged files ARE the output log — snapshot the
+                # manifest; resume truncates the staged tree to it
+                write_checkpoint(
+                    out_dir,
+                    consumed,
+                    blobs,
+                    {
+                        "epoch": sink_epoch,
+                        "wm": 0,
+                        "n_actors": n_actors,
+                        "micro_batch_rows": micro_batch_rows,
+                        "cfg_fp": cfg_fp,
+                        "src_fp": _join_src_fp(source),
+                        "staged_files": staged_file_manifest(out_dir),
+                    },
+                )
+            else:
+                import pickle
+
+                blobs.append(pickle.dumps(out_tables))
+                write_checkpoint(
+                    ckpt_dir,
+                    consumed,
+                    blobs,
+                    {
+                        "epoch": 0,
+                        "wm": 0,
+                        "n_actors": n_actors,
+                        "n_blobs": n_actors + 1,
+                        "micro_batch_rows": micro_batch_rows,
+                        "cfg_fp": cfg_fp,
+                        "staged_files": {},
+                    },
+                )
         if _stop_after_batches is not None and consumed >= _stop_after_batches:
             raise RuntimeError(f"injected stop after {consumed} batches")
 
@@ -135,6 +199,12 @@ def run_streaming_pack(
     for tables in ray.get([a.flush.remote() for a in actors]):
         out_tables.extend(tables)
     stats = ray.get([a.state_stats.remote() for a in actors])
+    if out_dir is not None:
+        from .streaming import _finalize_sink
+
+        res = _finalize_sink(actors, stats, None, out_dir, sink_epoch)
+        clear_checkpoints(out_dir)
+        return res
     if ckpt_dir is not None:
         clear_checkpoints(ckpt_dir)
 

@@ -26,16 +26,45 @@ made per-key and restart-safe.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 
 import ray
 
+from .staging import _StagedEmitterBase
+
+
+def _src_key64(src: str) -> int:
+    """Deterministic 62-bit source key for the staged-layout partition id."""
+    return int.from_bytes(
+        hashlib.blake2b(src.encode(), digest_size=8).digest(), "big"
+    ) >> 2
+
 
 @ray.remote
-class PackStateActor:
-    def __init__(self, *, length: int = 512):
+class PackStateActor(_StagedEmitterBase):
+    def __init__(
+        self,
+        *,
+        length: int = 512,
+        sink_dir: str | None = None,
+        sink_partitions: int = 8,
+        sink_stage_rows: int = 32768,
+        sink_done: frozenset[int] = frozenset(),
+        late_done: frozenset[int] = frozenset(),
+        sink_epoch: int = 0,
+    ):
         self.length = int(length)
+        self._init_staging(
+            sink_dir=sink_dir,
+            sink_partitions=sink_partitions,
+            sink_stage_rows=sink_stage_rows,
+            sink_done=sink_done,
+            late_done=late_done,
+            sink_epoch=sink_epoch,
+        )
         # source -> (carry tokens int64[<L], carry doc-change flags int64)
         self._carry: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._next_eid: dict[str, int] = {}
@@ -111,8 +140,8 @@ class PackStateActor:
             dchg[run0[lens > 0]] = 1
             t = self._pack_source(src, toks, dchg)
             if t is not None:
-                out.append(t)
-        return out
+                out.append(self._stamp_doc_id(t))
+        return self._divert(out)
 
     def flush(self) -> list[pa.Table]:
         """End of stream: emit each source's final PARTIAL example."""
@@ -136,11 +165,35 @@ class PackStateActor:
                 )
             )
         self._carry.clear()
-        return out
+        return self._divert([self._stamp_doc_id(t) for t in out])
+
+    def _stamp_doc_id(self, t: pa.Table) -> pa.Table:
+        """Staged-layout partition key: unique per (source, example) —
+        a 62-bit source key xor a golden-ratio-mixed example id.  Only
+        stamped in sink mode so the driver-collected output schema stays
+        the SQL twin's."""
+        if self.sink_dir is None:
+            return t
+        srcs = t["source"].to_pylist()
+        eids = np.asarray(t["example_id"], np.int64)
+        mixed = (
+            eids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) & np.uint64((1 << 62) - 1)
+        keys = np.fromiter(
+            (_src_key64(s) for s in srcs), np.int64, len(srcs)
+        ) ^ mixed.astype(np.int64)
+        return t.append_column("doc_id", pa.array(keys, pa.int64()))
+
+    def sink_flush(self) -> int:
+        self._flush_sink()
+        self._flush_late()
+        return self.n_rows
 
     def checkpoint_state(self) -> bytes:
         import pickle
 
+        self._flush_sink()
+        self._flush_late()
         return pickle.dumps(
             {
                 "_carry": self._carry,

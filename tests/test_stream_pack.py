@@ -125,3 +125,62 @@ def test_streaming_pack_config_mismatch_rejected(ray_session, tmp_path):
             ray.data.from_arrow(tbl), length=L + 1, n_actors=2,
             micro_batch_rows=16, ckpt_dir=ck,
         )
+
+
+def test_streaming_pack_sink_mode_equals_driver_mode(ray_session, tmp_path):
+    """Sink-direct staging: committed layout reads back equal to the
+    driver-collected output (minus the stamped partition key), manifests
+    conserve rows."""
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    tbl = _seq_table(seed=31)
+    kw = dict(length=L, n_actors=3, micro_batch_rows=32)
+    drv = run_streaming_pack(ray.data.from_arrow(tbl), **kw)
+    out_dir = str(tmp_path / "pack_sink")
+    res = run_streaming_pack(ray.data.from_arrow(tbl), out_dir=out_dir, **kw)
+    assert res.output is None
+    committed = int(res.commit_report["row_count"].to_pandas().sum())
+    assert committed == drv.output.num_rows
+    got = (
+        read_output(out_dir)
+        .to_pandas()
+        .drop(columns=["doc_id"])
+        .sort_values(["source", "example_id"], ignore_index=True)
+    )
+    want = drv.output.to_pandas().sort_values(
+        ["source", "example_id"], ignore_index=True
+    )
+    assert got[want.columns.tolist()].equals(want)
+
+
+def test_streaming_pack_sink_checkpoint_kill_and_replay(ray_session, tmp_path):
+    """Sink-mode resume: kill mid-stream, resume from the two-log
+    checkpoint, committed layout byte-equal to an uninterrupted run."""
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    tbl = _seq_table(seed=37)
+    kw = dict(length=L, n_actors=3, micro_batch_rows=16)
+    clean_dir = str(tmp_path / "pack_clean")
+    run_streaming_pack(ray.data.from_arrow(tbl), out_dir=clean_dir, **kw)
+    ck_dir = str(tmp_path / "pack_ck_sink")
+    with pytest.raises(RuntimeError, match="injected stop"):
+        run_streaming_pack(
+            ray.data.from_arrow(tbl), out_dir=ck_dir,
+            checkpoint_every=2, _stop_after_batches=6, **kw
+        )
+    run_streaming_pack(
+        ray.data.from_arrow(tbl), out_dir=ck_dir, checkpoint_every=2, **kw
+    )
+    a = (
+        read_output(clean_dir).to_pandas()
+        .sort_values(["source", "example_id"], ignore_index=True)
+    )
+    b = (
+        read_output(ck_dir).to_pandas()
+        .sort_values(["source", "example_id"], ignore_index=True)
+    )
+    assert a.equals(b)
