@@ -5116,6 +5116,42 @@ def q_streaming_pack(sf_dir: str):
     return res.output
 
 
+def q_streaming_attribution(sf_dir: str):
+    """Streaming last-touch attribution (pipelines/stream_cep.py::
+    run_streaming_attribution): the batch `events_attribution` credit
+    rule — every purchase to the user's most recent click within 7 days —
+    as live keyed state.  Per-key state is ONE carried touch; rows
+    process only when the watermark finalizes them, so event-time order
+    holds across sweeps and the batch kernel (running cummax + window
+    gate) runs unchanged per sweep, seeded by the carry.  Conversions
+    emit incrementally.  Same IGNORE-NULLS last_value window twin as the
+    batch query — one definition, two execution tiers."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_cep import run_streaming_attribution
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "ts_us": ev["ts"].cast(pa.int64()),
+            "event_id": ev["event_id"].cast(pa.int64()),
+            "event_type": ev["event_type"],
+        }
+    )
+    res = run_streaming_attribution(
+        ray.data.from_arrow(src),
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_streaming_coverage(sf_dir: str):
     """Streaming per-key interval-union coverage (pipelines/
     stream_coverage.py::run_streaming_coverage): the batch gaps-and-
@@ -5506,6 +5542,7 @@ QUERIES = {
     "streaming_latest_state": q_streaming_latest_state,
     "streaming_coverage": q_streaming_coverage,
     "streaming_pack": q_streaming_pack,
+    "streaming_attribution": q_streaming_attribution,
     "dedup_cc_distributed": q_dedup_cc_distributed,
     "streaming_timeouts": q_streaming_timeouts,
     "prefix_dup": q_prefix_dup,
@@ -7556,6 +7593,7 @@ ORACLE_SQL["streaming_funnel_within"] = ORACLE_SQL["events_funnel_within"]
 ORACLE_SQL["streaming_rate_limit"] = ORACLE_SQL["events_rate_limit"]
 ORACLE_SQL["streaming_latest_state"] = ORACLE_SQL["events_latest_state"]
 ORACLE_SQL["streaming_coverage"] = ORACLE_SQL["events_coverage"]
+ORACLE_SQL["streaming_attribution"] = ORACLE_SQL["events_attribution"]
 
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are
 # checked against the MATERIALIZED single-process golden oracle: the query
