@@ -3857,6 +3857,66 @@ def q_price_quantiles_by_flag(sf_dir: str):
     )
 
 
+def q_price_winsorized(sf_dir: str):
+    """Winsorized robust mean per return flag: prices clamp to their
+    group's exact [P5, P95] (quantile_disc semantics) before the sum —
+    the outlier-tolerant aggregate of robust quality gates.  Two passes:
+    the two-pass exact-quantile machinery (functions/ranks.py::
+    grouped_quantiles) resolves the bounds, which broadcast as integer
+    CENTS in a closure (group-cardinality dict), then one clamp scan
+    emits per-(batch, flag) integer partials through a flag-keyed
+    groupby — sums are order-free exact and hash-match the SQL twin."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .functions.ranks import grouped_quantiles
+
+    src = f"{sf_dir}/lineitem.parquet"
+    qt = grouped_quantiles(
+        ray.data.read_parquet(src, columns=["l_returnflag", "l_extendedprice"]),
+        group="l_returnflag", value="l_extendedprice", qs=(0.05, 0.95),
+    )
+    lo_c: dict[str, int] = {}
+    hi_c: dict[str, int] = {}
+    for r in qt.to_pylist():
+        c = int(np.floor(r["value"] * 100.0 + 0.5))
+        if r["q"] == 0.05:
+            lo_c[r["l_returnflag"]] = c
+        else:
+            hi_c[r["l_returnflag"]] = c
+
+    def partial(b: pa.Table) -> pa.Table:
+        fl = b["l_returnflag"].combine_chunks().dictionary_encode()
+        codes = np.asarray(fl.indices, np.int64)
+        flags = fl.dictionary.to_pylist()
+        cents = np.floor(
+            np.asarray(b["l_extendedprice"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        lo = np.fromiter((lo_c[f] for f in flags), np.int64, len(flags))
+        hi = np.fromiter((hi_c[f] for f in flags), np.int64, len(flags))
+        w = np.clip(cents, lo[codes], hi[codes])
+        nf = len(flags)
+        return pa.table(
+            {
+                "flag": pa.array(flags, pa.string()),
+                "n": pa.array(
+                    np.bincount(codes, minlength=nf).astype(np.int64), pa.int64()
+                ),
+                "wsum_c": pa.array(
+                    np.bincount(codes, weights=w, minlength=nf).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(src, columns=["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("flag")
+        .aggregate(Sum("n", alias_name="n"), Sum("wsum_c", alias_name="wsum_c"))
+    )
+
+
 def q_events_percent_rank(sf_dir: str):
     """percent_rank() OVER (PARTITION BY event_type ORDER BY value) —
     same giant-group decomposition (event_type is 6 values): bucket
@@ -5444,6 +5504,7 @@ QUERIES = {
     "user_cohort_retention": q_user_cohort_retention,
     "source_top_docs_agg": q_source_top_docs_agg,
     "price_quantiles_by_flag": q_price_quantiles_by_flag,
+    "price_winsorized": q_price_winsorized,
     "events_percent_rank": q_events_percent_rank,
     "lineitem_unpivot_stats": q_lineitem_unpivot_stats,
     "events_latest_state": q_events_latest_state,
@@ -6502,6 +6563,23 @@ ORACLE_SQL = {
                CAST(count(*) * sum(xq * xq) - sum(xq) * sum(xq)
                     AS BIGINT) AS slope_den
         FROM q GROUP BY source
+    """,
+    "price_winsorized": """
+        WITH b AS (
+            SELECT l_returnflag AS flag,
+                   CAST(floor(quantile_disc(l_extendedprice, 0.05) * 100
+                              + 0.5) AS BIGINT) AS lo_c,
+                   CAST(floor(quantile_disc(l_extendedprice, 0.95) * 100
+                              + 0.5) AS BIGINT) AS hi_c
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_returnflag AS flag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(least(greatest(
+                   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT),
+                   b.lo_c), b.hi_c)) AS BIGINT) AS wsum_c
+        FROM lineitem l JOIN b ON b.flag = l.l_returnflag
+        GROUP BY 1
     """,
     "events_attribution": """
         WITH s AS (
