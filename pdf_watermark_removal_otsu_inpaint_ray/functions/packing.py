@@ -1384,3 +1384,108 @@ def grouped_attribution(
         .groupby("pk")
         .map_groups(attrib_part, batch_format="pandas")
     )
+
+
+def grouped_first_touch(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    tiebreak: str = "event_id",
+    type_col: str = "event_type",
+    touch: str = "click",
+    convert: str = "purchase",
+    window: int = 604_800_000_000,
+):
+    """FIRST-touch attribution: each conversion credits the EARLIEST touch
+    row of its group inside the trailing ``[o - window, o]`` RANGE frame —
+    the introduction-credit dual of :func:`grouped_attribution` (frame
+    semantics are value-based like SQL RANGE: peer touches at the
+    conversion's exact ``order`` are in the frame regardless of
+    tiebreak).  Emits ``(group, conv_id, order, touch_id | null)``.
+
+    Kernel: the touch subset sorted by (group, order, tiebreak) is
+    MONOTONE in the packed (order, tiebreak) key, so "earliest touch in
+    the window" is simply the LEFTMOST touch of a contiguous range — per
+    partition one lexsort + ONE composite-key double ``searchsorted`` of
+    all conversions against the touch subset resolves every credit; no
+    prefix-min table, no per-row loop.  The SQL twin packs
+    ``(ts − t0)·2^20 + id`` into a RANGE-frame ``min`` — same total
+    order, same answer (id < 2^20 bound documented there)."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def ft_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    "conv_id": pd.Series(dtype=np.int64),
+                    order: pd.Series(dtype=np.int64),
+                    "touch_id": pd.Series(dtype="Int64"),
+                }
+            )
+        gk = g[group].to_numpy().astype(np.int64)
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        ty = g[type_col].to_numpy()
+        idx = np.lexsort((t, o, gk))
+        gk, o, t, ty = gk[idx], o[idx], t[idx], ty[idx]
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        gid = np.cumsum(first) - 1
+        tm = ty == touch
+        cv = np.nonzero(ty == convert)[0]
+        out_empty = pd.DataFrame(
+            {
+                group: gk[cv],
+                "conv_id": t[cv],
+                order: o[cv],
+                "touch_id": pd.array([pd.NA] * cv.size, dtype="Int64"),
+            }
+        )
+        if not tm.any() or cv.size == 0:
+            return out_empty
+        c_gid, c_o, c_t = gid[tm], o[tm], t[tm]
+        base = int(c_o.min())
+        stride = int(c_o.max()) - base + window + 2
+        if (int(gid[-1]) + 1) * stride >= (1 << 62):  # pragma: no cover
+            # adversarial spread: per-conversion slices (the range_frame rule)
+            lo = np.zeros(cv.size, np.int64)
+            hi = np.zeros(cv.size, np.int64)
+            for i, ci in enumerate(cv):
+                off = np.nonzero(c_gid == gid[ci])[0]
+                seg = c_o[off]
+                l = np.searchsorted(seg, o[ci] - window, side="left")
+                h = np.searchsorted(seg, o[ci], side="right")
+                if l < h:
+                    lo[i], hi[i] = off[l], off[l] + 1
+        else:
+            comp_c = c_gid * stride + (c_o - base)
+            q_lo = gid[cv] * stride + np.maximum(o[cv] - window - base, -1)
+            q_hi = gid[cv] * stride + (o[cv] - base)
+            lo = np.searchsorted(comp_c, q_lo, side="left")
+            hi = np.searchsorted(comp_c, q_hi, side="right")
+        valid = lo < hi
+        touch_id = pd.array(
+            np.where(valid, c_t[np.minimum(lo, max(c_t.size - 1, 0))], 0),
+            dtype="Int64",
+        )
+        touch_id[~valid] = pd.NA
+        return pd.DataFrame(
+            {
+                group: gk[cv],
+                "conv_id": t[cv],
+                order: o[cv],
+                "touch_id": touch_id,
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(ft_part, batch_format="pandas")
+    )

@@ -1785,6 +1785,35 @@ def q_events_attribution(sf_dir: str):
     return grouped_attribution(ev)
 
 
+def q_events_first_touch(sf_dir: str):
+    """FIRST-touch attribution (functions/packing.py::grouped_first_touch):
+    every purchase credited to the user's EARLIEST click inside the
+    trailing 7-day RANGE frame — the touch subset is monotone in the
+    packed (ts, id) key, so the credit is the LEFTMOST touch of a
+    contiguous range: one lexsort + one composite-key double searchsorted
+    per partition.  The SQL twin packs (ts−t0)·2^20+id into a RANGE-frame
+    min (same total order, id < 2^20 at these sf)."""
+    import ray.data
+
+    from .functions.packing import grouped_first_touch
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_first_touch(ev)
+
+
 def q_events_latest_state(sf_dir: str):
     """CDC log compaction (functions/packing.py::grouped_latest): each
     user's latest event row by (ts, event_id) — the merge-on-read /
@@ -5509,6 +5538,7 @@ QUERIES = {
     "lineitem_unpivot_stats": q_lineitem_unpivot_stats,
     "events_latest_state": q_events_latest_state,
     "events_attribution": q_events_attribution,
+    "events_first_touch": q_events_first_touch,
     "dsir_weights": q_dsir_weights,
     "events_rolling_outlier": q_events_rolling_outlier,
     "events_json_props": q_events_json_props,
@@ -6608,6 +6638,30 @@ ORACLE_SQL = {
                ts_us,
                CAST(CASE WHEN lct >= ts_us - 604800000000 THEN lc END
                     AS BIGINT) AS touch_id
+        FROM w WHERE event_type = 'purchase'
+    """,
+    "events_first_touch": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   event_type
+            FROM events
+        ),
+        m AS (SELECT min(ts_us) AS t0 FROM s),
+        w AS (
+            SELECT s.*,
+                min(CASE WHEN event_type = 'click'
+                         THEN (ts_us - m.t0) * 1048576 + event_id END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us
+                          RANGE BETWEEN 604800000000 PRECEDING
+                                AND CURRENT ROW) AS packed
+            FROM s, m
+        )
+        SELECT user_id,
+               event_id AS conv_id,
+               ts_us,
+               CAST(packed % 1048576 AS BIGINT) AS touch_id
         FROM w WHERE event_type = 'purchase'
     """,
     "dsir_weights": """

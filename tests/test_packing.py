@@ -749,3 +749,46 @@ def test_grouped_attribution_matches_brute(ray_session):
             exp = want[int(r["conv_id"])]
             gotv = None if pd.isna(r["touch_id"]) else int(r["touch_id"])
             assert gotv == exp, (r["conv_id"], gotv, exp)
+
+
+def test_grouped_first_touch_matches_brute(ray_session):
+    """First-touch vs an O(n²) serial twin — RANGE-frame peer semantics
+    (touches at the conversion's exact ts are in-frame regardless of
+    tiebreak), window cutoffs, touchless groups, partition invariance."""
+    import pandas as pd
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_first_touch,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 400
+    g = rng.integers(0, 9, n).astype(np.int64)
+    o = (rng.integers(0, 50, n) * 10).astype(np.int64)
+    t = rng.permutation(n).astype(np.int64)
+    ty = rng.choice(["click", "purchase", "view"], n)
+    W = 120
+    tbl = pa.table(
+        {
+            "user_id": pa.array(g), "ts_us": pa.array(o),
+            "event_id": pa.array(t), "event_type": pa.array(ty),
+        }
+    )
+    want = {}
+    for i in np.nonzero(ty == "purchase")[0]:
+        best = None
+        for j in np.nonzero((g == g[i]) & (ty == "click"))[0]:
+            # RANGE frame: ts-only bounds, peers included
+            if o[i] - W <= o[j] <= o[i]:
+                if best is None or (o[j], t[j]) < (o[best], t[best]):
+                    best = j
+        want[int(t[i])] = int(t[best]) if best is not None else None
+    for parts in (2, 6):
+        out = grouped_first_touch(
+            ray.data.from_arrow(tbl).repartition(parts), window=W
+        ).to_pandas()
+        assert len(out) == len(want)
+        for _, r in out.iterrows():
+            exp = want[int(r["conv_id"])]
+            gotv = None if pd.isna(r["touch_id"]) else int(r["touch_id"])
+            assert gotv == exp, (r["conv_id"], gotv, exp)
