@@ -4518,6 +4518,137 @@ def q_streaming_window_distinct(sf_dir: str):
     return res.output
 
 
+def q_region_supplier_revenue(sf_dir: str):
+    """Supplier-side star join (TPC-H-Q5 flavor): discounted lineitem
+    revenue and active-supplier count per REGION — lineitem ⋈ supplier ⋈
+    nation ⋈ region.  One combiner-first repartition join hop on suppkey
+    (per-(batch, suppkey) integer-cent partials meet supplier's
+    (suppkey, nationkey); the hop also collapses per SUPPLIER first, so
+    the distinct active-supplier count falls out exactly — a suppkey's
+    rows all land in its one partition); nation (25 rows) and region (5)
+    are driver-side lookups applied to the output-scale partials.  The
+    q_nation_revenue pattern pointed at the supply side — and the only
+    queries touching the supplier/region tables, closing the schema
+    sweep."""
+    import collections
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    num_parts = 64
+
+    def li_partials(b: pa.Table) -> pa.Table:
+        sk = np.asarray(b["l_suppkey"], np.int64)
+        cents = np.floor(
+            np.asarray(b["l_extendedprice"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            np.asarray(b["l_discount"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        uk, inv = np.unique(sk, return_inverse=True)
+        rs = np.bincount(inv, weights=rev, minlength=uk.size).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "rev": pa.array(rs, pa.int64()),
+                "payload": pa.nulls(uk.size, pa.int64()),
+                "pk": pa.array(uk % num_parts, pa.int64()),
+            }
+        )
+
+    def supp_side(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["s_suppkey"], np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "rev": pa.nulls(len(k), pa.int64()),
+                "payload": b["s_nationkey"].cast(pa.int64()),
+                "pk": pa.array(k % num_parts, pa.int64()),
+            }
+        )
+
+    def hop(g: pd.DataFrame) -> pd.DataFrame:
+        is_dim = g["payload"].notna().to_numpy()
+        d_key = g["key"].to_numpy()[is_dim]
+        d_attr = g["payload"].to_numpy()[is_dim].astype(np.int64)
+        o = np.argsort(d_key, kind="stable")
+        d_key, d_attr = d_key[o], d_attr[o]
+        f_key = g["key"].to_numpy()[~is_dim]
+        f_rev = g["rev"].to_numpy()[~is_dim].astype(np.int64)
+        empty = pd.DataFrame(
+            {
+                "nk": pd.Series(dtype=np.int64),
+                "rev": pd.Series(dtype=np.int64),
+                "n_supp": pd.Series(dtype=np.int64),
+            }
+        )
+        if d_key.size == 0 or f_key.size == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(d_key, f_key), d_key.size - 1)
+        hit = d_key[pos] == f_key
+        if not hit.any():
+            return empty
+        sk, attr, rev = f_key[hit], d_attr[pos[hit]], f_rev[hit]
+        # collapse per SUPPLIER first (a suppkey's rows are all here), so
+        # distinct-supplier counts are exact partition-local facts
+        o2 = np.argsort(sk, kind="stable")
+        sk, attr, rev = sk[o2], attr[o2], rev[o2]
+        first = np.concatenate(([True], sk[1:] != sk[:-1]))
+        gid = np.cumsum(first) - 1
+        n_s = int(first.sum())
+        s_rev = np.bincount(gid, weights=rev, minlength=n_s).astype(np.int64)
+        s_attr = attr[first]
+        ua, inv = np.unique(s_attr, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "nk": ua,
+                "rev": np.bincount(inv, weights=s_rev, minlength=ua.size).astype(np.int64),
+                "n_supp": np.bincount(inv, minlength=ua.size).astype(np.int64),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(supp_side, batch_format="pyarrow")
+    parts = li.union(supp).groupby("pk").map_groups(hop, batch_format="pandas")
+
+    nation = pq_.read_table(f"{sf_dir}/nation.parquet")
+    region = pq_.read_table(f"{sf_dir}/region.parquet")
+    rname = dict(
+        zip(
+            np.asarray(region["r_regionkey"], np.int64).tolist(),
+            region["r_name"].to_pylist(),
+        )
+    )
+    n2r = {
+        int(nk): rname[int(rk)]
+        for nk, rk in zip(
+            np.asarray(nation["n_nationkey"], np.int64),
+            np.asarray(nation["n_regionkey"], np.int64),
+        )
+    }
+    rev_by_r: dict[str, int] = collections.defaultdict(int)
+    supp_by_r: dict[str, int] = collections.defaultdict(int)
+    for r in parts.take_all():  # ≤ nations × partitions rows
+        reg = n2r[int(r["nk"])]
+        rev_by_r[reg] += int(r["rev"])
+        supp_by_r[reg] += int(r["n_supp"])
+    regions = sorted(rev_by_r)
+    return pa.table(
+        {
+            "region": pa.array(regions, pa.string()),
+            "n_supp": pa.array([supp_by_r[x] for x in regions], pa.int64()),
+            "revenue_c": pa.array([rev_by_r[x] for x in regions], pa.int64()),
+        }
+    )
+
+
 def q_part_pagerank(sf_dir: str):
     """Integer-exact PageRank over the part co-purchase graph
     (functions/graph.py::copurchase_pagerank): order-partitioned edge
@@ -5560,6 +5691,7 @@ QUERIES = {
     "orders_backlog": q_orders_backlog,
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
+    "region_supplier_revenue": q_region_supplier_revenue,
     "small_qty_revenue": q_small_qty_revenue,
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "part_pagerank": q_part_pagerank,
@@ -6074,6 +6206,19 @@ ORACLE_SQL = {
         SELECT CAST(day AS BIGINT) AS day,
                CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
         FROM agg
+    """,
+    "region_supplier_revenue": """
+        SELECT r.r_name AS region,
+               CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_supp,
+               CAST(sum(
+                   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+               ) AS BIGINT) AS revenue_c
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1
     """,
     "part_bfs_hops": """
         WITH RECURSIVE e AS (
