@@ -2683,21 +2683,24 @@ def q_orders_backlog(sf_dir: str):
     od = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
     ).map_batches(ord_rows, batch_format="pyarrow")
-    deltas = (
+    # partials are ≤ days × partitions rows — output-scale, so the final
+    # sum+cumsum is a DRIVER fold (a Dataset groupby here measured 141 s
+    # of AggregateMap remote wall over pandas blocks at sf0.1 for a
+    # 2.4k-row result — the per-tiny-key aggregate anti-pattern)
+    parts_df = (
         li.union(od)
         .groupby("pk")
         .map_groups(resolve, batch_format="pandas")
-        .groupby("day")
-        .sum("delta")
-        .to_pandas()  # DAY-scale (~2.4k rows at any sf)
-        .sort_values("day", ignore_index=True)
+        .to_pandas()
     )
-    day = deltas["day"].to_numpy().astype(np.int64)
-    run = np.cumsum(deltas["sum(delta)"].to_numpy().astype(np.int64))
+    day_all = parts_df["day"].to_numpy().astype(np.int64)
+    delta_all = parts_df["delta"].to_numpy().astype(np.int64)
+    ud, inv = np.unique(day_all, return_inverse=True)
+    dsum = np.bincount(inv, weights=delta_all, minlength=ud.size).astype(np.int64)
     return pa.table(
         {
-            "day": pa.array(day, pa.int64()),
-            "n_open": pa.array(run, pa.int64()),
+            "day": pa.array(ud, pa.int64()),
+            "n_open": pa.array(np.cumsum(dsum), pa.int64()),
         }
     )
 
@@ -4736,6 +4739,22 @@ def _copurchase_edges_cached(sf_dir: str):
     return ray.data.read_parquet(layout, file_extensions=["parquet"])
 
 
+def q_part_lift_pairs(sf_dir: str):
+    """Market-basket lift (functions/graph.py::basket_lift): association
+    strength of every part pair co-purchased in ≥2 distinct orders —
+    exact integer ``lift_q = (10^6·N·w) // (c(a)·c(b))``.  Weighted pairs
+    through the coarse edge shuffles; dimension-scale per-part order
+    counts folded once and broadcast; one lift scan."""
+    import ray.data
+
+    from .functions.graph import basket_lift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return basket_lift(ds, min_weight=2)
+
+
 def q_part_kcore(sf_dir: str):
     """k-core (k=3) of the weight-thresholded co-purchase backbone graph
     (functions/graph.py::k_core over copurchase_edges_min_weight):
@@ -5699,6 +5718,7 @@ QUERIES = {
     "part_truss_support": q_part_truss_support,
     "part_bfs_hops": q_part_bfs_hops,
     "part_kcore": q_part_kcore,
+    "part_lift_pairs": q_part_lift_pairs,
     "events_coverage": q_events_coverage,
     "events_twap": q_events_twap,
     "streaming_window_topk": q_streaming_window_topk,
@@ -6206,6 +6226,29 @@ ORACLE_SQL = {
         SELECT CAST(day AS BIGINT) AS day,
                CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
         FROM agg
+    """,
+    "part_lift_pairs": """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        nn AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+        c AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY 1),
+        e AS (
+            SELECT o1.l_partkey AS a, o2.l_partkey AS b, count(*) AS w
+            FROM op o1 JOIN op o2
+              ON o1.l_orderkey = o2.l_orderkey
+             AND o1.l_partkey < o2.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT CAST(e.a AS BIGINT) AS a,
+               CAST(e.b AS BIGINT) AS b,
+               CAST(e.w AS BIGINT) AS w,
+               CAST((1000000 * nn.n * e.w) // (ca.c * cb.c) AS BIGINT)
+                   AS lift_q
+        FROM e
+        JOIN c ca ON ca.l_partkey = e.a
+        JOIN c cb ON cb.l_partkey = e.b, nn
+        WHERE e.w >= 2
     """,
     "region_supplier_revenue": """
         SELECT r.r_name AS region,
