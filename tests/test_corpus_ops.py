@@ -1391,3 +1391,44 @@ def test_bigram_logprob_matches_brute(ray_session):
             for _, r in out.iterrows()
         }
         assert got == want, parts
+
+
+def test_basket_lift_planted_orders(ray_session):
+    """Exact lift on a planted basket set: parts always bought together
+    hit max lift; independent parts sit near 1e6; weight-1 pairs pruned."""
+    import ray
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.graph import (
+        basket_lift,
+    )
+
+    # 4 orders: (1,2) together twice -> w=2; part 3 in every order;
+    # (1,3)/(2,3) pairs w=2; (4,5) once -> pruned at min_weight=2
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3),
+        (3, 3), (3, 4), (3, 5),
+        (4, 3),
+    ]
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+            "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+        }
+    )
+    N = 4
+    c = {1: 2, 2: 2, 3: 4, 4: 1, 5: 1}
+    want = {}
+    for (a, b), w in {(1, 2): 2, (1, 3): 2, (2, 3): 2}.items():
+        want[(a, b)] = (w, (1_000_000 * N * w) // (c[a] * c[b]))
+    for parts in (1, 3):
+        out = basket_lift(
+            ray.data.from_arrow(li).repartition(parts), min_weight=2
+        ).to_pandas()
+        got = {
+            (int(r["a"]), int(r["b"])): (int(r["w"]), int(r["lift_q"]))
+            for _, r in out.iterrows()
+        }
+        assert got == want, parts
+    # perfect-association pair (1,2): lift = N/(2*2) * ... = 2e6
+    assert want[(1, 2)][1] == 2_000_000
