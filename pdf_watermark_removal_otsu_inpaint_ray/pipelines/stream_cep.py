@@ -316,6 +316,7 @@ def run_streaming_rate_limit(
 def run_streaming_attribution(
     source,
     *,
+    rule: str = "last",
     touch: str = "click",
     convert: str = "purchase",
     window: int = 604_800_000_000,
@@ -338,12 +339,16 @@ def run_streaming_attribution(
     byte-equal to the batch ``grouped_attribution`` — one definition,
     two execution tiers, one SQL twin."""
     from ..state.attribution_state import AttributionStateActor
+    from ..state.firsttouch_state import FirstTouchStateActor
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
+    if rule not in ("last", "first"):
+        raise ValueError(f"unknown attribution rule {rule!r}")
+    actor_cls = AttributionStateActor if rule == "last" else FirstTouchStateActor
     if checkpoint_every is not None and out_dir is None:
         raise ValueError("checkpoint_every requires sink mode (out_dir)")
     cfg_fp = (
-        f"attrib:{touch}->{convert}:w={window}:p={num_partitions}"
+        f"attrib-{rule}:{touch}->{convert}:w={window}:p={num_partitions}"
     )
     src_fp = _join_src_fp(source)
     (
@@ -361,7 +366,7 @@ def run_streaming_attribution(
         micro_batch_rows=micro_batch_rows,
     )
     actors = [
-        AttributionStateActor.remote(
+        actor_cls.remote(
             touch=touch,
             convert=convert,
             window=window,

@@ -5391,6 +5391,43 @@ def q_streaming_attribution(sf_dir: str):
     return res.output
 
 
+def q_streaming_first_touch(sf_dir: str):
+    """Streaming FIRST-touch attribution (state/firsttouch_state.py via
+    run_streaming_attribution(rule='first')): the batch
+    `events_first_touch` leftmost-in-RANGE credit as live keyed state.
+    Unlike last-touch's one-carry-per-key, the state is a RANGE-query
+    index of touches inside the watermark horizon — a touch at-or-under
+    wm − W can never open a future conversion's window and EVICTS each
+    sweep (state O(horizon touches), asserted by test).  Same packed
+    RANGE-frame-min twin as the batch query — one definition, two
+    tiers."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_cep import run_streaming_attribution
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "ts_us": ev["ts"].cast(pa.int64()),
+            "event_id": ev["event_id"].cast(pa.int64()),
+            "event_type": ev["event_type"],
+        }
+    )
+    res = run_streaming_attribution(
+        ray.data.from_arrow(src),
+        rule="first",
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_streaming_coverage(sf_dir: str):
     """Streaming per-key interval-union coverage (pipelines/
     stream_coverage.py::run_streaming_coverage): the batch gaps-and-
@@ -5786,6 +5823,7 @@ QUERIES = {
     "streaming_coverage": q_streaming_coverage,
     "streaming_pack": q_streaming_pack,
     "streaming_attribution": q_streaming_attribution,
+    "streaming_first_touch": q_streaming_first_touch,
     "dedup_cc_distributed": q_dedup_cc_distributed,
     "streaming_timeouts": q_streaming_timeouts,
     "prefix_dup": q_prefix_dup,
@@ -7914,6 +7952,7 @@ ORACLE_SQL["streaming_rate_limit"] = ORACLE_SQL["events_rate_limit"]
 ORACLE_SQL["streaming_latest_state"] = ORACLE_SQL["events_latest_state"]
 ORACLE_SQL["streaming_coverage"] = ORACLE_SQL["events_coverage"]
 ORACLE_SQL["streaming_attribution"] = ORACLE_SQL["events_attribution"]
+ORACLE_SQL["streaming_first_touch"] = ORACLE_SQL["events_first_touch"]
 
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are
 # checked against the MATERIALIZED single-process golden oracle: the query

@@ -155,3 +155,70 @@ def test_streaming_attribution_sink_and_resume(ray_session, tmp_path):
     a = read_output(clean).to_pandas().sort_values("conv_id", ignore_index=True)
     b = read_output(ck).to_pandas().sort_values("conv_id", ignore_index=True)
     assert a.equals(b)
+
+
+def _batch_first_twin(tbl: pa.Table):
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_first_touch,
+    )
+
+    out = grouped_first_touch(ray.data.from_arrow(tbl), window=W).to_pandas()
+    return {
+        int(r["conv_id"]): (
+            None if pd.isna(r["touch_id"]) else int(r["touch_id"])
+        )
+        for _, r in out.iterrows()
+    }
+
+
+def test_streaming_first_touch_matches_batch_any_layout(ray_session):
+    tbl = _stream(seed=41)
+    want = _batch_first_twin(tbl)
+    for n_actors, mb in ((1, 64), (3, 512), (4, 37)):
+        res = run_streaming_attribution(
+            ray.data.from_arrow(tbl), rule="first", window=W,
+            allowed_lateness=16, n_actors=n_actors, micro_batch_rows=mb,
+        )
+        assert res.n_late == 0
+        assert _as_dict(res.output) == want, (n_actors, mb)
+
+
+def test_streaming_first_touch_horizon_eviction(ray_session):
+    """The touch index stays bounded by the watermark horizon: with a
+    narrow window over a long dense stream, most touches evict and the
+    final state is a small fraction of all touches."""
+    rng = np.random.default_rng(43)
+    n = 2000
+    tbl = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 4, n), pa.int64()),
+            "ts_us": pa.array(np.arange(n, dtype=np.int64) * 10, pa.int64()),
+            "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "event_type": pa.array(
+                rng.choice(["click", "purchase"], n, p=[0.7, 0.3]), pa.string()
+            ),
+        }
+    )
+    res = run_streaming_attribution(
+        ray.data.from_arrow(tbl), rule="first", window=200,
+        allowed_lateness=4, n_actors=2, micro_batch_rows=64,
+    )
+    n_touch = int((np.asarray(tbl["event_type"]) == "click").sum())
+    evicted = sum(s["evicted"] for s in res.actor_stats)
+    held = sum(s["state_touches"] for s in res.actor_stats)
+    assert evicted > n_touch * 0.8          # most of the stream evicted live
+    assert held + evicted == n_touch        # conservation
+    # and the answers still match the batch kernel
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_first_touch,
+    )
+
+    want = {
+        int(r["conv_id"]): (
+            None if pd.isna(r["touch_id"]) else int(r["touch_id"])
+        )
+        for _, r in grouped_first_touch(
+            ray.data.from_arrow(tbl), window=200
+        ).to_pandas().iterrows()
+    }
+    assert _as_dict(res.output) == want
