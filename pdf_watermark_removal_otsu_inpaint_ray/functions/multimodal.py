@@ -21,6 +21,7 @@ import pyarrow as pa
 
 from .codecs import (
     decode_ppm,
+    decode_ppm_stream,
     decode_wav,
     encode_ppm,
     encode_ppm_stream,
@@ -393,3 +394,53 @@ def phash_near_dup(media_ds, *, max_hamming: int = 3) -> pa.Table:
             "hamming": pa.array(ham[keep], pa.int64()),
         }
     )
+
+
+class SceneCutStage:
+    """Video scene-cut detection over the PPM stream — the shot-boundary
+    primitive of video curation: adjacent frames whose mean absolute
+    pixel difference exceeds ``tau`` mark a cut.  Integer-exact: a cut
+    fires iff ``Σ|a−b| > w·h·3·tau`` (no float mean), so the distributed
+    result is bit-equal to the serial golden for any batch layout.
+
+    Actor-pool ``map_batches`` stage (decode state is trivial here, but
+    the stage shape matches the heavy-decoder contract: small
+    ``batch_size`` because payloads are large, concurrency bounds in the
+    query).  Per video the frame stack diffs vectorize in one NumPy
+    subtraction; the per-item loop is item-scale, never pixel-scale.
+    Reference analog: the page-change detection of the sticky-window
+    chain (watermark_detector.py persistence reset)."""
+
+    def __init__(self, tau: int = 60):
+        self.tau = int(tau)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["item_id"].to_numpy(zero_copy_only=False)
+        kinds = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_nf, out_cuts, out_diff = [], [], [], []
+        for i, p in enumerate(payloads):
+            if kinds[i] != "video":
+                continue
+            frames = decode_ppm_stream(p)
+            n = len(frames)
+            cuts = 0
+            total = 0
+            if n >= 2:
+                stack = np.stack(frames).astype(np.int64)
+                d = np.abs(stack[1:] - stack[:-1]).sum(axis=(1, 2, 3))
+                thresh = frames[0].shape[0] * frames[0].shape[1] * 3 * self.tau
+                cuts = int((d > thresh).sum())
+                total = int(d.sum())
+            out_id.append(int(ids[i]))
+            out_nf.append(n)
+            out_cuts.append(cuts)
+            out_diff.append(total)
+        return pa.table(
+            {
+                "item_id": pa.array(out_id, pa.int64()),
+                "n_frames": pa.array(out_nf, pa.int64()),
+                "n_cuts": pa.array(out_cuts, pa.int64()),
+                "diff_total": pa.array(out_diff, pa.int64()),
+            }
+        )

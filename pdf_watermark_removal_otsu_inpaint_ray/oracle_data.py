@@ -57,6 +57,7 @@ GOLDEN_QUERIES = (
     "cdc_chunks",
     "streaming_near_dup",
     "part_kcore",
+    "media_scene_cuts",
 )
 
 
@@ -1328,3 +1329,72 @@ def _golden_part_kcore(sf_dir: str) -> pa.Table:
 
 
 _COMPUTE["part_kcore"] = _golden_part_kcore
+
+
+def _golden_media_scene_cuts(sf_dir: str) -> pa.Table:
+    """Independent scene-cut twin: the PPM stream is re-parsed with a
+    from-scratch tokenizing P6 reader (whitespace-field scan — shares no
+    code with functions/codecs._ppm_header) and the cut rule evaluated
+    serially per adjacent frame pair.  The media BYTES come from the same
+    deterministic generator both tiers read (the media-golden precedent:
+    the parser and the metric are independent; the payload is the shared
+    input)."""
+    from .functions.multimodal import documents_to_media_batch
+
+    TAU = 60
+
+    def parse_p6_stream(data: bytes):
+        frames = []
+        pos = 0
+        n = len(data)
+        while pos < n:
+            # tokenize three whitespace-separated header fields after 'P6'
+            assert data[pos : pos + 2] == b"P6", "not a P6 frame"
+            pos += 2
+            vals = []
+            while len(vals) < 3:
+                while pos < n and data[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < n and not data[pos : pos + 1].isspace():
+                    pos += 1
+                vals.append(int(data[start:pos]))
+            pos += 1  # single whitespace after maxval
+            w, h, maxval = vals[0], vals[1], vals[2]
+            assert maxval == 255
+            buf = np.frombuffer(data, np.uint8, w * h * 3, pos)
+            frames.append(buf.reshape(h, w, 3))
+            pos += w * h * 3
+        return frames
+
+    media = documents_to_media_batch(_docs_table(sf_dir))
+    ids = np.asarray(media["item_id"], np.int64)
+    kinds = media["media_type"].to_pylist()
+    payloads = media["payload"].to_pylist()
+    out_id, out_nf, out_cuts, out_diff = [], [], [], []
+    for i in range(len(ids)):
+        if kinds[i] != "video":
+            continue
+        frames = parse_p6_stream(payloads[i])
+        cuts = 0
+        total = 0
+        for a, b in zip(frames, frames[1:]):
+            d = int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
+            total += d
+            if d > a.shape[0] * a.shape[1] * 3 * TAU:
+                cuts += 1
+        out_id.append(int(ids[i]))
+        out_nf.append(len(frames))
+        out_cuts.append(cuts)
+        out_diff.append(total)
+    return pa.table(
+        {
+            "item_id": pa.array(out_id, pa.int64()),
+            "n_frames": pa.array(out_nf, pa.int64()),
+            "n_cuts": pa.array(out_cuts, pa.int64()),
+            "diff_total": pa.array(out_diff, pa.int64()),
+        }
+    )
+
+
+_COMPUTE["media_scene_cuts"] = _golden_media_scene_cuts

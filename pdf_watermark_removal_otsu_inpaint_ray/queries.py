@@ -3402,6 +3402,35 @@ def q_media_frame_sample(sf_dir: str):
     )
 
 
+def q_media_scene_cuts(sf_dir: str):
+    """Video scene-cut detection (functions/multimodal.py::SceneCutStage):
+    per video, adjacent-frame mean-abs-diff cuts at the integer threshold
+    — the shot-boundary primitive of video curation.  Actor-pool
+    map_batches with small batches (large payloads), per-video frame
+    stack diffed in one NumPy op; checked against an independent
+    tokenizing-P6-parser serial golden."""
+    from .functions.multimodal import SceneCutStage, documents_to_media_batch
+
+    _with_golden("media_scene_cuts", sf_dir)
+
+    def video_docs(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].cast(pa.int64()))
+        return b.filter(pa.array(ids % 3 == 2))
+
+    media = (
+        _docs_ds(sf_dir)
+        .map_batches(video_docs, batch_format="pyarrow")
+        .map_batches(documents_to_media_batch, batch_format="pyarrow")
+    )
+    return media.map_batches(
+        SceneCutStage,
+        fn_constructor_kwargs={"tau": 60},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational breadth over the TPC-H-ish tables (predicate pushdown at the
 # read, broadcast join, grouped aggregates — O3/J1 analogs on scalar tables)
@@ -5810,6 +5839,7 @@ QUERIES = {
     "media_audio_energy": q_media_audio_energy,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "media_scene_cuts": q_media_scene_cuts,
     "orders_by_status": q_orders_by_status,
     "lineitem_filtered_counts": q_lineitem_filtered_counts,
     "top_customers": q_top_customers,
