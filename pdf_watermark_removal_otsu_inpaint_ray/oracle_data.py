@@ -774,7 +774,7 @@ _COMPUTE = {
 
 # bump when any golden-relevant definition changes (hash kernels, detection
 # rules) so stale materialized goldens in a reused /tmp are invalidated
-_ORACLE_VERSION = "r3-kcore-1"
+_ORACLE_VERSION = "r3-scenecut-2"
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -1341,7 +1341,7 @@ def _golden_media_scene_cuts(sf_dir: str) -> pa.Table:
     input)."""
     from .functions.multimodal import documents_to_media_batch
 
-    TAU = 60
+    TAU = 33
 
     def parse_p6_stream(data: bytes):
         frames = []

@@ -3424,7 +3424,7 @@ def q_media_scene_cuts(sf_dir: str):
     )
     return media.map_batches(
         SceneCutStage,
-        fn_constructor_kwargs={"tau": 60},
+        fn_constructor_kwargs={"tau": 33},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, 4),
