@@ -1489,3 +1489,73 @@ def grouped_first_touch(
         .groupby("pk")
         .map_groups(ft_part, batch_format="pandas")
     )
+
+
+def grouped_session_stats(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts_us",
+    tiebreak: str = "event_id",
+    gap: int = 86_400_000_000,
+):
+    """Per-SESSION aggregate row: gap-based sessions (the
+    :func:`grouped_sessionize` rule) collapsed to ``(group, session_id,
+    n_events, start_us, end_us, duration_us)`` — the session-level
+    engagement table (dwell time, depth) every analytics pipeline derives
+    right after sessionization.  One coarse group partition, one lexsort
+    + boundary sweep per partition: session runs fall out of the same
+    new-session mask that labels rows, so the aggregate needs NO second
+    pass and NO per-session callback."""
+    import pandas as pd
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        return _add_group_pk(b, group)
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    group: pd.Series(dtype=np.int64),
+                    "session_id": pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                    "start_us": pd.Series(dtype=np.int64),
+                    "end_us": pd.Series(dtype=np.int64),
+                    "duration_us": pd.Series(dtype=np.int64),
+                }
+            )
+        gk = g[group].to_numpy().astype(np.int64)
+        o = g[order].to_numpy().astype(np.int64)
+        t = g[tiebreak].to_numpy().astype(np.int64)
+        idx = np.lexsort((t, o, gk))
+        gk, o = gk[idx], o[idx]
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        new_sess = first.copy()
+        new_sess[1:] |= (o[1:] - o[:-1]) > gap
+        st = np.nonzero(new_sess)[0]
+        en = np.append(st[1:], n) - 1
+        # 1-based session id within each group: session ordinal minus the
+        # ordinal of the group's first session
+        grp_first = first[st]
+        sess_ord = np.arange(st.size, dtype=np.int64)
+        base = np.maximum.accumulate(np.where(grp_first, sess_ord, 0))
+        sid = sess_ord - base + 1
+        return pd.DataFrame(
+            {
+                group: gk[st],
+                "session_id": sid,
+                "n_events": (en - st + 1).astype(np.int64),
+                "start_us": o[st],
+                "end_us": o[en],
+                "duration_us": (o[en] - o[st]).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(part, batch_format="pandas")
+    )

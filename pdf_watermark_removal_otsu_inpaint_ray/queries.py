@@ -1599,6 +1599,34 @@ def q_events_sessionize(sf_dir: str):
     )
 
 
+def q_events_session_stats(sf_dir: str):
+    """Per-session engagement aggregates (functions/packing.py::
+    grouped_session_stats): 1-day-gap sessions collapsed to one row each
+    (event count, start/end, duration) in the SAME boundary sweep that
+    labels rows — no second pass, no per-session callback.  lag+cumsum
+    window + GROUP BY twin."""
+    import ray.data
+
+    from .functions.packing import grouped_session_stats
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_session_stats(
+        ev, group="user_id", order="ts_us", tiebreak="event_id",
+        gap=86_400_000_000,
+    )
+
+
 def q_user_cohort_retention(sf_dir: str):
     """Cohort retention matrix: distinct users active in week
     ``cohort + offset``, cohorted by each user's first active week — the
@@ -5744,6 +5772,7 @@ QUERIES = {
     "events_lag_delta": q_events_lag_delta,
     "events_ntile": q_events_ntile,
     "events_sessionize": q_events_sessionize,
+    "events_session_stats": q_events_session_stats,
     "events_skew_join": q_events_skew_join,
     "events_zonemap_scan": q_events_zonemap_scan,
     "user_cohort_retention": q_user_cohort_retention,
@@ -6895,6 +6924,34 @@ ORACLE_SQL = {
                CAST(CASE WHEN lct >= ts_us - 604800000000 THEN lc END
                     AS BIGINT) AS touch_id
         FROM w WHERE event_type = 'purchase'
+    """,
+    "events_session_stats": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id
+            FROM events
+        ),
+        m AS (
+            SELECT *,
+                CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                     WHEN ts_us - lag(ts_us) OVER w > 86400000000 THEN 1
+                     ELSE 0 END AS is_new
+            FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ),
+        g AS (
+            SELECT *,
+                sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS sid
+            FROM m
+        )
+        SELECT user_id,
+               CAST(sid AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(ts_us) AS BIGINT) AS start_us,
+               CAST(max(ts_us) AS BIGINT) AS end_us,
+               CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+        FROM g GROUP BY user_id, sid
     """,
     "events_first_touch": """
         WITH s AS (
