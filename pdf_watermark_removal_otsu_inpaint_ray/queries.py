@@ -1599,6 +1599,80 @@ def q_events_sessionize(sf_dir: str):
     )
 
 
+def q_events_gap_hist(sf_dir: str):
+    """Inter-arrival-time histogram in log2 buckets per event type — the
+    latency/cadence diagnostic (bursts fill low buckets, lulls high).
+    Integer-exact buckets: ``bucket = bit_length(delta)`` computed with
+    ``np.frexp``'s exponent (exact for deltas < 2^53 µs ≈ 285 years;
+    delta 0 → bucket 0) — matching the SQL twin's ``length(printf('%b',
+    delta))``.  One coarse user partition resolves deltas (the
+    grouped_lag sweep), per-partition (type, bucket) count partials,
+    one tiny fixed-key-space groupby."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts_us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    from .functions.packing import _add_group_pk
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "bucket": pd.Series(dtype=np.int64),
+                    "cnt": pd.Series(dtype=np.int64),
+                }
+            )
+        u = g["user_id"].to_numpy().astype(np.int64)
+        o = g["ts_us"].to_numpy().astype(np.int64)
+        t = g["event_id"].to_numpy().astype(np.int64)
+        ty = g["event_type"].to_numpy()
+        idx = np.lexsort((t, o, u))
+        u, o, ty = u[idx], o[idx], ty[idx]
+        first = np.empty(len(g), bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        delta = np.empty(len(g), np.int64)
+        delta[0] = -1
+        delta[1:] = o[1:] - o[:-1]
+        delta[first] = -1  # group-first rows have no gap
+        m = delta >= 0
+        d, tym = delta[m], ty[m]
+        # bit_length via frexp exponent: exact below 2^53 (guarded)
+        if d.size and int(d.max()) >= (1 << 53):  # pragma: no cover
+            raise ValueError("delta exceeds exact float53 bit_length range")
+        bucket = np.frexp(d.astype(np.float64))[1].astype(np.int64)
+        df = pd.DataFrame({"event_type": tym, "bucket": bucket})
+        out = df.groupby(["event_type", "bucket"], sort=False, as_index=False).size()
+        out = out.rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return (
+        ev.map_batches(
+            lambda b: _add_group_pk(b, "user_id"), batch_format="pyarrow"
+        )
+        .groupby("pk")
+        .map_groups(part, batch_format="pandas")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
 def q_events_session_stats(sf_dir: str):
     """Per-session engagement aggregates (functions/packing.py::
     grouped_session_stats): 1-day-gap sessions collapsed to one row each
@@ -5773,6 +5847,7 @@ QUERIES = {
     "events_ntile": q_events_ntile,
     "events_sessionize": q_events_sessionize,
     "events_session_stats": q_events_session_stats,
+    "events_gap_hist": q_events_gap_hist,
     "events_skew_join": q_events_skew_join,
     "events_zonemap_scan": q_events_zonemap_scan,
     "user_cohort_retention": q_user_cohort_retention,
@@ -6924,6 +6999,27 @@ ORACLE_SQL = {
                CAST(CASE WHEN lct >= ts_us - 604800000000 THEN lc END
                     AS BIGINT) AS touch_id
         FROM w WHERE event_type = 'purchase'
+    """,
+    "events_gap_hist": """
+        WITH s AS (
+            SELECT CAST(user_id AS BIGINT) AS u,
+                   CAST(epoch_us(ts) AS BIGINT) AS t,
+                   CAST(event_id AS BIGINT) AS e,
+                   event_type
+            FROM events
+        ),
+        d AS (
+            SELECT event_type,
+                   t - lag(t) OVER (PARTITION BY u ORDER BY t, e) AS delta
+            FROM s
+        )
+        SELECT event_type,
+               CASE WHEN delta = 0 THEN 0
+                    ELSE CAST(length(printf('%b', delta)) AS BIGINT)
+               END AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM d WHERE delta IS NOT NULL
+        GROUP BY 1, 2
     """,
     "events_session_stats": """
         WITH s AS (
