@@ -2700,6 +2700,138 @@ def q_orders_cube(sf_dir: str):
     return out.astype({"n_orders": np.int64, "sum_cents": np.int64})
 
 
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def q_ship_latency_stats(sf_dir: str):
+    """Fulfillment-latency moments per order priority: exact integer
+    power sums of (ship day − order day) over every lineitem — mean and
+    variance of the operational lag, algebraically PUSHED THROUGH the
+    join: lineitem pre-aggregates per-orderkey ``(cnt, Σs, Σs²)``
+    partials (one bincount triple per batch), and at the one coarse
+    repartition hop each order expands them with its own order day by
+    the binomial identity ``Σ(s−o)² = Σs² − 2oΣs + cnt·o²`` — the
+    shuffle carries three ints per (batch, orderkey), never line items.
+    Priorities are the TPC-H closed set (the orders_pivot STATUSES
+    rule); the hop emits per-priority partials and the driver folds
+    5 × partitions rows."""
+    import collections
+
+    import pandas as pd
+    import ray.data
+
+    num_parts = 64
+    DAY = 86_400_000_000
+    pri_idx = {p: i for i, p in enumerate(_PRIORITIES)}
+
+    def li_partials(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["l_orderkey"], np.int64)
+        s = np.asarray(b["l_shipdate"].cast(pa.int64())) // DAY
+        uk, inv = np.unique(ok, return_inverse=True)
+        cnt = np.bincount(inv, minlength=uk.size).astype(np.int64)
+        s1 = np.bincount(inv, weights=s, minlength=uk.size).astype(np.int64)
+        s2 = np.bincount(inv, weights=s * s, minlength=uk.size).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+                "oday": pa.array(np.full(uk.size, -1, np.int64), pa.int64()),
+                "pri": pa.array(np.full(uk.size, -1, np.int64), pa.int64()),
+                "pk": pa.array(uk % num_parts, pa.int64()),
+            }
+        )
+
+    def ord_rows(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b["o_orderkey"], np.int64)
+        od = np.asarray(b["o_orderdate"].cast(pa.int64())) // DAY
+        pri = np.fromiter(
+            (pri_idx[p] for p in b["o_orderpriority"].to_pylist()),
+            np.int64, len(ok),
+        )
+        z = np.zeros(ok.size, np.int64)
+        return pa.table(
+            {
+                "key": pa.array(ok, pa.int64()),
+                "cnt": pa.array(z, pa.int64()),
+                "s1": pa.array(z, pa.int64()),
+                "s2": pa.array(z, pa.int64()),
+                "oday": pa.array(od, pa.int64()),
+                "pri": pa.array(pri, pa.int64()),
+                "pk": pa.array(ok % num_parts, pa.int64()),
+            }
+        )
+
+    def hop(g: pd.DataFrame) -> pd.DataFrame:
+        pri = g["pri"].to_numpy().astype(np.int64)
+        is_dim = pri >= 0
+        d_key = g["key"].to_numpy()[is_dim]
+        d_oday = g["oday"].to_numpy()[is_dim].astype(np.int64)
+        d_pri = pri[is_dim]
+        o = np.argsort(d_key, kind="stable")
+        d_key, d_oday, d_pri = d_key[o], d_oday[o], d_pri[o]
+        f_key = g["key"].to_numpy()[~is_dim]
+        empty = pd.DataFrame(
+            {
+                "pri": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+                "lat_sum": pd.Series(dtype=np.int64),
+                "lat_sq": pd.Series(dtype=np.int64),
+            }
+        )
+        if d_key.size == 0 or f_key.size == 0:
+            return empty
+        cnt = g["cnt"].to_numpy()[~is_dim].astype(np.int64)
+        s1 = g["s1"].to_numpy()[~is_dim].astype(np.int64)
+        s2 = g["s2"].to_numpy()[~is_dim].astype(np.int64)
+        pos = np.minimum(np.searchsorted(d_key, f_key), d_key.size - 1)
+        hit = d_key[pos] == f_key
+        if not hit.any():
+            return empty
+        od = d_oday[pos[hit]]
+        pr = d_pri[pos[hit]]
+        c, a1, a2 = cnt[hit], s1[hit], s2[hit]
+        lat = a1 - c * od
+        lat2 = a2 - 2 * od * a1 + c * od * od
+        n_pri = len(_PRIORITIES)
+        return pd.DataFrame(
+            {
+                "pri": np.arange(n_pri, dtype=np.int64),
+                "n": np.bincount(pr, weights=c, minlength=n_pri).astype(np.int64),
+                "lat_sum": np.bincount(pr, weights=lat, minlength=n_pri).astype(np.int64),
+                "lat_sq": np.bincount(pr, weights=lat2, minlength=n_pri).astype(np.int64),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partials, batch_format="pyarrow")
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    agg: dict[int, list[int]] = collections.defaultdict(lambda: [0, 0, 0])
+    for r in (
+        li.union(od).groupby("pk").map_groups(hop, batch_format="pandas")
+    ).take_all():
+        a = agg[int(r["pri"])]
+        a[0] += int(r["n"])
+        a[1] += int(r["lat_sum"])
+        a[2] += int(r["lat_sq"])
+    # a priority with zero matched lineitems is ABSENT in the SQL twin's
+    # GROUP BY — drop its all-zero fold row instead of emitting it
+    pris = sorted(p for p in agg if agg[p][0] > 0)
+    return pa.table(
+        {
+            "priority": pa.array([_PRIORITIES[p] for p in pris], pa.string()),
+            "n": pa.array([agg[p][0] for p in pris], pa.int64()),
+            "lat_sum": pa.array([agg[p][1] for p in pris], pa.int64()),
+            "lat_sq": pa.array([agg[p][2] for p in pris], pa.int64()),
+        }
+    )
+
+
 def q_orders_backlog(sf_dir: str):
     """Open-order backlog curve: for every day with activity, how many
     orders are OPEN (placed, not yet fully shipped — order date through
@@ -5878,6 +6010,7 @@ QUERIES = {
     "streaming_temporal_join": q_streaming_temporal_join,
     "orders_pivot": q_orders_pivot,
     "orders_backlog": q_orders_backlog,
+    "ship_latency_stats": q_ship_latency_stats,
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
     "region_supplier_revenue": q_region_supplier_revenue,
@@ -6376,6 +6509,22 @@ ORACLE_SQL = {
         SELECT CAST(support AS BIGINT) AS support,
                CAST(n_edges AS BIGINT) AS n_edges
         FROM hist WHERE n_edges > 0
+    """,
+    "ship_latency_stats": """
+        SELECT o.o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(
+                   CAST(epoch_us(l.l_shipdate) AS BIGINT) // 86400000000
+                   - CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000
+               ) AS BIGINT) AS lat_sum,
+               CAST(sum(
+                   (CAST(epoch_us(l.l_shipdate) AS BIGINT) // 86400000000
+                    - CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000)
+                   * (CAST(epoch_us(l.l_shipdate) AS BIGINT) // 86400000000
+                      - CAST(epoch_us(o.o_orderdate) AS BIGINT) // 86400000000)
+               ) AS BIGINT) AS lat_sq
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
     """,
     "orders_backlog": """
         WITH close AS (
