@@ -4915,6 +4915,24 @@ def q_region_supplier_revenue(sf_dir: str):
     )
 
 
+def q_supplier_acctbal_quantiles(sf_dir: str):
+    """Per-nation supplier account-balance quartiles — the two-pass
+    exact-quantile machinery (functions/ranks.py::grouped_quantiles,
+    quantile_disc semantics) on its third column family (prices, event
+    values, now dimension balances; negative values exercise the
+    monotone-code bucketing's sign handling)."""
+    import ray.data
+
+    from .functions.ranks import grouped_quantiles
+
+    return grouped_quantiles(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+        ),
+        group="s_nationkey", value="s_acctbal", qs=(0.25, 0.5, 0.75),
+    )
+
+
 def q_part_pagerank(sf_dir: str):
     """Integer-exact PageRank over the part co-purchase graph
     (functions/graph.py::copurchase_pagerank): order-partitioned edge
@@ -6014,6 +6032,7 @@ QUERIES = {
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
     "region_supplier_revenue": q_region_supplier_revenue,
+    "supplier_acctbal_quantiles": q_supplier_acctbal_quantiles,
     "small_qty_revenue": q_small_qty_revenue,
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "part_pagerank": q_part_pagerank,
@@ -6570,6 +6589,14 @@ ORACLE_SQL = {
         JOIN c ca ON ca.l_partkey = e.a
         JOIN c cb ON cb.l_partkey = e.b, nn
         WHERE e.w >= 2
+    """,
+    "supplier_acctbal_quantiles": """
+        SELECT s_nationkey,
+               unnest([0.25, 0.5, 0.75]) AS q,
+               unnest([quantile_disc(s_acctbal, 0.25),
+                       quantile_disc(s_acctbal, 0.5),
+                       quantile_disc(s_acctbal, 0.75)]) AS value
+        FROM supplier GROUP BY s_nationkey
     """,
     "region_supplier_revenue": """
         SELECT r.r_name AS region,
