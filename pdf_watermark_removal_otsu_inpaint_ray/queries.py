@@ -2832,6 +2832,61 @@ def q_ship_latency_stats(sf_dir: str):
     )
 
 
+def q_orders_weekday_mix(sf_dir: str):
+    """Order seasonality: count + quantized-cent revenue per (weekday,
+    priority) — weekday as the pure-integer epoch formula ``(epoch_days
+    + 4) % 7`` (1970-01-01 was a Thursday; 0 = Monday) on BOTH tiers, so
+    no date-library semantics can diverge.  Per-batch combiner partials
+    (one packed bincount over the 7 × 5 cell space), one tiny
+    fixed-key-space groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    DAY = 86_400_000_000
+    pri_idx = {p: i for i, p in enumerate(_PRIORITIES)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["o_orderdate"].cast(pa.int64())) // DAY
+        wd = (d + 4) % 7
+        pri = np.fromiter(
+            (pri_idx[p] for p in b["o_orderpriority"].to_pylist()),
+            np.int64, len(d),
+        )
+        cents = np.floor(
+            np.asarray(b["o_totalprice"], np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        cell = wd * len(_PRIORITIES) + pri
+        n_cells = 7 * len(_PRIORITIES)
+        cnt = np.bincount(cell, minlength=n_cells).astype(np.int64)
+        rev = np.bincount(cell, weights=cents, minlength=n_cells).astype(np.int64)
+        keep = cnt > 0
+        cells = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "weekday": pa.array(cells // len(_PRIORITIES), pa.int64()),
+                "priority": pa.array(
+                    [_PRIORITIES[c % len(_PRIORITIES)] for c in cells],
+                    pa.string(),
+                ),
+                "n": pa.array(cnt[keep], pa.int64()),
+                "revenue_c": pa.array(rev[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["weekday", "priority"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("revenue_c", alias_name="revenue_c"),
+        )
+    )
+
+
 def q_orders_backlog(sf_dir: str):
     """Open-order backlog curve: for every day with activity, how many
     orders are OPEN (placed, not yet fully shipped — order date through
@@ -6029,6 +6084,7 @@ QUERIES = {
     "orders_pivot": q_orders_pivot,
     "orders_backlog": q_orders_backlog,
     "ship_latency_stats": q_ship_latency_stats,
+    "orders_weekday_mix": q_orders_weekday_mix,
     "priority_revenue": q_priority_revenue,
     "nation_revenue": q_nation_revenue,
     "region_supplier_revenue": q_region_supplier_revenue,
@@ -6528,6 +6584,15 @@ ORACLE_SQL = {
         SELECT CAST(support AS BIGINT) AS support,
                CAST(n_edges AS BIGINT) AS n_edges
         FROM hist WHERE n_edges > 0
+    """,
+    "orders_weekday_mix": """
+        SELECT (CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 + 4) % 7
+                   AS weekday,
+               o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_c
+        FROM orders GROUP BY 1, 2
     """,
     "ship_latency_stats": """
         SELECT o.o_orderpriority AS priority,
