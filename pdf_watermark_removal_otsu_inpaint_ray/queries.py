@@ -1701,6 +1701,39 @@ def q_events_session_stats(sf_dir: str):
     )
 
 
+def q_streaming_session_stats(sf_dir: str):
+    """Streaming per-session aggregates (pipelines/stream_cep.py::
+    run_streaming_session_stats): gap sessions as live keyed state —
+    ONE open-session tuple per key, sessions close eagerly when the
+    watermark passes end + gap (no row can extend them) and emit their
+    aggregate row; end-of-stream flush closes the rest.  Same lag+cumsum
+    GROUP BY twin as the batch `events_session_stats` — one definition,
+    two execution tiers."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_cep import run_streaming_session_stats
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    src = pa.table(
+        {
+            "user_id": ev["user_id"].cast(pa.int64()),
+            "ts_us": ev["ts"].cast(pa.int64()),
+            "event_id": ev["event_id"].cast(pa.int64()),
+        }
+    )
+    res = run_streaming_session_stats(
+        ray.data.from_arrow(src),
+        gap=86_400_000_000,
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_user_cohort_retention(sf_dir: str):
     """Cohort retention matrix: distinct users active in week
     ``cohort + offset``, cohorted by each user's first active week — the
@@ -6052,6 +6085,7 @@ QUERIES = {
     "events_ntile": q_events_ntile,
     "events_sessionize": q_events_sessionize,
     "events_session_stats": q_events_session_stats,
+    "streaming_session_stats": q_streaming_session_stats,
     "events_gap_hist": q_events_gap_hist,
     "events_skew_join": q_events_skew_join,
     "events_zonemap_scan": q_events_zonemap_scan,
@@ -8377,6 +8411,7 @@ ORACLE_SQL["streaming_latest_state"] = ORACLE_SQL["events_latest_state"]
 ORACLE_SQL["streaming_coverage"] = ORACLE_SQL["events_coverage"]
 ORACLE_SQL["streaming_attribution"] = ORACLE_SQL["events_attribution"]
 ORACLE_SQL["streaming_first_touch"] = ORACLE_SQL["events_first_touch"]
+ORACLE_SQL["streaming_session_stats"] = ORACLE_SQL["events_session_stats"]
 
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are
 # checked against the MATERIALIZED single-process golden oracle: the query
