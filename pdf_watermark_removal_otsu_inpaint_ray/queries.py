@@ -3193,6 +3193,47 @@ def q_fingerprint(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def q_lang_confusion(sf_dir: str):
+    """Classifier-evaluation primitive: the stopword-vote language ID
+    confronted with the table's ground-truth ``lang`` column as a
+    confusion matrix — one actor-pool scoring pass emitting per-batch
+    (truth, prediction) count partials (compiled regex per actor, the
+    LangId stage), one tiny fixed-key-space groupby.  The quality-report
+    op every labeling pipeline runs before trusting a heuristic gate."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .functions.text import LangId
+
+    class ConfusionStage:
+        def __init__(self):
+            self._lid = LangId()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pred = self._lid(b)["lang_pred"].to_pylist()
+            truth = b["lang"].to_pylist()
+            import collections
+
+            cnt = collections.Counter(zip(truth, pred))
+            ks = sorted(cnt)
+            return pa.table(
+                {
+                    "lang": pa.array([k[0] for k in ks], pa.string()),
+                    "lang_pred": pa.array([k[1] for k in ks], pa.string()),
+                    "n": pa.array([cnt[k] for k in ks], pa.int64()),
+                }
+            )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        .map_batches(ConfusionStage, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     from .functions.dedup import exact_dedup
 
@@ -6155,6 +6196,7 @@ QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "lang_confusion": q_lang_confusion,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_text": q_dedup_exact_text,
@@ -8156,6 +8198,14 @@ ORACLE_SQL = {
                     w -> w IN ('the','a','and','of','to','in','is'))) > 0
                     THEN 'en' ELSE 'und' END AS lang_pred
         FROM documents
+    """,
+    "lang_confusion": f"""
+        SELECT lang,
+               CASE WHEN len(list_filter({_WORDS_SQL},
+                    w -> w IN ('the','a','and','of','to','in','is'))) > 0
+                    THEN 'en' ELSE 'und' END AS lang_pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
     """,
     "fingerprint": f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
