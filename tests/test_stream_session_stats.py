@@ -134,3 +134,35 @@ def test_streaming_session_stats_sink_and_resume(ray_session, tmp_path):
         ["user_id", "session_id"], ignore_index=True
     )
     assert a.equals(b)
+
+
+def test_session_actor_continuation_run_keeps_leading_rows(ray_session):
+    """Actor-level regression for the segmentation bug the suite caught:
+    a sweep whose first row CONTINUES the open session must keep the
+    run's leading rows (the unanchored-segment bug silently dropped
+    them) and merge counts across sweeps."""
+    from pdf_watermark_removal_otsu_inpaint_ray.state.sessionstats_state import (
+        SessionStatsActor,
+    )
+
+    ts = [100, 150, 220, 280, 300, 360, 900, 2000]
+    rows = pa.table(
+        {
+            "user_id": pa.array([1] * len(ts), pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "event_id": pa.array(list(range(len(ts))), pa.int64()),
+        }
+    )
+    a = SessionStatsActor.remote(gap=GAP)
+    out = []
+    # micro-batches with advancing watermark: the second batch's first
+    # row (220) continues the open session from the first batch
+    for lo, hi, wm in ((0, 2, 160), (2, 6, 370), (6, 8, 2100)):
+        out.extend(ray.get(a.ingest.remote(rows.slice(lo, hi - lo), wm)))
+    out.extend(ray.get(a.flush.remote()))
+    got = pa.concat_tables(out).to_pandas().sort_values("session_id")
+    rows_out = list(
+        map(tuple, got[["session_id", "n_events", "start_us", "end_us"]].to_numpy())
+    )
+    # one 6-event session 100..360, then 900 alone, then 2000 alone
+    assert rows_out == [(1, 6, 100, 360), (2, 1, 900, 900), (3, 1, 2000, 2000)]
