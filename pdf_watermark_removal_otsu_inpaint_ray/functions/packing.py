@@ -1103,6 +1103,7 @@ def pack_examples(
     *,
     length: int = 512,
     order: str = "event_ts",
+    tiebreak: str | None = None,
     bucket_bits: int = 12,
     num_parts: int = 32,
 ):
@@ -1172,14 +1173,15 @@ def pack_examples(
     # ---- pass 2: per-bucket pack partials -------------------------------
     def add_bucket(b: pa.Table) -> pa.Table:
         o = np.asarray(b[order], np.int64)
-        return pa.table(
-            {
-                order: pa.array(o, pa.int64()),
-                "tokens": b["tokens"],
-                "n_tok": b["n_tok"].cast(pa.int64()),
-                "bucket": pa.array(o >> bucket_bits, pa.int64()),
-            }
-        )
+        cols = {
+            order: pa.array(o, pa.int64()),
+            "tokens": b["tokens"],
+            "n_tok": b["n_tok"].cast(pa.int64()),
+            "bucket": pa.array(o >> bucket_bits, pa.int64()),
+        }
+        if tiebreak is not None:
+            cols["_tb"] = b[tiebreak].cast(pa.int64())
+        return pa.table(cols)
 
     _P_EMPTY = {
         "example_id": pa.array([], pa.int64()),
@@ -1200,7 +1202,20 @@ def pack_examples(
         flat = np.asarray(fb.values, np.int64)
         offs = np.asarray(fb.offsets, np.int64)
         lens = np.diff(offs)
-        srt = np.argsort(o, kind="stable")
+        # Deterministic layout contract: ties on `order` land in the same
+        # bucket (equal keys share a bucket), so either a tiebreak column
+        # breaks them or `order` must be unique — otherwise the packed
+        # layout would depend on nondeterministic map_groups row order.
+        if tiebreak is not None:
+            srt = np.lexsort((np.asarray(t["_tb"], np.int64), o))
+        else:
+            if np.unique(o).size != o.size:
+                raise ValueError(
+                    f"pack_examples: duplicate `{order}` values in a "
+                    "bucket with no tiebreak column — pass tiebreak= to "
+                    "make the packed layout deterministic"
+                )
+            srt = np.argsort(o, kind="stable")
         lens_s = lens[srt]
         tot = int(lens_s.sum())
         if tot == 0:
@@ -1244,8 +1259,11 @@ def pack_examples(
             }
         )
 
+    sel = [order, "tokens", "n_tok"]
+    if tiebreak is not None and tiebreak not in sel:
+        sel.insert(1, tiebreak)
     partials = (
-        seq_ds.select_columns([order, "tokens", "n_tok"])
+        seq_ds.select_columns(sel)
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pack_partials, batch_format="pyarrow")
@@ -1469,11 +1487,21 @@ def grouped_first_touch(
             q_hi = gid[cv] * stride + (o[cv] - base)
             lo = np.searchsorted(comp_c, q_lo, side="left")
             hi = np.searchsorted(comp_c, q_hi, side="right")
-        valid = lo < hi
-        touch_id = pd.array(
-            np.where(valid, c_t[np.minimum(lo, max(c_t.size - 1, 0))], 0),
-            dtype="Int64",
+        li = np.minimum(lo, max(c_t.size - 1, 0))
+        # Post-validate the hit: a conversion trailing every touch of the
+        # partition by more than window+1 pushes q_hi past the group's band
+        # into a HIGHER gid's band, where lo<hi would credit another key's
+        # touch.  A spilled query can only occur when no in-window touch
+        # exists (o[cv] > max(c_o) + window), so requiring the matched
+        # touch to be in the conversion's group AND inside its RANGE frame
+        # rejects every false hit without losing a true one.
+        valid = (
+            (lo < hi)
+            & (c_gid[li] == gid[cv])
+            & (c_o[li] >= o[cv] - window)
+            & (c_o[li] <= o[cv])
         )
+        touch_id = pd.array(np.where(valid, c_t[li], 0), dtype="Int64")
         touch_id[~valid] = pd.NA
         return pd.DataFrame(
             {

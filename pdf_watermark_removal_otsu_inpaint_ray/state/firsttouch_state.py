@@ -146,8 +146,22 @@ class FirstTouchStateActor(_StagedEmitterBase):
             q_hi = c_gid * stride + np.maximum(cts - base, -1)
             lo = np.searchsorted(comp_t, q_lo, side="left")
             hi = np.searchsorted(comp_t, q_hi, side="right")
-            valid = c_in & (lo < hi)
-            t_seq_hit = self._t_seq[np.minimum(lo, max(self._t_key.size - 1, 0))]
+            li = np.minimum(lo, max(self._t_key.size - 1, 0))
+            # Post-validate: q_lo/q_hi are bounded only by the watermark,
+            # so a conversion later than every indexed touch by more than
+            # window+1 spills into a higher gid's band (reachable in the
+            # very first sweep and on watermark jumps).  Require the
+            # matched touch to belong to the conversion's key AND lie in
+            # its trailing window — a spilled query never has a true
+            # in-window touch, so this rejects exactly the false hits.
+            valid = (
+                c_in
+                & (lo < hi)
+                & (self._t_key[li] == ck)
+                & (self._t_ts[li] >= cts - self.window)
+                & (self._t_ts[li] <= cts)
+            )
+            t_seq_hit = self._t_seq[li]
             out_tbl = pa.table(
                 {
                     self.group_col: pa.array(ck, pa.int64()),

@@ -792,3 +792,104 @@ def test_grouped_first_touch_matches_brute(ray_session):
             exp = want[int(r["conv_id"])]
             gotv = None if pd.isna(r["touch_id"]) else int(r["touch_id"])
             assert gotv == exp, (r["conv_id"], gotv, exp)
+
+
+def _pk64(u: int, num_parts: int = 64) -> int:
+    """The _add_group_pk int-key partition formula, inlined for collision
+    search in the band-spill regression test."""
+    return (((u * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)) >> 33) % num_parts
+
+
+def test_grouped_first_touch_trailing_conversion_band_spill(ray_session):
+    """Regression (ADVICE r4): a conversion trailing ALL of its
+    partition's touches by more than window+1 pushed q_hi past the
+    group's band into a higher gid's band, crediting ANOTHER key's touch.
+    Repro: two users hashing to the same pk; user A clicks at t=0 and
+    purchases at t=24 with window=10; user B (higher key, same partition)
+    clicks at t=5.  The RANGE frame [14, 24] holds no touch of A — the
+    credit must be NULL, not B's click."""
+    import pandas as pd
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_first_touch,
+    )
+
+    # find two int keys uA < uB sharing a pk partition
+    uA = 1
+    uB = next(u for u in range(2, 10_000) if _pk64(u) == _pk64(uA))
+    tbl = pa.table(
+        {
+            "user_id": pa.array([uA, uB, uA], pa.int64()),
+            "ts_us": pa.array([0, 5, 24], pa.int64()),
+            "event_id": pa.array([100, 300, 900], pa.int64()),
+            "event_type": pa.array(["click", "click", "purchase"]),
+        }
+    )
+    out = grouped_first_touch(
+        ray.data.from_arrow(tbl), window=10
+    ).to_pandas()
+    assert len(out) == 1
+    assert int(out["conv_id"][0]) == 900
+    assert pd.isna(out["touch_id"][0]), (
+        "trailing conversion credited another key's touch: "
+        f"{out['touch_id'][0]}"
+    )
+    # same layout but the conversion IN window still resolves
+    tbl2 = pa.table(
+        {
+            "user_id": pa.array([uA, uB, uA], pa.int64()),
+            "ts_us": pa.array([0, 5, 8], pa.int64()),
+            "event_id": pa.array([100, 300, 900], pa.int64()),
+            "event_type": pa.array(["click", "click", "purchase"]),
+        }
+    )
+    out2 = grouped_first_touch(
+        ray.data.from_arrow(tbl2), window=10
+    ).to_pandas()
+    assert int(out2["touch_id"][0]) == 100
+
+
+def test_grouped_first_touch_brute_with_trailing_convs(ray_session):
+    """Brute-force sweep biased to produce conversions beyond every
+    touch of their partition (sparse late purchases), catching any band
+    arithmetic that is correct only inside the touch hull."""
+    import pandas as pd
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        grouped_first_touch,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 300
+    g = rng.integers(0, 12, n).astype(np.int64)
+    o = (rng.integers(0, 40, n) * 10).astype(np.int64)
+    ty = rng.choice(["click", "purchase", "view"], n, p=[0.5, 0.2, 0.3])
+    # force a block of very-late purchases far beyond every touch
+    late = rng.choice(n, 25, replace=False)
+    o[late] = 2_000 + rng.integers(0, 30, 25) * 50
+    ty[late] = "purchase"
+    t = rng.permutation(n).astype(np.int64)
+    W = 120
+    tbl = pa.table(
+        {
+            "user_id": pa.array(g), "ts_us": pa.array(o),
+            "event_id": pa.array(t), "event_type": pa.array(ty),
+        }
+    )
+    want = {}
+    for i in np.nonzero(ty == "purchase")[0]:
+        best = None
+        for j in np.nonzero((g == g[i]) & (ty == "click"))[0]:
+            if o[i] - W <= o[j] <= o[i]:
+                if best is None or (o[j], t[j]) < (o[best], t[best]):
+                    best = j
+        want[int(t[i])] = int(t[best]) if best is not None else None
+    for parts in (1, 5):
+        out = grouped_first_touch(
+            ray.data.from_arrow(tbl).repartition(parts), window=W
+        ).to_pandas()
+        assert len(out) == len(want)
+        for _, r in out.iterrows():
+            exp = want[int(r["conv_id"])]
+            gotv = None if pd.isna(r["touch_id"]) else int(r["touch_id"])
+            assert gotv == exp, (r["conv_id"], gotv, exp)

@@ -222,3 +222,59 @@ def test_streaming_first_touch_horizon_eviction(ray_session):
         ).to_pandas().iterrows()
     }
     assert _as_dict(res.output) == want
+
+
+def test_first_touch_actor_trailing_conversion_band_spill(ray_session):
+    """Regression (ADVICE r4): FirstTouchStateActor._sweep had the same
+    unclamped band arithmetic as the batch kernel — a conversion later
+    than ALL indexed touches by more than window+1 spilled into a higher
+    key's band and credited that key's touch.  Reachable in the very
+    first sweep: two keys' touches indexed (key 2 @ ts 0, key 5 @ ts 5),
+    then key 2 converts at ts 24 with window=10 — frame [14, 24] holds
+    no touch of key 2, credit must be NULL."""
+    from pdf_watermark_removal_otsu_inpaint_ray.state.firsttouch_state import (
+        FirstTouchStateActor,
+    )
+
+    actor = FirstTouchStateActor.remote(window=10)
+    batch = pa.table(
+        {
+            "user_id": pa.array([2, 5, 2], pa.int64()),
+            "ts_us": pa.array([0, 5, 24], pa.int64()),
+            "event_id": pa.array([100, 300, 900], pa.int64()),
+            "event_type": pa.array(["click", "click", "purchase"]),
+        }
+    )
+    out = ray.get(actor.ingest.remote(batch, 24))
+    rows = [r for t in out for r in t.to_pylist()]
+    assert len(rows) == 1
+    assert rows[0]["conv_id"] == 900
+    assert rows[0]["touch_id"] is None, rows[0]
+    # watermark-jump variant: touches indexed in sweep 1, conversion
+    # arrives in sweep 2 long after the hull
+    actor2 = FirstTouchStateActor.remote(window=10)
+    t1 = pa.table(
+        {
+            "user_id": pa.array([2, 5], pa.int64()),
+            "ts_us": pa.array([0, 5], pa.int64()),
+            "event_id": pa.array([100, 300], pa.int64()),
+            "event_type": pa.array(["click", "click"]),
+        }
+    )
+    ray.get(actor2.ingest.remote(t1, 5))
+    t2 = pa.table(
+        {
+            "user_id": pa.array([5, 2], pa.int64()),
+            "ts_us": pa.array([14, 15], pa.int64()),
+            "event_id": pa.array([301, 901], pa.int64()),
+            "event_type": pa.array(["click", "purchase"]),
+        }
+    )
+    out2 = ray.get(actor2.ingest.remote(t2, 40))
+    rows2 = {
+        r["conv_id"]: r["touch_id"] for t in out2 for r in t.to_pylist()
+    }
+    # key 2's frame [5, 15] holds only its own ts-0 click?  No: window=10
+    # => frame [5,15]; key 2 has click@0 (out) — must NOT credit key 5's
+    # clicks at 5/14 which ARE in ts-range but belong to key 5.
+    assert rows2 == {901: None}, rows2
