@@ -89,32 +89,62 @@ def sliding_counts(ds: "ray.data.Dataset", size_us: int = 2 * HOUR_US, slide_us:
 
 def session_windows(ds: "ray.data.Dataset", gap_us: int = 30 * 60 * 1_000_000):
     """Per-user sessionization (gap-based).  Returns one row per session:
-    (user_id, session_start_us, n_events)."""
+    (user_id, session_start_us, n_events).
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        # explicit µs unit before the int view — a bare astype('int64') on a
-        # datetime column yields whatever unit the pandas conversion chose
-        # (ns under some pandas/pyarrow combinations), which would over-split
-        # sessions 1000x and emit ns starts against the epoch_us() oracle
-        ts = g["ts"]
-        if ts.dtype.kind == "M":  # datetime64[*] → µs
-            ts = ts.dt.as_unit("us") if hasattr(ts.dt, "as_unit") else ts.astype("datetime64[us]")
-        us = ts.astype("int64").to_numpy()
-        order = np.argsort(us, kind="stable")
-        us = us[order]
-        new = np.concatenate([[True], np.diff(us) > gap_us])
-        sid = np.cumsum(new) - 1
-        starts = us[new]
-        n = np.bincount(sid)
+    Scale shape (the ``grouped_sessionize`` kernel, not per-user
+    map_groups): ONE coarse fixed-fanout group-key partition co-locates
+    each user's rows, then per partition a single lexsort + boundary
+    sweep labels every session of every user at C speed — the Aggregate
+    never sees user-cardinality groups and there is no per-user Python
+    callback, so 10⁶+ users cost the same per-row work as 10³.  The
+    ``cast(int64)`` on the ts column pins the µs epoch unit regardless of
+    the Arrow timestamp unit (a pandas datetime round-trip could silently
+    yield ns and over-split sessions 1000×)."""
+    from ..functions.packing import _add_group_pk
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "us": pa.array(_epoch_us(b), pa.int64()),
+            }
+        )
+        return _add_group_pk(t, "user_id")
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "session_start_us": pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                }
+            )
+        gk = g["user_id"].to_numpy().astype(np.int64)
+        us = g["us"].to_numpy().astype(np.int64)
+        idx = np.lexsort((us, gk))
+        gk, us = gk[idx], us[idx]
+        n = len(g)
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = gk[1:] != gk[:-1]
+        new_sess = first.copy()
+        new_sess[1:] |= (us[1:] - us[:-1]) > gap_us
+        st = np.nonzero(new_sess)[0]
+        en = np.append(st[1:], n) - 1
         return pd.DataFrame(
             {
-                "user_id": np.int64(g["user_id"].iloc[0]),
-                "session_start_us": starts.astype(np.int64),
-                "n_events": n.astype(np.int64),
+                "user_id": gk[st],
+                "session_start_us": us[st],
+                "n_events": (en - st + 1).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(part, batch_format="pandas")
+    )
 
 
 def events_customer_join(events_ds: "ray.data.Dataset", customer_path: str):
