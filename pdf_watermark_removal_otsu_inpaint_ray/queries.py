@@ -8466,7 +8466,9 @@ ORACLE_SQL["streaming_session_stats"] = ORACLE_SQL["events_session_stats"]
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are
 # checked against the MATERIALIZED single-process golden oracle: the query
 # callable (and __ray_entry__.oracle_sql) writes the pure-NumPy golden output
-# to /tmp/graft_golden/<name>.parquet, and the oracle SQL reads it back —
+# to /tmp/graft_golden/by_sf/<sf>/<name>.parquet (the `current` symlink
+# tracks the last-materialized sf so the SQL is sf-agnostic), and the
+# oracle SQL reads it back —
 # an independent driver-checkable twin of the reference invariant chain
 # (watermark_detector.py:362-419, watermark_remover.py:174-232).
 from .oracle_data import GOLDEN_QUERIES as _GQ
