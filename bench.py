@@ -393,6 +393,37 @@ def main() -> None:
         timings["dup_ngrams_10x"] = round(time.perf_counter() - t0, 3)
         assert nd10 > 0
 
+        # term-df fold on 1x and the same 10x corpus: the vocab-safe keyed
+        # fold (functions/vocabfold.py) bounds the Aggregate to the coarse
+        # partition count, so 10x the rows over the SAME vocabulary should
+        # cost well under 10x (the sort-based groupby("term") it replaced
+        # scaled with distinct-key count and row count both)
+        from pdf_watermark_removal_otsu_inpaint_ray.functions.text import (
+            term_df_partials,
+        )
+        from pdf_watermark_removal_otsu_inpaint_ray.functions.vocabfold import (
+            keyed_fold,
+        )
+
+        def _term_df_rows(path: str) -> int:
+            ds1 = _rd.read_parquet(path, columns=["doc_id", "text", "source"])
+            folded = keyed_fold(
+                ds1.map_batches(term_df_partials, batch_format="pyarrow"),
+                key="term",
+                sums=("df",),
+            )
+            return sum(
+                len(b) for b in folded.iter_batches(batch_format="pyarrow")
+            )
+
+        t0 = time.perf_counter()
+        nt1 = _term_df_rows(f"{SF_DIR}/documents.parquet")
+        timings["term_df_fold"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        nt10 = _term_df_rows(dpath)
+        timings["term_df_fold_10x"] = round(time.perf_counter() - t0, 3)
+        assert nt1 > 0 and nt10 == nt1  # same vocabulary, 10x the rows
+
     print(
         json.dumps(
             {

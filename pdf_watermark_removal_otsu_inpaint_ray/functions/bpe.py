@@ -62,20 +62,26 @@ def word_freq(docs_ds, *, min_count: int = 1) -> list[tuple[str, int]]:
         )
 
     from .dedup import _collect_arrow
+    from .vocabfold import keyed_fold
 
     # Arrow-batch collection, not take_all: the vocab table is
     # 10^5-10^6 rows before min_count pruning, and per-row python-dict
     # materialization is the documented ~100x-slower path (dedup.py
-    # _collect_arrow note)
+    # _collect_arrow note).  keyed_fold bounds the Aggregate to the coarse
+    # partition count AND applies min_count inside the fold, so rare-word
+    # mass is pruned before it ever leaves a partition.
     tbl = _collect_arrow(
-        docs_ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("term")
-        .sum("tf"),
-        pa.schema([("term", pa.string()), ("sum(tf)", pa.int64())]),
+        keyed_fold(
+            docs_ds.map_batches(partials, batch_format="pyarrow"),
+            key="term",
+            sums=("tf",),
+            min_total=min_count,
+        ),
+        pa.schema([("term", pa.string()), ("tf", pa.int64())]),
     )
     terms = tbl["term"].to_pylist()
-    tf = np.asarray(tbl["sum(tf)"], np.int64)
-    out = [(t, int(c)) for t, c in zip(terms, tf) if c >= min_count]
+    tf = np.asarray(tbl["tf"], np.int64)
+    out = [(t, int(c)) for t, c in zip(terms, tf)]
     out.sort()
     return out
 

@@ -224,18 +224,18 @@ def sparse_pair_cosine(ds, *, vocab_size: int = 24, min_cos_pct: int = 60):
     import ray
 
     from .text import _words_with_rows, term_df_partials
+    from .vocabfold import keyed_fold_topv
 
-    df_tbl = (
-        ds.map_batches(term_df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .sum("df")
-        .to_pandas()
+    # vocab pass: per-partition fold + trim — the driver sees at most
+    # v x num_parts rows regardless of vocabulary cardinality, and the
+    # Aggregate is bounded to the coarse partition count
+    ranked = keyed_fold_topv(
+        ds.map_batches(term_df_partials, batch_format="pyarrow"),
+        key="term",
+        sum_col="df",
+        v=vocab_size,
     )
-    ranked = sorted(
-        zip(df_tbl["term"].to_numpy(), df_tbl["sum(df)"].to_numpy().astype(np.int64)),
-        key=lambda p: (-p[1], p[0].encode()),
-    )
-    vocab = [t for t, _ in ranked[:vocab_size]]
+    vocab = [t for t, _ in ranked]
     v_index = {t: i for i, t in enumerate(vocab)}
     V = len(vocab)
     num_parts = 16

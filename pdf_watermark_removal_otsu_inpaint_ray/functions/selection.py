@@ -323,7 +323,13 @@ def sample_per_group(ds, *, group: str = "source", key: str = "doc_id", k: int =
     return trimmed.drop_columns(["neg_hv"])
 
 
-def dsir_weights(docs_ds, *, target_sources: tuple[str, ...], quant: float = 1_000_000.0):
+def dsir_weights(
+    docs_ds,
+    *,
+    target_sources: tuple[str, ...],
+    quant: float = 1_000_000.0,
+    hash_buckets: int | None = None,
+):
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document by
     the summed unigram log-likelihood ratio of a TARGET domain vs the whole
@@ -339,10 +345,14 @@ def dsir_weights(docs_ds, *, target_sources: tuple[str, ...], quant: float = 1_0
     1. **Unigram counts**: per-batch partials ``(word, cnt_all, cnt_t)``
        via one dictionary-encode + two bincounts (combiner-before-shuffle:
        the shuffle carries one row per (batch, distinct word)), summed by
-       a vocab-keyed groupby.  The folded vocab table rides to the driver
-       — VOCAB-scale, not corpus-scale.  At unbounded vocab (real web
-       text) DSIR's own answer bounds this: hash words into 2^20 buckets
-       first and the table is fixed-size; the scoring scan is unchanged.
+       the vocab-safe keyed fold (functions/vocabfold.py — the Aggregate
+       is bounded to the coarse partition count, never vocabulary
+       cardinality).  The folded table rides to the driver — VOCAB-scale,
+       not corpus-scale.  At unbounded vocab (real web text) DSIR's own
+       answer bounds it: ``hash_buckets=2**20`` hashes words into a
+       FIXED-size bucket space before counting (collision-free inputs are
+       bit-identical to the unbucketed run — pinned by pytest); the
+       scoring scan is unchanged.
     2. **Scoring scan**: per-word log-ratios are computed once driver-side
        with ``math.log`` (libm — bit-identical to DuckDB ``ln``; np.log's
        SIMD path can differ in the last ulp), broadcast as a plain dict
@@ -363,6 +373,12 @@ def dsir_weights(docs_ds, *, target_sources: tuple[str, ...], quant: float = 1_0
 
     tgt_set = pa.array(list(target_sources), pa.string())
 
+    def _bucket_keys(vocab: pa.Array) -> np.ndarray:
+        """word -> fixed-size bucket id (the DSIR hashed-feature bound)."""
+        from ..sinks.exactly_once import hash_partition_ids
+
+        return hash_partition_ids(vocab.cast(pa.string()), hash_buckets)
+
     def count_partials(batch: pa.Table) -> pa.Table:
         rows, codes, vocab = _words_with_rows(batch["text"])
         if rows.size == 0:
@@ -377,39 +393,64 @@ def dsir_weights(docs_ds, *, target_sources: tuple[str, ...], quant: float = 1_0
         in_t = np.asarray(pc.is_in(batch["source"], value_set=tgt_set))
         cnt_all = np.bincount(codes, minlength=nv)
         cnt_t = np.bincount(codes[in_t[rows]], minlength=nv)
+        if hash_buckets is None:
+            keys = vocab.cast(pa.string())
+        else:
+            # pre-combine per bucket inside the partial (bucket-scale)
+            bkt = _bucket_keys(vocab)
+            ub, inv = np.unique(bkt, return_inverse=True)
+            cnt_all = np.bincount(
+                inv, weights=cnt_all.astype(np.float64)
+            ).astype(np.int64)
+            cnt_t = np.bincount(
+                inv, weights=cnt_t.astype(np.float64)
+            ).astype(np.int64)
+            keys = pa.array([str(b) for b in ub], pa.string())
         return pa.table(
             {
-                "word": vocab.cast(pa.string()),
+                "word": keys,
                 "cnt_all": pa.array(cnt_all, pa.int64()),
                 "cnt_t": pa.array(cnt_t, pa.int64()),
             }
         )
 
-    vocab_rows = (
-        docs_ds.select_columns(["text", "source"])
-        .map_batches(count_partials, batch_format="pyarrow")
-        .groupby("word")
-        .sum(["cnt_all", "cnt_t"])
-        .take_all()
+    from .dedup import _collect_arrow
+    from .vocabfold import keyed_fold
+
+    vocab_tbl = _collect_arrow(
+        keyed_fold(
+            docs_ds.select_columns(["text", "source"]).map_batches(
+                count_partials, batch_format="pyarrow"
+            ),
+            key="word",
+            sums=("cnt_all", "cnt_t"),
+        ),
+        pa.schema(
+            [("word", pa.string()), ("cnt_all", pa.int64()),
+             ("cnt_t", pa.int64())]
+        ),
     )
-    n_all = sum(int(r["sum(cnt_all)"]) for r in vocab_rows)
-    n_t = sum(int(r["sum(cnt_t)"]) for r in vocab_rows)
-    v = len(vocab_rows)
+    words = vocab_tbl["word"].to_pylist()
+    c_all = np.asarray(vocab_tbl["cnt_all"], np.int64)
+    c_t = np.asarray(vocab_tbl["cnt_t"], np.int64)
+    n_all = int(c_all.sum())
+    n_t = int(c_t.sum())
+    v = len(words)
     den_t = float(n_t + v)
     den_all = float(n_all + v)
     # vocab-scale loop, driver-side, libm log — NOT the hot path
     r_q = {
-        r["word"]: int(
+        w: int(
             math.floor(
                 (
-                    math.log((int(r["sum(cnt_t)"]) + 1) / den_t)
-                    - math.log((int(r["sum(cnt_all)"]) + 1) / den_all)
+                    math.log((int(ct) + 1) / den_t)
+                    - math.log((int(ca) + 1) / den_all)
                 )
                 * quant
                 + 0.5
             )
         )
-        for r in vocab_rows
+        for w, ca, ct in zip(words, c_all, c_t)
     }
 
     def score(batch: pa.Table) -> pa.Table:
@@ -425,9 +466,16 @@ def dsir_weights(docs_ds, *, target_sources: tuple[str, ...], quant: float = 1_0
             )
         n = batch.num_rows
         # batch-local vocab (bounded, already deduped) → per-code ratio
-        rq_arr = np.fromiter(
-            (r_q[w] for w in vocab.to_pylist()), np.int64, len(vocab)
-        )
+        if hash_buckets is None:
+            rq_arr = np.fromiter(
+                (r_q[w] for w in vocab.to_pylist()), np.int64, len(vocab)
+            )
+        else:
+            rq_arr = np.fromiter(
+                (r_q[str(b)] for b in _bucket_keys(vocab)),
+                np.int64,
+                len(vocab),
+            )
         # weighted bincount: integer contributions ≪ 2^53 → float64 exact
         weight = np.bincount(
             rows, weights=rq_arr[codes].astype(np.float64), minlength=n

@@ -572,17 +572,18 @@ def term_cooccurrence(ds, *, vocab_size: int = 64):
     """
     import pandas as pd
 
-    df_tbl = (
-        ds.map_batches(term_df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .sum("df")
-        .to_pandas()  # vocab-scale (distinct terms), not corpus-scale
+    from .vocabfold import keyed_fold_topv
+
+    # top-V by (df DESC, term ASC in utf-8 BYTE order == DuckDB ORDER BY
+    # term) — per-partition fold + trim, driver traffic <= V x num_parts
+    # rows regardless of vocabulary cardinality
+    ranked = keyed_fold_topv(
+        ds.map_batches(term_df_partials, batch_format="pyarrow"),
+        key="term",
+        sum_col="df",
+        v=vocab_size,
     )
-    terms = df_tbl["term"].to_numpy()
-    dfs = df_tbl["sum(df)"].to_numpy().astype(np.int64)
-    # top-V by (df DESC, term ASC in utf-8 BYTE order == DuckDB ORDER BY term)
-    ranked = sorted(zip(terms, dfs), key=lambda p: (-p[1], p[0].encode()))
-    vocab = sorted((t for t, _ in ranked[:vocab_size]), key=lambda t: t.encode())
+    vocab = sorted((t for t, _ in ranked), key=lambda t: t.encode())
     v_index = {t: i for i, t in enumerate(vocab)}
     V = len(vocab)
 

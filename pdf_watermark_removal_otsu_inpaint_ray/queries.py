@@ -913,21 +913,18 @@ def q_chunk_documents(sf_dir: str):
 
 def _term_df_ds(sf_dir: str):
     """Corpus document frequency: per-batch (term, df) partials (docs are
-    row-atomic, so partials sum exactly) → groupby("term") sum.  The
-    shuffle carries one row per (block, distinct term) — combiner-first."""
+    row-atomic, so partials sum exactly) → vocab-safe keyed fold.  The
+    shuffle carries one row per (block, distinct term) — combiner-first —
+    and the Aggregate is bounded to the coarse partition count, never
+    vocabulary cardinality (functions/vocabfold.py)."""
     from .functions.text import term_df_partials
+    from .functions.vocabfold import keyed_fold
 
-    agg = (
-        _docs_ds(sf_dir)
-        .map_batches(term_df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .sum("df")
+    return keyed_fold(
+        _docs_ds(sf_dir).map_batches(term_df_partials, batch_format="pyarrow"),
+        key="term",
+        sums=("df",),
     )
-
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"term": b["term"], "df": b["sum(df)"].cast(pa.int64())})
-
-    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def q_term_df_top(sf_dir: str):
