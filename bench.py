@@ -635,10 +635,147 @@ if __name__ == "__main__":
     return _json.loads(out.strip().splitlines()[-1])
 
 
+def parity() -> None:
+    """Driver-format correctness sweep: run a seeded sample of queries()
+    entries AND their oracle_sql() twins side-by-side at the correctness
+    sf, emitting one CORRECTNESS_r*.json-shaped row per query — so the
+    coverage gap between the driver's 50-query sample and the full
+    registry can be closed in-repo (VERDICT r3 item 4).
+
+    Usage: python bench.py parity [--sample N] [--seed S] [--sf DIR]
+           [--names a,b,c] [--never-sampled] [--out FILE]
+    --never-sampled restricts the pool to names absent from every
+    CORRECTNESS_r*.json next to this file.  Without --sample, the whole
+    pool runs.  Queries with no oracle SQL record a rows-only row
+    (hash_match null), same as the driver."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    argv = sys.argv[1:]
+
+    def opt(flag: str, default=None):
+        if flag in argv:
+            return argv[argv.index(flag) + 1]
+        return default
+
+    sf_dir = opt("--sf", os.environ.get("GRAFT_PARITY_SF", "/root/testdata/sf0.01"))
+    seed = int(opt("--seed", "0"))
+    sample_n = opt("--sample")
+    out_path = opt("--out", "PARITY.json")
+    names_arg = opt("--names")
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from pdf_watermark_removal_otsu_inpaint_ray.queries import ORACLE_SQL, QUERIES
+
+    pool = sorted(QUERIES)
+    if names_arg:
+        pool = [n for n in names_arg.split(",") if n in QUERIES]
+    elif "--never-sampled" in argv:
+        seen: set[str] = set()
+        here = os.path.dirname(os.path.abspath(__file__))
+        for f in sorted(os.listdir(here)):
+            if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+                with open(os.path.join(here, f)) as fh:
+                    seen |= set(json.load(fh))
+        pool = [n for n in pool if n not in seen]
+    if sample_n is not None:
+        rng = np.random.default_rng(seed)
+        k = min(int(sample_n), len(pool))
+        pool = sorted(rng.choice(pool, size=k, replace=False).tolist())
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    def to_df(res) -> pd.DataFrame:
+        import pyarrow as _pa
+
+        import ray.data as _rdd
+
+        if isinstance(res, _rdd.Dataset):
+            names = res.schema().names
+            res = res.to_pandas()
+            if res.empty and list(res.columns) != names:
+                res = pd.DataFrame({n: [] for n in names})
+        if isinstance(res, _pa.Table):
+            res = res.to_pandas()
+        return res
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            s = df[c]
+            if s.dtype.kind == "M":
+                df[c] = s.astype("datetime64[us]").astype("int64")
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    def value_hash(df: pd.DataFrame) -> str:
+        h = hashlib.sha256()
+        for c in df.columns:
+            s = df[c]
+            if s.dtype.kind == "f" or str(s.dtype) in ("Float64",):
+                vals = ["∅" if pd.isna(x) else f"{float(x):.12g}" for x in s]
+            else:
+                vals = ["∅" if (x is None or (not isinstance(x, (list, np.ndarray)) and pd.isna(x))) else str(x) for x in s]
+            h.update(("\x1f".join(vals) + "\x1e").encode())
+        return h.hexdigest()
+
+    results: dict[str, dict] = {}
+    for name in pool:
+        row = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        try:
+            rdf = canon(to_df(QUERIES[name](sf_dir)))
+            row["spark_rows"] = int(len(rdf))
+            if name in ORACLE_SQL:
+                odf = canon(con.execute(ORACLE_SQL[name]).fetchdf())
+                row["oracle_rows"] = int(len(odf))
+                row["rows_match"] = len(rdf) == len(odf)
+                row["schema_match"] = list(rdf.columns) == list(odf.columns)
+                row["hash_match"] = (
+                    row["rows_match"]
+                    and row["schema_match"]
+                    and value_hash(rdf) == value_hash(odf)
+                )
+            else:
+                row["rows_match"] = row["spark_rows"] >= 0  # rows-only check
+        except Exception as err:  # noqa: BLE001 — per-query isolation
+            row["err"] = f"{type(err).__name__}: {err}"[:400]
+        results[name] = row
+        status = ("ERR" if row["err"] else
+                  "green" if row.get("hash_match") else
+                  "rows-only" if name not in ORACLE_SQL and row["rows_match"]
+                  else "FAIL")
+        print(f"[parity] {name}: {status}", file=sys.stderr)
+    ray.shutdown()
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    n_green = sum(1 for r in results.values() if r.get("hash_match"))
+    n_rows_only = sum(
+        1 for n, r in results.items()
+        if n not in ORACLE_SQL and r["rows_match"] and not r["err"]
+    )
+    n_bad = len(results) - n_green - n_rows_only
+    print(json.dumps({"metric": "parity", "sf": sf_dir, "n": len(results),
+                      "hash_green": n_green, "rows_only_green": n_rows_only,
+                      "failed": n_bad, "out": out_path}))
+
+
 if __name__ == "__main__":
     if "--scaling-kernel" in sys.argv:
         kernel_scaling()
     elif "--scaling" in sys.argv:
         scaling()
+    elif "parity" in sys.argv[1:2]:
+        parity()
     else:
         main()

@@ -542,7 +542,84 @@ def copurchase_edges(ds, *, num_parts: int = 32):
     )
 
 
-def triangle_stats(edges, *, num_parts: int = 32) -> pa.Table:
+def degree_table(edges, *, num_parts: int = 32) -> pa.Table:
+    """Node-degree table of a distinct undirected edge Dataset (``a < b``
+    rows), collected to one Arrow table (NODE-scale — the graph's
+    dimension side).  One coarse ``node % P`` partition + per-partition
+    sort/diff count; shared by the triangle and truss passes (and
+    cacheable: the co-purchase suite materializes it once per lineitem
+    content, queries.py::_copurchase_graph_cached)."""
+    import pandas as pd
+
+    from .dedup import _collect_arrow
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        n = np.concatenate([a, bb])
+        return pa.table(
+            {"node": pa.array(n, pa.int64()),
+             "pk": pa.array(n % num_parts, pa.int64())}
+        )
+
+    def count_deg(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["node"].to_numpy().astype(np.int64)
+        n.sort()
+        st = np.nonzero(np.concatenate(([True], n[1:] != n[:-1])))[0]
+        d = np.diff(np.append(st, n.size)).astype(np.int64)
+        return pd.DataFrame({"node": n[st], "deg": d})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(count_deg, batch_format="pandas")
+    )
+    tbl = _collect_arrow(
+        deg, pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    )
+    order = np.argsort(np.asarray(tbl["node"], np.int64))
+    return tbl.take(pa.array(order, pa.int64()))
+
+
+def oriented_edges(edges, deg_tbl: pa.Table, *, num_parts: int = 32):
+    """Degree-rank-oriented edge Dataset ``(src, dst, pk)``: each edge
+    points LOW-rank → HIGH-rank by the packed ``(deg << 34) | id`` total
+    order, so every node's out-degree is O(sqrt(m)) — the wedge-bounding
+    orientation both triangle passes start from.  ``deg_tbl`` must be
+    node-sorted (:func:`degree_table`); it broadcasts once via
+    ``ray.put``."""
+    import ray
+
+    d_nodes = np.asarray(deg_tbl["node"], np.int64)
+    d_deg = np.asarray(deg_tbl["deg"], np.int64)
+    deg_ref = ray.put((d_nodes, d_deg))
+
+    def orient(b: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(deg_ref)
+        a = np.asarray(b["a"], np.int64)
+        bb = np.asarray(b["b"], np.int64)
+        da = degs[np.searchsorted(nodes, a)]
+        db = degs[np.searchsorted(nodes, bb)]
+        ra = (da.astype(np.uint64) << np.uint64(34)) | a.astype(np.uint64)
+        rb = (db.astype(np.uint64) << np.uint64(34)) | bb.astype(np.uint64)
+        low_first = ra < rb
+        src = np.where(low_first, a, bb)
+        dst = np.where(low_first, bb, a)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "pk": pa.array(src % num_parts, pa.int64()),
+            }
+        )
+
+    return edges.map_batches(orient, batch_format="pyarrow")
+
+
+def triangle_stats(
+    edges, *, num_parts: int = 32, deg_tbl: pa.Table | None = None,
+    oriented=None,
+) -> pa.Table:
     """Exact triangle count + global-clustering ingredients over a
     distinct undirected edge Dataset (``a < b`` int64 rows).  Returns ONE
     row ``(n_edges, n_wedges, n_triangles)``: edge count, path-of-length-2
@@ -577,79 +654,21 @@ def triangle_stats(edges, *, num_parts: int = 32) -> pa.Table:
     """
     import pandas as pd
 
-    import ray
-
-    from .dedup import _collect_arrow
-
-    def endpoints(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["a"], np.int64)
-        bb = np.asarray(b["b"], np.int64)
-        n = np.concatenate([a, bb])
-        return pa.table(
-            {"node": pa.array(n, pa.int64()),
-             "pk": pa.array(n % num_parts, pa.int64())}
-        )
-
-    def count_deg(g: pd.DataFrame) -> pd.DataFrame:
-        n = g["node"].to_numpy().astype(np.int64)
-        n.sort()
-        st = np.nonzero(np.concatenate(([True], n[1:] != n[:-1])))[0]
-        d = np.diff(np.append(st, n.size)).astype(np.int64)
-        return pd.DataFrame({"node": n[st], "deg": d})
-
-    deg = edges.map_batches(endpoints, batch_format="pyarrow") \
-               .groupby("pk").map_groups(count_deg, batch_format="pandas") \
-               .materialize()
-
-    # n_edges / n_wedges are degree closed forms (small per-block sums)
-    tot = deg.map_batches(
-        lambda b: pa.table(
-            {
-                "s_deg": pa.array(
-                    [int(np.asarray(b["deg"], np.int64).sum())], pa.int64()
-                ),
-                "s_wedge": pa.array(
-                    [int((lambda d: (d * (d - 1) // 2).sum())(
-                        np.asarray(b["deg"], np.int64)))], pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    n_edges = int(tot["s_deg"].sum()) // 2
-    n_wedges = int(tot["s_wedge"].sum())
-
-    # degree lookup: the vector is NODE-scale (the graph's dimension
-    # side, e.g. the part key space), collected once and broadcast via
-    # ray.put — the engine's small-side rule.  At billion-node scale swap
-    # this for the union+repartition attach (same idiom as the closure
-    # sweep below); the wedge/closure phases are unchanged by that swap.
-    deg_tbl = _collect_arrow(
-        deg, pa.schema([("node", pa.int64()), ("deg", pa.int64())])
-    )
-    d_nodes = np.asarray(deg_tbl["node"], np.int64)
+    # degree vector: NODE-scale (the graph's dimension side), collected
+    # once and broadcast via ray.put inside oriented_edges — the engine's
+    # small-side rule.  At billion-node scale swap the broadcast for a
+    # union+repartition attach (the closure sweep's idiom); the
+    # wedge/closure phases are unchanged by that swap.  Callers may pass
+    # precomputed deg_tbl / oriented (same num_parts!) from the cached
+    # graph layout (queries.py::_copurchase_graph_cached).
+    if deg_tbl is None:
+        deg_tbl = degree_table(edges, num_parts=num_parts)
     d_deg = np.asarray(deg_tbl["deg"], np.int64)
-    o = np.argsort(d_nodes)
-    deg_ref = ray.put((d_nodes[o], d_deg[o]))
-
-    def orient(b: pa.Table) -> pa.Table:
-        nodes, degs = ray.get(deg_ref)
-        a = np.asarray(b["a"], np.int64)
-        bb = np.asarray(b["b"], np.int64)
-        da = degs[np.searchsorted(nodes, a)]
-        db = degs[np.searchsorted(nodes, bb)]
-        ra = (da.astype(np.uint64) << np.uint64(34)) | a.astype(np.uint64)
-        rb = (db.astype(np.uint64) << np.uint64(34)) | bb.astype(np.uint64)
-        low_first = ra < rb
-        src = np.where(low_first, a, bb)
-        dst = np.where(low_first, bb, a)
-        return pa.table(
-            {
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-                "pk": pa.array(src % num_parts, pa.int64()),
-            }
-        )
+    # n_edges / n_wedges are degree closed forms
+    n_edges = int(d_deg.sum()) // 2
+    n_wedges = int((d_deg * (d_deg - 1) // 2).sum())
+    if oriented is None:
+        oriented = oriented_edges(edges, deg_tbl, num_parts=num_parts)
 
     _W_SENTINEL = {
         "wa": np.array([-1], np.int64),
@@ -741,8 +760,7 @@ def triangle_stats(edges, *, num_parts: int = 32) -> pa.Table:
         return pd.DataFrame({"t": np.array([int(w[~is_e][hit].sum())], np.int64)})
 
     wedge_ds = (
-        edges.map_batches(orient, batch_format="pyarrow")
-        .groupby("pk")
+        oriented.groupby("pk")
         .map_groups(wedges, batch_format="pandas")
         .map_batches(tag_wedge, batch_format="pyarrow")
     )
@@ -763,7 +781,10 @@ def triangle_stats(edges, *, num_parts: int = 32) -> pa.Table:
     )
 
 
-def triangle_support_hist(edges, *, num_parts: int = 32) -> pa.Table:
+def triangle_support_hist(
+    edges, *, num_parts: int = 32, deg_tbl: pa.Table | None = None,
+    oriented=None,
+) -> pa.Table:
     """Per-edge triangle-SUPPORT distribution over a distinct undirected
     edge Dataset (``a < b`` int64 rows): support(e) = number of triangles
     containing e — the k-truss signal (an edge survives the k-truss iff
@@ -771,22 +792,23 @@ def triangle_support_hist(edges, *, num_parts: int = 32) -> pa.Table:
     support-0 bucket, smallest output that still fixes the whole
     distribution (and the SQL twin's shape).
 
-    Two-pass shape on top of the ``triangle_stats`` machinery — per-edge
-    credits need each triangle's SOURCE vertex, which the deduped wedge
-    stream deliberately drops, and keeping it would undo the dedup (the
-    wedge stream is the O(m^1.5) part).  Instead:
+    Single wedge pass over the ``triangle_stats`` orientation machinery:
 
-    1. pass 1 = exactly ``triangle_stats``'s closure, but returning the
-       MATCHED far-edge pair set (edge-scale, not wedge-scale);
-    2. the matched set broadcasts once (``ray.put``; 16 B per closing
-       pair) and a second wedge generation keeps only wedges whose far
-       edge is in the set — those ARE the triangles — emitting 3
-       id-canonical edge credits each (output-scale: 3 × triangles);
+    1. the SORTED EDGE-KEY set collects once and broadcasts via
+       ``ray.put`` (8 B per edge — the graph's O(m) side, the same
+       memory class as the matched-pair set an earlier two-pass variant
+       broadcast, since matched pairs ⊆ edges);
+    2. one wedge generation keeps wedges whose far pair is in the edge
+       set — those ARE the triangles — emitting 3 id-canonical edge
+       credits each, pre-combined per partition (output-scale shuffle:
+       ≤ 3 × triangles rows move);
     3. one coarse pair-hash count per edge, one tiny support histogram,
        support-0 backfilled from the degree-pass edge count.
 
-    Wedge compute runs twice; nothing wedge-scale is ever shuffled or
-    broadcast — the 100-TB trade, same reasoning as the IVF re-scan.
+    Nothing wedge-scale is ever shuffled or broadcast.  For graphs whose
+    edge set exceeds worker memory, the no-broadcast closure-shuffle
+    formulation (``triangle_stats``'s union + pair-hash groupby) is the
+    fallback shape — the 100-TB trade documented there.
     """
     import pandas as pd
 
@@ -794,52 +816,13 @@ def triangle_support_hist(edges, *, num_parts: int = 32) -> pa.Table:
 
     from .dedup import _collect_arrow
 
-    def endpoints(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["a"], np.int64)
-        bb = np.asarray(b["b"], np.int64)
-        n = np.concatenate([a, bb])
-        return pa.table(
-            {"node": pa.array(n, pa.int64()),
-             "pk": pa.array(n % num_parts, pa.int64())}
-        )
-
-    def count_deg(g: pd.DataFrame) -> pd.DataFrame:
-        n = g["node"].to_numpy().astype(np.int64)
-        n.sort()
-        st = np.nonzero(np.concatenate(([True], n[1:] != n[:-1])))[0]
-        d = np.diff(np.append(st, n.size)).astype(np.int64)
-        return pd.DataFrame({"node": n[st], "deg": d})
-
-    deg = edges.map_batches(endpoints, batch_format="pyarrow") \
-               .groupby("pk").map_groups(count_deg, batch_format="pandas") \
-               .materialize()
-    deg_tbl = _collect_arrow(
-        deg, pa.schema([("node", pa.int64()), ("deg", pa.int64())])
-    )
-    d_nodes = np.asarray(deg_tbl["node"], np.int64)
-    d_deg = np.asarray(deg_tbl["deg"], np.int64)
-    o = np.argsort(d_nodes)
-    deg_ref = ray.put((d_nodes[o], d_deg[o]))
-    n_edges_total = int(d_deg.sum()) // 2
-
-    def orient(b: pa.Table) -> pa.Table:
-        nodes, degs = ray.get(deg_ref)
-        a = np.asarray(b["a"], np.int64)
-        bb = np.asarray(b["b"], np.int64)
-        da = degs[np.searchsorted(nodes, a)]
-        db = degs[np.searchsorted(nodes, bb)]
-        ra = (da.astype(np.uint64) << np.uint64(34)) | a.astype(np.uint64)
-        rb = (db.astype(np.uint64) << np.uint64(34)) | bb.astype(np.uint64)
-        low_first = ra < rb
-        src = np.where(low_first, a, bb)
-        dst = np.where(low_first, bb, a)
-        return pa.table(
-            {
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-                "pk": pa.array(src % num_parts, pa.int64()),
-            }
-        )
+    # shared artifacts (cacheable, queries.py::_copurchase_graph_cached):
+    # node-sorted degree table + rank-oriented edge layout
+    if deg_tbl is None:
+        deg_tbl = degree_table(edges, num_parts=num_parts)
+    n_edges_total = int(np.asarray(deg_tbl["deg"], np.int64).sum()) // 2
+    if oriented is None:
+        oriented = oriented_edges(edges, deg_tbl, num_parts=num_parts)
 
     def _src_wedges(g: pd.DataFrame):
         """(src, far-lo, far-hi) wedge triples of one src partition."""
@@ -870,87 +853,27 @@ def triangle_support_hist(edges, *, num_parts: int = 32) -> pa.Table:
             np.maximum(x, y),
         )
 
-    # pass 1: matched far-edge pairs (dedup wedges per partition, then the
-    # union + pair-hash closure sweep — triangle_stats' shape, pair output)
-    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        _, a, b_ = _src_wedges(g)
-        if a.size == 0:
-            return pd.DataFrame(
-                {
-                    "ja": np.array([-1], np.int64),
-                    "jb": np.array([-1], np.int64),
-                    "is_edge": np.array([0], np.int64),
-                }
-            )
-        o2 = np.lexsort((b_, a))
-        a, b_ = a[o2], b_[o2]
-        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])))
-        return pd.DataFrame(
-            {
-                "ja": a[new],
-                "jb": b_[new],
-                "is_edge": np.zeros(int(new.sum()), np.int64),
-            }
-        )
-
-    def tag_edge(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["a"], np.int64)
-        bb = np.asarray(b["b"], np.int64)
-        return pa.table(
-            {
-                "ja": pa.array(a, pa.int64()),
-                "jb": pa.array(bb, pa.int64()),
-                "is_edge": pa.array(np.ones(a.size, np.int64), pa.int64()),
-            }
-        )
-
-    def add_jk(b: pa.Table) -> pa.Table:
-        ja = np.asarray(b["ja"], np.int64)
-        jb = np.asarray(b["jb"], np.int64)
-        jk = (
-            ((ja.astype(np.uint64) * _MIX + jb.astype(np.uint64)) * _MIX)
-            >> np.uint64(33)
-        ) % np.uint64(num_parts)
-        return b.append_column("jk", pa.array(jk.astype(np.int64), pa.int64()))
-
-    def matched_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ja = g["ja"].to_numpy().astype(np.int64)
-        jb = g["jb"].to_numpy().astype(np.int64)
-        is_e = g["is_edge"].to_numpy().astype(bool)
-        key = ja * np.int64(1 << 32) + jb
-        ek = np.unique(key[is_e])
-        wk = key[~is_e]
-        if ek.size == 0 or wk.size == 0:
-            return pd.DataFrame(
-                {"ma": pd.Series(dtype=np.int64), "mb": pd.Series(dtype=np.int64)}
-            )
-        loc = np.searchsorted(ek, wk)
-        hit = (loc < ek.size) & (ek[np.minimum(loc, ek.size - 1)] == wk)
-        return pd.DataFrame({"ma": ja[~is_e][hit], "mb": jb[~is_e][hit]})
-
-    oriented = edges.map_batches(orient, batch_format="pyarrow")
-    wedge_pair_ds = (
-        oriented.groupby("pk").map_groups(wedge_pairs, batch_format="pandas")
-        .map_batches(add_jk, batch_format="pyarrow")
-    )
-    edge_tagged = edges.map_batches(tag_edge, batch_format="pyarrow").map_batches(
-        add_jk, batch_format="pyarrow"
-    )
-    matched = (
-        wedge_pair_ds.union(edge_tagged)
-        .groupby("jk")
-        .map_groups(matched_pairs, batch_format="pandas")
-    )
-    m_tbl = _collect_arrow(
-        matched, pa.schema([("ma", pa.int64()), ("mb", pa.int64())])
+    # Far-edge membership: broadcast the SORTED EDGE-KEY SET once.  The
+    # old two-pass shape (wedge dedup + union + pair-hash closure shuffle
+    # to find the MATCHED subset, then broadcast it) already collected and
+    # broadcast an edge-scale array — the matched pairs are a subset of
+    # the edges — so broadcasting the full edge set is the same O(m)
+    # memory class while deleting the entire deduped-wedge-scale shuffle
+    # AND the second wedge generation (measured 9.9 s → ~3 s at sf0.1's
+    # 1.2M-edge / 41M-wedge graph).  At edge counts past worker memory the
+    # no-broadcast closure-shuffle formulation (triangle_stats) is the
+    # fallback shape.
+    e_tbl = _collect_arrow(
+        edges, pa.schema([("a", pa.int64()), ("b", pa.int64())])
     )
     mkey = np.sort(
-        np.asarray(m_tbl["ma"], np.int64) * np.int64(1 << 32)
-        + np.asarray(m_tbl["mb"], np.int64)
+        np.asarray(e_tbl["a"], np.int64) * np.int64(1 << 32)
+        + np.asarray(e_tbl["b"], np.int64)
     )
     mref = ray.put(mkey)
 
-    # pass 2: regenerate wedges, keep triangles, credit all three edges
+    # single wedge pass: keep wedges whose far pair IS an edge (those are
+    # the triangles), credit all three edges
     def credits(g: pd.DataFrame) -> pd.DataFrame:
         mk = ray.get(mref)
         s, a, b_ = _src_wedges(g)
