@@ -196,9 +196,10 @@ def sparse_pair_cosine(ds, *, vocab_size: int = 24, min_cos_pct: int = 60):
     groups/s in Ray's sort-based Aggregate, measured; every combine below
     is a coarse fixed-partition groupby + ONE vectorized pandas pass):
 
-    1. vocabulary pass: ``text.term_df_partials`` -> term-scale groupby;
-       driver picks top-V by (df DESC, utf-8 byte order — DuckDB's binary
-       collation).
+    1. vocabulary pass: ``text.term_df_partials`` -> vocab-safe keyed
+       fold with per-partition top-V trim (functions/vocabfold.py); the
+       driver merges <= V x parts rows ranked by (df DESC, utf-8 byte
+       order — DuckDB's binary collation).
     2. norms pass: per-doc squared norm over vocab terms is ROW-LOCAL
        (docs are row-atomic), so one stateless map_batches emits exactly
        one (doc, n2) row per doc — zero shuffle; the doc-scale table is
