@@ -480,12 +480,10 @@ def cms_heavy_words(ds, *, phi: float = 0.005):
             }
         )
 
+    from .vocabfold import keyed_fold
+
+    # dedup-by-max via the vocab-safe keyed fold: at small phi the
+    # candidate set approaches vocabulary scale, so the Aggregate must be
+    # bounded by the coarse partition count, not distinct-word count
     cand = ds.select_columns(["text"]).map_batches(emit, batch_format="pyarrow")
-    agg = cand.groupby("word").max("est")
-
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"word": b["word"], "est": b["max(est)"].cast(pa.int64())}
-        )
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return keyed_fold(cand, key="word", sums=("est",), agg="max")

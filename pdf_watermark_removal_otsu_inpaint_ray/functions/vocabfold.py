@@ -41,9 +41,12 @@ def keyed_fold(
     num_parts: int = 64,
     min_total: int | None = None,
     min_total_col: str | None = None,
+    agg: str = "sum",
 ):
     """Exact ``SELECT key, sum(c1), ... GROUP BY key`` over combiner-first
     partials, with the Aggregate bounded to ``num_parts`` groups.
+    ``agg`` may be ``"sum"`` (default), ``"max"`` or ``"min"`` — any
+    per-key fold whose partials pre-combine per batch.
 
     ``min_total`` (over ``min_total_col``, default the first sum column)
     prunes INSIDE the fold — each partition holds every row of its keys,
@@ -67,7 +70,7 @@ def keyed_fold(
             return pd.DataFrame(out)
         out = (
             g.groupby(key, sort=False)[list(sums)]
-            .sum()
+            .agg(agg)
             .reset_index()
         )
         if min_total is not None:

@@ -3872,11 +3872,21 @@ def q_lineitem_filtered_counts(sf_dir: str):
 
 def q_top_customers(sf_dir: str):
     """Broadcast join orders→customer + grouped count, deterministic top-10
-    (count desc, custkey asc)."""
+    (count desc, custkey asc).
+
+    Scale shape: per-batch (custkey, n) count partials → vocab-safe keyed
+    fold (the Aggregate sees only the coarse partition count, never
+    customer cardinality) → per-BLOCK top-10 trim (keyed_fold's blocks
+    are key-disjoint, so the global top-10 is the merge of per-block
+    top-10s) — the driver receives 10 × blocks rows, not the
+    customer-scale count table."""
+    import pandas as pd
     import pyarrow.parquet as pq
 
     import ray
     import ray.data
+
+    from .functions.vocabfold import keyed_fold
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
@@ -3885,10 +3895,37 @@ def q_top_customers(sf_dir: str):
     keys = keys[order]
     ref = ray.put((keys, names))
 
-    from ray.data.aggregate import Count
+    def count_partials(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"], np.int64)
+        u, c = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u, pa.int64()),
+                "n_orders": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def trim10(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b["o_custkey"], np.int64)
+        n = np.asarray(b["n_orders"], np.int64)
+        sel = np.lexsort((ck, -n))[:10]
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck[sel], pa.int64()),
+                "n_orders": pa.array(n[sel], pa.int64()),
+            }
+        )
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    counts = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders")).to_pandas()
+    counts = (
+        keyed_fold(
+            ds.map_batches(count_partials, batch_format="pyarrow"),
+            key="o_custkey",
+            sums=("n_orders",),
+        )
+        .map_batches(trim10, batch_format="pyarrow")
+        .to_pandas()
+    )
     counts = counts.sort_values(["n_orders", "o_custkey"], ascending=[False, True]).head(10)
     k, v = ray.get(ref)
     want = counts["o_custkey"].to_numpy()
