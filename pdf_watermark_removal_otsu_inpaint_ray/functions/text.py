@@ -255,6 +255,230 @@ class DocTopTerm:
         )
 
 
+def doc_top_terms_capped(docs_ds, *, min_df: int = 2, num_parts: int = 64):
+    """Per-doc top term by (tf DESC, corpus df ASC, term ASC) with a
+    CAPPED broadcast — the 100-TB execution of :class:`DocTopTerm`'s
+    scale note, exact by construction (same output, different plan; the
+    driver checks it against the same SQL twin as ``doc_top_terms``):
+
+    1. the corpus df table folds distributed (vocab-safe keyed fold) and
+       stays a DATASET; only the ``df >= min_df`` HEAD collects and
+       broadcasts (``ray.put``) — the broadcast is bounded by the cap,
+       not by vocabulary size;
+    2. a candidate scan emits each doc's max-tf terms.  A doc resolves
+       LOCALLY iff every candidate is in the head (the ranking prefers
+       LOW df, so an absent candidate — df < min_df — would beat every
+       head term at equal tf: such docs cannot resolve against the capped
+       broadcast and become RESIDUE);
+    3. residue candidate rows attach their df by a coarse term-hash
+       repartition join against the distributed df table (the house
+       union + map_groups join — no row leaves with an unresolved df),
+       then one doc-hash partition picks each residue doc's winner.
+
+    Local winners ∪ residue winners = exactly the uncapped output
+    (pinned by pytest at several min_df/partition layouts).  Residue
+    volume is the docs whose max-tf tie-set touches sub-cap vocabulary —
+    at web scale the tail-term mass a curation pipeline already trims.
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..sinks.exactly_once import hash_partition_ids
+    from .dedup import _collect_arrow
+    from .vocabfold import keyed_fold
+
+    df_ds = keyed_fold(
+        docs_ds.select_columns(["text"]).map_batches(
+            term_df_partials, batch_format="pyarrow"
+        ),
+        key="term",
+        sums=("df",),
+        num_parts=num_parts,
+    ).materialize()  # vocab-scale rows; reused by the head collect AND the residue join
+
+    def head_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["df"], min_df))
+
+    head_tbl = _collect_arrow(
+        df_ds.map_batches(head_filter, batch_format="pyarrow"),
+        pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+    h_terms = np.asarray(head_tbl["term"].to_pylist(), dtype=object)
+    h_order = np.argsort(h_terms)
+    h_terms = h_terms[h_order]
+    h_df = np.asarray(head_tbl["df"], np.int64)[h_order]
+    href = ray.put((h_terms, h_df))
+
+    _EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ht, hd = ray.get(href)
+        rows, codes, vocab = _words_with_rows(batch["text"])
+        ids = np.asarray(batch["doc_id"].cast(pa.int64()))
+        if rows.size == 0:
+            return _EMPTY
+        nv = len(vocab)
+        upair, tf = np.unique(rows * nv + codes, return_counts=True)
+        r, c = upair // nv, upair % nv
+        starts = np.concatenate(([True], r[1:] != r[:-1]))
+        run_id = np.cumsum(starts) - 1
+        run_starts = np.nonzero(starts)[0]
+        maxtf = np.maximum.reduceat(tf, run_starts)
+        cand = tf == maxtf[run_id]
+        rc, cc, tfc, ridc = r[cand], c[cand], tf[cand], run_id[cand]
+        terms_c = np.asarray(vocab, dtype=object)[cc]
+        if ht.size:
+            pos = np.minimum(np.searchsorted(ht, terms_c), ht.size - 1)
+            known = ht[pos] == terms_c
+            dfc = np.where(known, hd[pos], np.int64(-1))
+        else:
+            known = np.zeros(terms_c.size, bool)
+            dfc = np.full(terms_c.size, -1, np.int64)
+        n_runs = run_starts.size
+        unk_run = np.bincount(ridc, weights=~known, minlength=n_runs) > 0
+        need = unk_run[ridc]
+        # local winners: per fully-known run, min (df, term)
+        loc = ~need
+        out_doc = []
+        out_term = []
+        out_tf = []
+        out_df = []
+        if loc.any():
+            order = np.lexsort((terms_c[loc], dfc[loc], ridc[loc]))
+            rl = ridc[loc][order]
+            first = np.concatenate(([True], rl[1:] != rl[:-1]))
+            sel = order[first]
+            out_doc.append(ids[rc[loc][sel]])
+            out_term.append(terms_c[loc][sel])
+            out_tf.append(tfc[loc][sel])
+            out_df.append(dfc[loc][sel])
+        if need.any():
+            out_doc.append(ids[rc[need]])
+            out_term.append(terms_c[need])
+            out_tf.append(tfc[need])
+            out_df.append(np.full(int(need.sum()), -1, np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "term": pa.array(
+                    np.concatenate(out_term).tolist(), pa.string()
+                ),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+                "df": pa.array(np.concatenate(out_df), pa.int64()),
+            }
+        )
+
+    # candidate rows are doc-scale (a doc's max-tf tie set); materialize so
+    # the done/residue split does not recompute the scan
+    cand_ds = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        candidates, batch_format="pyarrow"
+    ).materialize()
+
+    def keep_done(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["df"], 0))
+
+    def keep_residue(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["df"], 0))
+
+    done = cand_ds.map_batches(keep_done, batch_format="pyarrow")
+
+    def tag_res(b: pa.Table) -> pa.Table:
+        b = keep_residue(b)
+        tpk = hash_partition_ids(b["term"].combine_chunks(), num_parts)
+        return b.append_column("tpk", pa.array(tpk, pa.int64()))
+
+    def tag_df(b: pa.Table) -> pa.Table:
+        tpk = hash_partition_ids(b["term"].combine_chunks(), num_parts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(len(b), -1, np.int64), pa.int64()),
+                "term": b["term"],
+                "tf": pa.array(np.full(len(b), -1, np.int64), pa.int64()),
+                "df": b["df"].cast(pa.int64()),
+                "tpk": pa.array(tpk, pa.int64()),
+            }
+        )
+
+    def attach_df(g: "pd.DataFrame") -> "pd.DataFrame":
+        side_df = g[g["doc_id"].to_numpy() < 0]
+        res = g[g["doc_id"].to_numpy() >= 0]
+        if len(res) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "term": pd.Series(dtype=object),
+                    "tf": pd.Series(dtype=np.int64),
+                    "df": pd.Series(dtype=np.int64),
+                }
+            )
+        out = res[["doc_id", "term", "tf"]].merge(
+            side_df[["term", "df"]], on="term", how="inner"
+        )
+        return out.astype(
+            {"doc_id": np.int64, "tf": np.int64, "df": np.int64}
+        )
+
+    def add_dpk(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"], np.int64).astype(np.uint64)
+        dpk = (
+            ((d * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
+            % np.uint64(num_parts)
+        ).astype(np.int64)
+        return b.append_column("dpk", pa.array(dpk, pa.int64()))
+
+    def pick_best(g: "pd.DataFrame") -> "pd.DataFrame":
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "term": pd.Series(dtype=object),
+                    "tf": pd.Series(dtype=np.int64),
+                    "df": pd.Series(dtype=np.int64),
+                }
+            )
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        term = g["term"].to_numpy(dtype=object)
+        df_ = g["df"].to_numpy().astype(np.int64)
+        tf_ = g["tf"].to_numpy().astype(np.int64)
+        order = np.lexsort((term, df_, doc))
+        dd = doc[order]
+        first = np.concatenate(([True], dd[1:] != dd[:-1]))
+        sel = order[first]
+        return pd.DataFrame(
+            {
+                "doc_id": doc[sel],
+                "term": term[sel],
+                "tf": tf_[sel],
+                "df": df_[sel],
+            }
+        )
+
+    resolved = (
+        cand_ds.map_batches(tag_res, batch_format="pyarrow")
+        .union(df_ds.map_batches(tag_df, batch_format="pyarrow"))
+        .groupby("tpk")
+        .map_groups(attach_df, batch_format="pandas")
+        .map_batches(add_dpk, batch_format="pyarrow")
+        .groupby("dpk")
+        .map_groups(pick_best, batch_format="pandas")
+    )
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "term", "tf", "df"])
+
+    return done.map_batches(strip, batch_format="pyarrow").union(
+        resolved.map_batches(strip, batch_format="pyarrow")
+    )
+
+
 def chunk_documents_batch(
     batch: pa.Table, *, window: int = 256, stride: int = 192
 ) -> pa.Table:

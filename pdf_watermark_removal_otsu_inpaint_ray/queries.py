@@ -979,6 +979,18 @@ def q_doc_top_terms(sf_dir: str):
     )
 
 
+def q_doc_top_terms_capped(sf_dir: str):
+    """The CAPPED-broadcast execution of doc_top_terms
+    (functions/text.py::doc_top_terms_capped): only the df >= 2 head
+    vocabulary broadcasts; docs whose max-tf tie set touches sub-cap
+    terms resolve through a term-hash repartition join against the
+    distributed df table.  Same SQL twin as doc_top_terms — the driver
+    proves the scale plan exact."""
+    from .functions.text import doc_top_terms_capped
+
+    return doc_top_terms_capped(_docs_ds(sf_dir), min_df=2)
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 20% Lehmer-hash sample of documents — content-keyed
     (stable under repartitioning), shuffle-free
@@ -6188,6 +6200,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "term_df_top": q_term_df_top,
     "doc_top_terms": q_doc_top_terms,
+    "doc_top_terms_capped": q_doc_top_terms_capped,
     "clean_corpus": q_clean_corpus,
     "hash_sample": q_hash_sample,
     "mix_sources": q_mix_sources,
@@ -8551,6 +8564,8 @@ ORACLE_SQL["streaming_latest_state"] = ORACLE_SQL["events_latest_state"]
 ORACLE_SQL["streaming_coverage"] = ORACLE_SQL["events_coverage"]
 ORACLE_SQL["streaming_attribution"] = ORACLE_SQL["events_attribution"]
 ORACLE_SQL["streaming_first_touch"] = ORACLE_SQL["events_first_touch"]
+# capped-broadcast plan, identical output contract — same SQL twin
+ORACLE_SQL["doc_top_terms_capped"] = ORACLE_SQL["doc_top_terms"]
 ORACLE_SQL["streaming_session_stats"] = ORACLE_SQL["events_session_stats"]
 
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are

@@ -131,3 +131,72 @@ def test_dsir_hash_buckets_collision_free_bit_identical(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert a.equals(b)
+
+
+def test_doc_top_terms_capped_equals_uncapped(ray_session):
+    """The capped-broadcast + residue-join plan must emit EXACTLY the
+    full-broadcast ranking — including docs whose max-tf tie set touches
+    sub-cap (rare) terms, ties broken by (df ASC, term ASC), and the
+    all-local / all-residue extremes (min_df=1 and huge min_df)."""
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.text import (
+        DocTopTerm,
+        doc_top_terms_capped,
+    )
+
+    rng = np.random.default_rng(55)
+    common = [f"c{i}" for i in range(12)]
+    rare = [f"r{i:03d}" for i in range(80)]
+    texts = []
+    for d in range(150):
+        ws = list(rng.choice(common, rng.integers(2, 8)))
+        if d % 3 == 0:  # rare term tying the max tf -> residue doc
+            w = str(rng.choice(rare))
+            ws += [w] * int(np.bincount(
+                [common.index(x) for x in ws if x in common]
+            ).max())
+        rng.shuffle(ws)
+        texts.append(" ".join(ws))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(150), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    # uncapped twin via the full-broadcast actor stage
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.text import (
+        term_df_partials,
+    )
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.vocabfold import (
+        keyed_fold,
+    )
+
+    dft = keyed_fold(
+        ray.data.from_arrow(tbl).map_batches(
+            term_df_partials, batch_format="pyarrow"
+        ),
+        key="term",
+        sums=("df",),
+    ).to_pandas()
+    terms = dft["term"].to_numpy(dtype=object)
+    order = np.argsort(terms)
+    ref = ray.put(
+        {"terms": terms[order],
+         "df": dft["df"].to_numpy().astype(np.int64)[order]}
+    )
+    want = (
+        ray.data.from_arrow(tbl)
+        .map_batches(DocTopTerm, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    for min_df, parts in ((1, 3), (3, 5), (10_000, 2)):
+        got = (
+            doc_top_terms_capped(
+                ray.data.from_arrow(tbl).repartition(parts), min_df=min_df
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert got.equals(want), (min_df, parts)
