@@ -495,3 +495,65 @@ def dsir_weights(
     return docs_ds.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def weighted_sample(ds, *, key: str = "doc_id", weight: str = "w", k: int = 50):
+    """Weighted sampling WITHOUT replacement, deterministic (the
+    Efraimidis–Spirakis A-ES scheme): every row gets priority
+    ``ln(u) / w`` with ``u = ((key·48271) mod (2³¹−1) + 1) / 2³¹`` — the
+    content-keyed Lehmer uniform — and the k highest-priority rows are
+    the sample.  Inclusion probability is proportional to weight (the
+    exponential-race argument), and because u is a pure function of the
+    KEY, the selected set is reproducible across runs, block layouts and
+    cluster sizes — the training-data mixing primitive (sample documents
+    proportional to quality/length weights) in its auditable form.
+
+    Exactness contract with the SQL twin: ``(h+1)/2³¹`` is a power-of-two
+    scaling (exact in float64), ``ln`` is evaluated with ``math.log``
+    (libm — bit-identical to DuckDB ``ln``; np.log's SIMD path can differ
+    in the last ulp, the dsir_weights precedent) over the batch's DISTINCT
+    hash values (batch-scale loop, not the hot path), and the final
+    division by the int64 weight is one correctly-rounded IEEE op — so
+    even the emitted float64 priority hash-matches the oracle bit-for-bit.
+
+    Shape: per-batch top-k trim → driver merge of ``k × blocks`` rows —
+    no shuffle, stream at read speed (the cosine-top-k merge shape).
+    Returns (key, weight, priority, rank) ordered by (priority DESC, key).
+    """
+    import math
+
+    def trim(b: pa.Table) -> pa.Table:
+        kk = np.asarray(b[key], np.int64)
+        _require_nonneg(kk, key)
+        w = np.asarray(b[weight], np.int64)
+        if (w <= 0).any():
+            raise ValueError("weighted_sample: weights must be positive")
+        h = (kk * LEHMER_MULT) % LEHMER_MOD
+        u = (h + 1).astype(np.float64) / np.float64(1 << 31)
+        hu, inv = np.unique(u, return_inverse=True)
+        logu = np.fromiter((math.log(x) for x in hu), np.float64, hu.size)
+        pri = logu[inv] / w
+        sel = np.lexsort((kk, -pri))[:k]
+        return pa.table(
+            {
+                key: pa.array(kk[sel], pa.int64()),
+                weight: pa.array(w[sel], pa.int64()),
+                "priority": pa.array(pri[sel], pa.float64()),
+            }
+        )
+
+    parts = ds.select_columns([key, weight]).map_batches(
+        trim, batch_format="pyarrow"
+    ).to_pandas()
+    kk = parts[key].to_numpy().astype(np.int64)
+    w = parts[weight].to_numpy().astype(np.int64)
+    pri = parts["priority"].to_numpy().astype(np.float64)
+    sel = np.lexsort((kk, -pri))[:k]
+    return pa.table(
+        {
+            key: pa.array(kk[sel], pa.int64()),
+            weight: pa.array(w[sel], pa.int64()),
+            "priority": pa.array(pri[sel], pa.float64()),
+            "rank": pa.array(np.arange(1, sel.size + 1), pa.int64()),
+        }
+    )

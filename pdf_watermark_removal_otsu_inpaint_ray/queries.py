@@ -991,6 +991,27 @@ def q_doc_top_terms_capped(sf_dir: str):
     return doc_top_terms_capped(_docs_ds(sf_dir), min_df=2)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (A-ES exponential race,
+    functions/selection.py::weighted_sample): 50 documents drawn with
+    inclusion probability ∝ length+1, deterministic (content-keyed Lehmer
+    uniform), no shuffle — per-batch top-k trim + driver merge.  The
+    emitted float64 priority hash-matches the SQL twin bit-for-bit (libm
+    ln + power-of-two scaling + one correctly-rounded division)."""
+    from .functions.selection import weighted_sample
+
+    def add_w(b: pa.Table) -> pa.Table:
+        w = pc.add(pc.utf8_length(b["text"]), 1).cast(pa.int64())
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()), "w": w})
+
+    return weighted_sample(
+        _docs_ds(sf_dir).map_batches(add_w, batch_format="pyarrow"),
+        key="doc_id",
+        weight="w",
+        k=50,
+    )
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 20% Lehmer-hash sample of documents — content-keyed
     (stable under repartitioning), shuffle-free
@@ -6201,6 +6222,7 @@ QUERIES = {
     "term_df_top": q_term_df_top,
     "doc_top_terms": q_doc_top_terms,
     "doc_top_terms_capped": q_doc_top_terms_capped,
+    "weighted_sample": q_weighted_sample,
     "clean_corpus": q_clean_corpus,
     "hash_sample": q_hash_sample,
     "mix_sources": q_mix_sources,
@@ -8566,6 +8588,22 @@ ORACLE_SQL["streaming_attribution"] = ORACLE_SQL["events_attribution"]
 ORACLE_SQL["streaming_first_touch"] = ORACLE_SQL["events_first_touch"]
 # capped-broadcast plan, identical output contract — same SQL twin
 ORACLE_SQL["doc_top_terms_capped"] = ORACLE_SQL["doc_top_terms"]
+
+ORACLE_SQL["weighted_sample"] = """
+    WITH s AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(text) + 1 AS BIGINT) AS w,
+               ln((((doc_id * 48271) % 2147483647) + 1) / 2147483648.0)
+                   / (length(text) + 1) AS priority
+        FROM documents
+    )
+    SELECT doc_id, w, priority,
+           CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM s
+    ORDER BY priority DESC, doc_id
+    LIMIT 50
+"""
 ORACLE_SQL["streaming_session_stats"] = ORACLE_SQL["events_session_stats"]
 
 # Pipelines DuckDB cannot express (full inpaint chain, LSH/ANN sketches) are

@@ -186,3 +186,55 @@ def test_dsir_weights_planted_target(ray_session):
         target_sources=("t",),
     ).to_pandas().sort_values("doc_id", ignore_index=True)
     assert int(solo["weight_q"][1]) == 3 * int(solo["weight_q"][0])
+
+
+def test_weighted_sample_matches_brute_and_layout_invariant(ray_session):
+    """A-ES weighted sample vs a serial twin (same libm-ln priority),
+    layout invariance, positive-weight contract, and the proportionality
+    sanity check (heavy keys overrepresented vs uniform)."""
+    import math
+
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.selection import (
+        LEHMER_MOD,
+        LEHMER_MULT,
+        weighted_sample,
+    )
+
+    n = 4000
+    keys = np.arange(n, dtype=np.int64)
+    w = np.where(keys % 10 == 0, 50, 1).astype(np.int64)  # 10% heavy keys
+    tbl = pa.table({"doc_id": pa.array(keys), "w": pa.array(w)})
+
+    pri = np.array(
+        [
+            math.log(((int(k) * LEHMER_MULT) % LEHMER_MOD + 1) / 2147483648.0)
+            / int(ww)
+            for k, ww in zip(keys, w)
+        ]
+    )
+    order = np.lexsort((keys, -pri))[:100]
+    want = keys[order].tolist()
+
+    for parts in (1, 7):
+        out = weighted_sample(
+            ray.data.from_arrow(tbl).repartition(parts),
+            key="doc_id", weight="w", k=100,
+        )
+        got = out["doc_id"].to_pylist()
+        assert got == want, parts
+        assert out["rank"].to_pylist() == list(range(1, 101))
+
+    # proportionality: heavy keys are 10% of rows but ~84% of the sample
+    # (1 - (1-p)^50 style dominance); assert a safe margin
+    heavy = sum(1 for k in want if k % 10 == 0)
+    assert heavy > 50, heavy
+
+    # the contract error surfaces wrapped in RayTaskError — match on text
+    with pytest.raises(Exception, match="positive"):
+        bad = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "w": pa.array([1, 0], pa.int64())}
+        )
+        weighted_sample(ray.data.from_arrow(bad), key="doc_id", weight="w", k=2)
