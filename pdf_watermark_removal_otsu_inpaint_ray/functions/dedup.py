@@ -1132,6 +1132,25 @@ def ngram_jaccard_pairs(ds, *, ngram: int = 3, threshold: float = 0.5):
 
 
 @ray.remote
+def _block_meta_path(path: str):
+    """(centroid direction, max angular radius) of one normalized staged
+    block — the pruning summary for the angular triangle inequality (a
+    degenerate centroid reports radius π: prunes nothing, stays exact)."""
+    import pyarrow.parquet as pq_
+
+    from .similarity import matrix_of
+
+    M = matrix_of(pq_.read_table(path, columns=["embedding"])["embedding"])
+    c = M.mean(axis=0)
+    nc = float(np.linalg.norm(c))
+    if not np.isfinite(nc) or nc < 1e-12:
+        return path, None, float(np.pi)
+    c = c / nc
+    r = float(np.arccos(np.clip(M @ c, -1.0, 1.0)).max())
+    return path, c, r
+
+
+@ray.remote
 def _block_pair_sims_paths(path_a: str, path_b: str, threshold: float) -> pa.Table:
     """Cosine pairs between two normalized blocks read FROM STORAGE (each
     task pulls exactly its two block files — nothing is pinned in the
@@ -1152,7 +1171,13 @@ def _block_pair_sims_paths(path_a: str, path_b: str, threshold: float) -> pa.Tab
     return pa.table({"a": pa.array(lo[keep], pa.int64()), "b": pa.array(hi[keep], pa.int64())})
 
 
-def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = None):
+def embedding_near_dup(
+    ds,
+    *,
+    threshold: float = 0.95,
+    work_dir: str | None = None,
+    stats_out: dict | None = None,
+):
     """EXACT pairs (a < b) with cosine >= threshold, distributed as
     block-pair tasks over a STREAMED staging layout: normalized blocks are
     written once to shared storage (``write_parquet`` — one file per block,
@@ -1163,9 +1188,16 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = No
     (output-scale) is the only thing collected.  ``work_dir`` (or the
     ``PDFWM_RAY_SHARED_TMP`` env root) must be on storage every node can
     read — the same contract as the exactly-once sink dir; the default
-    local-/tmp fallback is single-node only.  At 100 TB prefer
-    :func:`similarity.ivf_near_dup` (bucketed, approximate) — exact
-    all-pairs is inherently quadratic regardless of distribution.
+    local-/tmp fallback is single-node only.
+
+    The block-pair fan-out is PRUNED exactly by the spherical triangle
+    inequality over per-block (centroid, max angular radius) summaries:
+    a pair of blocks whose angular lower bound exceeds acos(threshold)
+    cannot contain a qualifying vector pair and is never read (pinned by
+    pytest: clustered corpora prune, pair set identical to brute force).
+    Worst case (isotropic data) remains quadratic — at 100 TB prefer
+    :func:`similarity.ivf_near_dup` (bucketed, approximate).  Pass
+    ``stats_out={}`` to read back total/pruned block-pair counts.
     """
     import os
     import shutil
@@ -1212,11 +1244,44 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, work_dir: str | None = No
         files = sorted(
             os.path.join(work, f) for f in os.listdir(work) if f.endswith(".parquet")
         )
-        tasks = [
-            _block_pair_sims_paths.remote(files[i], files[j], threshold)
-            for i in range(len(files))
-            for j in range(i, len(files))
-        ]
+        # Angular block pruning (exactness-preserving): for a in block i,
+        # b in block j the spherical triangle inequality gives
+        # ang(a,b) >= ang(c_i,c_j) - r_i - r_j, so a block pair whose
+        # lower bound exceeds acos(threshold) cannot contain a qualifying
+        # pair and is skipped WITHOUT being read.  Clustered corpora (the
+        # realistic embedding layout once upstream sorting/bucketing
+        # groups similar docs) prune most of the O(B^2) fan-out; uniform
+        # random data prunes nothing and the documented quadratic bound
+        # (and the ivf_near_dup scale path) stands.  A 1e-9 slack absorbs
+        # the arccos rounding so the prune stays strictly safe.
+        metas = ray.get([_block_meta_path.remote(f) for f in files])
+        cents = [m[1] for m in metas]
+        radii = np.array([m[2] for m in metas])
+        theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+        n_pruned = 0
+        tasks = []
+        for i in range(len(files)):
+            for j in range(i, len(files)):
+                if (
+                    i != j
+                    and cents[i] is not None
+                    and cents[j] is not None
+                ):
+                    ang = float(
+                        np.arccos(
+                            np.clip(np.dot(cents[i], cents[j]), -1.0, 1.0)
+                        )
+                    )
+                    if ang - radii[i] - radii[j] > theta + 1e-9:
+                        n_pruned += 1
+                        continue
+                tasks.append(
+                    _block_pair_sims_paths.remote(files[i], files[j], threshold)
+                )
+        if stats_out is not None:
+            n_blocks = len(files)
+            stats_out["block_pairs_total"] = n_blocks * (n_blocks + 1) // 2
+            stats_out["block_pairs_pruned"] = n_pruned
         parts = [t for t in ray.get(tasks) if t.num_rows]
     finally:
         # the unique staging subdir is transient either way; work_dir itself
