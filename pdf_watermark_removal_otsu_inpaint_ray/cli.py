@@ -188,7 +188,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="electronic | scanned | mixed | electronic-color")
     r.add_argument("--rows", default=None,
                    help="1-indexed row spec 1,3,5-10 (input storage order)")
-    r.add_argument("--partitions", type=int, default=32)
+    r.add_argument("--partitions", type=int, default=None,
+                   help="sink partition count (default: 32 scaled to "
+                        "cluster CPUs; pinned per sink dir for resume)")
     r.add_argument("--streaming", action="store_true",
                    help="incremental engine (single read, keyed state actors)")
     r.add_argument("--checkpoint-every", type=int, default=None,
@@ -249,6 +251,11 @@ def main(argv: list[str] | None = None) -> int:
                 # on mismatch, but an intentional resume should be visible)
                 summary(f"[resume] streaming checkpoint found under {ckdir}; "
                         "resuming from the latest snapshot")
+        from .config import scaled_parts
+
+        # CLI base 32 (the tuned dev-box default), scaled to the cluster;
+        # resolved AFTER ray.init so cluster_resources() sees the real size
+        args.partitions = scaled_parts(32, args.partitions)
         run_input = args.input
         if args.rows:
             # materialize the selected rows once (storage order, 1-indexed)

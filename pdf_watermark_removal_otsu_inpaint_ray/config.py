@@ -85,3 +85,52 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+# ---------------------------------------------------------------------------
+# Cluster-derived execution knobs
+# ---------------------------------------------------------------------------
+# Every tuned constant in this repo (shuffle fanouts, sink partition counts,
+# actor-pool caps) was measured on the 32-cpu dev box.  On the north star's
+# N-node cluster a hard-coded 64 caps shuffle parallelism and bloats
+# partitions at 100 TB, so fanout defaults resolve AT CALL TIME from
+# ``ray.cluster_resources()`` with the measured constant as the 32-cpu
+# special case: the value scales proportionally with total cluster CPUs and
+# never drops below the tuned base (small dev boxes keep the bench-verified
+# layout; partitions stay the same size PER CORE as the cluster grows).
+
+_REFERENCE_CPUS = 32  # the box every base constant was tuned on
+
+
+def cluster_cpus(default: int = _REFERENCE_CPUS) -> int:
+    """Total cluster CPUs, or ``default`` when Ray isn't initialised (pure
+    driver-side planning — e.g. unit tests constructing plans without a Ray
+    session)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", default)))
+    except Exception:
+        pass
+    return int(default)
+
+
+def scaled_parts(base: int, num_parts: int | None = None) -> int:
+    """Resolve a shuffle/sink fanout: an explicit ``num_parts`` wins;
+    otherwise ``base`` (the 32-cpu tuned constant) scaled linearly with the
+    cluster's CPU count and floored at ``base``.  32 cpus → exactly
+    ``base`` (bench numbers unchanged); a 256-node × 32-cpu cluster →
+    ``256 × base`` so per-partition bytes stay constant as data and nodes
+    grow together."""
+    if num_parts is not None:
+        return int(num_parts)
+    return max(int(base), int(base) * cluster_cpus() // _REFERENCE_CPUS)
+
+
+def scaled_pool(base_min: int, base_max: int) -> tuple[int, int]:
+    """Actor-pool ``concurrency=(min, max)`` range: the max cap (tuned so a
+    pool shares the 32-cpu box with its peers) scales with the cluster so
+    pools can widen onto new nodes; the min stays put (warm-start cost)."""
+    scale = max(1, cluster_cpus() // _REFERENCE_CPUS)
+    return (int(base_min), int(base_max) * scale)

@@ -30,6 +30,8 @@ columns (group, order, tiebreak, type), never payloads.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -47,7 +49,7 @@ def funnel(
     type_col: str = "event_type",
     steps: tuple[str, ...] = ("signup", "view", "purchase"),
     within: int | None = None,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Per-group ordered funnel → one row per distinct group key:
     ``(group, ts_<step>... , stage)`` where ``ts_<steps[k]>`` is the first
@@ -65,6 +67,7 @@ def funnel(
     segment-min per partition, chained through the previous stage's
     per-group threshold.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     ts_cols = [f"ts_{s}" for s in steps]
@@ -126,13 +129,14 @@ def match_next(
     first: str = "view",
     second: str = "purchase",
     max_gap: int = 3_600_000_000,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Immediate follow-by match: emit each row of type ``first`` whose
     NEXT event in its group (by ``order, tiebreak``) has type ``second``
     and arrives within ``max_gap`` — ``lead()`` adjacency, i.e. nothing at
     all may occur between the pair.  → ``(group, tiebreak, ts_first,
     ts_second, delta)``; one lexsort + shifted-compare per partition."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -183,7 +187,7 @@ def rate_limit(
     tiebreak: str = "event_id",
     window_us: int = 3_600_000_000,
     k: int = 3,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Per-(group, tumbling window) arrival-order cap: keep only the first
     ``k`` rows of each group in each ``window_us`` window, ordered by
@@ -192,6 +196,7 @@ def rate_limit(
     → kept rows ``(group, window_id, order, tiebreak, rn)`` with ``rn`` the
     1-based arrival rank.  One lexsort + segment-cumcount per partition —
     ``row_number() OVER (PARTITION BY g, win ORDER BY o, t) <= k``."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:

@@ -21,6 +21,8 @@ finalizer) — deterministic across processes (never Python's seeded
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import re
 
 import numpy as np
@@ -173,7 +175,7 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_hash", h)
 
 
-def exact_dedup(ds, group_on: str = "content_hash", num_parts: int = 64):
+def exact_dedup(ds, group_on: str = "content_hash", num_parts: int | None = None):
     """Exact dedup: keep the lowest doc_id per identical text.
 
     Returns (text, keep_id, n_dup).  The DEFAULT groups on the 8-byte
@@ -195,6 +197,7 @@ def exact_dedup(ds, group_on: str = "content_hash", num_parts: int = 64):
     `_distinct_pairs` lesson).  Correct because a key's rows land in exactly
     one partition.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     from ..sinks.exactly_once import hash_partition_ids
@@ -226,7 +229,7 @@ def exact_dedup(ds, group_on: str = "content_hash", num_parts: int = 64):
     )
 
 
-def incremental_dedup(ds, *, base_col: str = "is_base", num_parts: int = 64):
+def incremental_dedup(ds, *, base_col: str = "is_base", num_parts: int | None = None):
     """Cross-snapshot (incremental) exact dedup: keep each DELTA text that
     never occurs in the BASE snapshot, collapsing delta-internal duplicates
     to the lowest doc_id — the "dedup tonight's crawl against the corpus"
@@ -245,6 +248,7 @@ def incremental_dedup(ds, *, base_col: str = "is_base", num_parts: int = 64):
     pandas aggregation (no per-key callback; the `_distinct_pairs` lesson).
     Same collision caveat as :func:`exact_dedup` (63-bit content hash;
     hostile corpora should key on text)."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def partials(b: pa.Table) -> pa.Table:
@@ -306,7 +310,7 @@ def incremental_dedup(ds, *, base_col: str = "is_base", num_parts: int = 64):
     )
 
 
-def cross_source_texts(ds, *, min_sources: int = 2, num_parts: int = 64):
+def cross_source_texts(ds, *, min_sources: int = 2, num_parts: int | None = None):
     """Set-intersection across corpus partitions: texts that occur in at
     least ``min_sources`` DISTINCT sources (the boilerplate / mirrored-
     content detector — text shared across crawls is navigation chrome,
@@ -317,6 +321,7 @@ def cross_source_texts(ds, *, min_sources: int = 2, num_parts: int = 64):
     the shuffle carries at most one row per (batch, text, source) — then a
     coarse content-hash partition groupby counts distinct sources per text
     with one vectorized pandas pass."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def partials(b: pa.Table) -> pa.Table:
@@ -481,7 +486,7 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     )
 
 
-def _distinct_pairs(band_ds, num_parts: int = 64, final_dedup: str = "driver"):
+def _distinct_pairs(band_ds, num_parts: int | None = None, final_dedup: str = "driver"):
     """(band, band_hash, doc_id) rows → candidate-pair Dataset (distinct
     within each bucket partition; cross-band dedup per ``final_dedup`` —
     "driver" leaves it to :func:`_candidate_pairs_tbl`'s vectorized sweep,
@@ -494,6 +499,7 @@ def _distinct_pairs(band_ds, num_parts: int = 64, final_dedup: str = "driver"):
     runs as one vectorized lexsort + run-boundary sweep.  A second coarse
     groupby on hash(a,b) dedups pairs surfaced by several bands.  No
     driver-side bucketing, no full-table pull."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     _empty_df = pd.DataFrame(
@@ -921,7 +927,7 @@ def _join_partitions(requested: int) -> int:
 
 
 def simhash_dedup(
-    ds, *, max_hamming: int = 3, num_partitions: int = 16, verify_mode: str = "broadcast"
+    ds, *, max_hamming: int = 3, num_partitions: int | None = None, verify_mode: str = "broadcast"
 ):
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found by 16-bit
     band blocking (a pair within distance 3 shares at least one of 4 bands).
@@ -943,6 +949,7 @@ def simhash_dedup(
       (adversarial) regime where even the candidate-id set outgrows driver
       memory.  Join partition count capped at CPUs (deadlock guard below).
     """
+    num_partitions = scaled_parts(16, num_partitions)
     import ray.data
 
     stage = SimHashStage()
@@ -1294,7 +1301,7 @@ def embedding_near_dup(
     return pa.concat_tables(parts)
 
 
-def dedup_keep_best(ds, num_parts: int = 64):
+def dedup_keep_best(ds, num_parts: int | None = None):
     """Ranked (keep-best) dedup on the CANONICAL text: rows whose
     normalized text (NFC -> lower -> whitespace-collapse -> trim, the
     ``normalize_text_batch`` canonicalization) is identical form one
@@ -1313,6 +1320,7 @@ def dedup_keep_best(ds, num_parts: int = 64):
     :func:`exact_dedup`; the driver oracle (GROUP BY the normalized STRING)
     doubles as the collision check.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     from .text import normalize_text_batch
@@ -1391,7 +1399,7 @@ def _distinct_gram_sets(b: pa.Table, ngram: int) -> list[np.ndarray]:
     return [np.unique(grams[goff[i] : goff[i + 1]]) for i in range(b.num_rows)]
 
 
-def gram_df_table(ds, ngram: int = 3, num_parts: int = 64) -> pa.Table:
+def gram_df_table(ds, ngram: int = 3, num_parts: int | None = None) -> pa.Table:
     """Document frequency of every distinct word n-gram —
     (word_hash, df) int64 rows.
 
@@ -1402,6 +1410,7 @@ def gram_df_table(ds, ngram: int = 3, num_parts: int = 64) -> pa.Table:
     to the prefix pass hash-partitioned instead (the tradeoff is noted at
     the call site).
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1432,7 +1441,7 @@ def gram_df_table(ds, ngram: int = 3, num_parts: int = 64) -> pa.Table:
     )
 
 
-def _prefix_candidate_pairs(rows_ds, threshold: float, num_parts: int = 64) -> pa.Table:
+def _prefix_candidate_pairs(rows_ds, threshold: float, num_parts: int | None = None) -> pa.Table:
     """(band_hash=token, doc_id, pos, size) prefix-index rows → the distinct
     candidate-pair table, with PPJoin's LENGTH and POSITIONAL filters
     applied per bucket (both LOSSLESS):
@@ -1449,6 +1458,7 @@ def _prefix_candidate_pairs(rows_ds, threshold: float, num_parts: int = 64) -> p
     vectorized triu pair expansion + three filter masks); the surviving
     pair set collects at output scale and dedups with one driver lexsort.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -1518,7 +1528,7 @@ def _prefix_candidate_pairs(rows_ds, threshold: float, num_parts: int = 64) -> p
     return pa.table({"a": pa.array(ab[:, 0], pa.int64()), "b": pa.array(ab[:, 1], pa.int64())})
 
 
-def jaccard_prefix_join(ds, *, ngram: int = 3, threshold: float = 0.5, num_parts: int = 64) -> pa.Table:
+def jaccard_prefix_join(ds, *, ngram: int = 3, threshold: float = 0.5, num_parts: int | None = None) -> pa.Table:
     """EXACT word-set Jaccard self-join via the PPJoin prefix filter
     (Xiao et al., "Efficient Similarity Joins for Near Duplicate
     Detection", WWW 2008) — the no-false-negative sibling of MinHash-LSH:
@@ -1545,6 +1555,7 @@ def jaccard_prefix_join(ds, *, ngram: int = 3, threshold: float = 0.5, num_parts
     naive all-pairs twin (modulo 63-bit word-hash collisions, the corpus
     dedup caveat documented on :func:`exact_dedup`).
     """
+    num_parts = scaled_parts(64, num_parts)
     df_tbl = gram_df_table(ds, ngram, num_parts)
     vh = np.asarray(df_tbl["word_hash"], np.int64)  # sorted per fold
     vdf = np.asarray(df_tbl["df"], np.int64)

@@ -39,6 +39,8 @@ from "token repeated across pages" to "n-gram repeated across documents".
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -71,7 +73,7 @@ def _gram_doc_counts(b: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray, np.nd
     return g_s[starts], d_s[starts], cnt
 
 
-def cross_doc_dup_stats(ds, *, n: int = 3, num_parts: int = 64):
+def cross_doc_dup_stats(ds, *, n: int = 3, num_parts: int | None = None):
     """Per-document duplicated-n-gram statistics over a corpus Dataset.
 
     Returns a Dataset of ``(doc_id, n_grams, n_dup)`` int64 rows — total
@@ -79,6 +81,7 @@ def cross_doc_dup_stats(ds, *, n: int = 3, num_parts: int = 64):
     than once corpus-wide.  Documents with fewer than ``n`` words emit no
     row (they have no full gram — same as the SQL twin's GROUP BY).
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def partials(b: pa.Table) -> pa.Table:
@@ -180,7 +183,7 @@ def _fsb_view(col: pa.ChunkedArray | pa.Array, L: int) -> np.ndarray:
     return data[arr.offset * L : (arr.offset + len(arr)) * L].reshape(-1, L)
 
 
-def duplicated_char_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: int = 2):
+def duplicated_char_spans(ds, *, L: int = 24, num_parts: int | None = None, min_docs: int = 2):
     """Maximal cross-document duplicated character spans — the REMOVE step
     of Lee et al., "Deduplicating Training Data Makes Language Models
     Better" (ACL 2022).  ``cross_doc_dup_stats`` computes the per-doc
@@ -215,6 +218,7 @@ def duplicated_char_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: int
     component splits), driven by corpus-level content repetition instead
     of mask geometry.
     """
+    num_parts = scaled_parts(64, num_parts)
     import ray
 
     from .dedup import _mix64
@@ -325,7 +329,7 @@ def duplicated_char_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: int
     return ds.map_batches(mark_spans, batch_format="pyarrow")
 
 
-def strip_duplicated_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: int = 2):
+def strip_duplicated_spans(ds, *, L: int = 24, num_parts: int | None = None, min_docs: int = 2):
     """REWRITE step of exact-substring dedup: cut every maximal duplicated
     span (:func:`duplicated_char_spans`) out of its document — returns
     ``(doc_id, clean_text, n_removed)`` for EVERY input doc (untouched
@@ -339,6 +343,7 @@ def strip_duplicated_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: in
     rebuild the string column ZERO-COPY through
     ``StringArray.from_buffers`` (no per-doc Python string assembly).
     """
+    num_parts = scaled_parts(64, num_parts)
     import ray
 
     spans = duplicated_char_spans(ds, L=L, num_parts=num_parts, min_docs=min_docs)
@@ -403,7 +408,7 @@ def strip_duplicated_spans(ds, *, L: int = 24, num_parts: int = 64, min_docs: in
     return ds.map_batches(cut, batch_format="pyarrow")
 
 
-def doc_novelty(ds, *, n: int = 3, num_parts: int = 64):
+def doc_novelty(ds, *, n: int = 3, num_parts: int | None = None):
     """Per-document NOVELTY: of the doc's DISTINCT word n-grams, how many
     first appear in this document (corpus order = doc_id) — the
     "new content contributed per document" curation signal, the per-doc
@@ -424,6 +429,7 @@ def doc_novelty(ds, *, n: int = 3, num_parts: int = 64):
     Reference analog: the first-appearance page of a persistent motif in
     the cross-page accumulation chain (watermark_detector.py sticky
     windows), generalized to n-gram first occurrence."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def partials(b: pa.Table) -> pa.Table:

@@ -30,6 +30,8 @@ Driver traffic is output-scale only (the matched pairs).
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -148,13 +150,14 @@ def _lev_capped_many(s: np.ndarray, ts: list[np.ndarray], tau: int) -> np.ndarra
     return np.minimum(res, tau + 1)
 
 
-def edit_distance_join(ds, *, tau: int = 80, num_parts: int = 128):
+def edit_distance_join(ds, *, tau: int = 80, num_parts: int | None = None):
     """All (a, b, dist) with ``a.doc_id < b.doc_id``, equal ``source``, and
     ``levenshtein(a.text, b.text) ≤ tau`` — exact, layout-independent.
 
     Input needs columns (doc_id, text, source).  Lengths are UNICODE char
     counts (matching SQL ``levenshtein`` semantics).
     """
+    num_parts = scaled_parts(128, num_parts)
     import pandas as pd
 
     width = tau + 1
@@ -267,7 +270,7 @@ def edit_distance_join(ds, *, tau: int = 80, num_parts: int = 128):
     )
 
 
-def prefix_dup(ds, *, num_parts: int = 64):
+def prefix_dup(ds, *, num_parts: int | None = None):
     """Exact PREFIX-duplicate join: every ordered pair (a, b) where a's
     text is a PROPER prefix of b's text — the truncated-duplicate detector
     (a crawl re-fetch cut mid-document, a chunk of a later full document);
@@ -292,6 +295,7 @@ def prefix_dup(ds, *, num_parts: int = 64):
 
     Reference analog: the dedup-spans keep-first contract (cli.py) applied
     to the containment case the reference's exact matcher cannot see."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     from ..sinks.exactly_once import hash_partition_ids

@@ -34,6 +34,8 @@ decision (document_classifier.py:154-177) applied iteratively.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -43,13 +45,14 @@ DAMP_NUM = 850_000  # 0.85 in micro-units
 BASE = 150_000  # 0.15 in micro-units
 
 
-def copurchase_pagerank(ds, *, iterations: int = 2, num_parts: int = 32) -> pa.Table:
+def copurchase_pagerank(ds, *, iterations: int = 2, num_parts: int | None = None) -> pa.Table:
     """PageRank over the part co-purchase graph of a (orderkey, partkey)
     line-item Dataset.  Returns ``(partkey, rank_q)`` with rank in
     micro-units after ``iterations`` damped updates:
     ``r_{i+1}(v) = 150000 + (850000 * sum_u (r_i(u)*w(u,v) // str(u)))
     // 1000000``, ``r_0 = 1000000``.  Nodes = every distinct partkey
     (isolated parts keep the base rank)."""
+    num_parts = scaled_parts(32, num_parts)
     import pandas as pd
 
     def prep(b: pa.Table) -> pa.Table:
@@ -205,7 +208,7 @@ def copurchase_pagerank(ds, *, iterations: int = 2, num_parts: int = 32) -> pa.T
 
 
 def connected_components_distributed(
-    pairs, *, num_parts: int = 32, max_iters: int = 30
+    pairs, *, num_parts: int | None = None, max_iters: int = 30
 ) -> pa.Table:
     """Distributed connected components by iterative MIN-LABEL PROPAGATION
     with POINTER-HALVING — the scale path
@@ -243,6 +246,7 @@ def connected_components_distributed(
     Reference analog: cross-page accumulation (T2) run to fixed point;
     the min-id canonical-member rule mirrors the dedup keep-first
     contract (cli.py dedup spans)."""
+    num_parts = scaled_parts(32, num_parts)
     import ray
     import ray.data
 
@@ -464,13 +468,14 @@ def connected_components_distributed(
 # -- triangle counting ------------------------------------------------------
 
 
-def copurchase_edges(ds, *, num_parts: int = 32):
+def copurchase_edges(ds, *, num_parts: int | None = None):
     """Distinct undirected co-purchase edges ``(a, b)`` with ``a < b`` from
     a (l_orderkey, l_partkey) line-item Dataset: two parts are adjacent
     when some order contains both.  Same order-partitioned size-class
     build as ``copurchase_pagerank`` (one fancy-index per order-size k),
     then a coarse pair-key combine dedupes globally — the shuffle carries
     distinct int64 pairs only."""
+    num_parts = scaled_parts(32, num_parts)
     import pandas as pd
 
     def prep(b: pa.Table) -> pa.Table:
@@ -542,13 +547,14 @@ def copurchase_edges(ds, *, num_parts: int = 32):
     )
 
 
-def degree_table(edges, *, num_parts: int = 32) -> pa.Table:
+def degree_table(edges, *, num_parts: int | None = None) -> pa.Table:
     """Node-degree table of a distinct undirected edge Dataset (``a < b``
     rows), collected to one Arrow table (NODE-scale — the graph's
     dimension side).  One coarse ``node % P`` partition + per-partition
     sort/diff count; shared by the triangle and truss passes (and
     cacheable: the co-purchase suite materializes it once per lineitem
     content, queries.py::_copurchase_graph_cached)."""
+    num_parts = scaled_parts(32, num_parts)
     import pandas as pd
 
     from .dedup import _collect_arrow
@@ -581,13 +587,14 @@ def degree_table(edges, *, num_parts: int = 32) -> pa.Table:
     return tbl.take(pa.array(order, pa.int64()))
 
 
-def oriented_edges(edges, deg_tbl: pa.Table, *, num_parts: int = 32):
+def oriented_edges(edges, deg_tbl: pa.Table, *, num_parts: int | None = None):
     """Degree-rank-oriented edge Dataset ``(src, dst, pk)``: each edge
     points LOW-rank → HIGH-rank by the packed ``(deg << 34) | id`` total
     order, so every node's out-degree is O(sqrt(m)) — the wedge-bounding
     orientation both triangle passes start from.  ``deg_tbl`` must be
     node-sorted (:func:`degree_table`); it broadcasts once via
     ``ray.put``."""
+    num_parts = scaled_parts(32, num_parts)
     import ray
 
     d_nodes = np.asarray(deg_tbl["node"], np.int64)
@@ -617,7 +624,7 @@ def oriented_edges(edges, deg_tbl: pa.Table, *, num_parts: int = 32):
 
 
 def triangle_stats(
-    edges, *, num_parts: int = 32, deg_tbl: pa.Table | None = None,
+    edges, *, num_parts: int | None = None, deg_tbl: pa.Table | None = None,
     oriented=None,
 ) -> pa.Table:
     """Exact triangle count + global-clustering ingredients over a
@@ -652,6 +659,7 @@ def triangle_stats(
     co-occurrence accumulation (cross-page repeated structure,
     watermark_remover.py), lifted from pairs to closed triples.
     """
+    num_parts = scaled_parts(32, num_parts)
     import pandas as pd
 
     # degree vector: NODE-scale (the graph's dimension side), collected
@@ -782,7 +790,7 @@ def triangle_stats(
 
 
 def triangle_support_hist(
-    edges, *, num_parts: int = 32, deg_tbl: pa.Table | None = None,
+    edges, *, num_parts: int | None = None, deg_tbl: pa.Table | None = None,
     oriented=None,
 ) -> pa.Table:
     """Per-edge triangle-SUPPORT distribution over a distinct undirected
@@ -810,6 +818,7 @@ def triangle_support_hist(
     formulation (``triangle_stats``'s union + pair-hash groupby) is the
     fallback shape — the 100-TB trade documented there.
     """
+    num_parts = scaled_parts(32, num_parts)
     import pandas as pd
 
     import ray
@@ -1033,7 +1042,7 @@ def bfs_hops(edges, *, seed_mod: int = 97, max_depth: int = 4) -> pa.Table:
 
 
 def copurchase_edges_min_weight(
-    ds, *, min_weight: int = 2, num_parts: int = 32, keep_weight: bool = False
+    ds, *, min_weight: int = 2, num_parts: int | None = None, keep_weight: bool = False
 ):
     """Weight-thresholded distinct undirected co-purchase edges: keep
     ``(a, b)`` (``a < b``) only when at least ``min_weight`` DISTINCT
@@ -1046,6 +1055,7 @@ def copurchase_edges_min_weight(
     multiplicities, and a coarse pair-key groupby sums counts globally
     before the threshold filter — the shuffle carries (pair, count) int64
     rows, never the per-order pair stream."""
+    num_parts = scaled_parts(32, num_parts)
     import pandas as pd
 
     def prep(b: pa.Table) -> pa.Table:
@@ -1237,7 +1247,7 @@ def k_core(edges, *, k: int = 3, max_iters: int = 100) -> pa.Table:
     )
 
 
-def basket_lift(ds, *, min_weight: int = 2, num_parts: int = 32) -> "object":
+def basket_lift(ds, *, min_weight: int = 2, num_parts: int | None = None) -> "object":
     """Market-basket LIFT over the co-purchase pairs: for every part pair
     co-purchased in ≥ ``min_weight`` distinct orders, the association
     strength ``lift(a,b) = N·c(a,b) / (c(a)·c(b))`` (N = distinct orders,
@@ -1253,6 +1263,7 @@ def basket_lift(ds, *, min_weight: int = 2, num_parts: int = 32) -> "object":
     billion-part scale); one final scan computes lift per pair.  Int64
     bound: ``10^6·N·w`` must stay < 2^63 — holds to ~10^9 order-pairs at
     this quantization (the SQL twin rides HUGEINT above that)."""
+    num_parts = scaled_parts(32, num_parts)
     import ray
     import ray.data
 

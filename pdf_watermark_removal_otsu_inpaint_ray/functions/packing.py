@@ -23,6 +23,8 @@ Partitioning assumption (documented per the custom-operator contract): a
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -114,11 +116,12 @@ def pack_sequences(
     )
 
 
-def _add_group_pk(b: pa.Table, group: str, num_parts: int = 64) -> pa.Table:
+def _add_group_pk(b: pa.Table, group: str, num_parts: int | None = None) -> pa.Table:
     """ONE definition of the group-key partition id (splitmix64 for int
     keys, hash_partition_ids for strings) shared by every grouped operator
     in this module — two copies would let grouped_lag and
     grouped_rolling_sum silently partition the same keys differently."""
+    num_parts = scaled_parts(64, num_parts)
     from ..sinks.exactly_once import hash_partition_ids
 
     if pa.types.is_integer(b.schema.field(group).type):
@@ -527,7 +530,7 @@ def transition_counts(
     order: str = "ts",
     tiebreak: str = "event_id",
     label: str = "event_type",
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ) -> pa.Table:
     """Markov transition matrix over per-group event sequences: count
     (previous label -> label) adjacencies in each group's (order, tiebreak)
@@ -547,6 +550,7 @@ def transition_counts(
     |labels|^2 key space, never events.  Returns a pa.Table
     ``(prev_<label>, <label>, cnt)``.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -608,7 +612,7 @@ def grouped_time_weighted(
     order: str = "ts_us",
     tiebreak: str = "event_id",
     value: str = "cents",
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Per-group TIME-WEIGHTED value aggregate (the TWAP / IoT
     state-duration primitive): each row's value is held until the group's
@@ -621,6 +625,7 @@ def grouped_time_weighted(
     One coarse hash partition on the group key, one lexsort + shift per
     partition (the grouped_lag shape), one bincount per output — no
     per-group callback."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -674,7 +679,7 @@ def grouped_rolling_median(
     value: str = "value_c",
     window: int = 4,
     out: str = "roll_med",
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Per-group rolling-window MEDIAN: for each row, the median of
     ``value`` over the last ``window`` rows (current included) of its group
@@ -695,6 +700,7 @@ def grouped_rolling_median(
     ``rows_in_partition × window × 8`` bytes, bounded by the partition
     size (window is a small constant; a 1000-row window would want the
     two-heap streaming form instead)."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -752,7 +758,7 @@ def grouped_interval_agg(
     value: str = "value_c",
     anchor: str = "is_anchor",
     horizon: int = 6 * 3_600_000_000,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Batch INTERVAL self-join aggregate: for every anchor row, the count
     and exact int64 value sum of its group's rows with ``order`` in
@@ -773,6 +779,7 @@ def grouped_interval_agg(
     a prefix-sum difference sums the window exactly (int64, order-free).
     No per-anchor loop, no pair materialization; memory is one sort of the
     partition."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -840,7 +847,7 @@ def grouped_interval_coverage(
     group: str = "user_id",
     order: str = "ts_us",
     hold: int = 3_600_000_000,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Per-group interval-UNION coverage: each row opens ``[ts, ts+hold)``;
     emit ``(group, covered_us, n_islands)`` — the union length of all the
@@ -855,6 +862,7 @@ def grouped_interval_coverage(
     Reference analog: the sticky-window persistence span of the detection
     chain (watermark_detector.py cross-page runs) measured per key.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -1105,7 +1113,7 @@ def pack_examples(
     order: str = "event_ts",
     tiebreak: str | None = None,
     bucket_bits: int = 12,
-    num_parts: int = 32,
+    num_parts: int | None = None,
 ):
     """Fixed-length training-example packing stats: lay every document's
     tokens end-to-end in ``order`` sequence, cut the stream into
@@ -1136,6 +1144,7 @@ def pack_examples(
     Reference analog: the fixed-page batching of the sequential renderer
     (cli.py page loop) recast as a deterministic distributed scan.
     """
+    num_parts = scaled_parts(32, num_parts)
     import pandas as pd
 
     import ray

@@ -32,6 +32,8 @@ bucketed histogram, never a sort of the pixels.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import math
 
 import numpy as np
@@ -104,7 +106,7 @@ def grouped_percent_rank(
     id_col: str,
     out: str = "pr",
     bucket_bits: int = 16,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """``percent_rank() OVER (PARTITION BY group ORDER BY value)`` —
     (rank−1)/(n−1) with rank = 1 + count of strictly-smaller values in the
@@ -115,6 +117,7 @@ def grouped_percent_rank(
     column; the only shuffles are the fixed-key-space histogram groupby and
     ONE coarse ``num_parts`` cell partition — no group is ever co-located.
     """
+    num_parts = scaled_parts(64, num_parts)
     import ray
 
     hist = _bucket_histogram(ds, group=group, value=value, bucket_bits=bucket_bits)

@@ -30,6 +30,8 @@ over a corpus statistic.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import math
 
 import numpy as np
@@ -239,7 +241,7 @@ def sparse_pair_cosine(ds, *, vocab_size: int = 24, min_cos_pct: int = 60):
     vocab = [t for t, _ in ranked]
     v_index = {t: i for i, t in enumerate(vocab)}
     V = len(vocab)
-    num_parts = 16
+    num_parts = scaled_parts(16)
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def _vocab_hits(b: pa.Table):

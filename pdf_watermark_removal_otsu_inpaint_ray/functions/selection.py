@@ -17,6 +17,8 @@ Python.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -58,7 +60,7 @@ def topk_per_group(
     score: str,
     tie: str,
     k: int,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Distributed top-k per group over a Dataset.
 
@@ -73,6 +75,7 @@ def topk_per_group(
     final trim.  No row set larger than k × blocks per group ever moves,
     and the driver sees nothing.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pyarrow.compute as pc
 
     from ..sinks.exactly_once import hash_partition_ids
@@ -188,7 +191,7 @@ def stratified_split(
     key: str = "doc_id",
     fracs: tuple = (80, 10),
     labels: tuple = ("train", "valid", "test"),
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Exact per-group train/valid/test split: within each group, rows are
     ranked by (Lehmer(key), key) and cut at EXACT integer proportions —
@@ -207,6 +210,7 @@ def stratified_split(
     ``grouped_lag`` / ``_distinct_pairs`` lesson).  Exact SQL twin:
     ``row_number() OVER (PARTITION BY g ORDER BY hash, key)`` vs
     ``count(*) OVER (PARTITION BY g)`` integer arithmetic."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     from ..sinks.exactly_once import hash_partition_ids
@@ -296,7 +300,7 @@ def mix_sources(
 
 
 def sample_per_group(ds, *, group: str = "source", key: str = "doc_id", k: int = 5,
-                     num_parts: int = 16):
+                     num_parts: int | None = None):
     """Deterministic k-row sample per group — the distributed analog of a
     per-domain reservoir sample: keep each group's k smallest rows by
     ``(lehmer_hash(key), key)``.  Unlike a true reservoir it is
@@ -308,6 +312,7 @@ def sample_per_group(ds, *, group: str = "source", key: str = "doc_id", k: int =
     SQL twin: ``row_number() OVER (PARTITION BY group ORDER BY
     (key*48271)%2147483647, key) <= k``.
     """
+    num_parts = scaled_parts(16, num_parts)
 
     def add_score(b: pa.Table) -> pa.Table:
         kk = np.asarray(b[key].combine_chunks().cast(pa.int64()))

@@ -11,6 +11,8 @@ partition assignment, query probes the ``n_probe`` nearest partitions only.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -186,7 +188,7 @@ def ivf_near_dup(
     threshold: float = 0.5,
     n_list: int = 8,
     n_probe: int = 2,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ) -> pa.Table:
     """IVF-bucketed embedding near-dup — the scale path for
     ``embedding_near_dup``: each vector joins its ``n_probe`` nearest
@@ -196,6 +198,7 @@ def ivf_near_dup(
     construction (pairs split across non-shared partitions are missed);
     the exact all-pairs twin is ``dedup.embedding_near_dup``.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     import ray.data  # noqa: F401  (groupby path)

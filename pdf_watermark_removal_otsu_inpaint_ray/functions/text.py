@@ -11,6 +11,8 @@ positional fingerprint) so the driver can value-check them.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import re
 
 import numpy as np
@@ -255,7 +257,7 @@ class DocTopTerm:
         )
 
 
-def doc_top_terms_capped(docs_ds, *, min_df: int = 2, num_parts: int = 64):
+def doc_top_terms_capped(docs_ds, *, min_df: int = 2, num_parts: int | None = None):
     """Per-doc top term by (tf DESC, corpus df ASC, term ASC) with a
     CAPPED broadcast — the 100-TB execution of :class:`DocTopTerm`'s
     scale note, exact by construction (same output, different plan; the
@@ -280,6 +282,7 @@ def doc_top_terms_capped(docs_ds, *, min_df: int = 2, num_parts: int = 64):
     volume is the docs whose max-tf tie-set touches sub-cap vocabulary —
     at web scale the tail-term mass a curation pipeline already trims.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     import ray
@@ -1047,7 +1050,7 @@ def cdc_chunks_batch(
     )
 
 
-def vocab_growth(ds, *, bucket_docs: int = 50, num_parts: int = 64):
+def vocab_growth(ds, *, bucket_docs: int = 50, num_parts: int | None = None):
     """Per-source vocabulary-growth curve (the Heaps'-law corpus
     diagnostic): bucket each source's docs by ``doc_id // bucket_docs``
     and report how many NEW distinct words first appear in each bucket,
@@ -1065,6 +1068,7 @@ def vocab_growth(ds, *, bucket_docs: int = 50, num_parts: int = 64):
 
     Returns (source, bucket, vocab_new, vocab_cum) int64/string rows.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     from .dedup import _word_hashes_flat

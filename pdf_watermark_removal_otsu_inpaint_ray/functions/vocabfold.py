@@ -22,6 +22,8 @@ statistic computed without ever sorting the full pixel stream.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -38,7 +40,7 @@ def keyed_fold(
     *,
     key: str = "term",
     sums: tuple[str, ...] = ("df",),
-    num_parts: int = 64,
+    num_parts: int | None = None,
     min_total: int | None = None,
     min_total_col: str | None = None,
     agg: str = "sum",
@@ -55,6 +57,7 @@ def keyed_fold(
     by it).  Output column names are unchanged (no ``sum(...)`` rename
     needed downstream).
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     sums = tuple(sums)
@@ -65,7 +68,10 @@ def keyed_fold(
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
-            out = {key: pd.Series(dtype=object)}
+            # Key dtype must match non-empty blocks (int64 for custkey-style
+            # folds) or Arrow schema-unifies object→string/null and concat
+            # breaks downstream.
+            out = {key: pd.Series(dtype=g[key].dtype if key in g else object)}
             out.update({c: pd.Series(dtype=np.int64) for c in sums})
             return pd.DataFrame(out)
         out = (
@@ -90,7 +96,7 @@ def keyed_fold_topv(
     key: str = "term",
     sum_col: str = "df",
     v: int,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ) -> list[tuple[str, int]]:
     """Driver-side top-``v`` keys by ``(total DESC, key ASC in UTF-8 byte
     order — DuckDB's binary collation)``.  Partitions are key-disjoint, so
@@ -99,6 +105,7 @@ def keyed_fold_topv(
     driver traffic is ``v x num_parts`` rows, independent of vocabulary
     size (the hashed-bucket vocab bound of selection.py::dsir_weights
     applied to the collect itself)."""
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     def add_pk(b: pa.Table) -> pa.Table:
@@ -107,7 +114,7 @@ def keyed_fold_topv(
     def fold_trim(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
             return pd.DataFrame(
-                {key: pd.Series(dtype=object),
+                {key: pd.Series(dtype=g[key].dtype if key in g else object),
                  sum_col: pd.Series(dtype=np.int64)}
             )
         out = g.groupby(key, sort=False)[[sum_col]].sum().reset_index()

@@ -9,6 +9,8 @@ columns — never the text.  Everything streams; nothing is materialized.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 from functools import partial
 
 import numpy as np
@@ -55,7 +57,7 @@ def clean_corpus(
     *,
     min_words: int = 5,
     min_chars: int = 20,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Gate → hash → keep-lowest-doc_id per identical text.
 
@@ -65,6 +67,7 @@ def clean_corpus(
     C-speed pandas ``transform("min")`` — no per-key callback.  The text
     column is dropped BEFORE the shuffle; only int64 hash + scalars move.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     gated = ds.map_batches(

@@ -12,6 +12,8 @@ co-partitioned path is :func:`..stages.join.hash_join_events_documents`.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 from typing import Optional
 
 import ray
@@ -39,13 +41,14 @@ def run_full_pipeline(
     cfg: EngineConfig = DEFAULT_CONFIG,
     *,
     out_dir: Optional[str] = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     batch_size: int = 1024,
 ):
     """CEP spans → removal-set filter → J1 join → detect → inpaint → sink.
 
     Returns (output Dataset | commit report, span_events table).
     """
+    num_partitions = scaled_parts(32, num_partitions)
     import pyarrow as pa
 
     events_ds = detect_motif_events(ds, motifs, cfg)

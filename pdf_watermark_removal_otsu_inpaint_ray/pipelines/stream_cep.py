@@ -20,6 +20,8 @@ re-read).
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -45,7 +47,7 @@ def run_streaming_funnel(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -54,6 +56,7 @@ def run_streaming_funnel(
     group key at end-of-stream — ``(group, ts_<step>..., stage)`` with -1
     for unreached stages — byte-equal to the batch ``functions/cep.funnel``
     over the same rows whenever no row goes late."""
+    num_partitions = scaled_parts(8, num_partitions)
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
     if checkpoint_every is not None and out_dir is None:
@@ -183,7 +186,7 @@ def run_streaming_rate_limit(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -194,6 +197,7 @@ def run_streaming_rate_limit(
     goes late.  State is O(active windows): closed windows evict at
     watermark passage.  Same driver loop, sink mode, and checkpoint
     protocol as the funnel."""
+    num_partitions = scaled_parts(8, num_partitions)
     from ..state.ratelimit_state import RateLimitStateActor
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
@@ -328,7 +332,7 @@ def run_streaming_attribution(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -338,6 +342,7 @@ def run_streaming_attribution(
     With lateness covering the stream's disorder the emitted set is
     byte-equal to the batch ``grouped_attribution`` — one definition,
     two execution tiers, one SQL twin."""
+    num_partitions = scaled_parts(8, num_partitions)
     from ..state.attribution_state import AttributionStateActor
     from ..state.firsttouch_state import FirstTouchStateActor
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
@@ -484,7 +489,7 @@ def run_streaming_session_stats(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -494,6 +499,7 @@ def run_streaming_session_stats(
     session-window-with-aggregate shape.  With lateness covering the
     stream's disorder the emitted set is byte-equal to the batch
     ``grouped_session_stats`` — one definition, two tiers, one twin."""
+    num_partitions = scaled_parts(8, num_partitions)
     from ..state.sessionstats_state import SessionStatsActor
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 

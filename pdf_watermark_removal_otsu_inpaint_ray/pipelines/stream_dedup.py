@@ -19,6 +19,8 @@ is to be dropped) — ``state_stats`` carries ``n_dup``.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -41,7 +43,7 @@ def run_streaming_dedup(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -54,6 +56,7 @@ def run_streaming_dedup(
     (pipelines/stream_join.py::_ckpt_resume_or_fresh) applied to the
     single-log consumer — identity state + pending buffers pickle, staged
     manifest truncates, the skipped prefix is the log re-read."""
+    num_partitions = scaled_parts(8, num_partitions)
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
     if checkpoint_every is not None and out_dir is None:

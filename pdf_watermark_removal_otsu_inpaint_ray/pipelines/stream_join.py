@@ -16,6 +16,8 @@ into the exactly-once layout keyed by a deterministic pair id.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -121,7 +123,7 @@ def run_streaming_join(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     mode: str = "inner",
     checkpoint_every: int | None = None,
     hot_keys: tuple = (),
@@ -163,6 +165,7 @@ def run_streaming_join(
     Requires ``n_salt <= n_actors`` (consecutive slots must be distinct
     actors, or two replicas of one right row would meet and double-pair).
     """
+    num_partitions = scaled_parts(8, num_partitions)
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
     if checkpoint_every is not None and out_dir is None:
@@ -362,7 +365,7 @@ def run_streaming_temporal_join(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -383,6 +386,7 @@ def run_streaming_temporal_join(
     :func:`run_streaming_join` (dimension + pending-event buffers pickle;
     staged manifest truncates; the deterministic round-robin interleaving
     makes the skipped prefix line up)."""
+    num_partitions = scaled_parts(8, num_partitions)
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
     if checkpoint_every is not None and out_dir is None:

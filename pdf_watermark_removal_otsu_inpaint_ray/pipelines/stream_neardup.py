@@ -28,6 +28,8 @@ watermark advance):
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -106,7 +108,7 @@ def run_streaming_neardup(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -118,6 +120,7 @@ def run_streaming_neardup(
     actor blobs carry payload custody + the band index; ONE extra blob
     carries the driver's undecided metadata buffer (bounded by the
     lateness window) + watermark scalars."""
+    num_partitions = scaled_parts(8, num_partitions)
     import pickle
 
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint

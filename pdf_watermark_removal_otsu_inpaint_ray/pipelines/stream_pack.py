@@ -19,6 +19,8 @@ by skipping replayed micro-batches (kill-and-replay equal by test).
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -37,7 +39,7 @@ def run_streaming_pack(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     ckpt_dir: str | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
@@ -54,6 +56,7 @@ def run_streaming_pack(
     commits manifests only; checkpoints then ride the shared two-log
     protocol (staged-file manifest truncation on resume) instead of the
     driver-buffer blob."""
+    num_partitions = scaled_parts(8, num_partitions)
     from .checkpoint import (
         clear_checkpoints,
         latest_checkpoint,

@@ -13,6 +13,8 @@ exactly-once layout; the driver moves manifests only.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -34,7 +36,7 @@ def run_streaming_latest(
     micro_batch_rows: int = 512,
     compact_rows: int = 65536,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -44,6 +46,7 @@ def run_streaming_latest(
     ``row_number() = 1`` window twin).  ``checkpoint_every``: the shared
     two-log snapshot protocol (state + per-batch delta buffer ride the
     actor blobs; no watermark to restore — the monoid commutes)."""
+    num_partitions = scaled_parts(8, num_partitions)
     from .checkpoint import clear_checkpoints, staged_file_manifest, write_checkpoint
 
     if checkpoint_every is not None and out_dir is None:

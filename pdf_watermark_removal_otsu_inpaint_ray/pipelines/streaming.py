@@ -18,6 +18,8 @@ the same loop runs one consumer task per input partition.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -186,7 +188,7 @@ def run_streaming(
     n_actors: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     checkpoint_every: int | None = None,
     _stop_after_batches: int | None = None,
 ) -> StreamingResult:
@@ -211,6 +213,7 @@ def run_streaming(
     ``_stop_after_batches`` is the test-only crash-injection hook (raises
     after consuming that many batches).
     """
+    num_partitions = scaled_parts(8, num_partitions)
     from .checkpoint import (
         clear_checkpoints,
         latest_checkpoint,
@@ -509,7 +512,7 @@ def run_streaming_partitioned(
     n_partitions: int = 4,
     micro_batch_rows: int = 1024,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> tuple[StreamingResult, list[dict]]:
     """Partitioned-log streaming: one parallel consumer task per input
     partition, per-partition watermarks merged (min) by the tracker, keyed
@@ -536,6 +539,7 @@ def run_streaming_partitioned(
     ``read_late(out_dir)``.  Returns (StreamingResult, per-partition
     metrics).
     """
+    num_partitions = scaled_parts(8, num_partitions)
     import os
 
     paths = _resolve_parquet_paths(source) if isinstance(source, str) else list(source)
@@ -608,7 +612,7 @@ def run_streaming_salted(
     salt_buckets: int = 4,
     micro_batch_rows: int = 512,
     out_dir: str | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> StreamingResult:
     """Coordinated streaming with hot-key salting (SURVEY §4.2).
 
@@ -626,6 +630,7 @@ def run_streaming_salted(
     carry no token data), late rows into ``<out_dir>/_late``; the driver
     commits manifests at end of stream.
     """
+    num_partitions = scaled_parts(8, num_partitions)
     from ..golden import detect_wm_token
     from ..state.keyed_state import _window_end
 

@@ -15,6 +15,8 @@ generalized to real event time, and every one has an exact DuckDB twin in
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -193,7 +195,7 @@ def events_customer_join(events_ds: "ray.data.Dataset", customer_path: str):
 
 
 def tumbling_distinct_users(
-    ds: "ray.data.Dataset", size_us: int = HOUR_US, num_parts: int = 64
+    ds: "ray.data.Dataset", size_us: int = HOUR_US, num_parts: int | None = None
 ):
     """Exact ``count(DISTINCT user_id)`` per (event_type, tumbling window).
 
@@ -206,6 +208,7 @@ def tumbling_distinct_users(
     no count-distinct on the driver.  Skew note: a window's triples land in
     one task; at adversarial per-window user cardinality, salt on
     user-hash and add a second (window)-keyed count round."""
+    num_parts = scaled_parts(64, num_parts)
 
     def partial(batch: pa.Table) -> pa.Table:
         us = _epoch_us(batch)

@@ -12,6 +12,8 @@ back from parquet, so every query has an independent oracle row.
 
 from __future__ import annotations
 
+from .config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2461,7 +2463,7 @@ def q_priority_revenue(sf_dir: str):
 
     import ray.data
 
-    num_parts = 64
+    num_parts = scaled_parts(64)
 
     def li_partials(b: pa.Table) -> pa.Table:
         ok = np.asarray(b["l_orderkey"], np.int64)
@@ -2569,7 +2571,7 @@ def q_orders_integrity(sf_dir: str):
 
     import ray.data
 
-    num_parts = 32
+    num_parts = scaled_parts(32)
 
     def partials(b: pa.Table) -> pa.Table:
         ok = np.asarray(b["o_orderkey"], np.int64)
@@ -2783,7 +2785,7 @@ def q_ship_latency_stats(sf_dir: str):
     import pandas as pd
     import ray.data
 
-    num_parts = 64
+    num_parts = scaled_parts(64)
     DAY = 86_400_000_000
     pri_idx = {p: i for i, p in enumerate(_PRIORITIES)}
 
@@ -2969,7 +2971,7 @@ def q_orders_backlog(sf_dir: str):
     import pandas as pd
     import ray.data
 
-    num_parts = 64
+    num_parts = scaled_parts(64)
     DAY = 86_400_000_000
 
     def li_partials(b: pa.Table) -> pa.Table:
@@ -4004,7 +4006,7 @@ def q_nation_revenue(sf_dir: str):
 
     import ray.data
 
-    num_parts = 64
+    num_parts = scaled_parts(64)
 
     def li_partials(b: pa.Table) -> pa.Table:
         ok = np.asarray(b["l_orderkey"], np.int64)
@@ -4516,7 +4518,7 @@ def q_customer_order_balance(sf_dir: str):
 
     import ray.data
 
-    num_parts = 64
+    num_parts = scaled_parts(64)
 
     def cust_side(b: pa.Table) -> pa.Table:
         k = np.asarray(b["c_custkey"], np.int64)
@@ -4998,7 +5000,7 @@ def q_region_supplier_revenue(sf_dir: str):
     import pyarrow.parquet as pq_
     import ray.data
 
-    num_parts = 64
+    num_parts = scaled_parts(64)
 
     def li_partials(b: pa.Table) -> pa.Table:
         sk = np.asarray(b["l_suppkey"], np.int64)

@@ -22,6 +22,8 @@ uninterrupted run.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import json
 import os
 import uuid
@@ -440,7 +442,7 @@ def write_exactly_once(
     ds,
     out_dir: str,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     num_writers: int | None = None,  # kept for API compat; staging is task-parallel
     stage_batch_size: int = 32768,
     resume: bool = True,
@@ -471,6 +473,7 @@ def write_exactly_once(
     doc_ids across committed partitions.
     ``fail_partitions`` is test-only fault injection (raise before commit).
     """
+    num_partitions = scaled_parts(16, num_partitions)
     os.makedirs(out_dir, exist_ok=True)
     done = frozenset(committed_partitions(out_dir)) if resume else frozenset()
     epoch = begin_epoch(out_dir)

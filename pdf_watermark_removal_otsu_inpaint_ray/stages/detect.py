@@ -14,6 +14,8 @@ first-detection-wins instance state (watermark_detector.py:562-568,188).
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -257,12 +259,13 @@ def _merge_hist_rows(
     return s_u[c_u // w_span], c_u % w_span + w_min, merged
 
 
-def _tree_merge_partials(partials, cfg: EngineConfig, num_parts: int = 64):
+def _tree_merge_partials(partials, cfg: EngineConfig, num_parts: int | None = None):
     """Distributed partial-merge round: coarse-partition the partial rows by
     hash(source, window) and merge each partition with the same vectorized
     factorized ``np.add.at`` — every (source, window) lands in exactly one
     partition, so the driver then receives EXACTLY one row per key (volume
     bounded by key cardinality, independent of input block count)."""
+    num_parts = scaled_parts(64, num_parts)
     from ..sinks.exactly_once import hash_partition_ids
 
     def add_pk(b: pa.Table) -> pa.Table:

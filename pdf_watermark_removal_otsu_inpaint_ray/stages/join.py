@@ -20,6 +20,8 @@ bypass the protect/refine chain.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -66,7 +68,7 @@ def salted_skew_join(
     probe_keys_ds=None,
     salt: int = 8,
     hot_capacity: int = 64,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Skew-aware inner equi-join — the Spark-AQE skew-join analog,
     expressed Ray-Data-first for Zipf-keyed fact tables where one hot key
@@ -96,6 +98,7 @@ def salted_skew_join(
     Assumes an int64 join key (hash string keys upstream) and that
     neither side carries a ``_salt`` column.
     """
+    num_partitions = scaled_parts(32, num_partitions)
     import pyarrow.compute as pc
 
     from ..functions.dedup import _join_partitions

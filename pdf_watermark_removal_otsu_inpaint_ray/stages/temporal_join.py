@@ -24,6 +24,8 @@ and ``np.searchsorted`` over prefix sums); the driver never sees row data.
 
 from __future__ import annotations
 
+from ..config import scaled_parts
+
 import numpy as np
 import pyarrow as pa
 
@@ -44,7 +46,7 @@ def asof_join(
     right_on: str,
     left_ts: str,
     right_ts: str,
-    num_parts: int = 64,
+    num_parts: int | None = None,
     collapse_right_ties: bool = True,
     direction: str = "backward",
 ):
@@ -70,6 +72,7 @@ def asof_join(
     ``pandas.merge_asof``.  One shuffle total; the merge is O(n log n) per
     partition and never builds a pair set.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     import ray.data
@@ -291,7 +294,7 @@ def interval_point_aggregate(
     interval_start: str,
     interval_end: str,
     band_width: int,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ):
     """Pure range join + aggregate: per interval, the count and int64 sum of
     ``point_value`` over points with ``start <= ts < end`` (no equi-key).
@@ -310,6 +313,7 @@ def interval_point_aggregate(
     At extreme band skew (one band holding a corpus), salt the band key and
     add one more partial-merge round — same recipe as the histogram tree.
     """
+    num_parts = scaled_parts(64, num_parts)
     import pandas as pd
 
     import ray.data
