@@ -425,6 +425,53 @@ def main() -> None:
         timings["term_df_fold_10x"] = round(time.perf_counter() - t0, 3)
         assert nt1 > 0 and nt10 == nt1  # same vocabulary, 10x the rows
 
+        # per-partkey (sum_qty, cnt) fold — the q_small_qty_revenue /
+        # q_customer_revenue_pareto dimension-key fold, routed through the
+        # same vocab-safe keyed_fold since round 5: 10x the lineitem rows
+        # over the same partkey space should cost well under 10x (the
+        # native groupby("partkey") it replaced scaled with key count)
+        import numpy as _np
+
+        stli = os.stat(f"{SF_DIR}/lineitem.parquet")
+        lpath = os.path.join(
+            CACHE_DIR,
+            f"li10x_{os.path.basename(SF_DIR.rstrip('/'))}_{stli.st_size}_{stli.st_mtime_ns}.parquet",
+        )
+        if not os.path.exists(lpath):
+            li = _pq.read_table(
+                f"{SF_DIR}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+            )
+            _pq.write_table(_pa.concat_tables([li] * 10), lpath)
+
+        def _qty_fold_rows(path: str) -> int:
+            def qty_partials(b: _pa.Table) -> _pa.Table:
+                pk = _np.asarray(b["l_partkey"], _np.int64)
+                q = _np.asarray(b["l_quantity"], _np.float64).astype(_np.int64)
+                uk, inv = _np.unique(pk, return_inverse=True)
+                s = _np.bincount(inv, weights=q, minlength=uk.size).astype(_np.int64)
+                c = _np.bincount(inv, minlength=uk.size).astype(_np.int64)
+                return _pa.table(
+                    {"partkey": _pa.array(uk, _pa.int64()),
+                     "s": _pa.array(s, _pa.int64()),
+                     "c": _pa.array(c, _pa.int64())}
+                )
+
+            folded = keyed_fold(
+                _rd.read_parquet(path, columns=["l_partkey", "l_quantity"])
+                .map_batches(qty_partials, batch_format="pyarrow"),
+                key="partkey",
+                sums=("s", "c"),
+            )
+            return sum(len(b) for b in folded.iter_batches(batch_format="pyarrow"))
+
+        t0 = time.perf_counter()
+        nq1 = _qty_fold_rows(f"{SF_DIR}/lineitem.parquet")
+        timings["qty_fold"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        nq10 = _qty_fold_rows(lpath)
+        timings["qty_fold_10x"] = round(time.perf_counter() - t0, 3)
+        assert nq1 > 0 and nq10 == nq1  # same partkey space, 10x the rows
+
     print(
         json.dumps(
             {

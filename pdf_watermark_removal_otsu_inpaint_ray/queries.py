@@ -4710,7 +4710,9 @@ def q_small_qty_revenue(sf_dir: str):
     ``l_quantity < 0.2 * avg(l_quantity) per part``.
 
     Two passes, the classic decorrelation: (1) combiner-first per-partkey
-    (sum_qty, cnt) partials through one partkey-scale groupby; (2) the
+    (sum_qty, cnt) partials through the vocab-safe keyed_fold (coarse
+    fixed-fanout partition; the Aggregate never sees partkey cardinality);
+    (2) the
     per-part table broadcast once (``ray.put`` — partkey-scale; past ~10^8
     parts this becomes the q_priority_revenue repartition join instead) and
     a stateless filter scan re-reads lineitem.  The 0.2·avg comparison is
@@ -4734,21 +4736,25 @@ def q_small_qty_revenue(sf_dir: str):
             }
         )
 
+    from .functions.vocabfold import keyed_fold
+
     li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
-    per_part = (
+    per_part = keyed_fold(
+        # partkey cardinality grows with the corpus (~0.2M x SF), so the
+        # per-part fold goes through the vocab-safe coarse-partition path
+        # (Aggregate sees num_parts groups, never one per partkey)
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols[:2])
-        .map_batches(qty_partials, batch_format="pyarrow")
-        .groupby("partkey")
-        .sum(["s", "c"])
-        .to_pandas()  # partkey-scale (dimension), not lineitem-scale
-    )
+        .map_batches(qty_partials, batch_format="pyarrow"),
+        key="partkey",
+        sums=("s", "c"),
+    ).to_pandas()  # partkey-scale (dimension), not lineitem-scale
     keys = per_part["partkey"].to_numpy().astype(np.int64)
     order = np.argsort(keys)
     ref = ray.put(
         (
             keys[order],
-            per_part["sum(s)"].to_numpy().astype(np.int64)[order],
-            per_part["sum(c)"].to_numpy().astype(np.int64)[order],
+            per_part["s"].to_numpy().astype(np.int64)[order],
+            per_part["c"].to_numpy().astype(np.int64)[order],
         )
     )
 
@@ -4789,7 +4795,9 @@ def q_customer_revenue_pareto(sf_dir: str):
     revenue".
 
     Distribution shape: combiner-first per-custkey cent partials through
-    one custkey-scale groupby; the custkey→nationkey dimension column is
+    the vocab-safe keyed_fold (coarse fixed-fanout partition — the
+    Aggregate never sees custkey cardinality); the custkey→nationkey
+    dimension column is
     broadcast once (``ray.put``); the window resolves per nation with ONE
     coarse nation-hash partition + lexsort + cumsum (customer-scale rows,
     never orders).  All columns int64 — bit-equal to the window twin."""
@@ -4867,18 +4875,20 @@ def q_customer_revenue_pareto(sf_dir: str):
             }
         )
 
-    return (
+    from .functions.vocabfold import keyed_fold
+
+    # custkey cardinality grows with the corpus, so the per-customer fold
+    # goes through the vocab-safe coarse partition (never one Aggregate
+    # group per custkey)
+    per_cust = keyed_fold(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-        )
-        .map_batches(rev_partials, batch_format="pyarrow")
-        .groupby("custkey")
-        .sum("rev_c")
-        .map_batches(
-            lambda b: pa.table({"custkey": b["custkey"], "rev_c": b["sum(rev_c)"]}),
-            batch_format="pyarrow",
-        )
-        .map_batches(attach_nation, batch_format="pyarrow")
+        ).map_batches(rev_partials, batch_format="pyarrow"),
+        key="custkey",
+        sums=("rev_c",),
+    )
+    return (
+        per_cust.map_batches(attach_nation, batch_format="pyarrow")
         .groupby("pk")
         .map_groups(window_part, batch_format="pandas")
     )
