@@ -959,10 +959,24 @@ def q_term_df_top(sf_dir: str):
 
 def q_doc_top_terms(sf_dir: str):
     """Per-doc top term by (tf DESC, df ASC, term ASC) — the integer-exact
-    tf·idf ranking (functions/text.py::DocTopTerm).  The corpus df table is
-    computed distributed, broadcast ONCE via ray.put, and read zero-copy by
-    every actor; docs stream.  At 100 TB cap the broadcast with
-    min_df/top-V (see DocTopTerm docstring)."""
+    tf·idf ranking.  DEFAULT EXECUTION is the 100-TB-safe capped plan
+    (functions/text.py::doc_top_terms_capped): only the df >= min_df head
+    vocabulary broadcasts; docs whose max-tf tie set touches sub-cap terms
+    resolve through a term-hash repartition join against the distributed
+    df table.  The uncapped full-vocab broadcast survives as the explicit
+    ``doc_top_terms_full_broadcast`` variant (fine up to vocabularies that
+    fit one object-store copy; the capped plan is what scales)."""
+    from .functions.text import doc_top_terms_capped
+
+    return doc_top_terms_capped(_docs_ds(sf_dir), min_df=2)
+
+
+def q_doc_top_terms_full_broadcast(sf_dir: str):
+    """The UNCAPPED execution of doc_top_terms: the whole corpus df table
+    is computed distributed, broadcast ONCE via ray.put, and read
+    zero-copy by every actor (functions/text.py::DocTopTerm); docs stream.
+    Explicit variant — the default name runs the capped plan, mirroring
+    how ivf_near_dup is positioned for near-dup."""
     import ray
 
     from .functions.text import DocTopTerm
@@ -982,12 +996,9 @@ def q_doc_top_terms(sf_dir: str):
 
 
 def q_doc_top_terms_capped(sf_dir: str):
-    """The CAPPED-broadcast execution of doc_top_terms
-    (functions/text.py::doc_top_terms_capped): only the df >= 2 head
-    vocabulary broadcasts; docs whose max-tf tie set touches sub-cap
-    terms resolve through a term-hash repartition join against the
-    distributed df table.  Same SQL twin as doc_top_terms — the driver
-    proves the scale plan exact."""
+    """Alias kept for round-4 continuity: identical to the default
+    doc_top_terms plan (capped broadcast + residue repartition join).
+    Same SQL twin — the driver proves the scale plan exact."""
     from .functions.text import doc_top_terms_capped
 
     return doc_top_terms_capped(_docs_ds(sf_dir), min_df=2)
@@ -6234,6 +6245,7 @@ QUERIES = {
     "term_df_top": q_term_df_top,
     "doc_top_terms": q_doc_top_terms,
     "doc_top_terms_capped": q_doc_top_terms_capped,
+    "doc_top_terms_full_broadcast": q_doc_top_terms_full_broadcast,
     "weighted_sample": q_weighted_sample,
     "clean_corpus": q_clean_corpus,
     "hash_sample": q_hash_sample,
@@ -8600,6 +8612,7 @@ ORACLE_SQL["streaming_attribution"] = ORACLE_SQL["events_attribution"]
 ORACLE_SQL["streaming_first_touch"] = ORACLE_SQL["events_first_touch"]
 # capped-broadcast plan, identical output contract — same SQL twin
 ORACLE_SQL["doc_top_terms_capped"] = ORACLE_SQL["doc_top_terms"]
+ORACLE_SQL["doc_top_terms_full_broadcast"] = ORACLE_SQL["doc_top_terms"]
 
 ORACLE_SQL["weighted_sample"] = """
     WITH s AS (
