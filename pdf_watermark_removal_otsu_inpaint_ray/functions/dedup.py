@@ -1157,25 +1157,60 @@ def _block_meta_path(path: str):
     return path, c, r
 
 
+# Angular-prune slack (radians).  arccos has unbounded derivative at x→±1,
+# so the ~1e-16 float64 rounding of a dot product amplifies to ~1e-8–1e-7
+# of ANGLE for tight clusters; 1e-6 covers that error budget with margin
+# while still pruning everything useful (a block pair within 1e-6 rad of
+# the bound would be read anyway on any realistic layout).
+_ANGULAR_SLACK = 1e-6
+
+
 @ray.remote
-def _block_pair_sims_paths(path_a: str, path_b: str, threshold: float) -> pa.Table:
-    """Cosine pairs between two normalized blocks read FROM STORAGE (each
-    task pulls exactly its two block files — nothing is pinned in the
-    object store); the ``lo < hi`` filter keeps each unordered pair once."""
+def _block_row_pairs(
+    i: int, files: list, meta, threshold: float, theta: float
+):
+    """All qualifying pairs of block ``i`` against blocks ``j >= i`` — the
+    per-row unit of the distributed fan-out.  ``meta`` is the broadcast
+    (centroids, radii, valid) summary table (``ray.put`` once, zero-copy
+    in every row task): the angular triangle-inequality prune for the
+    whole row is ONE vectorized arccos here, block ``i`` is read once and
+    each surviving ``j`` streams through — the driver never enumerates
+    pairs.  Returns ``(pairs_table, n_pruned_in_row)``."""
     import pyarrow.parquet as pq_
 
     from .similarity import matrix_of
 
-    blk_a = pq_.read_table(path_a)
-    blk_b = blk_a if path_b == path_a else pq_.read_table(path_b)
+    cents, radii, valid = meta
+    B = len(files)
+    js = np.arange(i, B)
+    prune = np.zeros(js.size, dtype=bool)
+    if valid[i]:
+        ang = np.arccos(np.clip(cents[js] @ cents[i], -1.0, 1.0))
+        prune = (ang - radii[i] - radii[js] > theta + _ANGULAR_SLACK) & valid[js]
+        prune[0] = False  # j == i: self-pair block is never pruned
+    blk_a = pq_.read_table(files[i])
     ids_a = np.asarray(blk_a["vec_id"], np.int64)
-    ids_b = np.asarray(blk_b["vec_id"], np.int64)
-    S = matrix_of(blk_a["embedding"]) @ matrix_of(blk_b["embedding"]).T
-    ai, bj = np.nonzero(S >= threshold)
-    a, c = ids_a[ai], ids_b[bj]
-    lo, hi = np.minimum(a, c), np.maximum(a, c)
-    keep = lo < hi
-    return pa.table({"a": pa.array(lo[keep], pa.int64()), "b": pa.array(hi[keep], pa.int64())})
+    A = matrix_of(blk_a["embedding"])
+    parts = []
+    for j, pr in zip(js, prune):
+        if pr:
+            continue
+        blk_b = blk_a if j == i else pq_.read_table(files[j])
+        ids_b = ids_a if j == i else np.asarray(blk_b["vec_id"], np.int64)
+        S = A @ (A if j == i else matrix_of(blk_b["embedding"])).T
+        ai, bj = np.nonzero(S >= threshold)
+        a, c = ids_a[ai], ids_b[bj]
+        lo, hi = np.minimum(a, c), np.maximum(a, c)
+        keep = lo < hi
+        if keep.any():
+            parts.append(
+                pa.table(
+                    {"a": pa.array(lo[keep], pa.int64()),
+                     "b": pa.array(hi[keep], pa.int64())}
+                )
+            )
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return (pa.concat_tables(parts) if parts else empty), int(prune.sum())
 
 
 def embedding_near_dup(
@@ -1189,10 +1224,11 @@ def embedding_near_dup(
     block-pair tasks over a STREAMED staging layout: normalized blocks are
     written once to shared storage (``write_parquet`` — one file per block,
     streaming with backpressure, NO ``materialize()`` pin of the corpus in
-    the object store) and one Ray task per block pair (i <= j) reads its
-    two files and computes the matmul — O((N/B)²) tasks, no driver-side
-    matrix, no corpus-sized object-store residency.  The pair list
-    (output-scale) is the only thing collected.  ``work_dir`` (or the
+    the object store) and one Ray task per block ROW prunes + joins blocks
+    ``j >= i`` against block ``i`` — worst-case O((N/B)²) matmuls inside
+    the cluster but O(B) driver work, no driver-side matrix, no
+    corpus-sized object-store residency.  The pair list (output-scale) is
+    the only thing collected.  ``work_dir`` (or the
     ``PDFWM_RAY_SHARED_TMP`` env root) must be on storage every node can
     read — the same contract as the exactly-once sink dir; the default
     local-/tmp fallback is single-node only.
@@ -1259,37 +1295,33 @@ def embedding_near_dup(
         # realistic embedding layout once upstream sorting/bucketing
         # groups similar docs) prune most of the O(B^2) fan-out; uniform
         # random data prunes nothing and the documented quadratic bound
-        # (and the ivf_near_dup scale path) stands.  A 1e-9 slack absorbs
-        # the arccos rounding so the prune stays strictly safe.
+        # (and the ivf_near_dup scale path) stands.
+        #
+        # Driver work is O(B): the (centroid, radius) table is broadcast
+        # ONCE (ray.put) and ONE task per block ROW prunes + joins its
+        # j >= i half-row inside the cluster (_block_row_pairs) — the
+        # O(B^2) pair enumeration never runs on the driver.
         metas = ray.get([_block_meta_path.remote(f) for f in files])
-        cents = [m[1] for m in metas]
+        B = len(files)
+        dim = next((m[1].size for m in metas if m[1] is not None), 1)
+        cents = np.zeros((B, dim))
         radii = np.array([m[2] for m in metas])
+        valid = np.array([m[1] is not None for m in metas])
+        for k, m in enumerate(metas):
+            if m[1] is not None:
+                cents[k] = m[1]
         theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
-        n_pruned = 0
-        tasks = []
-        for i in range(len(files)):
-            for j in range(i, len(files)):
-                if (
-                    i != j
-                    and cents[i] is not None
-                    and cents[j] is not None
-                ):
-                    ang = float(
-                        np.arccos(
-                            np.clip(np.dot(cents[i], cents[j]), -1.0, 1.0)
-                        )
-                    )
-                    if ang - radii[i] - radii[j] > theta + 1e-9:
-                        n_pruned += 1
-                        continue
-                tasks.append(
-                    _block_pair_sims_paths.remote(files[i], files[j], threshold)
-                )
+        meta_ref = ray.put((cents, radii, valid))
+        rows = ray.get(
+            [
+                _block_row_pairs.remote(i, files, meta_ref, threshold, theta)
+                for i in range(B)
+            ]
+        )
         if stats_out is not None:
-            n_blocks = len(files)
-            stats_out["block_pairs_total"] = n_blocks * (n_blocks + 1) // 2
-            stats_out["block_pairs_pruned"] = n_pruned
-        parts = [t for t in ray.get(tasks) if t.num_rows]
+            stats_out["block_pairs_total"] = B * (B + 1) // 2
+            stats_out["block_pairs_pruned"] = sum(r[1] for r in rows)
+        parts = [t for t, _ in rows if t.num_rows]
     finally:
         # the unique staging subdir is transient either way; work_dir itself
         # (the shared-storage root) is left alone
