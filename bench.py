@@ -785,7 +785,17 @@ def parity() -> None:
             rdf = canon(to_df(QUERIES[name](sf_dir)))
             row["spark_rows"] = int(len(rdf))
             if name in ORACLE_SQL:
-                odf = canon(con.execute(ORACLE_SQL[name]).fetchdf())
+                # golden-backed oracles: this harness KNOWS the sf, so read
+                # the per-sf golden subtree directly instead of the
+                # 'current' symlink (immune to a concurrent run at another
+                # sf repointing it between materialization and execution)
+                from pdf_watermark_removal_otsu_inpaint_ray.oracle_data import (
+                    GOLDEN_QUERIES, golden_sql,
+                )
+
+                sql = (golden_sql(name, sf_dir) if name in GOLDEN_QUERIES
+                       else ORACLE_SQL[name])
+                odf = canon(con.execute(sql).fetchdf())
                 row["oracle_rows"] = int(len(odf))
                 row["rows_match"] = len(rdf) == len(odf)
                 row["schema_match"] = list(rdf.columns) == list(odf.columns)

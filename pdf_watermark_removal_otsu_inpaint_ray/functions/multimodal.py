@@ -427,35 +427,25 @@ class SceneCutStage:
             cuts = 0
             total = 0
             if n >= 2:
-                # The cut rule thresholds each adjacent pair by its OWN
-                # leading frame's pixel count (golden parity); uniform
-                # frame dims take the vectorized stack path, varying dims
-                # fall back to a per-pair loop (frame-scale, not
-                # pixel-scale) with the shape-equal contract asserted.
+                # The cut rule is defined on shape-equal adjacent pairs;
+                # a video whose frame dims vary mid-stream has no defined
+                # diff, so reject it upfront (if the shape SET has more
+                # than one element, some adjacent pair must differ — a
+                # per-pair "fallback" could never complete anyway).
                 shapes = {f.shape for f in frames}
-                if len(shapes) == 1:
-                    stack = np.stack(frames).astype(np.int64)
-                    d = np.abs(stack[1:] - stack[:-1]).sum(axis=(1, 2, 3))
-                    thresh = (
-                        frames[0].shape[0] * frames[0].shape[1] * 3 * self.tau
+                if len(shapes) != 1:
+                    raise ValueError(
+                        "SceneCutStage: frame dims vary within video "
+                        f"item {int(ids[i])} ({sorted(shapes)}) — the cut "
+                        "rule is defined on shape-equal adjacent pairs"
                     )
-                    cuts = int((d > thresh).sum())
-                    total = int(d.sum())
-                else:
-                    for a, b in zip(frames, frames[1:]):
-                        if a.shape != b.shape:
-                            raise ValueError(
-                                "SceneCutStage: adjacent frames differ in "
-                                f"shape {a.shape} vs {b.shape} — the cut "
-                                "rule is defined on shape-equal pairs"
-                            )
-                        d1 = int(
-                            np.abs(a.astype(np.int64) - b.astype(np.int64))
-                            .sum()
-                        )
-                        total += d1
-                        if d1 > a.shape[0] * a.shape[1] * 3 * self.tau:
-                            cuts += 1
+                stack = np.stack(frames).astype(np.int64)
+                d = np.abs(stack[1:] - stack[:-1]).sum(axis=(1, 2, 3))
+                thresh = (
+                    frames[0].shape[0] * frames[0].shape[1] * 3 * self.tau
+                )
+                cuts = int((d > thresh).sum())
+                total = int(d.sum())
             out_id.append(int(ids[i]))
             out_nf.append(n)
             out_cuts.append(cuts)

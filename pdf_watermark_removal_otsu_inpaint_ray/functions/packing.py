@@ -1141,6 +1141,16 @@ def pack_examples(
        example — sums add, boundary tokens resolve by min/max position.
        Example-scale rows only.
 
+    **Tied `order` values** (duplicate timestamps are normal in real
+    streams — synth.generate_stream emits rows_per_ts rows per tick):
+    the packed layout is only deterministic if ties are broken.  When
+    ``tiebreak`` is not given, ``doc_id`` is used automatically when the
+    input has that column (the stable content key; unique-`order` inputs
+    get the identical layout either way).  Only an input with NO doc_id
+    column and no explicit tiebreak keeps the fail-loud contract: tied
+    orders then raise rather than silently producing a
+    nondeterministic layout.
+
     Reference analog: the fixed-page batching of the sequential renderer
     (cli.py page loop) recast as a deterministic distributed scan.
     """
@@ -1150,6 +1160,13 @@ def pack_examples(
     import ray
 
     from ..stages.kernels import flatten_list_column
+
+    if tiebreak is None and "doc_id" in seq_ds.schema().names:
+        # default tiebreak: the stable content key when present, so tied
+        # `order` values (normal in real streams) pack deterministically
+        # instead of raising; unique-`order` inputs get the identical
+        # layout either way (lexsort's secondary key never fires)
+        tiebreak = "doc_id"
 
     # ---- pass 1: bucket bases -------------------------------------------
     def count_partials(b: pa.Table) -> pa.Table:
@@ -1213,16 +1230,17 @@ def pack_examples(
         lens = np.diff(offs)
         # Deterministic layout contract: ties on `order` land in the same
         # bucket (equal keys share a bucket), so either a tiebreak column
-        # breaks them or `order` must be unique — otherwise the packed
-        # layout would depend on nondeterministic map_groups row order.
-        if tiebreak is not None:
+        # breaks them (explicit, or the automatic doc_id default) or
+        # `order` must be unique — otherwise the packed layout would
+        # depend on nondeterministic map_groups row order.
+        if "_tb" in t.column_names:
             srt = np.lexsort((np.asarray(t["_tb"], np.int64), o))
         else:
             if np.unique(o).size != o.size:
                 raise ValueError(
                     f"pack_examples: duplicate `{order}` values in a "
-                    "bucket with no tiebreak column — pass tiebreak= to "
-                    "make the packed layout deterministic"
+                    "bucket with no tiebreak column and no doc_id — pass "
+                    "tiebreak= to make the packed layout deterministic"
                 )
             srt = np.argsort(o, kind="stable")
         lens_s = lens[srt]

@@ -70,8 +70,15 @@ GOLDEN_QUERIES = (
 def _sf_slug(sf_dir: str) -> str:
     """Filesystem-safe per-sf key: goldens for different input dirs live in
     different subtrees, so a correctness run at ANY sf is self-consistent
-    (round-3 judge hit sf0.001 results compared against sf0.01 goldens)."""
-    return os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    (round-3 judge hit sf0.001 results compared against sf0.01 goldens).
+    A short hash of the abspath keeps the key collision-free — separator
+    flattening alone would merge ``/root/a_b`` with ``/root/a/b``
+    (ADVICE r5)."""
+    import hashlib
+
+    ap = os.path.abspath(sf_dir)
+    h = hashlib.sha256(ap.encode()).hexdigest()[:8]
+    return ap.strip(os.sep).replace(os.sep, "_") + "_" + h
 
 
 def golden_dir_for(sf_dir: str) -> str:
@@ -89,8 +96,15 @@ def golden_path(name: str, sf_dir: str | None = None) -> str:
     return os.path.join(base, f"{name}.parquet")
 
 
-def golden_sql(name: str) -> str:
-    return f"SELECT * FROM read_parquet('{golden_path(name)}')"
+def golden_sql(name: str, sf_dir: str | None = None) -> str:
+    """Oracle SQL for a golden-backed query.  Pass ``sf_dir`` whenever the
+    caller knows it (bench.py parity does): the SQL then reads the per-sf
+    subtree directly, immune to another process repointing ``current``
+    between golden materialization and SQL execution.  Without ``sf_dir``
+    (the driver contract — SQL strings fixed before the sf is chosen) the
+    ``current`` symlink indirection applies, which is safe for the
+    single-run-at-a-time driver."""
+    return f"SELECT * FROM read_parquet('{golden_path(name, sf_dir)}')"
 
 
 def _point_current(sf_dir: str) -> None:

@@ -893,3 +893,69 @@ def test_grouped_first_touch_brute_with_trailing_convs(ray_session):
             exp = want[int(r["conv_id"])]
             gotv = None if pd.isna(r["touch_id"]) else int(r["touch_id"])
             assert gotv == exp, (r["conv_id"], gotv, exp)
+
+
+def test_pack_examples_tied_order_doc_id_default(ray_session):
+    """Tied `order` values (the synth.generate_stream shape: many rows per
+    timestamp) pack deterministically via the automatic doc_id tiebreak
+    (ADVICE r5) — layout equals the serial (order, doc_id) concat twin and
+    is partition-invariant; without doc_id the fail-loud contract stays."""
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        pack_examples,
+    )
+
+    rng = np.random.default_rng(29)
+    n_docs = 90
+    lens = rng.integers(1, 30, n_docs)
+    toks = [rng.integers(1, 250, ln).astype(np.int32) for ln in lens]
+    order = np.repeat(np.arange(30, dtype=np.int64) * 5, 3)  # 3-way ties
+    doc_id = rng.permutation(n_docs).astype(np.int64)  # unordered ids
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "event_ts": pa.array(order, pa.int64()),
+            "tokens": pa.array([t.tolist() for t in toks],
+                               pa.list_(pa.int32())),
+            "n_tok": pa.array(lens.astype(np.int32), pa.int32()),
+        }
+    )
+    L = 48
+    srt = np.lexsort((doc_id, order))
+    flat = np.concatenate([toks[i] for i in srt])
+    docof = np.concatenate(
+        [np.full(lens[i], int(doc_id[i]), np.int64) for i in srt]
+    )
+    want = {}
+    for e in range(-(-flat.size // L)):
+        seg = flat[e * L:(e + 1) * L].astype(np.int64)
+        dseg = docof[e * L:(e + 1) * L]
+        want[e] = (
+            seg.size, int(seg.sum()), int(seg[0]), int(seg[-1]),
+            int(np.unique(dseg).size),
+        )
+    for parts, bb in ((2, 12), (4, 3)):
+        out = (
+            pack_examples(
+                ray.data.from_arrow(tbl).repartition(parts),
+                length=L, order="event_ts", bucket_bits=bb,
+            )
+            .to_pandas()
+            .sort_values("example_id", ignore_index=True)
+        )
+        got = {
+            int(r["example_id"]): (
+                int(r["n_tok"]), int(r["tok_sum"]), int(r["first_tok"]),
+                int(r["last_tok"]), int(r["n_docs"]),
+            )
+            for _, r in out.iterrows()
+        }
+        assert got == want, (parts, bb)
+
+    # no doc_id column + tied orders -> still fail-loud
+    no_id = tbl.drop_columns(["doc_id"])
+    with pytest.raises((ValueError, Exception), match="duplicate"):
+        pack_examples(
+            ray.data.from_arrow(no_id), length=L, order="event_ts",
+        ).materialize()

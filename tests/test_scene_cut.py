@@ -1,7 +1,8 @@
 """SceneCutStage (functions/multimodal.py) vs the serial per-pair cut
-rule — uniform-dims vectorized path, varying-dims per-pair path (ADVICE
-r4: the threshold must come from EACH pair's leading frame, and np.stack
-must not be fed non-uniform shapes), and the shape-equal contract."""
+rule — uniform-dims vectorized path, and the shape-equal contract
+(ADVICE r5: varying dims are rejected UPFRONT — a per-pair fallback
+could never complete, since a multi-shape set implies some adjacent
+pair differs)."""
 
 import numpy as np
 import pyarrow as pa
