@@ -5984,6 +5984,46 @@ def q_streaming_first_touch(sf_dir: str):
     return res.output
 
 
+def q_streaming_first_touch_skew(sf_dir: str):
+    """q_streaming_first_touch under ADVERSARIAL KEY SKEW: every
+    even user_id is remapped to one hot key (-1), putting >=50% of the
+    stream on a single key.  Keyed attribution state is order-dependent,
+    so a hot KEY cannot be salted across actors (unlike the salted
+    stream JOIN's hot-key spread) — the throughput defense is that
+    per-batch work is vectorized (one lexsort + sweep per micro-batch
+    regardless of key mix), so the hot actor degrades by load imbalance
+    only, never by per-row Python.  Bench criterion: within 2x of the
+    unskewed streaming_first_touch entry.  Same RANGE-frame-min SQL twin
+    over the remapped stream."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from .pipelines.stream_cep import run_streaming_attribution
+
+    ev = pq_.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    uid = ev["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    uid = np.where(uid % 2 == 0, np.int64(-1), uid)
+    src = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts_us": ev["ts"].cast(pa.int64()),
+            "event_id": ev["event_id"].cast(pa.int64()),
+            "event_type": ev["event_type"],
+        }
+    )
+    res = run_streaming_attribution(
+        ray.data.from_arrow(src),
+        rule="first",
+        allowed_lateness=1,
+        n_actors=2,
+        micro_batch_rows=512,
+    )
+    return res.output
+
+
 def q_streaming_coverage(sf_dir: str):
     """Streaming per-key interval-union coverage (pipelines/
     stream_coverage.py::run_streaming_coverage): the batch gaps-and-
@@ -6391,6 +6431,7 @@ QUERIES = {
     "streaming_pack": q_streaming_pack,
     "streaming_attribution": q_streaming_attribution,
     "streaming_first_touch": q_streaming_first_touch,
+    "streaming_first_touch_skew": q_streaming_first_touch_skew,
     "dedup_cc_distributed": q_dedup_cc_distributed,
     "streaming_timeouts": q_streaming_timeouts,
     "prefix_dup": q_prefix_dup,
@@ -8610,6 +8651,32 @@ ORACLE_SQL["streaming_latest_state"] = ORACLE_SQL["events_latest_state"]
 ORACLE_SQL["streaming_coverage"] = ORACLE_SQL["events_coverage"]
 ORACLE_SQL["streaming_attribution"] = ORACLE_SQL["events_attribution"]
 ORACLE_SQL["streaming_first_touch"] = ORACLE_SQL["events_first_touch"]
+ORACLE_SQL["streaming_first_touch_skew"] = """
+        WITH s AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN CAST(-1 AS BIGINT)
+                        ELSE CAST(user_id AS BIGINT) END AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   event_type
+            FROM events
+        ),
+        m AS (SELECT min(ts_us) AS t0 FROM s),
+        w AS (
+            SELECT s.*,
+                min(CASE WHEN event_type = 'click'
+                         THEN (ts_us - m.t0) * 1048576 + event_id END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us
+                          RANGE BETWEEN 604800000000 PRECEDING
+                                AND CURRENT ROW) AS packed
+            FROM s, m
+        )
+        SELECT user_id,
+               event_id AS conv_id,
+               ts_us,
+               CAST(packed % 1048576 AS BIGINT) AS touch_id
+        FROM w WHERE event_type = 'purchase'
+    """
+
 # capped-broadcast plan, identical output contract — same SQL twin
 ORACLE_SQL["doc_top_terms_capped"] = ORACLE_SQL["doc_top_terms"]
 ORACLE_SQL["doc_top_terms_full_broadcast"] = ORACLE_SQL["doc_top_terms"]
