@@ -83,3 +83,23 @@ def test_events_customer_join_empty_build_side(ray_session, tmp_path):
     assert out_ds.count() == 0
     # schema survives even though all blocks are empty
     assert out_ds.schema().names == ["event_id", "user_id", "c_name"]
+
+
+def test_registry_index_in_sync():
+    """REGISTRY.md is generated from the live registry (registry_index.py)
+    — any query added/moved/re-oracled without regenerating the index, or
+    any prose drift in the committed file, fails here (VERDICT r4 item 8:
+    coverage claims must be machine-checked, not hand-maintained)."""
+    import os
+
+    from pdf_watermark_removal_otsu_inpaint_ray.registry_index import (
+        REPO_ROOT, build_index, render_markdown,
+    )
+
+    want = render_markdown(build_index())
+    with open(os.path.join(REPO_ROOT, "REGISTRY.md")) as f:
+        got = f.read()
+    assert got == want, (
+        "REGISTRY.md is stale — regenerate with "
+        "`python -m pdf_watermark_removal_otsu_inpaint_ray.registry_index`"
+    )
