@@ -150,6 +150,50 @@ def main() -> None:
     timings: dict[str, float] = {}
     cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=64)
 
+    if os.environ.get("GRAFT_STREAMING_ONLY"):
+        # stateful-tier scaling probe: the partitioned-consumer streaming
+        # engine with the sink-direct exactly-once output (the multi-node
+        # ingestion shape) — run alone so --scaling-streaming can measure
+        # the stateful tier at two parallelism levels (VERDICT r4 item 7)
+        import shutil as _sh
+
+        from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+            run_streaming_partitioned,
+        )
+
+        best = None
+        for _ in range(2):
+            psink = os.path.join(
+                BENCH_OUT, f"pscale_{NUM_CPUS}_{int(time.time() * 1e6)}"
+            )
+            t0 = time.perf_counter()
+            res, _pm = run_streaming_partitioned(
+                stream, cfg, n_actors=max(2, NUM_CPUS // 4),
+                n_partitions=max(2, NUM_CPUS // 8), micro_batch_rows=2048,
+                out_dir=psink, num_partitions=max(16, NUM_CPUS),
+            )
+            dt = time.perf_counter() - t0
+            committed = int(res.commit_report["row_count"].to_pandas().sum())
+            assert committed + res.n_late == n_rows, (committed, res.n_late)
+            _sh.rmtree(psink, ignore_errors=True)
+            best = dt if best is None else min(best, dt)
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_partitioned_sink sec",
+                    "value": round(best, 3),
+                    "unit": "sec",
+                    "queries": {"streaming_partitioned_sink": round(best, 3)},
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                    "bench_rows": n_rows,
+                    "rows_per_sec": round(n_rows / best, 1),
+                }
+            )
+        )
+        ray.shutdown()
+        return
+
     # headline: full flagship incl. exactly-once sink (phases timed separately
     # for transparency; e2e = detect + rewrite+sink)
     from pdf_watermark_removal_otsu_inpaint_ray.stages.detect import (
@@ -828,9 +872,64 @@ def parity() -> None:
                       "failed": n_bad, "out": out_path}))
 
 
+def scaling_streaming() -> None:
+    """Two-level scaling of the STATEFUL tier (run_streaming_partitioned,
+    sink-direct) — same protocol as --scaling: fresh processes per
+    parallelism level on the same cached, page-warm stream."""
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+            GRAFT_STREAMING_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ensure_stream(SCALING_ROWS)
+    ray.shutdown()
+
+    os.sync()
+    lo = run(lo_cpus)
+    os.sync()
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"scaling efficiency {lo_cpus}->{hi_cpus} cpus "
+                    "(streaming_partitioned_sink)"
+                ),
+                "cpus": [lo_cpus, hi_cpus],
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "rows_per_sec_lo": lo["rows_per_sec"],
+                "rows_per_sec_hi": hi["rows_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "bench_rows": hi["bench_rows"],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling-kernel" in sys.argv:
         kernel_scaling()
+    elif "--scaling-streaming" in sys.argv:
+        scaling_streaming()
     elif "--scaling" in sys.argv:
         scaling()
     elif "parity" in sys.argv[1:2]:
