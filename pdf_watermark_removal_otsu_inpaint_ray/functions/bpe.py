@@ -34,6 +34,8 @@ reproduce it from this docstring alone):
 
 from __future__ import annotations
 
+from ..config import scaled_pool
+
 import numpy as np
 import pyarrow as pa
 
@@ -198,6 +200,6 @@ def bpe_token_counts(docs_ds, encode_ds, *, n_merges: int = 60, min_count: int =
     return encode_ds.map_batches(
         BpeEncodeStage,
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=scaled_pool(1, 4),
         fn_constructor_args=(ref,),
     )

@@ -98,13 +98,17 @@ class LearnedDetectorStage:
         return pa.table(cols)
 
 
-def learned_scores(ds, *, concurrency=(2, 4), batch_size: int = 512, emit_diag: bool = False,
+def learned_scores(ds, *, concurrency=None, batch_size: int = 512, emit_diag: bool = False,
                    weights_cache: str | None = None):
     """Run the learned detector over a sequence Dataset as an actor pool.
 
     ``weights_cache``: shared path for the model-manager mmap path — ONE
     64 MB weight build per node, shared read-only by every actor, instead
     of each actor paying the full in-memory build in ``__init__``."""
+    from ..config import scaled_pool
+
+    if concurrency is None:
+        concurrency = scaled_pool(2, 4)  # max cap widens with the cluster
     kw = {"emit_diag": emit_diag}
     if weights_cache is not None:
         kw["weights_cache"] = weights_cache

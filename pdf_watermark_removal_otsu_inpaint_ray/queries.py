@@ -12,7 +12,7 @@ back from parquet, so every query has an independent oracle row.
 
 from __future__ import annotations
 
-from .config import scaled_parts
+from .config import scaled_parts, scaled_pool
 
 import numpy as np
 import pyarrow as pa
@@ -991,7 +991,7 @@ def q_doc_top_terms_full_broadcast(sf_dir: str):
         DocTopTerm,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=scaled_pool(1, 8),
     )
 
 
@@ -1165,7 +1165,7 @@ def q_decontaminate(sf_dir: str):
             fn_constructor_args=(gref,),
             fn_constructor_kwargs={"n": 3},
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=scaled_pool(1, 8),
         )
     )
 
@@ -1200,7 +1200,7 @@ def q_redact_grams(sf_dir: str):
             RedactGramsStage,
             fn_constructor_kwargs={"gram_ref": gref, "n": 3},
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=scaled_pool(1, 8),
         )
     )
 
@@ -3190,7 +3190,7 @@ def q_customers_without_orders(sf_dir: str):
 
     return ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 8))
+    ).map_batches(AntiFilter, batch_format="pyarrow", concurrency=scaled_pool(1, 8))
 
 
 def q_clean_corpus(sf_dir: str):
@@ -3218,7 +3218,7 @@ def q_quality_score(sf_dir: str):
     from .functions.text import TextStats
 
     return _docs_ds(sf_dir).map_batches(
-        TextStats, batch_format="pyarrow", concurrency=(1, 4)
+        TextStats, batch_format="pyarrow", concurrency=scaled_pool(1, 4)
     )
 
 
@@ -3226,7 +3226,7 @@ def q_lang_id(sf_dir: str):
     from .functions.text import LangId
 
     return _docs_ds(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        LangId, batch_format="pyarrow", concurrency=scaled_pool(1, 4)
     )
 
 
@@ -3271,7 +3271,7 @@ def q_lang_confusion(sf_dir: str):
         ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         )
-        .map_batches(ConfusionStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(ConfusionStage, batch_format="pyarrow", concurrency=scaled_pool(1, 4))
         .groupby(["lang", "lang_pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -3695,7 +3695,7 @@ def q_learned_detector(sf_dir: str):
     from .functions.model_manager import DEFAULT_CACHE_DIR
 
     return learned_scores(
-        _seq_ds(sf_dir), concurrency=(2, 4), batch_size=256,
+        _seq_ds(sf_dir), concurrency=scaled_pool(2, 4), batch_size=256,
         weights_cache=DEFAULT_CACHE_DIR,
     )
 
@@ -3705,7 +3705,7 @@ def q_media_decode(sf_dir: str):
 
     media = _docs_ds(sf_dir).map_batches(documents_to_media_batch, batch_format="pyarrow")
     decoded = media.map_batches(
-        DecodeStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        DecodeStage, batch_format="pyarrow", batch_size=64, concurrency=scaled_pool(1, 4)
     )
 
     def sql_comparable(b: pa.Table) -> pa.Table:
@@ -3740,7 +3740,7 @@ def q_media_audio_energy(sf_dir: str):
     )
     return media.map_batches(
         AudioFrameEnergyStage, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4),
+        concurrency=scaled_pool(1, 4),
     )
 
 
@@ -3769,7 +3769,7 @@ def q_media_resize(sf_dir: str):
         fn_constructor_kwargs={"max_side": 16},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=scaled_pool(1, 4),
     )
 
     def images_only(b: pa.Table) -> pa.Table:
@@ -3804,7 +3804,7 @@ def q_media_frame_sample(sf_dir: str):
         fn_constructor_kwargs={"every_n": 2},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=scaled_pool(1, 4),
     )
 
 
@@ -3833,7 +3833,7 @@ def q_media_scene_cuts(sf_dir: str):
         fn_constructor_kwargs={"tau": 33},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=scaled_pool(1, 4),
     )
 
 

@@ -8,6 +8,8 @@ plus band classification counts — writable next to the tokens with
 
 from __future__ import annotations
 
+from ..config import scaled_pool
+
 import numpy as np
 import pyarrow as pa
 
@@ -80,7 +82,7 @@ def write_flag_preview(ds, wm: dict, cfg: EngineConfig, out_dir: str):
     wm_ref = ray.put(wm)
     prev = ds.map_batches(
         FlagPreviewStage, fn_constructor_args=(wm_ref, cfg),
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=scaled_pool(1, 4),
     )
     prev.write_parquet(out_dir)
     return out_dir
