@@ -62,7 +62,9 @@ def ensure_stream(n_rows: int) -> str:
     import ray
 
     rows_per_ts = max(4, n_rows // 30_000)
-    path = os.path.join(CACHE_DIR, f"seq_{n_rows}_r{rows_per_ts}")
+    n_sources = int(os.environ.get("GRAFT_STREAM_SOURCES", "8"))
+    suffix = "" if n_sources == 8 else f"_s{n_sources}"
+    path = os.path.join(CACHE_DIR, f"seq_{n_rows}_r{rows_per_ts}{suffix}")
     if os.path.isdir(path) and os.listdir(path):
         return path
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -76,7 +78,7 @@ def ensure_stream(n_rows: int) -> str:
         import pyarrow.parquet as pq
 
         t = synth.generate_stream(
-            n, start_row=start, n_sources=8, n_tok_lo=128, n_tok_hi=512,
+            n, start_row=start, n_sources=n_sources, n_tok_lo=128, n_tok_hi=512,
             disorder=8, rows_per_ts=rows_per_ts,
         )
         pq.write_table(t, out)
@@ -161,6 +163,41 @@ def main() -> None:
             run_streaming_partitioned,
         )
 
+        # topology scales WITH the cluster (the faithful multi-node read:
+        # more nodes bring more log consumers AND more state actors).
+        # Measured split at this workload: the state actors carry ~3x the
+        # consumer-side work (keyed state + rewrite + sink staging vs
+        # decode + route), so actors get 3/4 of the cpus; mb=8192
+        # amortizes per-micro-batch coordination (knob sweep in round 5:
+        # 4/4@2048 26.5s → 6/2@8192 17.2s at 8 cpus, 1.2M rows).
+        n_actors_p = max(1, NUM_CPUS * 3 // 4)
+        n_consumers_p = max(1, NUM_CPUS // 4)
+        # The stream's source universe is small and zipf-skewed, so hash
+        # routing pigeonholes (measured: 52% of rows on one of 4 actors).
+        # Build a WEIGHTED (LPT greedy) source→actor table from the first
+        # chunk's counts (every chunk carries the same zipf mix) — the
+        # operator-supplied routing table of run_streaming_partitioned.
+        # A hot HEAD source still lower-bounds the critical path (keyed
+        # state is order-dependent: one source = one actor); the scaling
+        # probe therefore runs GRAFT_STREAM_SOURCES=64 (zipf head ~21%),
+        # the realistic many-source regime, set by --scaling-streaming.
+        import collections as _coll
+
+        import pyarrow.parquet as _pqs
+
+        first = sorted(
+            os.path.join(stream, f)
+            for f in os.listdir(stream) if f.endswith(".parquet")
+        )[0]
+        counts = _coll.Counter(
+            _pqs.read_table(first, columns=["source"])["source"].to_pylist()
+        )
+        loads = [0] * n_actors_p
+        smap = {}
+        for src, cnt in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):
+            a = min(range(n_actors_p), key=loads.__getitem__)
+            smap[src] = a
+            loads[a] += cnt
         best = None
         for _ in range(2):
             psink = os.path.join(
@@ -168,9 +205,10 @@ def main() -> None:
             )
             t0 = time.perf_counter()
             res, _pm = run_streaming_partitioned(
-                stream, cfg, n_actors=max(2, NUM_CPUS // 4),
-                n_partitions=max(2, NUM_CPUS // 8), micro_batch_rows=2048,
+                stream, cfg, n_actors=n_actors_p,
+                n_partitions=n_consumers_p, micro_batch_rows=8192,
                 out_dir=psink, num_partitions=max(16, NUM_CPUS),
+                source_map=smap,
             )
             dt = time.perf_counter() - t0
             committed = int(res.commit_report["row_count"].to_pandas().sum())
@@ -878,6 +916,8 @@ def scaling_streaming() -> None:
     parallelism level on the same cached, page-warm stream."""
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+
+    os.environ.setdefault("GRAFT_STREAM_SOURCES", "64")
 
     def run(ncpu: int) -> dict:
         env = dict(

@@ -409,6 +409,7 @@ def _consume_partition(
     tracker,
     n_actors: int,
     micro_batch_rows: int,
+    source_route: tuple | None = None,
 ) -> dict:
     """One consumer task per input partition: read its file list in order,
     route rows to the keyed actors, advance this partition's watermark.
@@ -479,7 +480,23 @@ def _consume_partition(
                     lag_max = lag if lag_max is None else max(lag_max, lag)
                     lag_n += 1
             batch_idx += 1
-            route = hash_partition_ids(batch["source"].combine_chunks(), n_actors)
+            if source_route is not None:
+                # explicit balanced source→actor table (small key
+                # universes; see run_streaming_partitioned docstring)
+                rkeys, rids = source_route
+                sv = np.asarray(
+                    batch["source"].combine_chunks().to_numpy(zero_copy_only=False)
+                )
+                pos = np.clip(np.searchsorted(rkeys, sv), 0, rkeys.size - 1)
+                if not (rkeys[pos] == sv).all():
+                    missing = sorted(set(sv) - set(rkeys))[:5]
+                    raise ValueError(
+                        f"source_map does not cover sources {missing} — "
+                        "explicit routing must cover the whole key universe"
+                    )
+                route = rids[pos]
+            else:
+                route = hash_partition_ids(batch["source"].combine_chunks(), n_actors)
             refs = []
             for a in range(n_actors):
                 idx = np.nonzero(route == a)[0]
@@ -513,10 +530,20 @@ def run_streaming_partitioned(
     micro_batch_rows: int = 1024,
     out_dir: str | None = None,
     num_partitions: int | None = None,
+    source_map: dict | None = None,
 ) -> tuple[StreamingResult, list[dict]]:
     """Partitioned-log streaming: one parallel consumer task per input
     partition, per-partition watermarks merged (min) by the tracker, keyed
     state actors shared across consumers.
+
+    ``source_map`` (source → actor index, must cover every source in the
+    stream): explicit balanced routing for SMALL key universes.  The
+    default hash routing balances naturally once distinct sources ≫
+    actors (the web-scale regime), but e.g. 8 sources on 4 actors can
+    pigeonhole 3 sources onto one actor and make it the critical path —
+    the Kafka-partition-assignment fix is an explicit table, chosen by
+    the operator who knows the universe (all of a source's rows still
+    land on ONE actor, so state semantics are unchanged).
 
     Recovery design (deliberate split): this multi-consumer shape recovers
     by WHOLE-RUN replay against the exactly-once sink (kill-and-replay
@@ -559,8 +586,16 @@ def run_streaming_partitioned(
         for _ in range(n_actors)
     ]
     tracker = WatermarkTracker.remote(n_partitions, cfg.allowed_lateness)
+    source_route = None
+    if source_map is not None:
+        skeys = np.array(sorted(source_map), dtype=object)
+        sids = np.array([int(source_map[k]) % n_actors for k in skeys], np.int64)
+        source_route = (skeys, sids)
     consumer_refs = [
-        _consume_partition.remote(i, groups[i], actors, tracker, n_actors, micro_batch_rows)
+        _consume_partition.remote(
+            i, groups[i], actors, tracker, n_actors, micro_batch_rows,
+            source_route,
+        )
         for i in range(n_partitions)
     ]
     emitted: list[pa.Table] = []

@@ -474,3 +474,45 @@ def test_run_metrics_persist_with_manifests(ray_session, tmp_path):
     for cm in m["consumer_metrics"]:
         assert "rows_per_sec" in cm and "wm_lag_max" in cm
     assert m["n_late"] == sum(s["n_late"] for s in m["actor_stats"])
+
+
+def test_partitioned_explicit_source_map(ray_session, tmp_path):
+    """Explicit source→actor routing (the small-universe balance table):
+    output is byte-equal to the default hash routing — all of a source's
+    rows still land on one actor — and an incomplete map fails loudly."""
+    import os
+
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
+        run_streaming_partitioned,
+    )
+
+    d = tmp_path / "parts_map"
+    d.mkdir()
+    import pyarrow.parquet as pq_
+
+    for s in range(0, 400, 100):
+        t = synth.generate_stream(100, start_row=s, n_sources=4,
+                                  n_tok_lo=48, n_tok_hi=128, disorder=8)
+        pq_.write_table(t, str(d / f"chunk-{s:06d}.parquet"))
+    cfg = DEFAULT_CONFIG.with_(window_kind="tumbling", window_size=32,
+                               allowed_lateness=16)
+    res_hash, _ = run_streaming_partitioned(
+        str(d), cfg, n_actors=3, n_partitions=2, micro_batch_rows=64
+    )
+    smap = {f"src{i:02d}": (3 - i) % 3 for i in range(4)}  # any total map
+    res_map, _ = run_streaming_partitioned(
+        str(d), cfg, n_actors=3, n_partitions=2, micro_batch_rows=64,
+        source_map=smap,
+    )
+    a = res_hash.output.sort_by("doc_id")
+    b = res_map.output.sort_by("doc_id")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["tokens"].to_pylist() == b["tokens"].to_pylist()
+
+    with pytest.raises(Exception, match="source_map does not cover"):
+        run_streaming_partitioned(
+            str(d), cfg, n_actors=2, n_partitions=2, micro_batch_rows=64,
+            source_map={"src00": 0},  # missing the other sources
+        )
