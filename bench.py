@@ -192,6 +192,12 @@ def main() -> None:
         counts = _coll.Counter(
             _pqs.read_table(first, columns=["source"])["source"].to_pylist()
         )
+        # cover the WHOLE source universe, not just chunk 0's: a zipf-tail
+        # source absent from the first chunk would otherwise fail the
+        # routing-coverage check mid-run (the universe is known — synth
+        # names sources src00..srcNN)
+        for i in range(int(os.environ.get("GRAFT_STREAM_SOURCES", "8"))):
+            counts.setdefault(f"src{i:02d}", 0)
         loads = [0] * n_actors_p
         smap = {}
         for src, cnt in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):

@@ -252,9 +252,16 @@ def main(argv: list[str] | None = None) -> int:
                 summary(f"[resume] streaming checkpoint found under {ckdir}; "
                         "resuming from the latest snapshot")
         from .config import scaled_parts
+        from .sinks.exactly_once import pinned_partitions
 
         # CLI base 32 (the tuned dev-box default), scaled to the cluster;
-        # resolved AFTER ray.init so cluster_resources() sees the real size
+        # resolved AFTER ray.init so cluster_resources() sees the real
+        # size.  A RESUMED sink adopts its pinned layout count first —
+        # re-deriving from a changed cluster would trip the layout guard
+        # instead of resuming (an explicit --partitions still wins, and a
+        # mismatched explicit value still fails loudly).
+        if args.partitions is None:
+            args.partitions = pinned_partitions(args.output)
         args.partitions = scaled_parts(32, args.partitions)
         run_input = args.input
         if args.rows:

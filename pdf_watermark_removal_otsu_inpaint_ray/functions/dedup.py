@@ -1166,38 +1166,54 @@ _ANGULAR_SLACK = 1e-6
 
 
 @ray.remote
-def _block_row_pairs(
-    i: int, files: list, meta, threshold: float, theta: float
+def _block_stripe_pairs(
+    t: int, files: list, meta, threshold: float, theta: float
 ):
-    """All qualifying pairs of block ``i`` against blocks ``j >= i`` — the
-    per-row unit of the distributed fan-out.  ``meta`` is the broadcast
-    (centroids, radii, valid) summary table (``ray.put`` once, zero-copy
-    in every row task): the angular triangle-inequality prune for the
-    whole row is ONE vectorized arccos here, block ``i`` is read once and
-    each surviving ``j`` streams through — the driver never enumerates
-    pairs.  Returns ``(pairs_table, n_pruned_in_row)``."""
+    """All qualifying pairs of stripe ``t`` — the balanced per-task unit
+    of the distributed fan-out: task ``t`` owns pairs ``{(i, j): j >= i,
+    (i + j) % B == t}`` (each unordered pair belongs to exactly one
+    stripe, every stripe holds ~B/2 pairs mixing short and long "rows" —
+    a per-ROW split would give task 0 a B-matmul chain while task B-1
+    does one).  ``meta`` is the broadcast (centroids, radii, valid)
+    summary (``ray.put`` once, zero-copy in every task): the angular
+    triangle-inequality prune for the whole stripe is ONE vectorized
+    arccos; pairs are walked sorted by ``i`` so each distinct left block
+    is read once.  Returns ``(pairs_table, n_pruned_in_stripe)``."""
     import pyarrow.parquet as pq_
 
     from .similarity import matrix_of
 
     cents, radii, valid = meta
     B = len(files)
-    js = np.arange(i, B)
-    prune = np.zeros(js.size, dtype=bool)
-    if valid[i]:
-        ang = np.arccos(np.clip(cents[js] @ cents[i], -1.0, 1.0))
-        prune = (ang - radii[i] - radii[js] > theta + _ANGULAR_SLACK) & valid[js]
-        prune[0] = False  # j == i: self-pair block is never pruned
-    blk_a = pq_.read_table(files[i])
-    ids_a = np.asarray(blk_a["vec_id"], np.int64)
-    A = matrix_of(blk_a["embedding"])
+    ii = np.arange(B, dtype=np.int64)
+    jj = (t - ii) % B
+    sel = jj >= ii
+    ii, jj = ii[sel], jj[sel]  # sorted by i already
+    prune = np.zeros(ii.size, dtype=bool)
+    both = valid[ii] & valid[jj] & (ii != jj)
+    if both.any():
+        dots = np.einsum("ij,ij->i", cents[ii[both]], cents[jj[both]])
+        ang = np.arccos(np.clip(dots, -1.0, 1.0))
+        prune[both] = (
+            ang - radii[ii[both]] - radii[jj[both]] > theta + _ANGULAR_SLACK
+        )
     parts = []
-    for j, pr in zip(js, prune):
+    cur_i, ids_a, A = -1, None, None
+    for i, j, pr in zip(ii, jj, prune):
         if pr:
             continue
-        blk_b = blk_a if j == i else pq_.read_table(files[j])
-        ids_b = ids_a if j == i else np.asarray(blk_b["vec_id"], np.int64)
-        S = A @ (A if j == i else matrix_of(blk_b["embedding"])).T
+        if i != cur_i:
+            blk_a = pq_.read_table(files[i])
+            ids_a = np.asarray(blk_a["vec_id"], np.int64)
+            A = matrix_of(blk_a["embedding"])
+            cur_i = i
+        if j == i:
+            ids_b, Bm = ids_a, A
+        else:
+            blk_b = pq_.read_table(files[j])
+            ids_b = np.asarray(blk_b["vec_id"], np.int64)
+            Bm = matrix_of(blk_b["embedding"])
+        S = A @ Bm.T
         ai, bj = np.nonzero(S >= threshold)
         a, c = ids_a[ai], ids_b[bj]
         lo, hi = np.minimum(a, c), np.maximum(a, c)
@@ -1224,11 +1240,12 @@ def embedding_near_dup(
     block-pair tasks over a STREAMED staging layout: normalized blocks are
     written once to shared storage (``write_parquet`` — one file per block,
     streaming with backpressure, NO ``materialize()`` pin of the corpus in
-    the object store) and one Ray task per block ROW prunes + joins blocks
-    ``j >= i`` against block ``i`` — worst-case O((N/B)²) matmuls inside
-    the cluster but O(B) driver work, no driver-side matrix, no
-    corpus-sized object-store residency.  The pair list (output-scale) is
-    the only thing collected.  ``work_dir`` (or the
+    the object store) and one Ray task per balanced STRIPE of block pairs
+    (``(i+j) % B == t``, ~B/2 pairs each) prunes + joins inside the
+    cluster — worst-case O((N/B)²) matmuls total but O(B) driver work,
+    even per-task load, no driver-side matrix, no corpus-sized
+    object-store residency.  The pair list (output-scale) is the only
+    thing collected.  ``work_dir`` (or the
     ``PDFWM_RAY_SHARED_TMP`` env root) must be on storage every node can
     read — the same contract as the exactly-once sink dir; the default
     local-/tmp fallback is single-node only.
@@ -1298,9 +1315,10 @@ def embedding_near_dup(
         # (and the ivf_near_dup scale path) stands.
         #
         # Driver work is O(B): the (centroid, radius) table is broadcast
-        # ONCE (ray.put) and ONE task per block ROW prunes + joins its
-        # j >= i half-row inside the cluster (_block_row_pairs) — the
-        # O(B^2) pair enumeration never runs on the driver.
+        # ONCE (ray.put) and ONE task per STRIPE ((i+j) % B == t, a
+        # balanced ~B/2-pair slice) prunes + joins inside the cluster
+        # (_block_stripe_pairs) — the O(B^2) pair enumeration never runs
+        # on the driver, and no task owns a triangular B-matmul chain.
         metas = ray.get([_block_meta_path.remote(f) for f in files])
         B = len(files)
         dim = next((m[1].size for m in metas if m[1] is not None), 1)
@@ -1314,8 +1332,8 @@ def embedding_near_dup(
         meta_ref = ray.put((cents, radii, valid))
         rows = ray.get(
             [
-                _block_row_pairs.remote(i, files, meta_ref, threshold, theta)
-                for i in range(B)
+                _block_stripe_pairs.remote(t, files, meta_ref, threshold, theta)
+                for t in range(B)
             ]
         )
         if stats_out is not None:

@@ -155,8 +155,13 @@ def grouped_lag(
     one group exceeds a worker's heap."""
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def lag_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -204,8 +209,13 @@ def grouped_ntile(
     no global sort.  All int64, bit-equal to the SQL twin."""
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -272,8 +282,13 @@ def grouped_sessionize(
     partition.  All int64 — bit-equal to the SQL window twin."""
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -340,8 +355,13 @@ def grouped_rolling_sum(
     """
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def roll_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -425,8 +445,13 @@ def grouped_latest(
     def partial(b: pa.Table) -> pa.Table:
         return _latest_rows(b, group, order, tiebreak)
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def final_part(g: pa.Table) -> pa.Table:
         return _latest_rows(g, group, order, tiebreak).drop_columns(["pk"])
@@ -467,8 +492,13 @@ def grouped_rolling_outlier(
     differences per partition."""
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -940,8 +970,13 @@ def grouped_range_frame_sum(
     """
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def frame_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1026,8 +1061,13 @@ def grouped_resample_ffill(
     """
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def resample_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1161,12 +1201,18 @@ def pack_examples(
 
     from ..stages.kernels import flatten_list_column
 
-    if tiebreak is None and "doc_id" in seq_ds.schema().names:
-        # default tiebreak: the stable content key when present, so tied
+    if tiebreak is None:
+        # default tiebreak: the stable content key when present AND
+        # integer-typed (the _tb column casts to int64 — a string doc_id
+        # must not break previously-working unique-order inputs), so tied
         # `order` values (normal in real streams) pack deterministically
         # instead of raising; unique-`order` inputs get the identical
         # layout either way (lexsort's secondary key never fires)
-        tiebreak = "doc_id"
+        sch = seq_ds.schema()
+        if "doc_id" in sch.names:
+            t = sch.types[sch.names.index("doc_id")]
+            if isinstance(t, pa.DataType) and pa.types.is_integer(t):
+                tiebreak = "doc_id"
 
     # ---- pass 1: bucket bases -------------------------------------------
     def count_partials(b: pa.Table) -> pa.Table:
@@ -1379,8 +1425,13 @@ def grouped_attribution(
     compare — no per-group reset pass) + a vectorized window gate."""
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def attrib_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1459,8 +1510,13 @@ def grouped_first_touch(
     order, same answer (id < 2^20 bound documented there)."""
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def ft_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -1564,8 +1620,13 @@ def grouped_session_stats(
     pass and NO per-session callback."""
     import pandas as pd
 
+    # fanout resolved ONCE, driver-side: resolving inside the per-batch
+    # closure would query cluster size at batch time, and a mid-run
+    # change would hash the same key into different partition counts
+    np_ = scaled_parts(64)
+
     def add_pk(b: pa.Table) -> pa.Table:
-        return _add_group_pk(b, group)
+        return _add_group_pk(b, group, np_)
 
     def part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:

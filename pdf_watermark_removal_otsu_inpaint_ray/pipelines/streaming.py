@@ -589,7 +589,15 @@ def run_streaming_partitioned(
     source_route = None
     if source_map is not None:
         skeys = np.array(sorted(source_map), dtype=object)
-        sids = np.array([int(source_map[k]) % n_actors for k in skeys], np.int64)
+        sids = np.array([int(source_map[k]) for k in skeys], np.int64)
+        bad = (sids < 0) | (sids >= n_actors)
+        if bad.any():
+            # silently %-wrapping would stack the re-mapped sources onto
+            # the actors the explicit table was built to relieve
+            raise ValueError(
+                f"source_map assigns actors outside [0, {n_actors}): "
+                f"{sorted(skeys[bad][:5].tolist())}"
+            )
         source_route = (skeys, sids)
     consumer_refs = [
         _consume_partition.remote(

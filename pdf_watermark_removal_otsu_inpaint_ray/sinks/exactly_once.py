@@ -101,6 +101,20 @@ def _fsync_dir(path: str) -> None:
 _LAYOUT_CACHE: dict[str, int] = {}
 
 
+def pinned_partitions(out_dir: str) -> int | None:
+    """The partition count recorded in ``out_dir``'s layout marker, or
+    None for a fresh sink.  Default-resume paths should adopt this value:
+    with cluster-derived partition defaults, a resume after a cluster-size
+    change would otherwise derive a DIFFERENT count and hit the
+    layout-mismatch guard below instead of resuming."""
+    marker = os.path.join(out_dir, "_manifests", "_layout.json")
+    try:
+        with open(marker) as f:
+            return int(json.load(f)["num_partitions"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def _check_layout(out_dir: str, num_partitions: int) -> None:
     """Pin the sink's partition count in a layout marker: resuming with a
     DIFFERENT count would re-hash uncommitted rows into other partition ids

@@ -959,3 +959,37 @@ def test_pack_examples_tied_order_doc_id_default(ray_session):
         pack_examples(
             ray.data.from_arrow(no_id), length=L, order="event_ts",
         ).materialize()
+
+
+def test_pack_examples_string_doc_id_not_auto_tiebreak(ray_session):
+    """A non-integer doc_id must NOT be auto-cast into the tiebreak
+    (review r5): unique-order inputs with a string doc_id keep working,
+    and tied orders still fail loudly rather than casting garbage."""
+    import pytest
+
+    from pdf_watermark_removal_otsu_inpaint_ray.functions.packing import (
+        pack_examples,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 40
+    lens = rng.integers(1, 20, n)
+    toks = [rng.integers(1, 250, ln).astype(np.int32) for ln in lens]
+    base = {
+        "doc_id": pa.array([f"doc-{i:04d}" for i in range(n)], pa.string()),
+        "tokens": pa.array([t.tolist() for t in toks], pa.list_(pa.int32())),
+        "n_tok": pa.array(lens.astype(np.int32), pa.int32()),
+    }
+    uniq = pa.table({**base, "event_ts": pa.array(
+        np.arange(n, dtype=np.int64) * 2, pa.int64())})
+    out = pack_examples(
+        ray.data.from_arrow(uniq), length=32, order="event_ts"
+    ).to_pandas()
+    assert int(out["n_tok"].sum()) == int(lens.sum())
+
+    tied = pa.table({**base, "event_ts": pa.array(
+        np.repeat(np.arange(n // 2, dtype=np.int64), 2), pa.int64())})
+    with pytest.raises(Exception, match="duplicate"):
+        pack_examples(
+            ray.data.from_arrow(tied), length=32, order="event_ts"
+        ).materialize()

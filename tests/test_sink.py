@@ -369,3 +369,25 @@ def test_compact_output_merges_partitions_byte_equal(ray_session, tmp_path):
     os.remove(f"{src}/_manifests/part-00003.json")
     with pytest.raises(RuntimeError, match="incomplete"):
         compact_output(src, str(tmp_path / "y"), factor=2)
+
+
+def test_pinned_partitions_roundtrip(ray_session, tmp_path):
+    """pinned_partitions reads back the layout marker (None when fresh) —
+    the default-resume path adopts it so a cluster-size change between
+    run and resume cannot trip the layout-mismatch guard (review r5)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        pinned_partitions, write_exactly_once,
+    )
+
+    out = str(tmp_path / "sink_pin")
+    assert pinned_partitions(out) is None
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "tokens": pa.array([[1], [2], [3]], pa.list_(pa.int32())),
+    }))
+    write_exactly_once(ds, out, num_partitions=7)
+    assert pinned_partitions(out) == 7
