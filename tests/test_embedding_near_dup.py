@@ -79,3 +79,26 @@ def test_uniform_data_prunes_nothing_and_stays_exact(ray_session):
     assert got == want
     # isotropic data: block summaries cover the sphere, nothing prunable
     assert stats["block_pairs_pruned"] == 0, stats
+
+
+def test_stripe_ownership_partitions_all_pairs():
+    """The stripe rule ((i+j) % B == t, j >= i) must partition the full
+    upper-triangle pair set exactly — every pair owned once, stripe loads
+    balanced to ceil(B/2) or less... actually floor(B/2)+1 max."""
+    import numpy as np
+
+    for B in range(1, 12):
+        seen = {}
+        sizes = []
+        for t in range(B):
+            ii = np.arange(B, dtype=np.int64)
+            jj = (t - ii) % B
+            sel = jj >= ii
+            pairs = list(zip(ii[sel].tolist(), jj[sel].tolist()))
+            sizes.append(len(pairs))
+            for p in pairs:
+                assert p not in seen, (B, t, p)
+                seen[p] = t
+        want = {(i, j) for i in range(B) for j in range(i, B)}
+        assert set(seen) == want, B
+        assert max(sizes) - min(sizes) <= 1, (B, sizes)  # balanced
