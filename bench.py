@@ -418,7 +418,7 @@ def main() -> None:
             "vocab_growth", "strip_dup_spans", "streaming_rate_limit",
             "events_range_frame", "events_resample", "dsir_weights", "pack_examples",
             "part_bfs_hops", "part_kcore", "streaming_coverage", "streaming_pack", "source_token_moments",
-            "zipf_slope", "gray_equalize", "doc_novelty", "orders_backlog", "bigram_logprob", "events_attribution", "streaming_attribution", "price_winsorized", "events_first_touch", "region_supplier_revenue", "part_lift_pairs", "streaming_first_touch", "streaming_first_touch_skew", "media_scene_cuts", "events_session_stats", "events_gap_hist", "ship_latency_stats", "supplier_acctbal_quantiles", "orders_weekday_mix", "streaming_session_stats", "lang_confusion",
+            "zipf_slope", "gray_equalize", "doc_novelty", "orders_backlog", "bigram_logprob", "events_attribution", "streaming_attribution", "price_winsorized", "events_first_touch", "region_supplier_revenue", "part_lift_pairs", "streaming_first_touch", "streaming_first_touch_skew", "streaming_salted_mc", "media_scene_cuts", "events_session_stats", "events_gap_hist", "ship_latency_stats", "supplier_acctbal_quantiles", "orders_weekday_mix", "streaming_session_stats", "lang_confusion",
             "session_windows",
         ):
             t0 = time.perf_counter()

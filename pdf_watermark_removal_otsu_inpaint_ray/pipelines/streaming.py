@@ -916,6 +916,298 @@ def _run_salted_sessions(
     )
 
 
+@ray.remote
+class _SaltedAggregator:
+    """Global detection state of the MULTI-CONSUMER salted engine — the
+    coordinated salted path's driver role moved into an actor so consumers
+    scale.  Holds the per-(source, window) histogram merge, the sticky
+    map, the detection-epoch horizon, and (driver-collect mode) the
+    emitted-output outbox.  Consumers forward their ingest deltas here
+    (Ray resolves the actors' ``ingest_partial`` ObjectRefs before
+    invoking ``add``, so the rows are provably buffered before their
+    deltas merge); finalization fans ``finalize_windows`` back out to the
+    state actors.  Single-actor serialization of ``add`` makes the
+    horizon guard race-free, exactly like the driver loop it replaces."""
+
+    def __init__(self, cfg: EngineConfig, actors: list):
+        self.cfg = cfg
+        self.actors = actors
+        self.hists: dict[tuple[str, int], np.ndarray] = {}
+        self.sticky: dict[str, tuple[int, int]] = {}
+        self.horizon = -(1 << 62)
+        self.outbox: list[pa.Table] = []
+
+    def add(self, *delta_results) -> None:
+        from ..state.keyed_state import _window_end
+
+        for srcs, wins, Hm, _n_late in delta_results:
+            for i in range(len(srcs)):
+                key = (srcs[i], int(wins[i]))
+                # straggler contribution to an already-finalized window:
+                # its detection epoch has passed — recreating the deleted
+                # histogram could later pin a garbage sticky token
+                if _window_end(key[1], self.cfg) <= self.horizon:
+                    continue
+                if key in self.hists:
+                    self.hists[key] += Hm[i]
+                else:
+                    self.hists[key] = Hm[i].copy()
+
+    def maybe_finalize(self, watermark: int) -> None:
+        self._finalize_due(int(watermark))
+
+    def _finalize_due(self, watermark: int) -> None:
+        from ..golden import detect_wm_token
+        from ..state.keyed_state import _window_end
+
+        cfg = self.cfg
+        due = sorted(
+            k for k in self.hists if _window_end(k[1], cfg) <= watermark
+        )
+        self.horizon = max(self.horizon, watermark)
+        if not due:
+            return
+        items = []
+        for s, w in due:
+            st = self.sticky.get(s) if cfg.detection_mode == "sticky" else None
+            if cfg.fixed_wm_token >= 0:
+                wm_tok = cfg.fixed_wm_token
+            elif st is not None and w >= st[1]:
+                wm_tok = st[0]
+            else:
+                wm_tok, _ = detect_wm_token(self.hists[(s, w)], cfg)
+                if cfg.detection_mode == "sticky" and wm_tok >= 0 and st is None:
+                    self.sticky[s] = (int(wm_tok), w)
+            items.append((s, w, int(wm_tok)))
+            del self.hists[(s, w)]
+        # aggregator → state-actor fan-out (no call cycle: state actors
+        # never call back); sink mode diverts, so the returned lists are
+        # empty there and the outbox only grows in driver-collect mode
+        for tables in ray.get(
+            [a.finalize_windows.remote(items) for a in self.actors]
+        ):
+            self.outbox.extend(tables)
+
+    def final_flush(self) -> None:
+        """End of stream: finalize every held histogram, then the
+        leftover-buffer path (keys whose contributions were all dropped by
+        the horizon guard — same rule as the coordinated salted engine)."""
+        self._finalize_due(1 << 62)
+        leftovers = ray.get([a.buffered_keys.remote() for a in self.actors])
+        left = sorted({k for ks in leftovers for k in map(tuple, ks)})
+        if not left:
+            return
+        cfg = self.cfg
+        fixed = cfg.fixed_wm_token if cfg.fixed_wm_token >= 0 else None
+
+        def leftover_tok(s: str, w: int) -> int:
+            if fixed is not None:
+                return fixed
+            st = self.sticky.get(s)
+            return st[0] if st is not None and w >= st[1] else -1
+
+        items = [(s, w, leftover_tok(s, w)) for s, w in left]
+        for tables in ray.get(
+            [a.finalize_windows.remote(items) for a in self.actors]
+        ):
+            self.outbox.extend(tables)
+
+    def take_outbox(self) -> list[pa.Table]:
+        out = self.outbox
+        self.outbox = []
+        return out
+
+
+@ray.remote(max_retries=0)
+def _consume_salted_partition(
+    partition_id: int,
+    paths: list[str],
+    actors: list,
+    aggregator,
+    tracker,
+    n_actors: int,
+    salt_buckets: int,
+    micro_batch_rows: int,
+) -> dict:
+    """One consumer per input partition of the SALTED multi-consumer
+    engine: route rows by ``hash(source, salt(doc_id)) % n_actors`` (a hot
+    source spreads over up to ``salt_buckets`` actors), forward the
+    actors' ingest-delta refs to the aggregator, and advance this
+    partition's watermark only after the aggregator acked (the arrival
+    contract: wm implies rows buffered AND deltas merged).
+    ``max_retries=0`` for the same non-idempotent-ingest reason as
+    ``_consume_partition``; recovery is whole-run replay against the
+    exactly-once sink."""
+    import time
+    from collections import deque
+
+    import pyarrow.parquet as pq_
+
+    from ..sources.parquet import _ensure_event_ts
+
+    t0 = time.perf_counter()
+    rows = 0
+    max_ts = None
+    inflight: deque = deque()  # (batch_max_ts, [aggregator ack ref])
+
+    def drain(max_depth: int) -> None:
+        while inflight:
+            head_mx, head_refs = inflight[0]
+            ready, _ = ray.wait(head_refs, num_returns=len(head_refs), timeout=0)
+            if len(ready) < len(head_refs):
+                break
+            inflight.popleft()
+            tracker.update.remote(partition_id, head_mx)
+        while len(inflight) > max_depth:
+            head_mx, head_refs = inflight.popleft()
+            ray.get(head_refs)
+            tracker.update.remote(partition_id, head_mx)
+
+    wm = -(1 << 62)
+    batch_idx = 0
+    for path in paths:
+        pf = pq_.ParquetFile(path)
+        for rb in pf.iter_batches(batch_size=micro_batch_rows):
+            batch = _ensure_event_ts(pa.Table.from_batches([rb]))
+            ts = np.asarray(batch["event_ts"], dtype=np.int64)
+            if batch_idx % 4 == 0:
+                wm = max(wm, ray.get(tracker.watermark.remote()))
+                # fire-and-forget: finalization timing only delays
+                # emission — every due window's deltas are provably merged
+                # once the ack-gated global wm passed its end
+                aggregator.maybe_finalize.remote(wm)
+            batch_idx += 1
+            salt = hash_partition_ids(batch["doc_id"].combine_chunks(), salt_buckets)
+            src_h = hash_partition_ids(batch["source"].combine_chunks(), 1 << 30)
+            route = (
+                (src_h * np.int64(salt_buckets) + salt) * np.int64(1_000_003)
+            ) % n_actors
+            refs = []
+            for a in range(n_actors):
+                idx = np.nonzero(route == a)[0]
+                if idx.size:
+                    refs.append(actors[a].ingest_partial.remote(batch.take(idx), wm))
+            # the aggregator receives the RESOLVED delta tuples (Ray
+            # dereferences top-level ObjectRef args), so this single ack
+            # covers buffer + merge — the consumer never blocks on deltas
+            ack = aggregator.add.remote(*refs)
+            mx = int(ts.max())
+            max_ts = mx if max_ts is None else max(max_ts, mx)
+            inflight.append((mx, [ack]))
+            rows += batch.num_rows
+            drain(max_depth=8)
+    drain(max_depth=0)
+    ray.get(tracker.close_partition.remote(partition_id))
+    dt = time.perf_counter() - t0
+    return {
+        "partition_id": partition_id,
+        "rows": rows,
+        "max_event_ts": max_ts,
+        "seconds": round(dt, 3),
+        "rows_per_sec": round(rows / dt, 1) if dt > 0 else 0.0,
+    }
+
+
+def run_streaming_salted_partitioned(
+    source: str | list[str],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    *,
+    n_actors: int = 4,
+    salt_buckets: int = 4,
+    n_partitions: int = 4,
+    micro_batch_rows: int = 1024,
+    out_dir: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[StreamingResult, list[dict]]:
+    """MULTI-CONSUMER salted streaming — the scale path past the keyed
+    hot-source ceiling.  The keyed engines bind each source to one actor
+    (order-dependent state), so a source carrying p of the stream caps
+    speedup at 1/p (measured: the 21%-head zipf stream flatlines at ~5
+    actors).  Here detection state is the ASSOCIATIVE histogram form of
+    the coordinated salted engine, so a hot source spreads across
+    ``salt_buckets`` actors — but unlike that engine (driver barriers
+    every micro-batch: measured ~26k rows/s at 32 cpus), consumers run in
+    parallel and the driver role lives in a ``_SaltedAggregator`` actor.
+
+    Ordering/arrival contract (same proof shape as the keyed partitioned
+    engine, one hop longer): a consumer advances its partition watermark
+    only after the aggregator acked ``add`` over the actors' resolved
+    ingest deltas, so when the MIN watermark passes a window's end +
+    lateness, every one of its rows is buffered in some actor and every
+    histogram delta is merged — finalization is then safe anywhere in
+    time.  Tumbling/sliding, windowed or sticky detection; sessions need
+    the coordinated form (fragment gap-merge).  Recovery: whole-run
+    replay against the exactly-once sink (sink layouts dedup by epoch),
+    as for ``run_streaming_partitioned``."""
+    num_partitions = scaled_parts(8, num_partitions)
+    import os
+
+    if cfg.window_kind not in ("tumbling", "sliding"):
+        raise ValueError(
+            "multi-consumer salted streaming supports tumbling/sliding "
+            "windows (sessions need the coordinated salted engine)"
+        )
+    paths = _resolve_parquet_paths(source) if isinstance(source, str) else list(source)
+    n_partitions = min(n_partitions, max(1, len(paths)))
+    groups = [paths[i::n_partitions] for i in range(n_partitions)]
+
+    sink_done, late_done, sink_epoch = _sink_done_sets(out_dir)
+    actors = [
+        KeyedStateActor.remote(
+            cfg,
+            sink_dir=out_dir,
+            sink_partitions=num_partitions,
+            sink_done=sink_done,
+            late_done=late_done,
+            sink_epoch=sink_epoch,
+        )
+        for _ in range(n_actors)
+    ]
+    aggregator = _SaltedAggregator.remote(cfg, actors)
+    tracker = WatermarkTracker.remote(n_partitions, cfg.allowed_lateness)
+    consumer_refs = [
+        _consume_salted_partition.remote(
+            i, groups[i], actors, aggregator, tracker,
+            n_actors, salt_buckets, micro_batch_rows,
+        )
+        for i in range(n_partitions)
+    ]
+    emitted: list[pa.Table] = []
+    if out_dir is None:
+        # drain the aggregator outbox WHILE consumers run — in
+        # driver-collect mode the whole rewritten output passes through it
+        pending = list(consumer_refs)
+        while pending:
+            _done, pending = ray.wait(pending, timeout=0.25)
+            emitted.extend(ray.get(aggregator.take_outbox.remote()))
+    metrics = ray.get(consumer_refs)
+    ray.get(aggregator.final_flush.remote())
+    emitted.extend(ray.get(aggregator.take_outbox.remote()))
+    late_tables = [
+        t for t in ray.get([a.late_rows.remote() for a in actors]) if t is not None
+    ]
+    stats = ray.get([a.state_stats.remote() for a in actors])
+    late = pa.concat_tables(late_tables) if late_tables else None
+    if out_dir is not None:
+        return (
+            _finalize_sink(
+                actors, stats, late, out_dir, sink_epoch,
+                consumer_metrics=metrics,
+            ),
+            metrics,
+        )
+    out = pa.concat_tables(emitted).sort_by("doc_id") if emitted else None
+    return (
+        StreamingResult(
+            output=out if out is not None else _empty_out(),
+            late=late,
+            n_late=sum(s["n_late"] for s in stats),
+            actor_stats=stats,
+        ),
+        metrics,
+    )
+
+
 def _empty_out() -> pa.Table:
     return pa.table(
         {
