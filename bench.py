@@ -172,6 +172,10 @@ def main() -> None:
         # 4/4@2048 26.5s → 6/2@8192 17.2s at 8 cpus, 1.2M rows).
         n_actors_p = max(1, NUM_CPUS * 3 // 4)
         n_consumers_p = max(1, NUM_CPUS // 4)
+        # GRAFT_STREAM_ENGINE=salted swaps in the multi-consumer SALTED
+        # engine (the past-the-keyed-ceiling path) for the same probe;
+        # the keyed routing table below is skipped there (unused)
+        engine = os.environ.get("GRAFT_STREAM_ENGINE", "keyed")
         # The stream's source universe is small and zipf-skewed, so hash
         # routing pigeonholes (measured: 52% of rows on one of 4 actors).
         # Build a WEIGHTED (LPT greedy) source→actor table from the first
@@ -185,28 +189,27 @@ def main() -> None:
 
         import pyarrow.parquet as _pqs
 
-        first = sorted(
-            os.path.join(stream, f)
-            for f in os.listdir(stream) if f.endswith(".parquet")
-        )[0]
-        counts = _coll.Counter(
-            _pqs.read_table(first, columns=["source"])["source"].to_pylist()
-        )
-        # cover the WHOLE source universe, not just chunk 0's: a zipf-tail
-        # source absent from the first chunk would otherwise fail the
-        # routing-coverage check mid-run (the universe is known — synth
-        # names sources src00..srcNN)
-        for i in range(int(os.environ.get("GRAFT_STREAM_SOURCES", "8"))):
-            counts.setdefault(f"src{i:02d}", 0)
-        loads = [0] * n_actors_p
-        smap = {}
-        for src, cnt in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):
-            a = min(range(n_actors_p), key=loads.__getitem__)
-            smap[src] = a
-            loads[a] += cnt
-        # GRAFT_STREAM_ENGINE=salted swaps in the multi-consumer SALTED
-        # engine (the past-the-keyed-ceiling path) for the same probe
-        engine = os.environ.get("GRAFT_STREAM_ENGINE", "keyed")
+        smap = None
+        if engine != "salted":
+            first = sorted(
+                os.path.join(stream, f)
+                for f in os.listdir(stream) if f.endswith(".parquet")
+            )[0]
+            counts = _coll.Counter(
+                _pqs.read_table(first, columns=["source"])["source"].to_pylist()
+            )
+            # cover the WHOLE source universe, not just chunk 0's: a zipf-tail
+            # source absent from the first chunk would otherwise fail the
+            # routing-coverage check mid-run (the universe is known — synth
+            # names sources src00..srcNN)
+            for i in range(int(os.environ.get("GRAFT_STREAM_SOURCES", "8"))):
+                counts.setdefault(f"src{i:02d}", 0)
+            loads = [0] * n_actors_p
+            smap = {}
+            for src, cnt in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):
+                a = min(range(n_actors_p), key=loads.__getitem__)
+                smap[src] = a
+                loads[a] += cnt
         if engine == "salted":
             from pdf_watermark_removal_otsu_inpaint_ray.pipelines.streaming import (
                 run_streaming_salted_partitioned,

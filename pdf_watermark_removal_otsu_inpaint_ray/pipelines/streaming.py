@@ -453,6 +453,10 @@ def _consume_partition(
             if len(ready) < len(head_refs):
                 break
             inflight.popleft()
+            # ray.get even though ready (cheap — acks carry ints/None): a
+            # ready-but-ERRORED ack must re-raise here, not advance the
+            # watermark past a batch whose rows were never buffered
+            ray.get(head_refs)
             tracker.update.remote(partition_id, head_mx)
         while len(inflight) > max_depth:
             head_mx, head_refs = inflight.popleft()
@@ -567,8 +571,6 @@ def run_streaming_partitioned(
     metrics).
     """
     num_partitions = scaled_parts(8, num_partitions)
-    import os
-
     paths = _resolve_parquet_paths(source) if isinstance(source, str) else list(source)
     n_partitions = min(n_partitions, max(1, len(paths)))
     groups = [paths[i::n_partitions] for i in range(n_partitions)]
@@ -647,6 +649,82 @@ def run_streaming_partitioned(
     )
 
 
+
+class _SaltedCoordinator:
+    """ONE definition of the salted engines' global detection state —
+    per-(source, window) histogram merge with the detection-epoch horizon
+    guard, the sticky first-detecting-window map, and the leftover-token
+    rule.  Used inline by the coordinated ``run_streaming_salted`` driver
+    loop and wrapped by the multi-consumer ``_SaltedAggregator`` actor:
+    two engines, one coordinator, so a fix to either invariant (horizon
+    guard, sticky ``w >= first_window`` rule) cannot desynchronize them."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.hists: dict[tuple[str, int], np.ndarray] = {}
+        self.sticky: dict[str, tuple[int, int]] = {}
+        self.horizon = -(1 << 62)
+
+    def merge(self, srcs, wins, Hm) -> None:
+        """Merge one ingest's associative histogram deltas.  A straggler
+        contribution to an already-finalized window is dropped: its
+        detection epoch has passed, and a recreated partial could later
+        pin a garbage sticky token."""
+        from ..state.keyed_state import _window_end
+
+        for i in range(len(srcs)):
+            key = (srcs[i], int(wins[i]))
+            if _window_end(key[1], self.cfg) <= self.horizon:
+                continue
+            if key in self.hists:
+                self.hists[key] += Hm[i]
+            else:
+                self.hists[key] = Hm[i].copy()
+
+    def due_items(self, watermark: int) -> list[tuple[str, int, int]]:
+        """Detect + evict every window due at ``watermark`` → the
+        (source, window, wm_token) items to fan out to the state actors.
+        Advances the horizon even when nothing is due."""
+        from ..golden import detect_wm_token
+        from ..state.keyed_state import _window_end
+
+        cfg = self.cfg
+        due = sorted(
+            k for k in self.hists if _window_end(k[1], cfg) <= watermark
+        )
+        self.horizon = max(self.horizon, watermark)
+        items: list[tuple[str, int, int]] = []
+        for s, w in due:
+            st = self.sticky.get(s) if cfg.detection_mode == "sticky" else None
+            if cfg.fixed_wm_token >= 0:  # user override skips detection (M15)
+                wm_tok = cfg.fixed_wm_token
+            elif st is not None and w >= st[1]:
+                wm_tok = st[0]
+            else:
+                wm_tok, _ = detect_wm_token(self.hists[(s, w)], cfg)
+                if cfg.detection_mode == "sticky" and wm_tok >= 0 and st is None:
+                    self.sticky[s] = (int(wm_tok), w)
+            items.append((s, w, int(wm_tok)))
+            del self.hists[(s, w)]
+        return items
+
+    def leftover_items(self, left) -> list[tuple[str, int, int]]:
+        """Items for keys still buffered in actors with NO histogram (all
+        contributions horizon-dropped): sticky applies only FROM the first
+        detecting window onward; otherwise these keys' own detection is
+        -1 (emit unrewritten — failed-detection semantics)."""
+        cfg = self.cfg
+        fixed = cfg.fixed_wm_token if cfg.fixed_wm_token >= 0 else None
+
+        def tok(s: str, w: int) -> int:
+            if fixed is not None:
+                return fixed
+            st = self.sticky.get(s)
+            return st[0] if st is not None and w >= st[1] else -1
+
+        return [(s, w, tok(s, w)) for s, w in left]
+
+
 def run_streaming_salted(
     source,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -674,9 +752,6 @@ def run_streaming_salted(
     commits manifests at end of stream.
     """
     num_partitions = scaled_parts(8, num_partitions)
-    from ..golden import detect_wm_token
-    from ..state.keyed_state import _window_end
-
     if cfg.window_kind == "session":
         return _run_salted_sessions(
             source, cfg, n_actors=n_actors, salt_buckets=salt_buckets,
@@ -699,34 +774,18 @@ def run_streaming_salted(
     ]
     tracker = WatermarkTracker.remote(1, cfg.allowed_lateness)
 
-    hists: dict[tuple[str, int], np.ndarray] = {}
-    # sticky state mirrors the actor-local form: source -> (token, FIRST
-    # detecting window).  The window id matters — sticky never rewrites a
-    # window EARLIER than the first detecting one (same guard as
-    # keyed_state._emit_window / golden.apply_sticky).
-    sticky: dict[str, tuple[int, int]] = {}
+    # ONE coordinator definition shared with the multi-consumer engine
+    # (_SaltedCoordinator holds the hist merge, the sticky map — source →
+    # (token, FIRST detecting window); sticky never rewrites a window
+    # earlier than the first detecting one, same guard as
+    # keyed_state._emit_window / golden.apply_sticky — and the horizon)
+    coord = _SaltedCoordinator(cfg)
     emitted: list[pa.Table] = []
-    horizon = -(1 << 62)  # detection-epoch horizon, mirrors the actor-local one
 
     def finalize_due(watermark: int) -> None:
-        nonlocal horizon
-        due = sorted(k for k in hists if _window_end(k[1], cfg) <= watermark)
-        horizon = max(horizon, watermark)
-        if not due:
+        items = coord.due_items(watermark)
+        if not items:
             return
-        items = []
-        for s, w in due:
-            st = sticky.get(s) if cfg.detection_mode == "sticky" else None
-            if cfg.fixed_wm_token >= 0:  # user override skips detection (M15)
-                wm_tok = cfg.fixed_wm_token
-            elif st is not None and w >= st[1]:
-                wm_tok = st[0]
-            else:
-                wm_tok, _ = detect_wm_token(hists[(s, w)], cfg)
-                if cfg.detection_mode == "sticky" and wm_tok >= 0 and st is None:
-                    sticky[s] = (int(wm_tok), w)
-            items.append((s, w, int(wm_tok)))
-            del hists[(s, w)]
         for tables in ray.get([a.finalize_windows.remote(items) for a in actors]):
             emitted.extend(tables)
 
@@ -746,18 +805,7 @@ def run_streaming_salted(
             if idx.size:
                 acks.append(actors[a].ingest_partial.remote(batch.take(idx), wm))
         for srcs, wins, Hm, _late_total in ray.get(acks):  # the per-batch barrier
-            for i in range(len(srcs)):
-                key = (srcs[i], wins[i])
-                # a straggler's contribution to an already-finalized window
-                # must not recreate its (deleted) histogram: the window's
-                # detection epoch has passed, and a recreated partial could
-                # later pin a garbage sticky token
-                if _window_end(key[1], cfg) <= horizon:
-                    continue
-                if key in hists:
-                    hists[key] += Hm[i]
-                else:
-                    hists[key] = Hm[i].copy()
+            coord.merge(srcs, wins, Hm)
         tracker.update.remote(0, int(ts.max()))
 
     # one final pass finalizes everything in ascending window order per
@@ -769,20 +817,7 @@ def run_streaming_salted(
     leftovers = ray.get([a.buffered_keys.remote() for a in actors])
     left = sorted({k for ks in leftovers for k in map(tuple, ks)})
     if left:
-        fixed = cfg.fixed_wm_token if cfg.fixed_wm_token >= 0 else None
-
-        def leftover_tok(s: str, w: int) -> int:
-            # sticky applies only FROM the first detecting window onward
-            # (review finding: a gap window preceding the first detection
-            # must emit its own failed detection, matching the unsalted
-            # path's `key[1] >= st[1]` guard) — these keys have no hist,
-            # so their own detection is -1
-            if fixed is not None:
-                return fixed
-            st = sticky.get(s)
-            return st[0] if st is not None and w >= st[1] else -1
-
-        items = [(s, w, leftover_tok(s, w)) for s, w in left]
+        items = coord.leftover_items(left)
         for tables in ray.get([a.finalize_windows.remote(items) for a in actors]):
             emitted.extend(tables)
 
@@ -930,56 +965,20 @@ class _SaltedAggregator:
     horizon guard race-free, exactly like the driver loop it replaces."""
 
     def __init__(self, cfg: EngineConfig, actors: list):
-        self.cfg = cfg
+        self.coord = _SaltedCoordinator(cfg)
         self.actors = actors
-        self.hists: dict[tuple[str, int], np.ndarray] = {}
-        self.sticky: dict[str, tuple[int, int]] = {}
-        self.horizon = -(1 << 62)
         self.outbox: list[pa.Table] = []
 
     def add(self, *delta_results) -> None:
-        from ..state.keyed_state import _window_end
-
         for srcs, wins, Hm, _n_late in delta_results:
-            for i in range(len(srcs)):
-                key = (srcs[i], int(wins[i]))
-                # straggler contribution to an already-finalized window:
-                # its detection epoch has passed — recreating the deleted
-                # histogram could later pin a garbage sticky token
-                if _window_end(key[1], self.cfg) <= self.horizon:
-                    continue
-                if key in self.hists:
-                    self.hists[key] += Hm[i]
-                else:
-                    self.hists[key] = Hm[i].copy()
+            self.coord.merge(srcs, wins, Hm)
 
     def maybe_finalize(self, watermark: int) -> None:
-        self._finalize_due(int(watermark))
+        self._fan_out(self.coord.due_items(int(watermark)))
 
-    def _finalize_due(self, watermark: int) -> None:
-        from ..golden import detect_wm_token
-        from ..state.keyed_state import _window_end
-
-        cfg = self.cfg
-        due = sorted(
-            k for k in self.hists if _window_end(k[1], cfg) <= watermark
-        )
-        self.horizon = max(self.horizon, watermark)
-        if not due:
+    def _fan_out(self, items) -> None:
+        if not items:
             return
-        items = []
-        for s, w in due:
-            st = self.sticky.get(s) if cfg.detection_mode == "sticky" else None
-            if cfg.fixed_wm_token >= 0:
-                wm_tok = cfg.fixed_wm_token
-            elif st is not None and w >= st[1]:
-                wm_tok = st[0]
-            else:
-                wm_tok, _ = detect_wm_token(self.hists[(s, w)], cfg)
-                if cfg.detection_mode == "sticky" and wm_tok >= 0 and st is None:
-                    self.sticky[s] = (int(wm_tok), w)
-            items.append((s, w, int(wm_tok)))
-            del self.hists[(s, w)]
         # aggregator → state-actor fan-out (no call cycle: state actors
         # never call back); sink mode diverts, so the returned lists are
         # empty there and the outbox only grows in driver-collect mode
@@ -992,25 +991,11 @@ class _SaltedAggregator:
         """End of stream: finalize every held histogram, then the
         leftover-buffer path (keys whose contributions were all dropped by
         the horizon guard — same rule as the coordinated salted engine)."""
-        self._finalize_due(1 << 62)
+        self._fan_out(self.coord.due_items(1 << 62))
         leftovers = ray.get([a.buffered_keys.remote() for a in self.actors])
         left = sorted({k for ks in leftovers for k in map(tuple, ks)})
-        if not left:
-            return
-        cfg = self.cfg
-        fixed = cfg.fixed_wm_token if cfg.fixed_wm_token >= 0 else None
-
-        def leftover_tok(s: str, w: int) -> int:
-            if fixed is not None:
-                return fixed
-            st = self.sticky.get(s)
-            return st[0] if st is not None and w >= st[1] else -1
-
-        items = [(s, w, leftover_tok(s, w)) for s, w in left]
-        for tables in ray.get(
-            [a.finalize_windows.remote(items) for a in self.actors]
-        ):
-            self.outbox.extend(tables)
+        if left:
+            self._fan_out(self.coord.leftover_items(left))
 
     def take_outbox(self) -> list[pa.Table]:
         out = self.outbox
@@ -1057,6 +1042,10 @@ def _consume_salted_partition(
             if len(ready) < len(head_refs):
                 break
             inflight.popleft()
+            # ray.get even though ready (cheap — acks carry ints/None): a
+            # ready-but-ERRORED ack must re-raise here, not advance the
+            # watermark past a batch whose rows were never buffered
+            ray.get(head_refs)
             tracker.update.remote(partition_id, head_mx)
         while len(inflight) > max_depth:
             head_mx, head_refs = inflight.popleft()
@@ -1065,6 +1054,10 @@ def _consume_salted_partition(
 
     wm = -(1 << 62)
     batch_idx = 0
+    # per-partition watermark lag (the north star's per-partition metric)
+    # — same observation rule as _consume_partition so run_metrics.json
+    # has one consumer schema across the partitioned engines
+    lag_sum, lag_max, lag_n = 0, None, 0
     for path in paths:
         pf = pq_.ParquetFile(path)
         for rb in pf.iter_batches(batch_size=micro_batch_rows):
@@ -1076,6 +1069,11 @@ def _consume_salted_partition(
                 # emission — every due window's deltas are provably merged
                 # once the ack-gated global wm passed its end
                 aggregator.maybe_finalize.remote(wm)
+                if wm > -(1 << 61):
+                    lag = int(ts.max()) - wm
+                    lag_sum += lag
+                    lag_max = lag if lag_max is None else max(lag_max, lag)
+                    lag_n += 1
             batch_idx += 1
             salt = hash_partition_ids(batch["doc_id"].combine_chunks(), salt_buckets)
             src_h = hash_partition_ids(batch["source"].combine_chunks(), 1 << 30)
@@ -1105,6 +1103,8 @@ def _consume_salted_partition(
         "max_event_ts": max_ts,
         "seconds": round(dt, 3),
         "rows_per_sec": round(rows / dt, 1) if dt > 0 else 0.0,
+        "wm_lag_max": lag_max,
+        "wm_lag_avg": round(lag_sum / lag_n, 1) if lag_n else None,
     }
 
 
@@ -1140,8 +1140,6 @@ def run_streaming_salted_partitioned(
     replay against the exactly-once sink (sink layouts dedup by epoch),
     as for ``run_streaming_partitioned``."""
     num_partitions = scaled_parts(8, num_partitions)
-    import os
-
     if cfg.window_kind not in ("tumbling", "sliding"):
         raise ValueError(
             "multi-consumer salted streaming supports tumbling/sliding "
