@@ -193,10 +193,20 @@ def main(argv: list[str] | None = None) -> int:
                         "cluster CPUs; pinned per sink dir for resume)")
     r.add_argument("--streaming", action="store_true",
                    help="incremental engine (single read, keyed state actors)")
+    r.add_argument("--streaming-topology", default="single",
+                   choices=("single", "partitioned", "salted"),
+                   help="streaming only: single (one consumer, keyed "
+                        "actors, checkpointable), partitioned (one "
+                        "consumer per input file-partition, keyed "
+                        "actors), salted (parallel consumers + salted "
+                        "actors — the hot-source scale path; "
+                        "tumbling/sliding only)")
     r.add_argument("--checkpoint-every", type=int, default=None,
-                   help="streaming only: snapshot actor state every N "
-                        "micro-batches; a rerun resumes from the last "
-                        "checkpoint replaying only the log tail")
+                   help="streaming topology=single only: snapshot actor "
+                        "state every N micro-batches; a rerun resumes "
+                        "from the last checkpoint replaying only the log "
+                        "tail (the partitioned topologies recover by "
+                        "whole-run replay against the exactly-once sink)")
     r.add_argument("--overwrite", action="store_true",
                    help="recommit over an existing output dir instead of "
                         "resuming (skipping already-committed partitions)")
@@ -270,11 +280,40 @@ def main(argv: list[str] | None = None) -> int:
             sel_tmp = select_rows_file(args.input, parse_rows(args.rows))
             run_input = sel_tmp
         if args.streaming:
-            from .pipelines.streaming import run_streaming
+            if args.streaming_topology == "partitioned":
+                from .pipelines.streaming import run_streaming_partitioned
 
-            res = run_streaming(run_input, cfg, out_dir=args.output,
-                                num_partitions=args.partitions,
-                                checkpoint_every=args.checkpoint_every)
+                if args.checkpoint_every is not None:
+                    raise SystemExit(
+                        "--checkpoint-every requires "
+                        "--streaming-topology single (the partitioned "
+                        "topologies recover by whole-run replay)"
+                    )
+                res, _metrics = run_streaming_partitioned(
+                    run_input, cfg, out_dir=args.output,
+                    num_partitions=args.partitions,
+                )
+            elif args.streaming_topology == "salted":
+                from .pipelines.streaming import (
+                    run_streaming_salted_partitioned,
+                )
+
+                if args.checkpoint_every is not None:
+                    raise SystemExit(
+                        "--checkpoint-every requires "
+                        "--streaming-topology single (the partitioned "
+                        "topologies recover by whole-run replay)"
+                    )
+                res, _metrics = run_streaming_salted_partitioned(
+                    run_input, cfg, out_dir=args.output,
+                    num_partitions=args.partitions,
+                )
+            else:
+                from .pipelines.streaming import run_streaming
+
+                res = run_streaming(run_input, cfg, out_dir=args.output,
+                                    num_partitions=args.partitions,
+                                    checkpoint_every=args.checkpoint_every)
             # sink mode: rows staged by the actors; output lives under
             # --output (res.output is None by design)
             rows = sum(s["n_emitted"] for s in res.actor_stats)

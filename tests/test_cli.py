@@ -104,3 +104,40 @@ def test_cli_resume_notice_and_overwrite(ray_session, tmp_path, capsys):
                  "--overwrite"]) == 0
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["rows"] == 80
+
+
+def test_cli_streaming_topologies(ray_session, tmp_path, capsys):
+    """--streaming-topology partitioned|salted run the multi-consumer
+    engines from the CLI and commit the same doc_id set as the default
+    single-consumer topology; --checkpoint-every is rejected there (the
+    partitioned topologies recover by whole-run replay)."""
+    import pyarrow.parquet as pq
+
+    import pytest
+
+    p = str(tmp_path / "topo.parquet")
+    synth.write_stream(p, 80, n_sources=2, disorder=6)
+    src_ids = sorted(pq.read_table(p)["doc_id"].to_pylist())
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import read_output
+
+    for topo in ("single", "partitioned", "salted"):
+        out_dir = str(tmp_path / f"out_{topo}")
+        rc = main(
+            ["run", "--input", p, "--output", out_dir, "--partitions", "4",
+             "--lateness", "64", "--streaming", "--streaming-topology", topo]
+        )
+        assert rc == 0, topo
+        capsys.readouterr()
+        got = sorted(
+            d
+            for b in read_output(out_dir).iter_batches(batch_format="pyarrow")
+            for d in b["doc_id"].to_pylist()
+        )
+        assert got == src_ids, topo
+
+    with pytest.raises(SystemExit, match="checkpoint-every"):
+        main(
+            ["run", "--input", p, "--output", str(tmp_path / "out_bad"),
+             "--streaming", "--streaming-topology", "salted",
+             "--checkpoint-every", "5"]
+        )
