@@ -143,3 +143,31 @@ def test_salted_mc_rejects_sessions(ray_session, tmp_path):
     cfg = DEFAULT_CONFIG.with_(window_kind="session")
     with pytest.raises(ValueError, match="tumbling/sliding"):
         run_streaming_salted_partitioned(str(tmp_path), cfg)
+
+
+def test_salted_mc_sink_replay_idempotent(ray_session, tmp_path):
+    """Whole-run replay against the exactly-once sink (the documented
+    recovery path): re-running the identical job into the same out_dir
+    commits no duplicate rows — committed partitions are skipped and the
+    second attempt's staged rows are judged by epoch."""
+    from pdf_watermark_removal_otsu_inpaint_ray.sinks.exactly_once import (
+        read_output,
+    )
+
+    d = tmp_path / "mc_replay_src"
+    full = _chunked_stream(d, 300, n_sources=2)
+    cfg = DEFAULT_CONFIG.with_(
+        window_kind="tumbling", window_size=32, allowed_lateness=16
+    )
+    out_dir = str(tmp_path / "mc_replay_out")
+    for attempt in range(2):
+        res, _ = run_streaming_salted_partitioned(
+            str(d), cfg, n_actors=3, salt_buckets=2, n_partitions=2,
+            micro_batch_rows=64, out_dir=out_dir,
+        )
+        got = sorted(
+            x
+            for b in read_output(out_dir).iter_batches(batch_format="pyarrow")
+            for x in b["doc_id"].to_pylist()
+        )
+        assert got == sorted(full["doc_id"].to_pylist()), attempt
